@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to a noop sink (full plan execution, no driver-side
+collect overhead). First a warmup runs one trivial job so JVM/codegen
+startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: every operator family, weighted toward the scan/join/agg and
+# dedup/similarity paths that dominate at 100 TB.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "top_users_by_event_type",
+    "dws02_traffic_page_view_window",
+    "dws03_home_detail_uv_window",
+    "dws04_user_login_window",
+    "dws05_user_register_window",
+    "dws06_cart_add_uu_window",
+    "dws09_trade_sku_order_window",
+    "dwd_trade_order_detail",
+    "dwd_cart_add",
+    "dim_config_routing",
+    "baselog_stream_split",
+    "keyword_page_view",
+    "scalar_function_surface",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh_bucketed",
+    "text_quality_score",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    "token_count_stats",
+    "multimodal_metadata",
+]
+
+
+def main() -> None:
+    from realtimedatawarehouse_self_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="rtdw-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warmup: JVM + parquet footer reads
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Shared column-expression helpers.
+
+Everything here is a *Catalyst expression builder* — pure `pyspark.sql.functions`
+composition, no Python UDFs — so every consumer stays inside whole-stage
+codegen. Money semantics mirror the reference's BigDecimal sums
+(``Dws09TradeSkuOrderWindow.java:153-201``): cast to DECIMAL(18,2) per row
+*before* summing, so aggregation is exact and bit-identical across engines
+(Spark vs the DuckDB oracle) regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def dec(col, scale_type: str = MONEY) -> Column:
+    """Exact-decimal cast for money/measure columns (reference: BigDecimal)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast(scale_type)
+
+
+def money_cents(col) -> Column:
+    """Round a double amount to exact integer cents: floor(x*100 + 0.5).
+
+    This is the scaled-integer money pattern (the reference's BigDecimal sums,
+    ``Dws09...java:153-201``, re-expressed for columnar exactness): the
+    half-up rounding happens in pure double arithmetic, which is bit-identical
+    across engines, and everything downstream (sums, comparisons, ordering)
+    is exact 64-bit integer math. Avoids engine-specific double->decimal
+    rounding differences entirely.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.floor(c * 100 + F.lit(0.5)).cast("bigint")
+
+
+def cents_amount(col) -> Column:
+    """Render summed cents back to a double amount (exact for |x| < 2^53)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast("double") / F.lit(100.0)
+
+
+# SQL (DuckDB) twins of money_cents / cents_amount — keep in lockstep.
+def sql_money_cents(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+def sql_cents_amount(expr: str) -> str:
+    return f"CAST({expr} AS DOUBLE) / 100.0"
+
+
+def window_bounds(window_col: str = "w") -> list[Column]:
+    """Stamp window start/end as `stt`/`edt` strings.
+
+    Mirrors the reference's finishing WindowFunction that formats window
+    boundaries into the output bean (``Dws02...java:187-203`` and the SQL
+    variant ``DwsTrafficKeywordPageViewWindow.java:105-106``).
+    """
+    return [
+        F.date_format(F.col(f"{window_col}.start"), TS_FMT).alias("stt"),
+        F.date_format(F.col(f"{window_col}.end"), TS_FMT).alias("edt"),
+    ]
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization with empties removed (UDTF analogue, U1).
+
+    The reference tokenizes with the IK Chinese analyzer inside a Flink
+    TableFunction (``SplitFunction.java:12-28``); here tokenization is a
+    JVM-side `split` + `filter` so it stays vectorized. A pluggable
+    pandas-UDF tokenizer hook lives in functions/text.py for real analyzers.
+    """
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """n-gram word shingles as an array column (dedup primitives).
+
+    Built with `transform(sequence(...))` so shingling runs inside codegen —
+    no Python involved even at 100 TB.
+    """
+    parts = [
+        "tok_arr[i]" if k == 0 else f"tok_arr[i+{k}]" for k in range(n)
+    ]
+    concat = ", ' ', ".join(parts)
+    expr = (
+        f"CASE WHEN size(tok_arr) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(tok_arr) - {n}), "
+        f"i -> concat({concat})) END"
+    )
+    # expression refers to tok_arr; caller binds via a named intermediate col
+    return F.expr(expr)
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over array<double> columns.
+
+    `zip_with` + `aggregate` evaluate left-to-right in one codegen stage, so
+    the floating-point result is deterministic and matches any engine that
+    loops over the list in index order (e.g. DuckDB's list_dot_product).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))

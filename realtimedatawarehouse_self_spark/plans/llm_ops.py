@@ -1,0 +1,630 @@
+"""Large-scale training-data pipeline operators (dedup / similarity / text
+analysis / multimodal metadata) over the `documents` and `embeddings` tables.
+
+These go beyond the reference's own surface (BASELINE.json north-star): the
+operators an LLM-data pipeline needs at 100 TB. Design per operator:
+
+- exact dedup: hash-groupBy — one shuffle on the content hash, even keys.
+- MinHash+LSH: shingle -> k salted-md5 minhashes -> band signatures ->
+  bucket self-join. md5 is used as the hash family so the DuckDB oracle is
+  bit-identical (min over fixed-width hex strings == min over the unsigned
+  ints they encode). At scale the band join shuffles only (band, sig) pairs,
+  never full documents.
+- n-gram Jaccard: exact near-dup ground truth via a distinct-shingle
+  self-join; the inverted-index join bounds pairs to those sharing >=1
+  shingle. Ratio test kept in *integer* arithmetic (2*inter >= union) so the
+  oracle comparison is exact.
+- SimHash: 16-bit fingerprint from per-token 60-bit hashes (md5-hex ->
+  bigint); bit-vote aggregation happens in one groupBy.
+- similarity search: brute-force cosine top-k with the small query side
+  broadcast (scan-parallel, no fact shuffle); LSH-bucketed variant prunes
+  candidates by sign-pattern buckets (axis-aligned hyperplanes).
+
+Everything is built-in-function Catalyst expressions — no Python UDFs — so
+the whole module runs inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    cosine,
+    tokens,
+    word_shingles,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+NUM_HASHES = 12
+BAND_ROWS = 3
+NUM_BANDS = NUM_HASHES // BAND_ROWS
+SIMHASH_BITS = 16
+STOPWORDS = ("the", "a", "data", "row", "value")
+LANG_ORDER = ("en", "zh", "de", "es", "fr")
+LANG_MARKERS = {
+    "en": ("the", "a"),
+    "zh": ("data", "row"),
+    "de": ("join", "merge"),
+    "es": ("order", "sort"),
+    "fr": ("value", "key"),
+}
+TOPK = 5
+NUM_QUERY_VECS = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, lang, shingle) — the shared dedup primitive."""
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    return (
+        docs.select(
+            "doc_id", "lang", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
+        )
+        .distinct()
+    )
+
+
+_SHINGLE_CTE = """
+tok AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, lang,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM tok, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content.
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_ct"),
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_ct
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: inverted-index self-join on distinct shingles.
+# ---------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct"))
+        .filter(2 * F.col("inter_ct") >= F.col("union_ct"))
+        .select("doc_a", "doc_b", "inter_ct", "union_ct")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter_ct
+    FROM sh a JOIN sh b
+      ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_ct,
+       sa.n_sh + sb.n_sh - inter_ct AS union_ct
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs. Hash family: md5("<i>:" || shingle); the
+# minimum hex string per doc per salt is the minhash. Bands of BAND_ROWS
+# signatures bucket-join into candidate pairs.
+# ---------------------------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    bands = None
+    for b in range(NUM_BANDS):
+        cols = [f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
+        one = minh.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.concat(*[F.col(c) for c in cols]).alias("sig"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n           ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(NUM_BANDS):
+        cols = " || ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {cols} AS sig FROM minh"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+minh AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints: 60-bit token hashes vote per bit; 16-bit fingerprint.
+# ---------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    toks = docs.select("doc_id", F.explode("tok_arr").alias("tok"))
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+    FROM tok
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (queries broadcast over the
+# corpus scan) and the LSH-bucketed scale path (sign-pattern buckets).
+# ---------------------------------------------------------------------------
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("score"),
+        )
+    )
+
+
+_SIM_TOPK_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < {NUM_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(q.qvec, e.vec)
+             / (sqrt(list_dot_product(q.qvec, q.qvec))
+                * sqrt(list_dot_product(e.vec, e.vec))) AS score
+    FROM emb e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= {TOPK}
+"""
+
+
+def _bucket_expr_spark(col: str):
+    return (
+        F.when(F.element_at(F.col(col), 1) > 0, 8).otherwise(0)
+        + F.when(F.element_at(F.col(col), 2) > 0, 4).otherwise(0)
+        + F.when(F.element_at(F.col(col), 3) > 0, 2).otherwise(0)
+        + F.when(F.element_at(F.col(col), 4) > 0, 1).otherwise(0)
+    )
+
+
+def similarity_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: candidates restricted to the query's sign-pattern bucket.
+
+    The bucket id is a 4-bit code from the signs of the first 4 dimensions —
+    axis-aligned random-hyperplane LSH. At 100 TB the corpus is scanned once,
+    bucketed, and only same-bucket candidates are scored (a 16x candidate
+    reduction here; more hyperplanes at larger scale).
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr_spark("vec"))
+    q = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("score"),
+        )
+    )
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN vec[1] > 0 THEN 8 ELSE 0 END + CASE WHEN vec[2] > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN vec[3] > 0 THEN 2 ELSE 0 END + CASE WHEN vec[4] > 0 THEN 1 ELSE 0 END)"
+)
+_SIM_LSH_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec,
+           {_BUCKET_SQL} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket
+    FROM emb WHERE vec_id < {NUM_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(q.qvec, e.vec)
+             / (sqrt(list_dot_product(q.qvec, q.qvec))
+                * sqrt(list_dot_product(e.vec, e.vec))) AS score
+    FROM emb e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality scoring, language id, fingerprinting, token stats.
+# ---------------------------------------------------------------------------
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("tok_arr").cast("bigint").alias("n_tokens"),
+        F.expr("aggregate(transform(tok_arr, x -> length(x)), 0L, (a, v) -> a + v)")
+        .alias("sum_token_len"),
+        F.expr(
+            f"size(filter(tok_arr, x -> array_contains(array({stop_arr}), x)))"
+        )
+        .cast("bigint")
+        .alias("stopword_ct"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("sum_token_len").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        (F.col("stopword_ct").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(F.col("stopword_ct") * 4 > F.col("n_tokens"), "low_quality")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT)
+               AS sum_token_len,
+           CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x)))
+                AS BIGINT) AS stopword_ct
+    FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(sum_token_len AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(stopword_ct AS DOUBLE) / n_tokens AS stopword_ratio,
+       CASE WHEN n_tokens < 20 THEN 'short'
+            WHEN stopword_ct * 4 > n_tokens THEN 'low_quality'
+            ELSE 'ok' END AS quality_bucket
+FROM m
+"""
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language id (n-gram heuristic, deterministic)."""
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    score_cols = {}
+    for lang in LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols[lang] = F.expr(
+            f"size(filter(tok_arr, x -> array_contains(array({markers}), x)))"
+        ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        *[score_cols[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+    )
+    pred = None
+    for lang in LANG_ORDER:
+        others = [f"score_{o}" for o in LANG_ORDER if o != lang]
+        cond = None
+        for o in others:
+            c = F.col(f"score_{lang}") >= F.col(o)
+            cond = c if cond is None else cond & c
+        term = F.when(cond, F.lit(lang))
+        pred = term if pred is None else pred.when(cond, F.lit(lang))
+    scored = scored.withColumn("pred_lang", pred)
+    return scored.withColumn(
+        "is_correct",
+        F.when(F.col("pred_lang") == F.col("true_lang"), 1)
+        .otherwise(0)
+        .cast("bigint"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score_exprs = []
+    for lang in LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{markers}], x)))"
+            f" AS BIGINT) AS score_{lang}"
+        )
+    preds = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in LANG_ORDER if o != lang
+        )
+        preds.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang AS true_lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, true_lang,
+           {", ".join(score_exprs)}
+    FROM t
+)
+SELECT *,
+       CASE {" ".join(preds)} END AS pred_lang,
+       CAST(CASE WHEN (CASE {" ".join(preds)} END) = true_lang
+            THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+FROM scored
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.lower("text")), 1, 16).alias("fingerprint"),
+        F.greatest(F.size("tok_arr") - 2, F.lit(0)).cast("bigint").alias(
+            "n_shingles"
+        ),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       substr(md5(lower(text)), 1, 16) AS fingerprint,
+       CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')) - 2,
+                     0) AS BIGINT) AS n_shingles
+FROM documents
+"""
+
+
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum(F.size("tok_arr")).cast("bigint").alias("ws_token_ct"),
+        F.sum(F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))"))
+        .cast("bigint")
+        .alias("re_token_ct"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS doc_ct,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS ws_token_ct,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+           AS re_token_ct
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata: the SQL-comparable half of the binary-column path
+# (decode/resize stubs live in functions/multimodal.py and are pytest-only).
+# ---------------------------------------------------------------------------
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    return payload.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.when(F.octet_length("payload") % 3 == 0, "image/png")
+        .when(F.octet_length("payload") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime_type"),
+        (F.octet_length("payload") % 16).cast("bigint").alias("frame_ct"),
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CASE WHEN strlen(text) % 3 = 0 THEN 'image/png'
+            WHEN strlen(text) % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime_type,
+       CAST(strlen(text) % 16 AS BIGINT) AS frame_ct
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_topk_lsh_bucketed": similarity_topk_lsh_bucketed,
+    "text_quality_score": text_quality_score,
+    "lang_id_ngram": lang_id_ngram,
+    "doc_fingerprint": doc_fingerprint,
+    "token_count_stats": token_count_stats,
+    "multimodal_metadata": multimodal_metadata,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "similarity_topk_bruteforce": _SIM_TOPK_SQL,
+    "similarity_topk_lsh_bucketed": _SIM_LSH_SQL,
+    "text_quality_score": _TEXT_QUALITY_SQL,
+    "lang_id_ngram": _lang_id_sql(),
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "token_count_stats": _TOKEN_COUNT_SQL,
+    "multimodal_metadata": _MULTIMODAL_SQL,
+}

@@ -1,0 +1,59 @@
+"""Batch table sources over the driver's parquet testdata.
+
+The reference's sources are Kafka topics + MySQL CDC/JDBC lookups
+(``MyKafkaUtil.java:25-148``, ``MySqlUtil.java:5-26``); its batch-equivalent
+in this engine is a plain columnar scan. Reading parquet through
+``spark.read`` gives predicate pushdown + column pruning for free — at 100 TB
+the scan only materializes the columns and row groups a query touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
+# Spark cannot map to a Catalyst type. We read them as raw nanos
+# (spark.sql.legacy.parquet.nanosAsLong) and convert to micros inline —
+# integer `div 1000`, matching DuckDB's nanos->micros truncation exactly.
+NANO_TS_COLUMNS = {
+    "events": ("ts",),
+}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always below the broadcast threshold relative to the
+# fact tables even at full scale (they grow ~linearly but stay orders of
+# magnitude smaller than lineitem/events); joins against them should never
+# shuffle the fact side.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Filters/projections applied by the caller are
+    pushed into this scan by Catalyst."""
+    if name in NANO_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in NANO_TS_COLUMNS.get(name, ()):
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view so pipelines can use spark.sql."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
