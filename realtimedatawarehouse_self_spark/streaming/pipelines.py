@@ -1,0 +1,220 @@
+"""Structured Streaming pipelines mirroring the reference's app topologies
+(SURVEY.md §3). Sources are pluggable streaming DataFrames (file/rate/kafka);
+tests feed file streams and assert each pipeline's output equals its batch
+twin in plans/core.py on the same fixture.
+
+Topology mapping:
+- BaseLogApp (§3.1)         -> `parse_json_stream` + `visitor_repair` +
+                               `run_baselog_split` (foreachBatch fan-out)
+- DwdTradeOrderDetail (§3.2)-> `order_detail_join_stream` (watermarked
+                               stream-stream joins + broadcast lookup)
+- DimApp (§3.3)             -> `run_dim_routing` (config re-read per batch +
+                               broadcast-join routing + keyed upsert)
+- Dws* windows (§3.1/3.2)   -> `dws_pv_window_stream` / `dws_uv_window_stream`
+                               (watermark + tumbling window + stamping)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    TS_FMT,
+    cents_amount,
+    money_cents,
+    window_bounds,
+)
+from realtimedatawarehouse_self_spark.streaming import sinks
+
+
+# ---------------------------------------------------------------------------
+# P1/P2: permissive JSON parse with dead-letter routing.
+# Reference: BaseLogApp.java:53-69 (side-output), BaseDBApp.java:50-66 (drop).
+# ---------------------------------------------------------------------------
+def parse_json_stream(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
+    """Returns the stream with a parsed struct column `j` (null => dirty).
+
+    Callers either `filter(j.isNotNull())` (P2 drop) or fan the complement
+    to a dead-letter sink in foreachBatch (P1 side output).
+    """
+    return raw.withColumn(
+        "j", F.from_json(F.col(value_col), schema, {"mode": "PERMISSIVE"})
+    )
+
+
+def split_clean_dirty(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clean = parsed.filter(F.col("j").isNotNull()).select("j.*")
+    dirty = parsed.filter(F.col("j").isNull())
+    return clean, dirty
+
+
+# ---------------------------------------------------------------------------
+# W1-W3 + A1/A8: watermarked tumbling-window aggregation.
+# ---------------------------------------------------------------------------
+def dws_pv_window_stream(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 seconds",  # W1 parity: 2 s bounded out-of-orderness
+) -> DataFrame:
+    """pv/dur leg of Dws02 (stateless rows -> stateful windowed agg)."""
+    return (
+        events.withColumn("v", money_cents("value"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            cents_amount(F.sum("v")).alias("dur_sum"),
+        )
+        .select(*window_bounds("w"), "event_type", "pv_ct", "dur_sum")
+    )
+
+
+def dws_uv_window_stream(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """uv leg of Dws02: daily dedup (T2) chained into the window agg.
+
+    Spark-native chain: dropDuplicates on (user, day) — a supported
+    multi-stateful pipeline (dedup -> agg). The day column makes state keys
+    day-scoped, the exact analogue of the reference's 1-day state TTL.
+    """
+    deduped = (
+        events.withColumn("dt", F.to_date("ts"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type", "dt"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("uv_ct"))
+        .select(*window_bounds("w"), "event_type", "uv_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.1 BaseLogApp: one pass fans the log stream into branch sinks (P13) with
+# dead-letter (P1). foreachBatch persists once, writes N times.
+# ---------------------------------------------------------------------------
+BRANCHES = ("error", "signup", "view", "click", "purchase")
+
+
+def run_baselog_split(
+    events: DataFrame, out_dir: str, checkpoint: str
+) -> "StreamingQuery":
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for br in BRANCHES:
+                rows = batch.filter(F.col("event_type") == br)
+                sinks.append_parquet(rows, os.path.join(out_dir, f"dwd_{br}"))
+            other = batch.filter(~F.col("event_type").isin(*BRANCHES))
+            if other.limit(1).count():
+                sinks.append_parquet(other, os.path.join(out_dir, "dead_letter"))
+        finally:
+            batch.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.3 DimApp: config-driven routing per micro-batch. The config table is
+# re-read every batch (T7 CRUD becomes implicit; no broadcast bootstrap
+# race) and broadcast-joined against the batch (J4), pruned columns are
+# nulled (P9), and each rule's rows are MERGEd into its dim table (K5).
+# ---------------------------------------------------------------------------
+def run_dim_routing(
+    spark: SparkSession,
+    events: DataFrame,
+    config_path: str,
+    out_dir: str,
+    checkpoint: str,
+    key_col: str = "event_id",
+) -> "StreamingQuery":
+    def process(batch: DataFrame, batch_id: int) -> None:
+        config = (
+            spark.read.parquet(config_path)
+            .withColumn("cols", F.split("sink_columns", ","))
+        )
+        routed = batch.join(
+            F.broadcast(config), batch.event_type == config.source_type
+        )
+        data_cols = [c for c in batch.columns]
+        pruned = routed.select(
+            "sink_table",
+            *[
+                F.when(
+                    F.array_contains("cols", c) | F.lit(c == key_col), F.col(c)
+                ).alias(c)
+                for c in data_cols
+            ],
+        )
+        rules = [r["sink_table"] for r in config.select("sink_table").distinct().collect()]
+        pruned.persist()
+        try:
+            for sink_table in rules:
+                rows = pruned.filter(F.col("sink_table") == sink_table).drop(
+                    "sink_table"
+                )
+                sinks.upsert_parquet(
+                    spark, rows, os.path.join(out_dir, sink_table), [key_col]
+                )
+        finally:
+            pruned.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 DwdTradeOrderDetail: stream-stream joins with watermarks and an
+# event-time bound (SURVEY.md §7 known-hard #1), plus broadcast lookup (J3).
+# ---------------------------------------------------------------------------
+def order_detail_join_stream(
+    order_detail: DataFrame,
+    order_info: DataFrame,
+    dic: DataFrame,
+    watermark: str = "5 seconds",
+    join_window: str = "10 seconds",
+) -> DataFrame:
+    """od INNER JOIN oi (J1) with event-time bound + broadcast dic (J3).
+
+    The reference ran the join with unbounded state (DwdTradeOrderDetail
+    .java:161-169); Spark requires both sides watermarked and a time-range
+    condition so state is evicted — the bound is the explicit contract the
+    reference left implicit in state-retention config.
+    """
+    od = order_detail.withWatermark("create_time", watermark).alias("od")
+    oi = order_info.withWatermark("create_time", watermark).alias("oi")
+    dic = dic.alias("dic")
+    joined = od.join(
+        oi,
+        F.expr(
+            f"""od.order_id = oi.id
+            AND oi.create_time BETWEEN od.create_time - INTERVAL {join_window}
+                                   AND od.create_time + INTERVAL {join_window}"""
+        ),
+    )
+    return joined.join(
+        F.broadcast(dic), F.col("od.source_type") == F.col("dic.dic_code"), "left"
+    ).select(
+        F.col("od.id").alias("id"),
+        F.col("od.order_id").alias("order_id"),
+        F.col("od.sku_id").alias("sku_id"),
+        F.col("oi.user_id").alias("user_id"),
+        F.col("dic.dic_name").alias("source_type_name"),
+        F.col("od.create_time").alias("create_time"),
+    )

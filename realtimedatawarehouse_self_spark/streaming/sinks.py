@@ -1,0 +1,85 @@
+"""Streaming sinks.
+
+The reference's sink surface (SURVEY.md §2.2) maps onto:
+
+- K1 fixed-topic Kafka producer      -> append parquet/kafka sink
+- K2 dynamic-topic producer          -> `partitionBy(route_col)` append (one
+  directory per route, the columnar analogue of per-record topic routing)
+- K3 upsert-Kafka / K5 Phoenix upsert-> `upsert_parquet` keyed merge (the
+  Delta-MERGE pattern; Delta itself is not available in this container, so
+  the merge is implemented as read+anti-join+atomic-swap over parquet —
+  on a real cluster swap this for `DeltaTable.merge` unchanged)
+- K6 Redis cache maintenance         -> unnecessary (broadcast/scan replaces
+  the cache tier; see SURVEY.md §2.2 K6)
+- K7 print sink                      -> format("console")
+
+Scale note: `upsert_parquet` rewrites the table per batch, which is correct
+and idempotent but O(table) per merge — exactly why production uses Delta
+(file-level pruning on merge). The call-site API matches MERGE semantics so
+the swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def route_partitioned(df: DataFrame, path: str, route_col: str = "sink_table") -> None:
+    """K2 dynamic routing: one record stream fans out to per-route dirs.
+
+    Reference: MyKafkaUtil.java:65-87 (topic from the record, then removed) —
+    `partitionBy` keeps it a single write job no matter how many routes.
+    """
+    df.write.mode("append").partitionBy(route_col).parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str | None = None,
+) -> None:
+    """MERGE INTO analogue: last-writer-wins upsert keyed on `keys`.
+
+    Reference: DIM_SinkFunction.java:28-92 (Phoenix `upsert into`) and the
+    upsert-Kafka sink (MyKafkaUtil.java:129-137). Within a single `updates`
+    batch, the row with the greatest `order_col` (if given) wins —
+    deterministic, unlike the reference's arrival-order semantics.
+    """
+    within = updates
+    if order_col:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        within = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        within = updates.dropDuplicates(keys)
+
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(within.select(*keys), keys, "left_anti")
+        merged = keep.unionByName(within, allowMissingColumns=True)
+    else:
+        merged = within
+
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"rtdw-upsert-{uuid.uuid4().hex}"
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (single filesystem): write fresh, then replace
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -1,0 +1,196 @@
+"""Keyed-state streaming processors — the reference's semantic core
+(SURVEY.md §2.6, T1-T5), built on ``applyInPandasWithState``.
+
+Each processor is the streaming twin of a window-function batch expression
+in ``plans/core.py``; the pair is asserted equal in tests (same fixture ->
+same output), which is this engine's substitute for the reference's absent
+test suite.
+
+State design (100 TB notes):
+- state per key is O(1) (one date string / one marker), so the state store
+  stays proportional to |keys|, not |events| — RocksDB-backed at scale;
+- the reference's wall-clock TTLs (StateTtlConfig, 1 day) are re-expressed
+  as event-date comparisons: equivalent for the daily-dedup semantics and
+  deterministic/replayable (the reference's own Dws06 TTL was built but
+  never attached — see SURVEY.md §2.6 note);
+- processors are Arrow-batched (pandas), never row-at-a-time Python.
+
+Citations: T1 BaseLogApp.java:76-106; T2 Dws02...java:81-153;
+T4 Dws04...java:82-125; T5 Dws06...java:68-105; T6 Dws09...java:99-145.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EPOCH_DAY = "1970-01-01"
+
+
+def _sorted_concat(pdfs: Iterator[pd.DataFrame], by: list[str]) -> pd.DataFrame:
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    return pdf.sort_values(by, kind="mergesort", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# T1: new/old-visitor repair. Key: mid. State: first visit date.
+# ---------------------------------------------------------------------------
+def visitor_repair(events: DataFrame, key: str = "mid") -> DataFrame:
+    """Rewrites `is_new` exactly as BaseLogApp.java:76-106:
+
+    - is_new == "1" and first-ever visit      -> keep "1", remember today
+    - is_new == "1" but state has earlier day -> rewrite to "0"
+    - is_new == "0" and state empty           -> backfill state 1970-01-01
+      (visitor predates the job)
+    """
+    schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("dt", StringType()),
+            StructField("is_new", StringType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_dt", StringType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        first_dt = state.get[0] if state.exists else None
+        pdf = _sorted_concat(pdfs, ["dt"])
+        out_is_new = []
+        for _, row in pdf.iterrows():
+            today = row["dt"]
+            flag = row["is_new"]
+            if flag == "1":
+                if first_dt is None:
+                    first_dt = today
+                elif first_dt != today:
+                    flag = "0"
+            else:
+                if first_dt is None:
+                    first_dt = EPOCH_DAY
+            out_is_new.append(flag)
+        state.update((first_dt,))
+        pdf = pdf.assign(is_new=out_is_new)
+        yield pdf
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2/T3/T5: first-event-per-key-per-day flag. Key: any id (mid, user_id...).
+# ---------------------------------------------------------------------------
+def daily_first_flag(
+    events: DataFrame,
+    key_cols: list[str],
+    passthrough: list[StructField] = (),
+) -> DataFrame:
+    """Emits every row plus `first_flag` (1 on the key's first row of its
+    event-date). State: the latest date already flagged.
+
+    Batch twin: ROW_NUMBER() OVER (PARTITION BY key, dt ORDER BY ts) = 1.
+    T3's two independent page states are this processor keyed on
+    (mid, page_type); T5 is it keyed on user_id over cart events.
+    """
+    fields = [StructField(c, StringType()) for c in key_cols]
+    fields.append(StructField("dt", StringType()))
+    fields += list(passthrough)
+    fields.append(StructField("first_flag", IntegerType()))
+    schema = StructType(fields)
+    state_schema = StructType([StructField("last_dt", StringType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        last_dt = state.get[0] if state.exists else None
+        pdf = _sorted_concat(pdfs, ["dt"])
+        flags = []
+        for dt in pdf["dt"]:
+            if last_dt is None or dt > last_dt:
+                flags.append(1)
+                last_dt = dt
+            else:
+                flags.append(0)
+        state.update((last_dt,))
+        yield pdf.assign(first_flag=flags)
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4: login UV + 7-day returning users. Key: uid. State: last login date.
+# ---------------------------------------------------------------------------
+def login_back_flags(events: DataFrame, key: str = "uid") -> DataFrame:
+    """Emits (uid, dt, uv_flag, back_flag): uv on first login of the day,
+    back additionally when the gap since the previous login day exceeds 7
+    days (Dws04...java:104-117: (cur-last)/86400000 > 7). Rows with uv=0
+    are suppressed, matching the reference (emit only when uv fires).
+    """
+    schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("dt", StringType()),
+            StructField("uv_flag", IntegerType()),
+            StructField("back_flag", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_dt", StringType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        last_dt = state.get[0] if state.exists else None
+        pdf = _sorted_concat(pdfs, ["dt"])
+        out = []
+        for _, row in pdf.iterrows():
+            dt = row["dt"]
+            if last_dt is None or dt > last_dt:
+                gap_days = (
+                    (pd.Timestamp(dt) - pd.Timestamp(last_dt)).days
+                    if last_dt is not None
+                    else 0
+                )
+                out.append((row[key], dt, 1, 1 if gap_days > 7 else 0))
+                last_dt = dt
+        state.update((last_dt,))
+        yield pd.DataFrame(out, columns=[key, "dt", "uv_flag", "back_flag"])
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6: first-row-per-key dedup (join-retraction defense).
+# ---------------------------------------------------------------------------
+def first_row_per_key(events: DataFrame, key: str, payload_cols: list[str]) -> DataFrame:
+    """Keeps only the first arrival per key (Dws09...java:99-145; 5 s TTL in
+    the reference bounds state to the retraction window — here state is a
+    single marker per key; production would use
+    `dropDuplicatesWithinWatermark([key])`, which this engine prefers —
+    this processor exists for semantic parity tests).
+    """
+    fields = [StructField(key, StringType())]
+    fields += [StructField(c, StringType()) for c in payload_cols]
+    schema = StructType(fields)
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        seen = state.exists
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if seen or pdf.empty:
+            yield pdf.iloc[0:0]
+        else:
+            state.update(("1",))
+            yield pdf.iloc[0:1]
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

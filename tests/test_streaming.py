@@ -1,0 +1,358 @@
+"""Streaming pipeline tests: every streaming operator's output must equal
+its batch twin on the same fixture (the engine's core invariant), and
+cross-batch state must survive via the checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_events_fixture(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _fixture_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    return [
+        (1, t(0), 1, "view", 10.0),
+        (2, t(1), 1, "view", 20.0),       # same user+day -> uv dedup
+        (3, t(2), 2, "view", 30.0),
+        (4, t(65), 1, "click", 40.0),     # second window
+        (5, t(24 * 60), 1, "view", 50.0),  # next day -> uv fires again
+        (6, t(3), 3, "purchase", 60.0),
+    ]
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events_fixture(spark, src, _fixture_rows())
+    return src
+
+
+def _run_to_parquet(spark, df, out, checkpoint):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def _flush_rows():
+    # a far-future row advances the watermark on the NEXT trigger so all
+    # earlier event-time windows close (append-mode emission contract, W4)
+    import datetime as dt
+
+    return [(999, dt.datetime(2024, 3, 1), 999, "__flush__", 0.0)]
+
+
+def _run_windowed(spark, build, src, out, cp):
+    """Two availableNow triggers: data, then a watermark-flush row."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    _run_to_parquet(spark, build(stream), out, cp)
+    _write_events_fixture(spark, src, _flush_rows())
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    _run_to_parquet(spark, build(stream), out, cp)
+    return spark.read.parquet(out).filter("event_type <> '__flush__'")
+
+
+def test_pv_window_stream_matches_batch(spark, tmp_path, stream_src):
+    from realtimedatawarehouse_self_spark.streaming.pipelines import (
+        dws_pv_window_stream,
+    )
+
+    batch = spark.read.parquet(stream_src)  # snapshot before flush row
+    out = _run_windowed(
+        spark,
+        dws_pv_window_stream,
+        stream_src,
+        str(tmp_path / "out_pv"),
+        str(tmp_path / "cp_pv"),
+    )
+    # batch twin: same builder on the static frame (pre-flush snapshot)
+    expected = dws_pv_window_stream(batch)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # spot-check: window 0 'view' has pv=3 (u1 x2 + u2)
+    row = [r for r in out.collect() if r.event_type == "view" and r.stt == "2024-01-01 00:00:00"]
+    assert row and row[0].pv_ct == 3
+
+
+def test_uv_window_stream_dedups_within_day(spark, tmp_path, stream_src):
+    from realtimedatawarehouse_self_spark.streaming.pipelines import (
+        dws_uv_window_stream,
+    )
+
+    out = _run_windowed(
+        spark,
+        dws_uv_window_stream,
+        stream_src,
+        str(tmp_path / "out_uv"),
+        str(tmp_path / "cp_uv"),
+    )
+    rows = {(r.stt, r.event_type): r.uv_ct for r in out.collect()}
+    # day1 hour0 'view': users 1,2 -> uv 2 (user 1 deduped)
+    assert rows[("2024-01-01 00:00:00", "view")] == 2
+    # day2 'view': user 1 fires again (new day)
+    assert rows[("2024-01-02 00:00:00", "view")] == 1
+
+
+def test_baselog_split_branches_and_dead_letter(spark, tmp_path):
+    from realtimedatawarehouse_self_spark.streaming.pipelines import (
+        run_baselog_split,
+    )
+
+    src = str(tmp_path / "src2")
+    rows = _fixture_rows() + [(7, _fixture_rows()[0][1], 9, "unknown_type", 1.0)]
+    _write_events_fixture(spark, src, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    out_dir = str(tmp_path / "split")
+    q = run_baselog_split(stream, out_dir, str(tmp_path / "cp_split"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out_dir, "dwd_view")).count() == 4
+    assert spark.read.parquet(os.path.join(out_dir, "dwd_click")).count() == 1
+    assert spark.read.parquet(os.path.join(out_dir, "dead_letter")).count() == 1
+
+
+def test_dim_routing_upserts_and_prunes(spark, tmp_path, stream_src):
+    from realtimedatawarehouse_self_spark.streaming.pipelines import (
+        run_dim_routing,
+    )
+
+    config_path = str(tmp_path / "config")
+    spark.createDataFrame(
+        [
+            ("view", "dim_view", "event_id,user_id"),
+            ("click", "dim_click", "event_id,user_id,value"),
+        ],
+        "source_type string, sink_table string, sink_columns string",
+    ).write.parquet(config_path)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_src)
+    out_dir = str(tmp_path / "dim")
+    q = run_dim_routing(
+        spark, stream, config_path, out_dir, str(tmp_path / "cp_dim")
+    )
+    q.awaitTermination(120)
+
+    views = spark.read.parquet(os.path.join(out_dir, "dim_view"))
+    assert views.count() == 4  # view events
+    # pruning: 'value' not in sink_columns for dim_view -> nulled
+    assert all(r.value is None for r in views.collect())
+    clicks = spark.read.parquet(os.path.join(out_dir, "dim_click"))
+    assert all(r.value is not None for r in clicks.collect())
+
+    # config hot-reload (T7): add a rule, stream more data, rerun
+    spark.createDataFrame(
+        [("purchase", "dwd_purchase", "event_id,user_id,value")],
+        "source_type string, sink_table string, sink_columns string",
+    ).write.mode("append").parquet(config_path)
+    _write_events_fixture(
+        spark,
+        stream_src,
+        [(100, __import__("datetime").datetime(2024, 1, 3), 5, "purchase", 9.0)],
+    )
+    q2 = run_dim_routing(
+        spark, stream, config_path, out_dir, str(tmp_path / "cp_dim")
+    )
+    q2.awaitTermination(120)
+    # only the post-rule purchase lands: the checkpoint already consumed the
+    # earlier purchase event while no rule existed (reference semantics —
+    # a rule added mid-stream applies to subsequent data)
+    assert spark.read.parquet(os.path.join(out_dir, "dwd_purchase")).count() == 1
+
+
+def test_visitor_repair_state_across_batches(spark, tmp_path):
+    from realtimedatawarehouse_self_spark.streaming.stateful import visitor_repair
+
+    schema = StructType(
+        [
+            StructField("mid", StringType()),
+            StructField("dt", StringType()),
+            StructField("is_new", StringType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    src = str(tmp_path / "vsrc")
+    cp = str(tmp_path / "vcp")
+    out = str(tmp_path / "vout")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            visitor_repair(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: m1 brand new on d1; m2 claims new=0 with no state (backfill)
+    run_batch(
+        [
+            ("m1", "2024-01-01", "1", "a"),
+            ("m2", "2024-01-01", "0", "b"),
+        ]
+    )
+    # batch 2: m1 claims is_new=1 again on a LATER day -> must rewrite to 0
+    run_batch([("m1", "2024-01-02", "1", "c")])
+
+    rows = {(r.mid, r.dt): r.is_new for r in spark.read.parquet(out).collect()}
+    assert rows[("m1", "2024-01-01")] == "1"
+    assert rows[("m1", "2024-01-02")] == "0"  # repaired via state
+    assert rows[("m2", "2024-01-01")] == "0"
+
+
+def test_daily_first_flag_matches_batch_twin(spark, tmp_path):
+    from realtimedatawarehouse_self_spark.streaming.stateful import daily_first_flag
+
+    schema = StructType(
+        [StructField("uid", StringType()), StructField("dt", StringType())]
+    )
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame(
+        [
+            ("u1", "2024-01-01"),
+            ("u1", "2024-01-01"),
+            ("u1", "2024-01-02"),
+            ("u2", "2024-01-01"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        daily_first_flag(stream, ["uid"])
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "fout"))
+        .option("checkpointLocation", str(tmp_path / "fcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "fout"))
+    assert got.filter("first_flag = 1").count() == 3  # u1 d1, u1 d2, u2 d1
+    assert got.count() == 4
+
+
+def test_stream_stream_join_with_time_bound(spark, tmp_path):
+    from realtimedatawarehouse_self_spark.streaming.pipelines import (
+        order_detail_join_stream,
+    )
+    import datetime as dt
+
+    od_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("order_id", StringType()),
+            StructField("sku_id", StringType()),
+            StructField("source_type", StringType()),
+            StructField("create_time", TimestampType()),
+        ]
+    )
+    oi_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("user_id", StringType()),
+            StructField("create_time", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    od_src, oi_src = str(tmp_path / "od"), str(tmp_path / "oi")
+    spark.createDataFrame(
+        [
+            ("d1", "o1", "s1", "2401", t0),
+            ("d2", "o2", "s2", "2402", t0 + dt.timedelta(seconds=5)),
+            ("d3", "o3", "s3", "2401", t0),  # no matching order -> dropped
+        ],
+        od_schema,
+    ).coalesce(1).write.parquet(od_src)
+    spark.createDataFrame(
+        [
+            ("o1", "u1", t0 + dt.timedelta(seconds=2)),
+            ("o2", "u2", t0 + dt.timedelta(seconds=8)),
+            ("o9", "u9", t0),
+        ],
+        oi_schema,
+    ).coalesce(1).write.parquet(oi_src)
+    dic = spark.createDataFrame(
+        [("2401", "promo"), ("2402", "search")], "dic_code string, dic_name string"
+    )
+    od = spark.readStream.schema(od_schema).parquet(od_src)
+    oi = spark.readStream.schema(oi_schema).parquet(oi_src)
+    joined = order_detail_join_stream(od, oi, dic)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "jout"))
+        .option("checkpointLocation", str(tmp_path / "jcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "jout")).collect()}
+    assert set(rows) == {"d1", "d2"}
+    assert rows["d1"].user_id == "u1"
+    assert rows["d1"].source_type_name == "promo"
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    from realtimedatawarehouse_self_spark.streaming.sinks import upsert_parquet
+
+    path = str(tmp_path / "dim_t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([("1", "a"), ("2", "b")], "id string, v string"),
+        path,
+        ["id"],
+    )
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([("2", "B2"), ("3", "c")], "id string, v string"),
+        path,
+        ["id"],
+    )
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"1": "a", "2": "B2", "3": "c"}
