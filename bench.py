@@ -52,6 +52,14 @@ HEADLINE = [
     "doc_fingerprint",
     "token_count_stats",
     "multimodal_metadata",
+    "tpch_q5_local_supplier",
+    "set_operations_users",
+    "rollup_event_counts",
+    "semi_anti_customers",
+    "range_join_campaigns",
+    "asof_join_purchase_signup",
+    "sessionize_events",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media ride through the engine as opaque `binary` columns with typed
+metadata — the pattern a 100 TB training-data pipeline needs:
+
+    raw bytes (binary) + {mime_type, width, height, duration_ms, ...}
+
+The Spark-side plumbing here is real and tested: schemas, Arrow-batched
+`mapInPandas` transforms, partition sizing. The actual codec calls are
+STUBBED behind `_decode_image_bytes` (this container has no image/audio
+libraries): the stub is deterministic so tests are stable, and the
+NotImplementedError marks exactly where Pillow/ffmpeg/torchvision plug in.
+
+Scale notes:
+- decode/resize is a per-row CPU transform with no shuffle: mapInPandas
+  keeps it embarrassingly parallel, one Arrow batch at a time;
+- `spark.sql.execution.arrow.maxRecordsPerBatch` bounds decoder memory
+  (large media => small batches);
+- metadata-only queries never touch the binary column (column pruning),
+  so filtering by mime/size before decode is free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, mime_type string, width int, height int, "
+    "sha256 string"
+)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_bytes binary, frame_sha256 string"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a binary payload column (test stand-in for real media bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _decode_image_bytes(payload: bytes) -> tuple[int, int]:
+    """STUB decoder. Real implementation:
+
+        from PIL import Image; import io
+        img = Image.open(io.BytesIO(payload)); return img.size
+
+    The stub derives deterministic fake dimensions from the content hash so
+    the distributed plumbing (batching, schema, partitioning) is testable
+    without codec libraries.
+    """
+    h = hashlib.sha256(payload).digest()
+    width = 160 + h[0] % 8 * 80   # 160..720
+    height = 90 + h[1] % 8 * 45   # 90..405
+    return width, height
+
+
+def decode_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode: (doc_id, payload) -> typed media metadata."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            dims = [_decode_image_bytes(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "mime_type": [
+                        ("image/png", "audio/wav", "video/mp4")[len(bytes(p)) % 3]
+                        for p in payloads
+                    ],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "sha256": [
+                        hashlib.sha256(bytes(p)).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 64
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled "frame".
+
+    STUB: slices the payload every `every_n_bytes` (a real implementation
+    seeks keyframes via ffmpeg). Demonstrates the 1->N mapInPandas shape
+    (row explosion inside Arrow batches, no JVM round trip).
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                for idx, off in enumerate(range(0, len(b), every_n_bytes)):
+                    frame = b[off : off + every_n_bytes]
+                    out.append(
+                        (
+                            doc_id,
+                            idx,
+                            frame,
+                            hashlib.sha256(frame).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_bytes", "frame_sha256"]
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(sample, FRAME_SCHEMA)

@@ -1,0 +1,56 @@
+"""Text-analysis functions beyond pure Catalyst expressions.
+
+The JVM-side tokenization used across the engine is `split` + `filter`
+(functions/exprs.py `tokens`). This module adds the pieces that genuinely
+need Python, all Arrow-batched:
+
+- a pluggable pandas-UDF tokenizer (the U1 UDTF analogue for real
+  analyzers; the reference used the IK Chinese analyzer inside a Flink
+  TableFunction, SplitFunction.java:12-28 — `jieba`/`sentencepiece` plug in
+  here the same way, behind an import-try);
+- a BPE-ish regex token counter for token-budget accounting.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+# GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs.
+BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+
+
+def _segment(text: str) -> list[str]:
+    """Pluggable analyzer: jieba if importable (IK-analyzer analogue),
+    whitespace otherwise."""
+    try:  # pragma: no cover - jieba not in this container
+        import jieba
+
+        return [t for t in jieba.cut(text, cut_all=False) if t.strip()]
+    except ImportError:
+        return [t for t in text.split(" ") if t]
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched tokenizer (U1). Invoke + explode for UDTF semantics:
+
+        df.select(explode(tokenize_udf("text")))
+    """
+    return texts.map(lambda t: _segment(t) if t is not None else [])
+
+
+@pandas_udf(IntegerType())
+def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: len(BPE_ISH.findall(t)) if t is not None else 0)
+
+
+def explode_keywords(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LATERAL TABLE(splitfunc(...)) analogue over the pandas tokenizer."""
+    return df.withColumn("keyword", F.explode(tokenize_udf(F.col(text_col))))

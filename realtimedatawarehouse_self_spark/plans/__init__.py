@@ -12,18 +12,20 @@ sorts columns by name before hashing values.
 
 from __future__ import annotations
 
-from realtimedatawarehouse_self_spark.plans import core, llm_ops, tpch
+from realtimedatawarehouse_self_spark.plans import core, extras, llm_ops, tpch
+
+_MODULES = (core, tpch, llm_ops, extras)
 
 
 def all_queries():
     out = {}
-    for mod in (core, tpch, llm_ops):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (core, tpch, llm_ops):
+    for mod in _MODULES:
         out.update(mod.ORACLE)
     return out

@@ -1,0 +1,361 @@
+"""Operator families the reference lacks but Spark supplies natively
+(SURVEY.md §2.10: sorts/limits/top-k, set ops, rollup, distinct aggregates,
+semi/anti/range/as-of joins, sessionization) — exposed as first-class,
+oracle-backed queries, plus the embedding-cosine near-dup operator from the
+training-data-pipeline set.
+
+Scale notes:
+- set ops and distinct aggregates shuffle on high-cardinality keys (even);
+- the range join broadcasts the tiny interval table (nested-loop against a
+  broadcast side, never a cartesian shuffle);
+- the as-of join is bounded per key by the window row_number (the classic
+  scalable alternative to a sort-merge as-of);
+- sessionization is lag+cumsum over (user, ts) — one shuffle, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    TS_FMT,
+    cents_amount,
+    cosine,
+    money_cents,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q5: 6-table join with co-located nation condition.
+# ---------------------------------------------------------------------------
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        cents_amount(
+            F.sum(
+                money_cents(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                )
+            )
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("lineitem_ct"),
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS lineitem_ct
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: union / intersect / except over user sets.
+# ---------------------------------------------------------------------------
+def set_operations_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = viewers.intersect(buyers).withColumn("cohort", F.lit("view_and_buy"))
+    view_only = viewers.exceptAll(buyers).withColumn("cohort", F.lit("view_only"))
+    engaged = viewers.union(buyers).distinct().withColumn("cohort", F.lit("engaged"))
+    return both.unionByName(view_only).unionByName(engaged).select(
+        "cohort", "user_id"
+    )
+
+
+_SET_OPS_SQL = """
+WITH viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     buyers  AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'view_and_buy' AS cohort, user_id FROM (SELECT * FROM viewers INTERSECT SELECT * FROM buyers)
+UNION ALL
+SELECT 'view_only', user_id FROM (SELECT * FROM viewers EXCEPT SELECT * FROM buyers)
+UNION ALL
+SELECT 'engaged', user_id FROM (SELECT * FROM viewers UNION SELECT * FROM buyers)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup + distinct aggregates.
+# ---------------------------------------------------------------------------
+def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("event_type", "dt")
+        .agg(
+            F.count(F.lit(1)).alias("event_ct"),
+            F.countDistinct("user_id").alias("user_ct"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("dt", F.lit("<all>")).alias("dt"),
+            "event_ct",
+            "user_ct",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(dt, '<all>') AS dt,
+       CAST(count(*) AS BIGINT) AS event_ct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS user_ct
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt, user_id FROM events)
+GROUP BY ROLLUP(event_type, dt)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins: customers with vs without qualifying orders.
+# ---------------------------------------------------------------------------
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    with_big = cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select(F.lit("has_big_order").alias("cohort"), "c_custkey")
+    without = cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select(F.lit("no_big_order").alias("cohort"), "c_custkey")
+    return with_big.unionByName(without)
+
+
+_SEMI_ANTI_SQL = """
+SELECT 'has_big_order' AS cohort, c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+UNION ALL
+SELECT 'no_big_order', c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: events into campaign windows.
+# ---------------------------------------------------------------------------
+CAMPAIGNS = [
+    ("new_year", "2024-01-01 00:00:00", "2024-01-05 00:00:00"),
+    ("mid_jan", "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+    ("month_end", "2024-01-25 00:00:00", "2024-02-01 00:00:00"),
+]
+
+
+def range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    camp = spark.createDataFrame(
+        CAMPAIGNS, "campaign string, start_s string, end_s string"
+    ).select(
+        "campaign",
+        F.col("start_s").cast("timestamp").alias("start_ts"),
+        F.col("end_s").cast("timestamp").alias("end_ts"),
+    )
+    joined = ev.join(
+        F.broadcast(camp),
+        (ev.ts >= camp.start_ts) & (ev.ts < camp.end_ts),
+    )
+    return joined.groupBy("campaign", "event_type").agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        cents_amount(F.sum(money_cents("value"))).alias("total_value"),
+    )
+
+
+_CAMPAIGN_VALUES = ", ".join(
+    f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in CAMPAIGNS
+)
+_RANGE_JOIN_SQL = f"""
+WITH camp(campaign, start_ts, end_ts) AS (VALUES {_CAMPAIGN_VALUES})
+SELECT campaign, event_type,
+       CAST(count(*) AS BIGINT) AS event_ct,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events JOIN camp ON ts >= start_ts AND ts < end_ts
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of (backward) join: each purchase joined to the user's most recent
+# prior-or-equal signup. DuckDB oracles it with a native ASOF JOIN; the
+# Spark plan is the window-pruned filtered join (scalable per-key).
+# ---------------------------------------------------------------------------
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"), F.col("ts").alias("s_ts")
+    )
+    joined = purchases.join(
+        signups,
+        (purchases.user_id == signups.s_user_id) & (signups.s_ts <= purchases.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("s_ts").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("purchase_time"),
+            F.date_format("s_ts", TS_FMT).alias("last_signup_time"),
+        )
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS last_signup_time
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute-gap sessions via lag + cumulative sum.
+# ---------------------------------------------------------------------------
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", money_cents("value").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("new_session").over(w))
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        cents_amount(F.sum("v")).alias("total_value"),
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, v,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS DOUBLE) / 100.0 AS total_value
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: pairs above a cosine threshold, candidate set
+# bounded by the label bucket (coarse IVF cell stand-in).
+# ---------------------------------------------------------------------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+    )
+    return pairs.filter(F.col("score") > 0.4)
+
+
+_EMB_DEDUP_SQL = """
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.vec, b.vec)
+         / (sqrt(list_dot_product(a.vec, a.vec))
+            * sqrt(list_dot_product(b.vec, b.vec))) AS score
+FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec)
+        / (sqrt(list_dot_product(a.vec, a.vec))
+           * sqrt(list_dot_product(b.vec, b.vec))) > 0.4
+"""
+
+
+QUERIES = {
+    "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "set_operations_users": set_operations_users,
+    "rollup_event_counts": rollup_event_counts,
+    "semi_anti_customers": semi_anti_customers,
+    "range_join_campaigns": range_join_campaigns,
+    "asof_join_purchase_signup": asof_join_purchase_signup,
+    "sessionize_events": sessionize_events,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "tpch_q5_local_supplier": _Q5_SQL,
+    "set_operations_users": _SET_OPS_SQL,
+    "rollup_event_counts": _ROLLUP_SQL,
+    "semi_anti_customers": _SEMI_ANTI_SQL,
+    "range_join_campaigns": _RANGE_JOIN_SQL,
+    "asof_join_purchase_signup": _ASOF_SQL,
+    "sessionize_events": _SESSION_SQL,
+    "dedup_embedding_cosine": _EMB_DEDUP_SQL,
+}
