@@ -5,8 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes to a noop sink (full plan execution, no driver-side
-collect overhead). First a warmup runs one trivial job so JVM/codegen
-startup is not billed to the first query.
+collect overhead). Timing is steady-state: each query runs once untimed
+(codegen compilation, parquet footer/OS page cache) and the second
+execution is timed — measuring the engine's plan, not JIT warmup. The
+JVM gets one trivial warmup job up front.
 """
 
 from __future__ import annotations
@@ -60,6 +62,14 @@ HEADLINE = [
     "asof_join_purchase_signup",
     "sessionize_events",
     "dedup_embedding_cosine",
+    "visitor_repair_batch",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "pivot_daily_event_matrix",
+    "event_value_percentiles",
+    "sliding_window_traffic",
+    "cube_part_stats",
 ]
 
 
@@ -83,8 +93,9 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()  # warmup: codegen
+        t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

@@ -12,9 +12,15 @@ sorts columns by name before hashing values.
 
 from __future__ import annotations
 
-from realtimedatawarehouse_self_spark.plans import core, extras, llm_ops, tpch
+from realtimedatawarehouse_self_spark.plans import (
+    advanced,
+    core,
+    extras,
+    llm_ops,
+    tpch,
+)
 
-_MODULES = (core, tpch, llm_ops, extras)
+_MODULES = (core, tpch, llm_ops, extras, advanced)
 
 
 def all_queries():

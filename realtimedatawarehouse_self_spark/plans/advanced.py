@@ -1,0 +1,369 @@
+"""Second wave of operator families: the T1 visitor-repair batch twin, the
+classic decision-support join/aggregation shapes (TPC-H q13/q17/q18 forms),
+pivot, exact discrete percentiles, sliding windows, and cube.
+
+Scale notes (100 TB design):
+- q13 pre-aggregates orders on o_custkey before the customer join, so the
+  join carries one count row per customer instead of raw orders;
+- q17 rewrites `qty < 0.2 * avg(qty) per part` into pure integer arithmetic
+  (5 * qty * cnt < sum_qty) — exact across engines and no correlated
+  re-scan: one aggregate + one re-join on l_partkey;
+- q18's HAVING filter reduces lineitem to qualifying orderkeys before any
+  join (semi-join shape), so orders/customer only see the tiny survivor set;
+- percentiles are *discrete* (value at ceil(p*n), no interpolation) so the
+  result is an actual data value and engine-exact; at 100 TB swap in
+  approx_percentile — documented, not silently substituted;
+- sliding windows assign each row to size/slide buckets map-side; state is
+  bounded by (#windows x #keys), not row count;
+- pivot uses an explicit value list (no discovery job) — required practice
+  at scale.
+
+Reference parity notes: T1 semantics from BaseLogApp.java:76-106 (new/old
+visitor repair keyed on mid); everything else is SURVEY.md §2.10 families
+the reference lacks but this engine exposes natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    TS_FMT,
+    cents_amount,
+    money_cents,
+    window_bounds,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name, **kw):
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name, **kw)
+
+
+# ---------------------------------------------------------------------------
+# T1 batch twin — new/old visitor repair (BaseLogApp.java:76-106): an event
+# is a "new visitor" event iff it falls on the user's first-ever active day.
+# The streaming twin is streaming/stateful.py::visitor_repair.
+# ---------------------------------------------------------------------------
+def visitor_repair_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("dt")
+    )
+    w = Window.partitionBy("user_id")
+    return ev.withColumn("first_dt", F.min("dt").over(w)).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("dt") == F.col("first_dt"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_new"),
+    )
+
+
+_VISITOR_REPAIR_SQL = """
+SELECT event_id, user_id,
+       CAST(CASE WHEN CAST(ts AS DATE) =
+                      min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_new
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 shape: customer order-count distribution (left outer join + two-level
+# aggregation, counting the zero-order customers).
+# ---------------------------------------------------------------------------
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    counts = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY 1
+)
+SELECT COALESCE(c_count, 0) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 shape: revenue from small-quantity lineitems of one brand, where
+# "small" = below 20% of the part's average quantity. Integer rewrite:
+# qty < 0.2 * (sum/cnt)  <=>  5 * qty * cnt < sum   (all exact bigints).
+# ---------------------------------------------------------------------------
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+    small = li.join(per_part.withColumnRenamed("l_partkey", "agg_partkey"),
+                    F.col("l_partkey") == F.col("agg_partkey")).filter(
+        5 * F.col("l_quantity").cast("bigint") * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("small_lineitem_ct"),
+        (
+            F.sum(money_cents("l_extendedprice")).cast("double") / 100.0 / 7.0
+        ).alias("avg_yearly"),
+    )
+
+
+_Q17_SQL = """
+WITH li AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+),
+per_part AS (
+    SELECT l_partkey AS agg_partkey,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM li GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS small_lineitem_ct,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 / 7.0 AS avg_yearly
+FROM li JOIN per_part ON l_partkey = agg_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 shape: large-volume orders (HAVING sum(qty) > 250) joined back to
+# orders + customer.
+# ---------------------------------------------------------------------------
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", TS_FMT).alias("o_orderdate"),
+            cents_amount(money_cents("o_totalprice")).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY 1
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
+           AS o_totalprice,
+       total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: day x event_type count matrix with an explicit pivot value list
+# (no distinct-discovery job — mandatory at scale).
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    pivoted = (
+        ev.groupBy("dt")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "dt",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_ct")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}_ct"
+    for t in EVENT_TYPES
+)
+_PIVOT_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles per group: the value at position ceil(p*n) in
+# (value, event_id) order — an actual data value, bit-identical across
+# engines. The 100 TB path swaps in approx_percentile.
+# ---------------------------------------------------------------------------
+PCTS = ((50, 0.5), (90, 0.9), (99, 0.99))
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    return ranked.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("value")
+                )
+            ).alias(f"p{label}")
+            for label, p in PCTS
+        ]
+    )
+
+
+_PCT_COLS = ",\n       ".join(
+    f"max(CASE WHEN rn = CAST(ceil(n * {p}) AS BIGINT) THEN value END) AS p{label}"
+    for label, p in PCTS
+)
+_PCT_SQL = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       {_PCT_COLS}
+FROM ranked
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 1 h windows every 30 min (the reference only has tumbling
+# — SURVEY.md §2.7 "not present"; Spark supplies slide natively).
+# ---------------------------------------------------------------------------
+def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        cents_amount(F.sum(money_cents("value"))).alias("total_value"),
+    )
+    return agg.select(*window_bounds("w"), "event_type", "event_ct", "total_value")
+
+
+_SLIDING_SQL = """
+WITH assigned AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, event_type, value
+    FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+           event_type, value
+    FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(wstart + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
+       event_type,
+       CAST(count(*) AS BIGINT) AS event_ct,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cube: brand x type part stats with subtotal rows on both axes.
+# ---------------------------------------------------------------------------
+def cube_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.cube("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("part_ct"),
+            cents_amount(F.sum(money_cents("p_retailprice"))).alias(
+                "total_retail"
+            ),
+            F.sum(F.col("p_size").cast("bigint")).alias("total_size"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("<all>")).alias("p_brand"),
+            F.coalesce("p_type", F.lit("<all>")).alias("p_type"),
+            "part_ct",
+            "total_retail",
+            "total_size",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT COALESCE(p_brand, '<all>') AS p_brand,
+       COALESCE(p_type, '<all>') AS p_type,
+       CAST(count(*) AS BIGINT) AS part_ct,
+       CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_retail,
+       CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
+FROM part
+GROUP BY CUBE(p_brand, p_type)
+"""
+
+
+QUERIES = {
+    "visitor_repair_batch": visitor_repair_batch,
+    "tpch_q13_order_distribution": tpch_q13_order_distribution,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "pivot_daily_event_matrix": pivot_daily_event_matrix,
+    "event_value_percentiles": event_value_percentiles,
+    "sliding_window_traffic": sliding_window_traffic,
+    "cube_part_stats": cube_part_stats,
+}
+
+ORACLE = {
+    "visitor_repair_batch": _VISITOR_REPAIR_SQL,
+    "tpch_q13_order_distribution": _Q13_SQL,
+    "tpch_q17_small_quantity_revenue": _Q17_SQL,
+    "tpch_q18_large_orders": _Q18_SQL,
+    "pivot_daily_event_matrix": _PIVOT_SQL,
+    "event_value_percentiles": _PCT_SQL,
+    "sliding_window_traffic": _SLIDING_SQL,
+    "cube_part_stats": _CUBE_SQL,
+}

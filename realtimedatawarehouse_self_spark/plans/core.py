@@ -524,7 +524,7 @@ GROUP BY 1
 # (A6). Reference: SplitFunction.java:12-28, DwsTrafficKeywordPageViewWindow.java:90-111.
 # ---------------------------------------------------------------------------
 def keyword_page_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     words = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("keyword")
     ).filter(F.col("keyword") != "")

@@ -308,7 +308,8 @@ GROUP BY 1, 2
 # bounded by the label bucket (coarse IVF cell stand-in).
 # ---------------------------------------------------------------------------
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     a = emb.alias("a")

@@ -55,8 +55,10 @@ NUM_QUERY_VECS = 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, fanned out: every consumer in this module does
+    per-token / per-pair work that dwarfs the 2-column scan."""
     apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, "documents")
+    return load_table(spark, sf_dir, "documents", fan_out=True)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +277,7 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
 # ---------------------------------------------------------------------------
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, "embeddings").select(
+    return load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
 

@@ -42,14 +42,28 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Scan one testdata table. Filters/projections applied by the caller are
-    pushed into this scan by Catalyst."""
+    pushed into this scan by Catalyst.
+
+    ``fan_out=True`` redistributes the scan across all cores before the
+    caller's compute. Use it when the downstream work per row dwarfs the scan
+    (candidate-pair generation, per-token hashing, vector math): a single
+    parquet row group yields one input split, and no amount of
+    ``maxPartitionBytes`` tuning can split it — the standard cluster pattern
+    is an explicit repartition between ingest and a compute-bound stage. The
+    shuffle moves only the scanned columns, which is negligible relative to
+    the compute it parallelizes.
+    """
     if name in NANO_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANO_TS_COLUMNS.get(name, ()):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    if fan_out:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
