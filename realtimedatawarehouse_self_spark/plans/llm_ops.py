@@ -112,8 +112,15 @@ GROUP BY 1
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Shingles occurring in a single document cannot form a pair: filter by
+    # document frequency before the self-join. In synthetic/real corpora the
+    # vast majority of shingles are unique, so this shrinks the join input by
+    # orders of magnitude (sizes are still computed over ALL shingles).
+    shared = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
+    ).filter(F.col("df") > 1).drop("df")
+    a = shared.alias("a")
+    b = shared.alias("b")
     inter = (
         a.join(
             b,
