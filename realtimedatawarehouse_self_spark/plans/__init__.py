@@ -17,10 +17,11 @@ from realtimedatawarehouse_self_spark.plans import (
     core,
     extras,
     llm_ops,
+    streaming_twins,
     tpch,
 )
 
-_MODULES = (core, tpch, llm_ops, extras, advanced)
+_MODULES = (core, tpch, llm_ops, extras, advanced, streaming_twins)
 
 
 def all_queries():

@@ -1,0 +1,155 @@
+"""Oracle-gated queries that execute REAL Structured Streaming jobs.
+
+Each callable materializes the events table as a file-stream source, runs a
+streaming pipeline with ``availableNow`` triggers (data batch, then a
+far-future flush row so every event-time window closes under the append-mode
+watermark contract — see tests/test_streaming.py), and returns the sink's
+contents. The driver's DuckDB comparison therefore validates an actual
+streaming execution — watermark, window state, and (for the UV query) a
+chained dedup -> windowed-agg stateful pipeline — not just a batch twin.
+
+Determinism notes:
+- all real data arrives in trigger 1, when the watermark is still unset, so
+  nothing is late-dropped; the flush row (trigger 2) advances the watermark
+  past every real window and is filtered from the result;
+- the UV dedup keys include the day-truncated event time and the downstream
+  aggregation groups by that same column, so *which* row of a dedup group
+  survives cannot affect the result (arbitrary-survivor dedup made
+  deterministic by construction).
+
+Scale notes: this is the Dws* topology at cluster scale — per-key day-scoped
+dedup state + watermark-evicted window state, both bounded; the flush
+mechanism is test-harness-only (production streams advance watermarks
+naturally).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    cents_amount,
+    money_cents,
+    window_bounds,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+FLUSH_TYPE = "__flush__"
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """events -> file stream -> `build(stream)` -> parquet sink -> DataFrame."""
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    base = tempfile.mkdtemp(prefix="rtdw-stream-")
+    src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+
+    def trigger():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            build(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    trigger()  # data batch (watermark unset: nothing late-dropped)
+    flush = spark.createDataFrame(
+        [(int(-1), max_ts + dt.timedelta(days=3), int(-1), FLUSH_TYPE, 0.0)],
+        schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    trigger()  # flush batch: watermark passes every real window
+    return spark.read.parquet(out).filter(F.col("event_type") != FLUSH_TYPE)
+
+
+# ---------------------------------------------------------------------------
+# Streaming PV: stateless rows -> watermarked hourly tumbling window (the
+# Dws02 pv/dur leg executed as a streaming job; A1/A8/W1/W3).
+# ---------------------------------------------------------------------------
+def streaming_pv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withColumn("v", money_cents("value"))
+            .withWatermark("ts", "2 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("pv_ct"),
+                cents_amount(F.sum("v")).alias("dur_sum"),
+            )
+            .select(*window_bounds("w"), "event_type", "pv_ct", "dur_sum")
+        )
+
+    return _run_stream(spark, sf_dir, build)
+
+
+_PV_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                '%Y-%m-%d %H:%M:%S') AS edt,
+       event_type,
+       CAST(count(*) AS BIGINT) AS pv_ct,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS dur_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming UV: chained stateful operators — day-scoped dropDuplicates (T2)
+# feeding a daily windowed count (A1). uv = distinct users per (day, type).
+# ---------------------------------------------------------------------------
+def streaming_uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        d = stream.withColumn(
+            "day_ts", F.date_trunc("day", F.col("ts"))
+        ).withWatermark("day_ts", "2 seconds")
+        deduped = d.dropDuplicates(["user_id", "event_type", "day_ts"])
+        return (
+            deduped.groupBy(F.window("day_ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("uv_ct"))
+            .select(*window_bounds("w"), "event_type", "uv_ct")
+        )
+
+    return _run_stream(spark, sf_dir, build)
+
+
+_UV_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day',
+                '%Y-%m-%d %H:%M:%S') AS edt,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uv_ct
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "streaming_pv_hourly": streaming_pv_hourly,
+    "streaming_uv_daily": streaming_uv_daily,
+}
+
+ORACLE = {
+    "streaming_pv_hourly": _PV_SQL,
+    "streaming_uv_daily": _UV_SQL,
+}
