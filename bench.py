@@ -70,6 +70,10 @@ HEADLINE = [
     "event_value_percentiles",
     "sliding_window_traffic",
     "cube_part_stats",
+    "tpch_q7_nation_trade",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q19_branch_revenue",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Reusable relational operators the plans compose.
+
+Each is a DataFrame -> DataFrame combinator built purely from Catalyst
+expressions, so Spark picks the physical strategy (and rank-limit filters
+compile to `WindowGroupLimit`, pre-pruning rows before the full sort).
+
+Scale notes:
+- `topk_per_group` never global-sorts: partial per-partition limits
+  (WindowGroupLimit) then one shuffle on the group key;
+- `asof_join` is the window-pruned filtered join — the scalable as-of
+  strategy when the right side per key is bounded; for unbounded right
+  sides switch to a union + last_value scan (documented, same API);
+- `sessionize` is lag + running-sum over (key, ts): one shuffle, no
+  global sort;
+- `salted_join` splinters hot keys across `n_salts` reducers: the left
+  (large, skewed) side gets a deterministic per-row salt, the right side
+  is replicated n_salts times. Use when AQE skew-join can't help (e.g.
+  the skew is in a shuffle feeding a window, or right side too large to
+  broadcast). Result is exactly the plain inner join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame, keys: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group; ties broken by the caller's order columns."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .drop("__rnk")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    row_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest `right_ts` <= `left_ts` for the same `on` key.
+
+    `row_key` must uniquely identify left rows (dedup anchor). Column name
+    collisions other than `on` must be resolved by the caller.
+    """
+    l = left.alias("l")
+    r = right.withColumnRenamed(on, "__r_on").alias("r")
+    joined = l.join(
+        r,
+        (F.col(on) == F.col("__r_on")) & (F.col(right_ts) <= F.col(left_ts)),
+        how,
+    ).drop("__r_on")
+    w = Window.partitionBy(row_key).orderBy(F.col(right_ts).desc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_ms: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session indexes per key (lag + running sum)."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn(
+        "new_session",
+        F.when(
+            F.lag(ts).over(w).isNull()
+            | (F.unix_millis(F.col(ts)) - F.unix_millis(F.lag(ts).over(w)) > gap_ms),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("new_session").over(w)).drop("new_session")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join with hot-key salting.
+
+    The left side's salt is derived deterministically from all its columns
+    (uniformly spreading each hot key's rows); the right side is exploded
+    across all salt values. Join keys become (on, salt) so a hot key's rows
+    land on `n_salts` reducers instead of one.
+    """
+    lcols = [F.col(c) for c in left.columns]
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*lcols), F.lit(n_salts)).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [on, "__salt"]).drop("__salt")

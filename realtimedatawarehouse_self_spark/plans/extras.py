@@ -24,6 +24,10 @@ from realtimedatawarehouse_self_spark.functions.exprs import (
     cosine,
     money_cents,
 )
+from realtimedatawarehouse_self_spark.operators.relational import (
+    asof_join,
+    sessionize,
+)
 from realtimedatawarehouse_self_spark.session import apply_runtime_confs
 from realtimedatawarehouse_self_spark.sources.tables import load_table
 
@@ -222,23 +226,16 @@ def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     signups = ev.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user_id"), F.col("ts").alias("s_ts")
+        "user_id", F.col("ts").alias("s_ts")
     )
-    joined = purchases.join(
-        signups,
-        (purchases.user_id == signups.s_user_id) & (signups.s_ts <= purchases.ts),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(F.col("s_ts").desc())
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.date_format("ts", TS_FMT).alias("purchase_time"),
-            F.date_format("s_ts", TS_FMT).alias("last_signup_time"),
-        )
+    return asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="s_ts",
+        row_key="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_time"),
+        F.date_format("s_ts", TS_FMT).alias("last_signup_time"),
     )
 
 
@@ -260,15 +257,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", money_cents("value").alias("v")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000),
-            1,
-        ).otherwise(0),
-    ).withColumn("session_idx", F.sum("new_session").over(w))
+    flagged = sessionize(ev, key="user_id", ts="ts", gap_ms=1800000,
+                         tiebreak="event_id")
     return flagged.groupBy("user_id", "session_idx").agg(
         F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
         F.date_format(F.max("ts"), TS_FMT).alias("session_end"),

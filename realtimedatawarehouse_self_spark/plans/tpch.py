@@ -161,14 +161,237 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q7 shape: bilateral trade volume between two nations by ship year.
+# Scale: fact side shuffles once (orders join); every dim broadcasts.
+# ---------------------------------------------------------------------------
+_N1, _N2 = "NATION_1", "NATION_2"
+
+
+def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+            | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        cents_amount(
+            F.sum(
+                money_cents(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                )
+            )
+        ).alias("revenue")
+    )
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_N1}' AND n2.n_name = '{_N2}')
+   OR (n1.n_name = '{_N2}' AND n2.n_name = '{_N1}')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 shape: top-20 customers by returned-item revenue (deterministic rank
+# tiebreak on custkey). Scale: agg first, then rank over the small result.
+# ---------------------------------------------------------------------------
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.sum(
+                money_cents(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                )
+            ).alias("rev_c")
+        )
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("c_custkey"))
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            cents_amount("rev_c").alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_Q10_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS rev_c
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, c_name, n_name,
+       c_acctbal,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY rev_c DESC, c_custkey) AS rnk
+    FROM per_cust
+) WHERE rnk <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 shape: promo revenue share over one ship-year (single-row percentage;
+# identical double arithmetic on both engines).
+# ---------------------------------------------------------------------------
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = money_cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+            "promo_c"
+        ),
+        F.sum(rev).alias("total_c"),
+    )
+    return agg.select(
+        (
+            F.col("promo_c").cast("double") * 100.0
+            / F.col("total_c").cast("double")
+        ).alias("promo_revenue_pct"),
+        cents_amount("total_c").alias("total_revenue"),
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                     + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+           * 100.0
+           / CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS DOUBLE)
+           AS promo_revenue_pct,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 shape: disjunctive multi-branch predicate (brand/size/quantity bands) —
+# the OR-of-ANDs pushdown stress test.
+# ---------------------------------------------------------------------------
+def tpch_q19_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    branch = (
+        ((F.col("p_type") == "PROMO") & size.between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_type") == "SMALL") & size.between(10, 30) & qty.between(10, 30))
+        | ((F.col("p_type") == "LARGE") & size.between(20, 50) & qty.between(20, 40))
+    )
+    return joined.filter(branch).agg(
+        F.count(F.lit(1)).alias("lineitem_ct"),
+        cents_amount(
+            F.sum(
+                money_cents(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                )
+            )
+        ).alias("revenue"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS lineitem_ct,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_type = 'SMALL' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "top_users_by_event_type": top_users_by_event_type,
+    "tpch_q7_nation_trade": tpch_q7_nation_trade,
+    "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
+    "tpch_q14_promo_share": tpch_q14_promo_share,
+    "tpch_q19_branch_revenue": tpch_q19_branch_revenue,
 }
 
 ORACLE = {
     "tpch_q1_pricing_summary": _Q1_SQL,
     "tpch_q3_shipping_priority": _Q3_SQL,
     "top_users_by_event_type": _TOP_USERS_SQL,
+    "tpch_q7_nation_trade": _Q7_SQL,
+    "tpch_q10_returned_revenue": _Q10_SQL,
+    "tpch_q14_promo_share": _Q14_SQL,
+    "tpch_q19_branch_revenue": _Q19_SQL,
 }

@@ -1,0 +1,76 @@
+"""Reusable relational operators: equivalence to their naive definitions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.operators.relational import (
+    asof_join,
+    salted_join,
+    sessionize,
+    topk_per_group,
+)
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v int"
+    )
+    got = topk_per_group(df, ["g"], [F.col("v").desc()], 2)
+    assert sorted(map(tuple, got.collect())) == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_asof_join_backward(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, "u1", t(10)), (2, "u1", t(5)), (3, "u2", t(10))],
+        "row_id int, uid string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(4)), ("u1", t(7)), ("u2", t(99))],
+        "uid string, r_ts timestamp",
+    )
+    got = asof_join(
+        left, right, on="uid", left_ts="ts", right_ts="r_ts", row_key="row_id"
+    )
+    by_id = {r.row_id: r.r_ts for r in got.collect()}
+    assert by_id[1] == t(7)   # latest <= t10
+    assert by_id[2] == t(4)   # only t4 <= t5
+    assert by_id[3] is None   # u2's only signup is later -> null (left join)
+
+
+def test_sessionize_gap(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, 1),
+        ("u1", t0 + dt.timedelta(minutes=10), 2),
+        ("u1", t0 + dt.timedelta(minutes=50), 3),  # 40 min gap -> new session
+        ("u2", t0, 4),
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp, eid int")
+    got = sessionize(df, key="uid", ts="ts", gap_ms=30 * 60 * 1000, tiebreak="eid")
+    idx = {r.eid: r.session_idx for r in got.collect()}
+    assert idx[1] == 1 and idx[2] == 1 and idx[3] == 2 and idx[4] == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavy skew: key 'hot' dominates
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, lv int",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unmatched", "X")], "k string, rv string"
+    )
+    salted = salted_join(left, right, on="k", n_salts=8)
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert salted.count() == 505
