@@ -74,6 +74,10 @@ HEADLINE = [
     "tpch_q10_returned_revenue",
     "tpch_q14_promo_share",
     "tpch_q19_branch_revenue",
+    "similarity_topk_ivf",
+    "hierarchical_time_rollup",
+    "scd2_user_value",
+    "column_profile",
 ]
 
 

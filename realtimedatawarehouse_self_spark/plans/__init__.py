@@ -18,10 +18,11 @@ from realtimedatawarehouse_self_spark.plans import (
     extras,
     llm_ops,
     streaming_twins,
+    timeseries,
     tpch,
 )
 
-_MODULES = (core, tpch, llm_ops, extras, advanced, streaming_twins)
+_MODULES = (core, tpch, llm_ops, extras, advanced, streaming_twins, timeseries)
 
 
 def all_queries():

@@ -413,6 +413,99 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN: K coarse centroids (deterministically the first K vectors),
+# every vector assigned to its nearest centroid (argmax cosine, tie -> lowest
+# centroid id), queries probe ONLY their own cell. At 100 TB: the centroid
+# table broadcasts, cell assignment is one scan, and each query scores
+# |corpus|/K candidates instead of |corpus|.
+# ---------------------------------------------------------------------------
+NUM_CENTROIDS = 8
+
+
+def _cells(emb: DataFrame) -> DataFrame:
+    cent = emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cscore", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+    return (
+        scored.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "vec", F.col("cid").alias("cell"))
+    )
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _cells(_emb(spark, sf_dir))
+    q = cells.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        cells.join(F.broadcast(q), cells.cell == q.qcell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("score"),
+        )
+    )
+
+
+_COSINE_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+_IVF_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, vec AS cvec FROM emb WHERE vec_id < {NUM_CENTROIDS}
+),
+assigned AS (
+    SELECT vec_id, vec, cid AS cell
+    FROM (
+        SELECT e.vec_id, e.vec, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COSINE_SQL.format(a="e.vec", b="c.cvec")} DESC,
+                            c.cid) AS crn
+        FROM emb e CROSS JOIN cent c
+    ) WHERE crn = 1
+),
+q AS (
+    SELECT vec_id AS query_id, vec AS qvec, cell AS qcell
+    FROM assigned WHERE vec_id < {NUM_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, a.vec_id,
+           {_COSINE_SQL.format(a="q.qvec", b="a.vec")} AS score
+    FROM assigned a JOIN q ON a.cell = q.qcell AND a.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: quality scoring, language id, fingerprinting, token stats.
 # ---------------------------------------------------------------------------
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +710,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh_bucketed": similarity_topk_lsh_bucketed,
+    "similarity_topk_ivf": similarity_topk_ivf,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprint": doc_fingerprint,
@@ -631,6 +725,7 @@ ORACLE = {
     "dedup_simhash": _simhash_sql(),
     "similarity_topk_bruteforce": _SIM_TOPK_SQL,
     "similarity_topk_lsh_bucketed": _SIM_LSH_SQL,
+    "similarity_topk_ivf": _IVF_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,
     "lang_id_ngram": _lang_id_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,

@@ -1,0 +1,224 @@
+"""Time-series warehouse operators: hierarchical (continuous-aggregate-style)
+rollups, SCD2 interval building, and column profiling.
+
+Scale notes:
+- `hierarchical_time_rollup` aggregates raw rows ONCE at the finest grain,
+  then re-aggregates upward (hour -> day -> month) — the continuous-
+  aggregate pattern: coarser grains read the previous grain's output, never
+  the fact table. Cents stay integer until the final render so the
+  re-aggregation is exactly associative.
+- `scd2_user_value` is lead() over (key, ts): one shuffle; interval tables
+  beat point-in-time lookups at scale because the as-of probe becomes a
+  range join against a compacted dimension.
+- `column_profile` computes all per-column stats in ONE scan (no
+  per-column jobs) via conditional aggregation, then reshapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    TS_FMT,
+    cents_amount,
+    money_cents,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup: hour -> day -> month, each level fed by the previous.
+# ---------------------------------------------------------------------------
+def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        F.sum(money_cents("value")).alias("v_c"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("event_ct").alias("event_ct"), F.sum("v_c").alias("v_c"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("event_ct").alias("event_ct"), F.sum("v_c").alias("v_c"))
+
+    def render(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("bucket", TS_FMT).alias("bucket"),
+            "event_type",
+            F.col("event_ct").cast("bigint").alias("event_ct"),
+            cents_amount("v_c").alias("total_value"),
+        )
+
+    return (
+        render(hourly, "hour")
+        .unionByName(render(daily, "day"))
+        .unionByName(render(monthly, "month"))
+    )
+
+
+_HIER_SQL = """
+WITH lvl AS (
+    SELECT g.grain,
+           strftime(date_trunc(g.grain, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_ct,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_value
+    FROM events
+    CROSS JOIN (VALUES ('hour'), ('day'), ('month')) AS g(grain)
+    GROUP BY 1, 2, 3
+)
+SELECT grain, bucket, event_type, event_ct, total_value FROM lvl
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2: purchase events as per-user value updates -> validity intervals.
+# ---------------------------------------------------------------------------
+def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", money_cents("value").alias("v_c"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return updates.withColumn("next_ts", F.lead("ts").over(w)).select(
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("valid_from"),
+        F.date_format("next_ts", TS_FMT).alias("valid_to"),
+        cents_amount("v_c").alias("value"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+WITH updates AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+    FROM events WHERE event_type = 'purchase'
+),
+iv AS (
+    SELECT user_id, ts, v_c,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+    FROM updates
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(v_c AS DOUBLE) / 100.0 AS value,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM iv
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: one-scan null/distinct/min/max stats over orders.
+# ---------------------------------------------------------------------------
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        # o_custkey (numeric)
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("ck_null"),
+        F.countDistinct("o_custkey").alias("ck_distinct"),
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        # o_totalprice (money -> exact integer cents)
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "tp_null"
+        ),
+        F.countDistinct("o_totalprice").alias("tp_distinct"),
+        F.min(money_cents("o_totalprice")).alias("tp_min"),
+        F.max(money_cents("o_totalprice")).alias("tp_max"),
+        # o_orderstatus (string)
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias(
+            "st_null"
+        ),
+        F.countDistinct("o_orderstatus").alias("st_distinct"),
+        F.min("o_orderstatus").alias("st_min"),
+        F.max("o_orderstatus").alias("st_max"),
+    )
+    # min/max rendered as exact strings (ints as-is, money as integer cents)
+    # so the profile row set is null-free and engine-exact regardless of how
+    # the comparison layer represents typed NULLs.
+    rows = [
+        ("o_custkey", "ck_null", "ck_distinct", "ck_min", "ck_max"),
+        ("o_totalprice", "tp_null", "tp_distinct", "tp_min", "tp_max"),
+        ("o_orderstatus", "st_null", "st_distinct", "st_min", "st_max"),
+    ]
+    parts = []
+    for col, null_c, dist_c, mn, mx in rows:
+        parts.append(
+            agg.select(
+                F.lit(col).alias("col_name"),
+                F.col("n").alias("row_ct"),
+                F.col(null_c).cast("bigint").alias("null_ct"),
+                F.col(dist_c).cast("bigint").alias("distinct_ct"),
+                F.col(mn).cast("string").alias("min_val"),
+                F.col(mx).cast("string").alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_PROFILE_SQL = """
+WITH agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS ck_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ck_distinct,
+           min(o_custkey) AS ck_min,
+           max(o_custkey) AS ck_max,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp_null,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS tp_distinct,
+           min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS tp_min,
+           max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS tp_max,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS st_null,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS st_distinct,
+           min(o_orderstatus) AS st_min,
+           max(o_orderstatus) AS st_max
+    FROM orders
+)
+SELECT 'o_custkey' AS col_name, n AS row_ct, ck_null AS null_ct,
+       ck_distinct AS distinct_ct,
+       CAST(ck_min AS VARCHAR) AS min_val, CAST(ck_max AS VARCHAR) AS max_val
+FROM agg
+UNION ALL
+SELECT 'o_totalprice', n, tp_null, tp_distinct,
+       CAST(tp_min AS VARCHAR), CAST(tp_max AS VARCHAR)
+FROM agg
+UNION ALL
+SELECT 'o_orderstatus', n, st_null, st_distinct, st_min, st_max
+FROM agg
+"""
+
+
+QUERIES = {
+    "hierarchical_time_rollup": hierarchical_time_rollup,
+    "scd2_user_value": scd2_user_value,
+    "column_profile": column_profile,
+}
+
+ORACLE = {
+    "hierarchical_time_rollup": _HIER_SQL,
+    "scd2_user_value": _SCD2_SQL,
+    "column_profile": _PROFILE_SQL,
+}
