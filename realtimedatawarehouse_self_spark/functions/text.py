@@ -14,7 +14,7 @@ need Python, all Arrow-batched:
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
+
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -172,21 +172,38 @@ WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
 # ---------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
+    # Numeric minhash (first 60 bits of md5 as bigint): same ordering as the
+    # fixed-width hex string, but the per-doc min is a mutable-buffer
+    # HashAggregate (vectorized) instead of a string SortAggregate.
     minh = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"h{i}")
             for i in range(NUM_HASHES)
         ]
     )
-    bands = None
-    for b in range(NUM_BANDS):
-        cols = [f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
-        one = minh.select(
-            "doc_id",
+    # Bands via explode — ONE upstream pipeline feeding all bands, instead of
+    # a per-band unionAll that re-scans and re-aggregates the corpus per band
+    # (16 scans -> 2 at NUM_BANDS=4; matters enormously at 100 TB).
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band_id"),
-            F.concat(*[F.col(c) for c in cols]).alias("sig"),
+            F.concat_ws(
+                ":", *[f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
+            ).alias("sig"),
         )
-        bands = one if bands is None else bands.unionAll(one)
+        for b in range(NUM_BANDS)
+    ]
+    bands = minh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band_id", "bs.sig")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -203,11 +220,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ",\n           ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(NUM_HASHES)
+        f"min(TRY_CAST('0x' || substr(md5('{i}:' || sh), 1, 15) AS BIGINT))"
+        f" AS h{i}"
+        for i in range(NUM_HASHES)
     )
     band_selects = []
     for b in range(NUM_BANDS):
-        cols = " || ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        cols = " || ':' || ".join(
+            f"CAST(h{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, {cols} AS sig FROM minh"
         )

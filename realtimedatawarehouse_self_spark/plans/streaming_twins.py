@@ -28,7 +28,6 @@ from __future__ import annotations
 import datetime as dt
 import os
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

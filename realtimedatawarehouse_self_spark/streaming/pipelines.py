@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from realtimedatawarehouse_self_spark.functions.exprs import (
-    TS_FMT,
     cents_amount,
     money_cents,
     window_bounds,
