@@ -78,6 +78,8 @@ HEADLINE = [
     "hierarchical_time_rollup",
     "scd2_user_value",
     "column_profile",
+    "grouping_sets_events",
+    "window_frames_running_spend",
 ]
 
 

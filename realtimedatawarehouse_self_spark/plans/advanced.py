@@ -346,6 +346,73 @@ GROUP BY CUBE(p_brand, p_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# GROUPING SETS (distinct from rollup/cube): exactly the requested subtotal
+# combinations, via the engine's SQL front-end.
+# ---------------------------------------------------------------------------
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(dt, '<all>') AS dt,
+               CAST(count(*) AS BIGINT) AS event_ct
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type, dt), (event_type), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(dt, '<all>') AS dt,
+       CAST(count(*) AS BIGINT) AS event_ct
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt FROM events)
+GROUP BY GROUPING SETS ((event_type, dt), (event_type), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window frames: per-user running total + 4-row moving average (ROWS frames;
+# exact integer cents inside the frame, one shuffle on user_id).
+# ---------------------------------------------------------------------------
+def window_frames_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", money_cents("value").alias("v_c")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-3, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        cents_amount(F.sum("v_c").over(run)).alias("running_total"),
+        (
+            F.sum("v_c").over(mov).cast("double")
+            / 100.0
+            / F.count(F.lit(1)).over(mov)
+        ).alias("moving_avg_4"),
+    )
+
+
+_WINDOW_FRAMES_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(v_c) OVER run AS DOUBLE) / 100.0 AS running_total,
+       CAST(sum(v_c) OVER mov AS DOUBLE) / 100.0
+           / count(*) OVER mov AS moving_avg_4
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events)
+WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       mov AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "visitor_repair_batch": visitor_repair_batch,
     "tpch_q13_order_distribution": tpch_q13_order_distribution,
@@ -355,6 +422,8 @@ QUERIES = {
     "event_value_percentiles": event_value_percentiles,
     "sliding_window_traffic": sliding_window_traffic,
     "cube_part_stats": cube_part_stats,
+    "grouping_sets_events": grouping_sets_events,
+    "window_frames_running_spend": window_frames_running_spend,
 }
 
 ORACLE = {
@@ -366,4 +435,6 @@ ORACLE = {
     "event_value_percentiles": _PCT_SQL,
     "sliding_window_traffic": _SLIDING_SQL,
     "cube_part_stats": _CUBE_SQL,
+    "grouping_sets_events": _GROUPING_SETS_SQL,
+    "window_frames_running_spend": _WINDOW_FRAMES_SQL,
 }

@@ -1,0 +1,124 @@
+"""Physical-layout behavior (partition pruning, bucketed shuffle-free joins)
+and plan-shape regression tests enforcing the PLANS.md invariants."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    from realtimedatawarehouse_self_spark.sources.layout import (
+        read_partitioned,
+        write_date_partitioned,
+    )
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 3)), float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    path = str(tmp_path / "fact")
+    write_date_partitioned(df, path)
+
+    scan = read_partitioned(spark, path).filter(F.col("dt") == "2024-01-02")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    assert scan.count() == 10  # only the matching partition's rows
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    from realtimedatawarehouse_self_spark.sources.layout import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    write_bucketed(left, "t_left_bkt", "k", 8)
+    write_bucketed(right, "t_right_bkt", "k", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_left_bkt").join(spark.table("t_right_bkt"), "k")
+        plan = _plan(j)
+        # co-bucketed join: sort-merge with NO exchange on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_left_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_right_bkt")
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression: the invariants PLANS.md documents must hold.
+# ---------------------------------------------------------------------------
+SF = None  # filled from conftest TESTDATA at call time
+
+
+@pytest.fixture()
+def sf(tmp_path):
+    from tests.conftest import TESTDATA
+    import os
+
+    return os.path.join(TESTDATA, "sf0.001")
+
+
+def test_q3_pushdown_and_broadcast(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q3_shipping_priority"](spark, sf))
+    assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_routing_single_broadcast_no_shuffle(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["dim_config_routing"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_band_explode_single_pipeline(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["dedup_minhash_lsh"](spark, sf))
+    # band fan-out must be explode (Generate), not per-band re-aggregation
+    assert "SortAggregate" not in plan
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_topk_uses_window_group_limit(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["top_users_by_event_type"](spark, sf))
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_udf_in_oracle_queries(spark, sf):
+    """Every oracle-gated query stays JVM-side (no BatchEvalPython /
+    ArrowEvalPython in any plan) — UDFs are quarantined to the explicitly
+    Arrow-batched multimodal/stateful modules."""
+    import __spark_entry__ as e
+
+    for name, q in e.queries().items():
+        if name.startswith("streaming_"):
+            continue  # these execute eagerly; covered by their own tests
+        plan = _plan(q(spark, sf))
+        assert "EvalPython" not in plan, name
