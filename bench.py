@@ -80,6 +80,8 @@ HEADLINE = [
     "column_profile",
     "grouping_sets_events",
     "window_frames_running_spend",
+    "multimodal_decode",
+    "keyword_page_view_udf",
 ]
 
 

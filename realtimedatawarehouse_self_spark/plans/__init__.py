@@ -17,12 +17,22 @@ from realtimedatawarehouse_self_spark.plans import (
     core,
     extras,
     llm_ops,
+    python_path,
     streaming_twins,
     timeseries,
     tpch,
 )
 
-_MODULES = (core, tpch, llm_ops, extras, advanced, streaming_twins, timeseries)
+_MODULES = (
+    core,
+    tpch,
+    llm_ops,
+    extras,
+    advanced,
+    streaming_twins,
+    timeseries,
+    python_path,
+)
 
 
 def all_queries():

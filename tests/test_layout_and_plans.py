@@ -111,14 +111,19 @@ def test_topk_uses_window_group_limit(spark, sf):
     assert "WindowGroupLimit" in plan
 
 
+# Queries that INTENTIONALLY exercise the Arrow-batched Python path
+# (plans/python_path.py); everything else must stay JVM-side.
+PYTHON_PATH_QUERIES = {"multimodal_decode", "keyword_page_view_udf"}
+
+
 def test_no_python_udf_in_oracle_queries(spark, sf):
     """Every oracle-gated query stays JVM-side (no BatchEvalPython /
-    ArrowEvalPython in any plan) — UDFs are quarantined to the explicitly
-    Arrow-batched multimodal/stateful modules."""
+    ArrowEvalPython / MapInPandas in any plan) except the explicitly
+    Arrow-batched python_path module."""
     import __spark_entry__ as e
 
     for name, q in e.queries().items():
-        if name.startswith("streaming_"):
-            continue  # these execute eagerly; covered by their own tests
+        if name.startswith("streaming_") or name in PYTHON_PATH_QUERIES:
+            continue  # eager-executing / intentionally-Python queries
         plan = _plan(q(spark, sf))
-        assert "EvalPython" not in plan, name
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
