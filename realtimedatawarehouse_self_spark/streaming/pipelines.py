@@ -217,3 +217,37 @@ def order_detail_join_stream(
         F.col("dic.dic_name").alias("source_type_name"),
         F.col("od.create_time").alias("create_time"),
     )
+
+
+def order_detail_left_join_stream(
+    order_detail: DataFrame,
+    activity: DataFrame,
+    watermark: str = "5 seconds",
+    join_window: str = "10 seconds",
+) -> DataFrame:
+    """od LEFT OUTER JOIN order_activity (J2) — streaming left join.
+
+    The reference's left joins emitted retractions when the right side
+    arrived late, leaking tombstones downstream (DwdTradeOrderDetail
+    .java:164-167 -> upsert-Kafka K3 -> null checks + T6 dedup). Spark's
+    semantics are strictly cleaner: the null-extended row is emitted ONCE,
+    when the watermark proves no match can still arrive — no retractions,
+    no downstream dedup. Both sides watermarked; the event-time bound
+    evicts join state (SURVEY.md §7 known-hard #1).
+    """
+    od = order_detail.withWatermark("create_time", watermark).alias("od")
+    act = activity.withWatermark("act_time", watermark).alias("act")
+    return od.join(
+        act,
+        F.expr(
+            f"""od.id = act.order_detail_id
+            AND act.act_time BETWEEN od.create_time - INTERVAL {join_window}
+                                 AND od.create_time + INTERVAL {join_window}"""
+        ),
+        "leftOuter",
+    ).select(
+        F.col("od.id").alias("id"),
+        F.col("od.order_id").alias("order_id"),
+        F.col("act.activity_id").alias("activity_id"),
+        F.col("od.create_time").alias("create_time"),
+    )
