@@ -82,6 +82,8 @@ HEADLINE = [
     "window_frames_running_spend",
     "multimodal_decode",
     "keyword_page_view_udf",
+    "dedup_edit_distance",
+    "approx_daily_users",
 ]
 
 

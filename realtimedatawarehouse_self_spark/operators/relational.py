@@ -87,6 +87,34 @@ def sessionize(
     ).withColumn("session_idx", F.sum("new_session").over(w)).drop("new_session")
 
 
+def two_phase_sum(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof aggregation: partial sums/counts on (keys, salt), then a
+    final combine on keys alone. The hot key's rows spread over `n_salts`
+    reducers in phase 1; phase 2 combines `n_salts` rows per key.
+
+    Only for algebraic aggregates (sum/count here) — exactly why the
+    engine keeps money in integer cents: re-association never changes the
+    result.
+    """
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("__cnt").alias("row_ct"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -434,6 +434,70 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance near-dup: Levenshtein over 64-char prefixes, candidates
+# bounded to the same (lang, length-band) bucket. At 100 TB the band join
+# keeps the pair count ~linear in corpus size x band width; the distance
+# runs on bounded prefixes so per-pair cost is O(64^2) regardless of doc
+# length.
+# ---------------------------------------------------------------------------
+EDIT_PREFIX = 64
+EDIT_BAND = 20
+EDIT_MAX = 8
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / EDIT_BAND).cast("bigint").alias("band"),
+        F.substring("text", 1, EDIT_PREFIX).alias("prefix"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
+    )
+    return pairs.filter(F.col("edit_dist") <= EDIT_MAX)
+
+
+_EDIT_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(n_chars // {EDIT_BAND} AS BIGINT) AS band,
+           substr(text, 1, {EDIT_PREFIX}) AS prefix
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {EDIT_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL++): genuinely non-SQL-comparable (sketch
+# estimates differ per engine), so this query has NO oracle entry — the
+# driver records the weaker rows-only check. At 100 TB this replaces the
+# exact distinct in rollup/daily dashboards.
+# ---------------------------------------------------------------------------
+def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: K coarse centroids (deterministically the first K vectors),
 # every vector assigned to its nearest centroid (argmax cosine, tie -> lowest
 # centroid id), queries probe ONLY their own cell. At 100 TB: the centroid
@@ -732,6 +796,8 @@ QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh_bucketed": similarity_topk_lsh_bucketed,
     "similarity_topk_ivf": similarity_topk_ivf,
+    "dedup_edit_distance": dedup_edit_distance,
+    "approx_daily_users": approx_daily_users,  # rows-only check (no oracle)
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprint": doc_fingerprint,
@@ -747,6 +813,9 @@ ORACLE = {
     "similarity_topk_bruteforce": _SIM_TOPK_SQL,
     "similarity_topk_lsh_bucketed": _SIM_LSH_SQL,
     "similarity_topk_ivf": _IVF_SQL,
+    "dedup_edit_distance": _EDIT_SQL,
+    # approx_daily_users intentionally absent: HLL++ estimates are
+    # engine-specific; the driver records the weaker rows-only check.
     "text_quality_score": _TEXT_QUALITY_SQL,
     "lang_id_ngram": _lang_id_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,

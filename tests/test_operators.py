@@ -11,6 +11,7 @@ from realtimedatawarehouse_self_spark.operators.relational import (
     salted_join,
     sessionize,
     topk_per_group,
+    two_phase_sum,
 )
 
 
@@ -57,6 +58,19 @@ def test_sessionize_gap(spark):
     got = sessionize(df, key="uid", ts="ts", gap_ms=30 * 60 * 1000, tiebreak="eid")
     idx = {r.eid: r.session_idx for r in got.collect()}
     assert idx[1] == 1 and idx[2] == 1 and idx[3] == 2 and idx[4] == 1
+
+
+def test_two_phase_sum_equals_plain_agg(spark):
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [("cold", 7)], "k string, v long"
+    )
+    salted = two_phase_sum(df, ["k"], ["v"], n_salts=8)
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("row_ct")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
 
 
 def test_salted_join_equals_plain_join(spark):
