@@ -37,6 +37,12 @@ def _t(spark, sf_dir, name):
 # Hierarchical rollup: hour -> day -> month, each level fed by the previous.
 # ---------------------------------------------------------------------------
 def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan + one fine-grain (hourly) aggregate; each hourly row then
+    # explodes into its (hour, day, month) buckets and a final combine sums
+    # per grain. A naive per-level union would recompute the base aggregate
+    # once per level (verified via .explain — 3 scans); this shape is the
+    # continuous-aggregate pattern in a single job: coarser grains read the
+    # fine aggregate, never the fact table.
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket"), "event_type"
@@ -44,26 +50,29 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("event_ct"),
         F.sum(money_cents("value")).alias("v_c"),
     )
-    daily = hourly.groupBy(
-        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
-    ).agg(F.sum("event_ct").alias("event_ct"), F.sum("v_c").alias("v_c"))
-    monthly = daily.groupBy(
-        F.date_trunc("month", "bucket").alias("bucket"), "event_type"
-    ).agg(F.sum("event_ct").alias("event_ct"), F.sum("v_c").alias("v_c"))
-
-    def render(df: DataFrame, grain: str) -> DataFrame:
-        return df.select(
-            F.lit(grain).alias("grain"),
-            F.date_format("bucket", TS_FMT).alias("bucket"),
-            "event_type",
-            F.col("event_ct").cast("bigint").alias("event_ct"),
-            cents_amount("v_c").alias("total_value"),
-        )
-
+    grains = F.array(
+        F.struct(F.lit("hour").alias("grain"), F.col("bucket").alias("b")),
+        F.struct(
+            F.lit("day").alias("grain"), F.date_trunc("day", "bucket").alias("b")
+        ),
+        F.struct(
+            F.lit("month").alias("grain"),
+            F.date_trunc("month", "bucket").alias("b"),
+        ),
+    )
+    exploded = hourly.select(
+        F.explode(grains).alias("g"), "event_type", "event_ct", "v_c"
+    )
     return (
-        render(hourly, "hour")
-        .unionByName(render(daily, "day"))
-        .unionByName(render(monthly, "month"))
+        exploded.groupBy("g.grain", "g.b", "event_type")
+        .agg(F.sum("event_ct").alias("ct"), F.sum("v_c").alias("v"))
+        .select(
+            "grain",
+            F.date_format("b", TS_FMT).alias("bucket"),
+            "event_type",
+            F.col("ct").cast("bigint").alias("event_ct"),
+            cents_amount("v").alias("total_value"),
+        )
     )
 
 
