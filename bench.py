@@ -84,6 +84,10 @@ HEADLINE = [
     "keyword_page_view_udf",
     "dedup_edit_distance",
     "approx_daily_users",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_balances",
 ]
 
 

@@ -376,6 +376,183 @@ WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
 """
 
 
+# ---------------------------------------------------------------------------
+# q6 shape: forecast revenue change — pure scan + filter + agg (the minimal
+# pushdown benchmark: every predicate must reach the parquet reader).
+# ---------------------------------------------------------------------------
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        cents_amount(
+            F.sum(money_cents(F.col("l_extendedprice") * F.col("l_discount")))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("lineitem_ct"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS lineitem_ct
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 shape: top supplier(s) by revenue — agg + max-subquery join (ties kept,
+# so the result is deterministic without ORDER BY/LIMIT).
+# ---------------------------------------------------------------------------
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            money_cents(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            )
+        ).alias("rev_c")
+    )
+    top = rev.agg(F.max("rev_c").alias("max_rev_c"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.rev_c == top.max_rev_c)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", cents_amount("rev_c").alias("total_revenue")
+        )
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS rev_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q8 shape: one nation's market share of a part type's revenue per year.
+# ---------------------------------------------------------------------------
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = money_cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    per_year = joined.groupBy(F.year("l_shipdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0))).alias(
+            "nation_c"
+        ),
+        F.sum(rev).alias("total_c"),
+    )
+    return per_year.select(
+        "o_year",
+        (
+            F.col("nation_c").cast("double") / F.col("total_c").cast("double")
+        ).alias("mkt_share"),
+        cents_amount("total_c").alias("total_revenue"),
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_3'
+                     THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                     + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS DOUBLE) AS mkt_share,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 shape: wealthy customers with no urgent orders (anti join + scalar avg
+# subquery, integer-exact comparison: bal_c > avg ⟺ bal_c * n > sum).
+# ---------------------------------------------------------------------------
+def tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_c", money_cents("c_acctbal")
+    )
+    pos = cust.filter(F.col("bal_c") > 0)
+    stats = pos.agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rich = pos.join(F.broadcast(stats)).filter(
+        F.col("bal_c") * F.col("n") > F.col("sum_c")
+    )
+    idle = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        cents_amount(F.sum("bal_c")).alias("totacctbal"),
+    )
+
+
+_Q22_SQL = """
+WITH pos AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+    FROM customer
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0
+),
+stats AS (SELECT sum(bal_c) AS sum_c, count(*) AS n FROM pos)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM pos, stats
+WHERE bal_c * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -384,6 +561,10 @@ QUERIES = {
     "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
     "tpch_q14_promo_share": tpch_q14_promo_share,
     "tpch_q19_branch_revenue": tpch_q19_branch_revenue,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q22_idle_balances": tpch_q22_idle_balances,
 }
 
 ORACLE = {
@@ -394,4 +575,8 @@ ORACLE = {
     "tpch_q10_returned_revenue": _Q10_SQL,
     "tpch_q14_promo_share": _Q14_SQL,
     "tpch_q19_branch_revenue": _Q19_SQL,
+    "tpch_q6_forecast_revenue": _Q6_SQL,
+    "tpch_q8_market_share": _Q8_SQL,
+    "tpch_q15_top_supplier": _Q15_SQL,
+    "tpch_q22_idle_balances": _Q22_SQL,
 }

@@ -13,7 +13,13 @@ State design (100 TB notes):
   as event-date comparisons: equivalent for the daily-dedup semantics and
   deterministic/replayable (the reference's own Dws06 TTL was built but
   never attached — see SURVEY.md §2.6 note);
-- processors are Arrow-batched (pandas), never row-at-a-time Python.
+- processors are Arrow-batched (pandas), never row-at-a-time Python;
+- API choice: Spark 4.1's `transformWithStateInPandas` (value state with
+  native `ttlDurationMs`) is the preferred production API but its state
+  server requires protobuf, which this container lacks (verified:
+  STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) — so these processors
+  use `applyInPandasWithState`, with day-scoped state as the TTL
+  equivalent; the processor bodies port to transformWithState unchanged.
 
 Citations: T1 BaseLogApp.java:76-106; T2 Dws02...java:81-153;
 T4 Dws04...java:82-125; T5 Dws06...java:68-105; T6 Dws09...java:99-145.
