@@ -88,6 +88,7 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q22_idle_balances",
+    "session_window_native",
 ]
 
 

@@ -329,6 +329,59 @@ WHERE list_dot_product(a.vec, b.vec)
 """
 
 
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window): Spark's built-in gap-based
+# session assignment — the same sessions as `sessionize_events` but computed
+# by the engine's session-window operator (streaming-capable; SURVEY §2.7
+# "not present" in the reference). Window end = last event + gap.
+# ---------------------------------------------------------------------------
+SESSION_GAP = "30 minutes"
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        cents_amount(F.sum(money_cents("value"))).alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("w.start", TS_FMT).alias("session_start"),
+        F.date_format("w.end", TS_FMT).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+_SESSION_NATIVE_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT user_id, ts, v,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS DOUBLE) / 100.0 AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "set_operations_users": set_operations_users,
@@ -337,6 +390,7 @@ QUERIES = {
     "range_join_campaigns": range_join_campaigns,
     "asof_join_purchase_signup": asof_join_purchase_signup,
     "sessionize_events": sessionize_events,
+    "session_window_native": session_window_native,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -348,5 +402,6 @@ ORACLE = {
     "range_join_campaigns": _RANGE_JOIN_SQL,
     "asof_join_purchase_signup": _ASOF_SQL,
     "sessionize_events": _SESSION_SQL,
+    "session_window_native": _SESSION_NATIVE_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
 }
