@@ -89,6 +89,11 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q22_idle_balances",
     "session_window_native",
+    "tpch_q4_late_orders",
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_variety",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
 ]
 
 

@@ -553,6 +553,229 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q4 shape: priority of orders with at least one late-shipped item — the
+# EXISTS (correlated, inequality residual) pattern as a left-semi join.
+# Testdata has no l_commitdate/l_receiptdate; "late" = shipped >60 days
+# after the order date. Scale: semi-join keyed on l_orderkey (one shuffle);
+# the date inequality rides along as a residual predicate, so no row
+# explosion — at most one probe hit per order.
+# ---------------------------------------------------------------------------
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q9 shape: profit by supplier nation and ship year for one part family.
+# Testdata has no partsupp/ps_supplycost; cost proxy = 60% of retail price
+# per unit. Scale: the only shuffle is the final tiny groupBy — part,
+# supplier, and nation all broadcast; profit arithmetic is exact (cents).
+# ---------------------------------------------------------------------------
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit_c = money_cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ) - money_cents(F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.6))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+    ).agg(cents_amount(F.sum(profit_c)).alias("sum_profit"))
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)
+                - CAST(floor(p_retailprice * l_quantity * 0.6 * 100 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 shape: distinct-supplier variety per part attribute triple, excluding
+# a supplier blacklist — distinct aggregation + NOT IN (anti join).
+# Substitutions: lineitem stands in for partsupp as the part↔supplier
+# relation; blacklist = suppliers with negative balance. Scale: blacklist
+# broadcasts into an anti join (no shuffle added); countDistinct triggers
+# the standard two-phase distinct-agg expand on (brand,type,size) keys.
+# ---------------------------------------------------------------------------
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 shape: suppliers who alone shipped late in multi-supplier finalized
+# orders — the double-correlated EXISTS / NOT EXISTS pattern. Spark-first
+# formulation: instead of two self-joins against lineitem (which would
+# shuffle the fact table three times), ONE groupBy(l_orderkey) collects the
+# supplier set and the late-supplier set per order (bounded: ≤ items per
+# order, so skew-safe); EXISTS ⇔ size(supps) > 1, NOT EXISTS ⇔
+# size(late_set) = 1, and the lone late supplier pops out of the
+# singleton set — a single fact shuffle total.
+# ---------------------------------------------------------------------------
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    pairs = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+    late_cond = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("supps"),
+        F.collect_set(F.when(late_cond, F.col("l_suppkey"))).alias("late_set"),
+    )
+    waiting = per_order.filter(
+        (F.size("supps") > 1) & (F.size("late_set") == 1)
+    ).select(F.explode("late_set").alias("l_suppkey"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+    SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.skey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.okey AND l2.l_suppkey <> l1.skey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.okey = l1.okey AND l3.skey <> l1.skey)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q2 shape: cheapest supplier per part — the correlated-min-subquery pattern
+# (ties kept, so deterministic without LIMIT). Substitutions: lineitem is
+# the part↔supplier relation; "cost" = supplier account balance. Spark-first:
+# the correlated `= (SELECT min ...)` becomes a window min over p_partkey on
+# the already-shuffled distinct pairs — no join back, no second scan.
+# ---------------------------------------------------------------------------
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    supp = load_table(spark, sf_dir, "supplier").withColumn(
+        "bal_c", money_cents("s_acctbal")
+    )
+    ps = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.withColumn("min_bal_c", F.min("bal_c").over(w))
+        .filter(F.col("bal_c") == F.col("min_bal_c"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            cents_amount("bal_c").alias("s_acctbal"),
+        )
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+    SELECT DISTINCT p_partkey, p_name, l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 3
+),
+psb AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+    FROM ps JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name,
+       CAST(bal_c AS DOUBLE) / 100.0 AS s_acctbal
+FROM psb p1
+WHERE bal_c = (SELECT min(bal_c) FROM psb p2
+               WHERE p2.p_partkey = p1.p_partkey)
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -565,6 +788,11 @@ QUERIES = {
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q22_idle_balances": tpch_q22_idle_balances,
+    "tpch_q4_late_orders": tpch_q4_late_orders,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q16_supplier_variety": tpch_q16_supplier_variety,
+    "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
 }
 
 ORACLE = {
@@ -579,4 +807,9 @@ ORACLE = {
     "tpch_q8_market_share": _Q8_SQL,
     "tpch_q15_top_supplier": _Q15_SQL,
     "tpch_q22_idle_balances": _Q22_SQL,
+    "tpch_q4_late_orders": _Q4_SQL,
+    "tpch_q9_product_profit": _Q9_SQL,
+    "tpch_q16_supplier_variety": _Q16_SQL,
+    "tpch_q21_waiting_supplier": _Q21_SQL,
+    "tpch_q2_min_cost_supplier": _Q2_SQL,
 }
