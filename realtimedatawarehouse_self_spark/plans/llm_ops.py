@@ -5,11 +5,11 @@ These go beyond the reference's own surface (BASELINE.json north-star): the
 operators an LLM-data pipeline needs at 100 TB. Design per operator:
 
 - exact dedup: hash-groupBy — one shuffle on the content hash, even keys.
-- MinHash+LSH: shingle -> k salted-md5 minhashes -> band signatures ->
-  bucket self-join. md5 is used as the hash family so the DuckDB oracle is
-  bit-identical (min over fixed-width hex strings == min over the unsigned
-  ints they encode). At scale the band join shuffles only (band, sig) pairs,
-  never full documents.
+- MinHash+LSH: shingle -> one 60-bit md5 -> k universal hashes
+  ((a*h+b) mod 2^31-1; identical 64-bit arithmetic on both engines, so the
+  DuckDB oracle is bit-identical) -> band signatures -> bucket self-join.
+  At scale the band join shuffles only (band, sig) pairs, never full
+  documents.
 - n-gram Jaccard: exact near-dup ground truth via a distinct-shingle
   self-join; the inverted-index join bounds pairs to those sharing >=1
   shingle. Ratio test kept in *integer* arithmetic (2*inter >= union) so the
@@ -166,27 +166,33 @@ WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH candidate pairs. Hash family: md5("<i>:" || shingle); the
-# minimum hex string per doc per salt is the minhash. Bands of BAND_ROWS
-# signatures bucket-join into candidate pairs.
+# MinHash + LSH candidate pairs. Hash family: ONE 60-bit md5 per shingle,
+# then NUM_HASHES Carter-Wegman universal hashes h_i = (a_i*h0 + b_i) mod P
+# (P = 2^31-1, so a_i*h0 < 2^62 never overflows 64-bit signed on either
+# engine). One cryptographic hash per row instead of NUM_HASHES — at 100 TB
+# the md5 evaluations are the dominant compute of the signature stage, so
+# this is an ~NUM_HASHES-fold cut; the per-doc min stays a mutable-buffer
+# vectorized HashAggregate over bigints.
 # ---------------------------------------------------------------------------
+_MINHASH_P = 2_147_483_647
+_MINHASH_AB = [
+    ((i * 2_654_435_761 + 1) % _MINHASH_P, (i * 40_503 + 7) % _MINHASH_P)
+    for i in range(NUM_HASHES)
+]
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    # Numeric minhash (first 60 bits of md5 as bigint): same ordering as the
-    # fixed-width hex string, but the per-doc min is a mutable-buffer
-    # HashAggregate (vectorized) instead of a string SortAggregate.
-    minh = sh.groupBy("doc_id").agg(
+    h0 = (
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_MINHASH_P)
+    ).alias("h0")
+    minh = sh.select("doc_id", h0).groupBy("doc_id").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-            ).alias(f"h{i}")
-            for i in range(NUM_HASHES)
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(_MINHASH_AB)
         ]
     )
     # Bands via explode — ONE upstream pipeline feeding all bands, instead of
@@ -220,9 +226,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ",\n           ".join(
-        f"min(TRY_CAST('0x' || substr(md5('{i}:' || sh), 1, 15) AS BIGINT))"
-        f" AS h{i}"
-        for i in range(NUM_HASHES)
+        f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
     )
     band_selects = []
     for b in range(NUM_BANDS):
@@ -235,10 +240,16 @@ def _minhash_sql() -> str:
     bands = "\n    UNION ALL\n    ".join(band_selects)
     return f"""
 WITH {_SHINGLE_CTE},
+h0s AS (
+    SELECT doc_id,
+           TRY_CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+               % {_MINHASH_P} AS h0
+    FROM sh
+),
 minh AS (
     SELECT doc_id,
            {mins}
-    FROM sh GROUP BY doc_id
+    FROM h0s GROUP BY doc_id
 ),
 bands AS (
     {bands}
