@@ -43,8 +43,14 @@ from realtimedatawarehouse_self_spark.sources.tables import load_table
 FLUSH_TYPE = "__flush__"
 
 
-def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    """events -> file stream -> `build(stream)` -> parquet sink -> DataFrame."""
+def _run_stream(
+    spark: SparkSession, sf_dir: str, build, flush_filter=None
+) -> DataFrame:
+    """events -> file stream -> `build(stream)` -> parquet sink -> DataFrame.
+
+    ``flush_filter``: predicate removing the flush row from the sink output
+    (default: ``event_type != FLUSH_TYPE``; pipelines that drop the
+    event_type column filter on the sentinel user_id instead)."""
     apply_runtime_confs(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     base = tempfile.mkdtemp(prefix="rtdw-stream-")
@@ -77,7 +83,9 @@ def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     )
     flush.coalesce(1).write.mode("append").parquet(src)
     trigger()  # flush batch: watermark passes every real window
-    return spark.read.parquet(out).filter(F.col("event_type") != FLUSH_TYPE)
+    if flush_filter is None:
+        flush_filter = F.col("event_type") != FLUSH_TYPE
+    return spark.read.parquet(out).filter(flush_filter)
 
 
 # ---------------------------------------------------------------------------
@@ -143,12 +151,53 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming session windows: native F.session_window executed as a REAL
+# streaming job (merging session state, watermark-closed, append mode) —
+# the streaming counterpart of extras.session_window_native, gated by the
+# same gap-based lag+cumsum oracle. The flush row forms its own session for
+# the sentinel user, never merges with real state, and is filtered out.
+# ---------------------------------------------------------------------------
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.extras import SESSION_GAP, TS_FMT
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withColumn("v", money_cents("value"))
+            .withWatermark("ts", "2 seconds")
+            .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                cents_amount(F.sum("v")).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format("w.start", TS_FMT).alias("session_start"),
+                F.date_format("w.end", TS_FMT).alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _run_stream(
+        spark, sf_dir, build, flush_filter=F.col("user_id") >= 0
+    )
+
+
+def _session_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.extras import _SESSION_NATIVE_SQL
+
+    return _SESSION_NATIVE_SQL
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_uv_daily": streaming_uv_daily,
+    "streaming_session_windows": streaming_session_windows,
 }
 
 ORACLE = {
     "streaming_pv_hourly": _PV_SQL,
     "streaming_uv_daily": _UV_SQL,
+    "streaming_session_windows": _session_stream_sql(),
 }
