@@ -262,11 +262,20 @@ GROUP BY 1
 def dws09_trade_sku_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        "l_shipdate", "l_partkey"
-    )
+    # T6 first-row-per-key dedup as min(struct(order-prefix..., payload)):
+    # lexicographic struct-min ≡ row_number()=1 over the same prefix order,
+    # but runs as a hash aggregate with map-side partial combine instead of
+    # a full-width shuffle+sort — and the payload tail makes the pick total
+    # (deterministic even under order-prefix ties).
+    first = F.min(
+        F.struct(
+            "l_shipdate", "l_partkey", "l_extendedprice", "l_discount", "l_tax"
+        )
+    ).alias("f")
     deduped = (
-        li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(first)
+        .select("l_orderkey", "l_linenumber", "f.*")
     )
     enriched = deduped.join(F.broadcast(part), deduped.l_partkey == part.p_partkey)
     agg = enriched.groupBy(
