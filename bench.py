@@ -94,6 +94,7 @@ HEADLINE = [
     "tpch_q16_supplier_variety",
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -181,8 +181,8 @@ _MINHASH_AB = [
 ]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) shingles -> distinct LSH candidate pairs (doc_a < doc_b)."""
     h0 = (
         F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
         % F.lit(_MINHASH_P)
@@ -224,7 +224,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(_doc_shingles(spark, sf_dir))
+
+
+def _minhash_tail_cte() -> str:
+    """CTE chain from a shingle relation ``sh(doc_id, sh)`` to candidate
+    ``pairs(doc_a, doc_b)`` — shared by the standalone LSH query and the
+    corpus-clean pipeline so both oracles use the identical hash family."""
     mins = ",\n           ".join(
         f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{i}"
         for i, (a, b) in enumerate(_MINHASH_AB)
@@ -238,9 +245,7 @@ def _minhash_sql() -> str:
             f"SELECT doc_id, {b} AS band_id, {cols} AS sig FROM minh"
         )
     bands = "\n    UNION ALL\n    ".join(band_selects)
-    return f"""
-WITH {_SHINGLE_CTE},
-h0s AS (
+    return f"""h0s AS (
     SELECT doc_id,
            TRY_CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
                % {_MINHASH_P} AS h0
@@ -253,10 +258,19 @@ minh AS (
 ),
 bands AS (
     {bands}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+{_minhash_tail_cte()}
+SELECT doc_a, doc_b FROM pairs
 """
 
 
@@ -803,6 +817,76 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Composite corpus-cleaning pipeline — the operators above CHAINED the way a
+# training-data run would use them: quality gate -> exact dedup (keep lowest
+# doc_id per content hash) -> minhash-LSH near-dup removal (drop the higher
+# id of every candidate pair) -> per-language corpus stats. One oracle gates
+# the whole composition, so stage boundaries can't hide drift. Scale: each
+# stage is the already-audited plan (hash-agg dedup, one-md5 signatures,
+# band-bucket join); the final anti-join keys on doc_id only.
+# ---------------------------------------------------------------------------
+MIN_TOKENS = 20
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_ct = F.expr(
+        f"size(filter(tok_arr, x -> array_contains(array({stop_arr}), x)))"
+    )
+    q = docs.filter(
+        (F.size("tok_arr") >= MIN_TOKENS)
+        & (4 * stop_ct <= F.size("tok_arr"))
+    )
+    keep = q.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(keep.select("doc_id"), "doc_id")
+    sh = kept.select(
+        "doc_id", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
+    ).distinct()
+    dropped = (
+        _minhash_pairs(sh).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    final = kept.join(dropped, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tok_arr").cast("bigint")).alias("total_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+    )
+
+
+def _corpus_clean_sql() -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, lang, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+q AS (
+    SELECT * FROM tok
+    WHERE len(t) >= {MIN_TOKENS}
+      AND 4 * len(list_filter(t, x -> list_contains([{_STOP_LIST}], x)))
+          <= len(t)
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM kept, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+{_minhash_tail_cte()},
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -818,6 +902,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "token_count_stats": token_count_stats,
     "multimodal_metadata": multimodal_metadata,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
 }
 
 ORACLE = {
@@ -836,4 +921,5 @@ ORACLE = {
     "doc_fingerprint": _FINGERPRINT_SQL,
     "token_count_stats": _TOKEN_COUNT_SQL,
     "multimodal_metadata": _MULTIMODAL_SQL,
+    "corpus_clean_pipeline": _corpus_clean_sql(),
 }
