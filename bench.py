@@ -95,6 +95,9 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
     "corpus_clean_pipeline",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q20_dominant_supplier",
 ]
 
 

@@ -776,6 +776,169 @@ WHERE bal_c = (SELECT min(bal_c) FROM psb p2
 """
 
 
+# ---------------------------------------------------------------------------
+# q11 shape: important-stock value share — per-part value from one nation
+# group's suppliers, kept when above a global-threshold scalar subquery.
+# The driver schema has no partsupp table (TESTDATA.md), so "stock value"
+# is adapted to shipped value sum(l_extendedprice*(1-l_discount)) per part
+# (reference shape: TPC-H q11 HAVING sum(...) > fraction * SELECT sum(...)).
+# Threshold test stays in integer cents (1000*val_c > total_c) so the oracle
+# comparison is exact. Scale: one shuffle on l_partkey with map-side combine;
+# the global total is a one-row broadcast cross join — never a
+# single-partition window over the fact table.
+# ---------------------------------------------------------------------------
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    nation_supp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                money_cents(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                )
+            ).alias("val_c")
+        )
+    )
+    total = val.agg(F.sum("val_c").alias("total_c"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("val_c") * 1000 > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            cents_amount("val_c").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+_Q11_SQL = """
+WITH val AS (
+    SELECT l_partkey,
+           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS val_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY 1
+)
+SELECT l_partkey AS partkey, CAST(val_c AS DOUBLE) / 100.0 AS part_value
+FROM val
+WHERE val_c * 1000 > (SELECT sum(val_c) FROM val)
+ORDER BY part_value DESC, partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 shape: shipping-priority classification — fact-fact join + boolean
+# bucket aggregation (SUM of CASE WHEN). The driver schema has no
+# l_shipmode / l_commitdate / l_receiptdate, so the mode dimension is
+# adapted to l_linestatus and the lateness predicate to a ship-year slice;
+# the aggregation shape is TPC-H q12's. Scale: the ship-year filter is
+# pushed to the parquet scan; the join shuffles both facts on orderkey.
+# ---------------------------------------------------------------------------
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 shape: dominant-supplier promotion — TPC-H q20's nested correlated
+# aggregate (ps_availqty > 0.5 * sum(l_quantity)) re-expressed without
+# partsupp as a per-part share test: suppliers shipping more than half of a
+# 'large %' part's total ship-year quantity, semi-joined back to supplier.
+# Quantity kept in integer cents so the half-share test (2*qty > tot) is
+# exact. Scale: the window runs over the (part, supp) aggregate — fact
+# cardinality already collapsed by the groupBy — partitioned on l_partkey,
+# and the supplier probe is a broadcast semi-join.
+# ---------------------------------------------------------------------------
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("large")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pq = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(money_cents("l_quantity")).alias("qty_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = pq.withColumn("tot_c", F.sum("qty_c").over(w)).filter(
+        2 * F.col("qty_c") > F.col("tot_c")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(dom, supp.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH pq AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'large%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM pq p1
+    WHERE 2 * qty_c > (SELECT sum(qty_c) FROM pq p2
+                       WHERE p2.l_partkey = p1.l_partkey))
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -793,6 +956,9 @@ QUERIES = {
     "tpch_q16_supplier_variety": tpch_q16_supplier_variety,
     "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
     "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q11_important_stock": tpch_q11_important_stock,
+    "tpch_q12_priority_lines": tpch_q12_priority_lines,
+    "tpch_q20_dominant_supplier": tpch_q20_dominant_supplier,
 }
 
 ORACLE = {
@@ -812,4 +978,7 @@ ORACLE = {
     "tpch_q16_supplier_variety": _Q16_SQL,
     "tpch_q21_waiting_supplier": _Q21_SQL,
     "tpch_q2_min_cost_supplier": _Q2_SQL,
+    "tpch_q11_important_stock": _Q11_SQL,
+    "tpch_q12_priority_lines": _Q12_SQL,
+    "tpch_q20_dominant_supplier": _Q20_SQL,
 }
