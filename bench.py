@@ -98,6 +98,8 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q12_priority_lines",
     "tpch_q20_dominant_supplier",
+    "stratified_sample_corpus",
+    "corpus_split_assign",
 ]
 
 

@@ -26,7 +26,7 @@ the whole module runs inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtimedatawarehouse_self_spark.functions.exprs import (
@@ -818,6 +818,94 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Deterministic corpus sampling & splitting — the "data mixing" stage of a
+# training run. Membership is a pure function of doc_id (60-bit md5 prefix
+# mod 10000, the module's standard cross-engine hash), NEVER rand(): the
+# sample is reproducible, resumable, and oracle-checkable, and at 100 TB it
+# is a stateless per-row filter fused into the scan — zero shuffle before
+# the final per-language aggregate. Split assignment uses a salted hash
+# ('split:' prefix) so sample membership and split membership are
+# decorrelated, exactly like independent hash salts in a real pipeline.
+# ---------------------------------------------------------------------------
+SAMPLE_RATES_BP = {"en": 2500, "zh": 7500, "de": 10000, "es": 5000, "fr": 10000}
+TRAIN_BP, VAL_BP = 9700, 9900  # train < 9700 <= val < 9900 <= test
+
+
+def _hash_bp(col: Column, salt: str = "") -> Column:
+    """Deterministic 0..9999 bucket from a column (md5-prefix bigint)."""
+    s = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % F.lit(10000)
+    )
+
+
+def _sql_hash_bp(expr: str, salt: str = "") -> str:
+    inner = f"'{salt}' || CAST({expr} AS VARCHAR)" if salt else f"CAST({expr} AS VARCHAR)"
+    return f"(TRY_CAST('0x' || substr(md5({inner}), 1, 15) AS BIGINT) % 10000)"
+
+
+def stratified_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    rate = F.lit(10000)
+    for lang, bp in SAMPLE_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
+    return (
+        docs.filter(_hash_bp(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(
+            F.max(rate).alias("rate_bp"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("tok_arr").cast("bigint")).alias("total_tokens"),
+        )
+    )
+
+
+def _stratified_sample_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in SAMPLE_RATES_BP.items()
+    ) + " ELSE 10000 END"
+    return f"""
+SELECT lang,
+       CAST(max({case}) AS BIGINT) AS rate_bp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS total_tokens
+FROM documents
+WHERE {_sql_hash_bp('doc_id')} < {case}
+GROUP BY lang
+"""
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    bp = _hash_bp(F.col("doc_id"), salt="split:")
+    split = (
+        F.when(bp < TRAIN_BP, "train")
+        .when(bp < VAL_BP, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tok_arr").cast("bigint")).alias("total_tokens"),
+    )
+
+
+def _corpus_split_sql() -> str:
+    bp = _sql_hash_bp("doc_id", salt="split:")
+    return f"""
+SELECT lang,
+       CASE WHEN {bp} < {TRAIN_BP} THEN 'train'
+            WHEN {bp} < {VAL_BP} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Composite corpus-cleaning pipeline — the operators above CHAINED the way a
 # training-data run would use them: quality gate -> exact dedup (keep lowest
 # doc_id per content hash) -> minhash-LSH near-dup removal (drop the higher
@@ -903,6 +991,8 @@ QUERIES = {
     "token_count_stats": token_count_stats,
     "multimodal_metadata": multimodal_metadata,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "stratified_sample_corpus": stratified_sample_corpus,
+    "corpus_split_assign": corpus_split_assign,
 }
 
 ORACLE = {
@@ -922,4 +1012,6 @@ ORACLE = {
     "token_count_stats": _TOKEN_COUNT_SQL,
     "multimodal_metadata": _MULTIMODAL_SQL,
     "corpus_clean_pipeline": _corpus_clean_sql(),
+    "stratified_sample_corpus": _stratified_sample_sql(),
+    "corpus_split_assign": _corpus_split_sql(),
 }
