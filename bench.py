@@ -100,6 +100,7 @@ HEADLINE = [
     "tpch_q20_dominant_supplier",
     "stratified_sample_corpus",
     "corpus_split_assign",
+    "dedup_clusters",
 ]
 
 

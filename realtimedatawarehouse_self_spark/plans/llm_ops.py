@@ -818,6 +818,81 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster assignment — connected components over the minhash-LSH
+# candidate-pair graph (pairwise drop rules over-drop; real dedup keeps one
+# doc per *component*). Iterative min-label propagation: each round joins
+# the label frontier to the edge list and takes the per-node min; converges
+# in O(component diameter) rounds — near-dup clusters are shallow, so a
+# handful. The per-round `localCheckpoint` truncates lineage so round N's
+# plan doesn't replay rounds 1..N-1 (the classic iterative-algorithm trap);
+# the edge list is persisted once and reused every round. At 1000-executor
+# scale the same loop holds (each round is one shuffle on node id); for
+# web-scale graphs with deep components you'd switch to alternating
+# small-star/large-star, which this structure accommodates.
+# Oracle: DuckDB recursive CTE propagating only-decreasing labels, then
+# min per node — exact, because label propagation is order-independent.
+# ---------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(_doc_shingles(spark, sf_dir))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = edges.join(
+            labels, edges.dst == labels.node
+        ).select(edges.src.alias("node"), "label")
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        improved = new.join(
+            labels.withColumnRenamed("label", "old_label"), "node"
+        ).filter(F.col("label") < F.col("old_label"))
+        done = improved.isEmpty()
+        labels = new
+        if done:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+{_minhash_tail_cte()},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic corpus sampling & splitting — the "data mixing" stage of a
 # training run. Membership is a pure function of doc_id (60-bit md5 prefix
 # mod 10000, the module's standard cross-engine hash), NEVER rand(): the
@@ -927,8 +1002,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("tok_arr") >= MIN_TOKENS)
         & (4 * stop_ct <= F.size("tok_arr"))
     )
-    keep = q.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    kept = q.join(keep.select("doc_id"), "doc_id")
+    # Exact dedup as a window rank (one shuffle on the content hash), not
+    # groupBy+self-join: halves the number of times the tokenize subtree
+    # is recomputed and removes a join from the plan.
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
     sh = kept.select(
         "doc_id", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
     ).distinct()
@@ -993,6 +1075,7 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "stratified_sample_corpus": stratified_sample_corpus,
     "corpus_split_assign": corpus_split_assign,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE = {
@@ -1014,4 +1097,5 @@ ORACLE = {
     "corpus_clean_pipeline": _corpus_clean_sql(),
     "stratified_sample_corpus": _stratified_sample_sql(),
     "corpus_split_assign": _corpus_split_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
 }
