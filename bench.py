@@ -101,6 +101,7 @@ HEADLINE = [
     "stratified_sample_corpus",
     "corpus_split_assign",
     "dedup_clusters",
+    "doc_chunking",
 ]
 
 

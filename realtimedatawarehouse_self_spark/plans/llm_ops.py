@@ -818,6 +818,58 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Fixed-budget document chunking — split every document into training
+# sequences of at most CHUNK_TOKENS tokens. Pure per-row explode (chunk
+# count derives from token count), so at 100 TB it is embarrassingly
+# parallel: no shuffle at all, and chunk rows stream straight to the sink.
+# Each chunk carries an md5 of its exact token slice, so the oracle check
+# pins chunk *boundaries and content*, not just counts.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    n = F.size("tok_arr")
+    chunks = docs.filter(n > 0).select(
+        "doc_id",
+        "tok_arr",
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / CHUNK_TOKENS).cast("int"))
+        ).alias("chunk_id"),
+    )
+    sl = F.slice(F.col("tok_arr"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_id") * CHUNK_TOKENS)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
+    )
+
+
+_DOC_CHUNKING_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_TOKENS}, len(t) - cid * {CHUNK_TOKENS}) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(
+           list_slice(t, cid * {CHUNK_TOKENS} + 1, (cid + 1) * {CHUNK_TOKENS}),
+           ' ')) AS chunk_hash
+FROM tok, UNNEST(range(0, CAST(floor((len(t) - 1) / {CHUNK_TOKENS}) AS BIGINT) + 1))
+     AS u(cid)
+WHERE len(t) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-dup cluster assignment — connected components over the minhash-LSH
 # candidate-pair graph (pairwise drop rules over-drop; real dedup keeps one
 # doc per *component*). Iterative min-label propagation: each round joins
@@ -1076,6 +1128,7 @@ QUERIES = {
     "stratified_sample_corpus": stratified_sample_corpus,
     "corpus_split_assign": corpus_split_assign,
     "dedup_clusters": dedup_clusters,
+    "doc_chunking": doc_chunking,
 }
 
 ORACLE = {
@@ -1098,4 +1151,5 @@ ORACLE = {
     "stratified_sample_corpus": _stratified_sample_sql(),
     "corpus_split_assign": _corpus_split_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "doc_chunking": _DOC_CHUNKING_SQL,
 }
