@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_split_assign",
     "dedup_clusters",
     "doc_chunking",
+    "kmeans_ivf_train",
 ]
 
 

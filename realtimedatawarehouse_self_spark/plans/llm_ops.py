@@ -818,6 +818,128 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# K-means training for the IVF coarse quantizer — Lloyd's algorithm as a
+# second iterative Spark operator (alongside dedup_clusters), made fully
+# oracle-checkable by doing ALL cluster math in exact integer arithmetic:
+# embeddings are quantized to bigint (floor(x*1e4 + 0.5)), centroids kept
+# as (integer component sums, count) instead of float means, and the
+# assignment metric -2*(x·s)*n + ||s||² over n² is an exact-int numerator/
+# denominator whose final double division is bit-identical across engines.
+# Deterministic throughout: init = the K lowest vec_ids, argmin tie-breaks
+# on centroid id, fixed KM_ITERS rounds (unrolled as CTEs in the oracle).
+# Scale: each round = one broadcast of K centroid rows against the point
+# set (no point shuffle) + one shuffle on (cid, pos) for the re-sum;
+# `localCheckpoint` per round cuts lineage. Int64 headroom: |v|<=~6e3,
+# so sums overflow only past ~1e10 points/cluster — at that scale drop
+# KM_SCALE or switch the sums to decimal(38,0).
+# ---------------------------------------------------------------------------
+K_CLUSTERS = 8
+KM_ITERS = 3
+KM_SCALE = 10000
+
+_QUANT = (
+    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}"
+    " + 0.5) AS BIGINT))"
+)
+_DOT = "aggregate(zip_with(q, s, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+_SS = "aggregate(transform(s, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+
+def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    pts = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select("vec_id", F.expr(_QUANT).alias("q"))
+        .persist()
+    )
+    cents = pts.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("q").alias("s"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    for _ in range(KM_ITERS):
+        j = pts.crossJoin(F.broadcast(cents))
+        metric = F.expr(
+            f"CAST(-2 * ({_DOT}) * n + ({_SS}) AS DOUBLE) / CAST(n * n AS DOUBLE)"
+        )
+        assign = (
+            j.groupBy("vec_id")
+            .agg(
+                F.min(F.struct(metric.alias("m"), F.col("cid"))).alias("mc"),
+                F.first("q").alias("q"),
+            )
+            .select(F.col("mc.cid").alias("cid"), "q")
+        )
+        sums = (
+            assign.select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                    lambda t: t["s"],
+                ).alias("s")
+            )
+        )
+        counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        cents = sums.join(counts, "cid").localCheckpoint()
+    pts.unpersist()
+    return cents.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n").alias("n_points"),
+        F.md5(
+            F.concat_ws(",", F.transform("s", lambda v: v.cast("string")))
+        ).alias("centroid_hash"),
+    )
+
+
+def _kmeans_sql() -> str:
+    ctes = [
+        f"""q AS (
+    SELECT vec_id, i - 1 AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * {KM_SCALE} + 0.5)
+                AS BIGINT) AS v
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+)""",
+        f"c0 AS (SELECT vec_id AS cid, pos, v AS s FROM q WHERE vec_id < {K_CLUSTERS})",
+        f"cn0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n FROM embeddings WHERE vec_id < {K_CLUSTERS})",
+    ]
+    for k in range(KM_ITERS):
+        ctes.append(f"""asg{k} AS (
+    SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY CAST(-2 * d.dot * cn.n + s.ss AS DOUBLE)
+                            / CAST(cn.n * cn.n AS DOUBLE), d.cid) AS rn
+        FROM (SELECT q.vec_id, c.cid, sum(q.v * c.s) AS dot
+              FROM q JOIN c{k} c ON q.pos = c.pos GROUP BY 1, 2) d
+        JOIN (SELECT cid, sum(s * s) AS ss FROM c{k} GROUP BY 1) s USING (cid)
+        JOIN cn{k} cn USING (cid))
+    WHERE rn = 1
+)""")
+        ctes.append(
+            f"c{k + 1} AS (SELECT a.cid, q.pos, CAST(sum(q.v) AS BIGINT) AS s"
+            f" FROM asg{k} a JOIN q USING (vec_id) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"cn{k + 1} AS (SELECT cid, CAST(count(*) AS BIGINT) AS n"
+            f" FROM asg{k} GROUP BY 1)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT c.cid AS cluster_id,
+       cn.n AS n_points,
+       md5(string_agg(CAST(c.s AS VARCHAR), ',' ORDER BY c.pos))
+           AS centroid_hash
+FROM c{KM_ITERS} c JOIN cn{KM_ITERS} cn USING (cid)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fixed-budget document chunking — split every document into training
 # sequences of at most CHUNK_TOKENS tokens. Pure per-row explode (chunk
 # count derives from token count), so at 100 TB it is embarrassingly
@@ -1129,6 +1251,7 @@ QUERIES = {
     "corpus_split_assign": corpus_split_assign,
     "dedup_clusters": dedup_clusters,
     "doc_chunking": doc_chunking,
+    "kmeans_ivf_train": kmeans_ivf_train,
 }
 
 ORACLE = {
@@ -1152,4 +1275,5 @@ ORACLE = {
     "corpus_split_assign": _corpus_split_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "doc_chunking": _DOC_CHUNKING_SQL,
+    "kmeans_ivf_train": _kmeans_sql(),
 }
