@@ -53,6 +53,7 @@ HEADLINE = [
     "lang_id_ngram",
     "doc_fingerprint",
     "token_count_stats",
+    "vocab_topk",
     "multimodal_metadata",
     "tpch_q5_local_supplier",
     "set_operations_users",

@@ -789,6 +789,47 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary build: corpus-wide term/document frequencies with a
+# deterministic top-k cut (term_ct DESC, token ASC tie-break). The
+# tokenize+explode fuses into the scan stage; the groupBy is one shuffle on
+# `token` with map-side combine (token keys are near-uniform at corpus
+# scale); the final top-k compiles to TakeOrderedAndProject — per-partition
+# heaps merged once, never a global sort of the vocabulary.
+# ---------------------------------------------------------------------------
+VOCAB_TOPK = 100
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("term_ct"),
+        F.countDistinct("doc_id").cast("bigint").alias("doc_ct"),
+    )
+    return counts.orderBy(F.desc("term_ct"), F.asc("token")).limit(VOCAB_TOPK)
+
+
+_VOCAB_TOPK_SQL = f"""
+SELECT token,
+       CAST(count(*) AS BIGINT) AS term_ct,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_ct
+FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS token
+    FROM documents
+)
+GROUP BY token
+ORDER BY term_ct DESC, token
+LIMIT {VOCAB_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal metadata: the SQL-comparable half of the binary-column path
 # (decode/resize stubs live in functions/multimodal.py and are pytest-only).
 # ---------------------------------------------------------------------------
@@ -1245,6 +1286,7 @@ QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprint": doc_fingerprint,
     "token_count_stats": token_count_stats,
+    "vocab_topk": vocab_topk,
     "multimodal_metadata": multimodal_metadata,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "stratified_sample_corpus": stratified_sample_corpus,
@@ -1269,6 +1311,7 @@ ORACLE = {
     "lang_id_ngram": _lang_id_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
     "token_count_stats": _TOKEN_COUNT_SQL,
+    "vocab_topk": _VOCAB_TOPK_SQL,
     "multimodal_metadata": _MULTIMODAL_SQL,
     "corpus_clean_pipeline": _corpus_clean_sql(),
     "stratified_sample_corpus": _stratified_sample_sql(),
