@@ -54,6 +54,7 @@ HEADLINE = [
     "doc_fingerprint",
     "token_count_stats",
     "vocab_topk",
+    "doc_length_histogram",
     "multimodal_metadata",
     "tpch_q5_local_supplier",
     "set_operations_users",

@@ -814,6 +814,42 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("term_ct"), F.asc("token")).limit(VOCAB_TOPK)
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution in fixed 100-char buckets.
+
+    Pure map (bucket id fused into the scan stage) + one partial-first
+    aggregate on tiny (lang, bucket) keys — zero wide shuffles, so the
+    shape is scan-bound at any corpus size.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "lang",
+            F.expr("CAST(length(text) AS BIGINT) div 100").alias("len_bucket"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_ct"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_DOC_LEN_HIST_SQL = """
+SELECT lang,
+       CAST(length(text) // 100 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS doc_ct,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 _VOCAB_TOPK_SQL = f"""
 SELECT token,
        CAST(count(*) AS BIGINT) AS term_ct,
@@ -1287,6 +1323,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "token_count_stats": token_count_stats,
     "vocab_topk": vocab_topk,
+    "doc_length_histogram": doc_length_histogram,
     "multimodal_metadata": multimodal_metadata,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "stratified_sample_corpus": stratified_sample_corpus,
@@ -1312,6 +1349,7 @@ ORACLE = {
     "doc_fingerprint": _FINGERPRINT_SQL,
     "token_count_stats": _TOKEN_COUNT_SQL,
     "vocab_topk": _VOCAB_TOPK_SQL,
+    "doc_length_histogram": _DOC_LEN_HIST_SQL,
     "multimodal_metadata": _MULTIMODAL_SQL,
     "corpus_clean_pipeline": _corpus_clean_sql(),
     "stratified_sample_corpus": _stratified_sample_sql(),
