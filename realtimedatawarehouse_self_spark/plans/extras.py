@@ -294,19 +294,24 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup: pairs above a cosine threshold, candidate set
-# bounded by the label bucket (coarse IVF cell stand-in).
+# Embedding-cosine near-dup: pairs above a cosine threshold, candidates
+# bounded by the IVF cell machinery shared with similarity_topk_ivf — every
+# vector is assigned to its nearest coarse centroid and only same-cell pairs
+# are scored. Worst-case pair count is sum over cells of |cell|^2/2 ≈
+# N^2/(2K) under balanced cells, and K (NUM_CENTROIDS) scales with corpus
+# size, vs. the unbounded all-pairs-within-label bucket this replaces.
+# Recall bound, documented: near-dup pairs split across two cells are not
+# compared (mitigable with multi-probe; the LSH dedup is the recall path).
 # ---------------------------------------------------------------------------
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    apply_runtime_confs(spark)
-    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    from realtimedatawarehouse_self_spark.plans.llm_ops import _cells, _emb
+
+    cells = _cells(_emb(spark, sf_dir))
+    a = cells.alias("a")
+    b = cells.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.label") == F.col("b.label"))
+        (F.col("a.cell") == F.col("b.cell"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
@@ -316,17 +321,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("score") > 0.4)
 
 
-_EMB_DEDUP_SQL = """
-WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
+def _emb_dedup_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import IVF_ASSIGN_CTE
+
+    return f"""
+WITH {IVF_ASSIGN_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.vec, b.vec)
          / (sqrt(list_dot_product(a.vec, a.vec))
             * sqrt(list_dot_product(b.vec, b.vec))) AS score
-FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM assigned a JOIN assigned b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.vec, b.vec)
         / (sqrt(list_dot_product(a.vec, a.vec))
            * sqrt(list_dot_product(b.vec, b.vec))) > 0.4
 """
+
+
+_EMB_DEDUP_SQL = _emb_dedup_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -109,16 +109,27 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup: inverted-index self-join on distinct shingles.
 # ---------------------------------------------------------------------------
+# Document-frequency cap on shingles entering the self-join. A single hot
+# shingle with df=10^6 would alone produce 10^12 candidate pairs; capping df
+# bounds the worst case at corpus_shingles x DF_CAP pairs (linear in corpus
+# size). Standard near-dup practice: shingles that common carry ~no signal
+# (they are boilerplate). Recall bound, documented: a pair is emitted only
+# if it shares >=1 shingle with df in [2, DF_CAP]. Jaccard denominators stay
+# EXACT for surviving pairs — sizes are computed over ALL shingles.
+SHINGLE_DF_CAP = 100
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Shingles occurring in a single document cannot form a pair: filter by
-    # document frequency before the self-join. In synthetic/real corpora the
-    # vast majority of shingles are unique, so this shrinks the join input by
-    # orders of magnitude (sizes are still computed over ALL shingles).
+    # Shingles occurring in a single document cannot form a pair; shingles
+    # above the df cap would dominate the join quadratically. Both ends are
+    # pruned by document frequency before the self-join. In synthetic/real
+    # corpora the vast majority of shingles are unique, so df>1 alone shrinks
+    # the join input by orders of magnitude.
     shared = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
-    ).filter(F.col("df") > 1).drop("df")
+    ).filter((F.col("df") > 1) & (F.col("df") <= SHINGLE_DF_CAP)).drop("df")
     a = shared.alias("a")
     b = shared.alias("b")
     inter = (
@@ -149,10 +160,15 @@ WITH {_SHINGLE_CTE},
 sizes AS (
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
 ),
+shared AS (
+    SELECT doc_id, lang, sh FROM (
+        SELECT *, count(*) OVER (PARTITION BY lang, sh) AS df FROM sh
+    ) WHERE df > 1 AND df <= {SHINGLE_DF_CAP}
+),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS inter_ct
-    FROM sh a JOIN sh b
+    FROM shared a JOIN shared b
       ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -459,15 +475,26 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
-# Edit-distance near-dup: Levenshtein over 64-char prefixes, candidates
-# bounded to the same (lang, length-band) bucket. At 100 TB the band join
-# keeps the pair count ~linear in corpus size x band width; the distance
-# runs on bounded prefixes so per-pair cost is O(64^2) regardless of doc
-# length.
+# Edit-distance near-dup: Levenshtein over 64-char prefixes. Candidate
+# blocking (two keys, both required):
+#   1. (lang, length band) with ADJACENT-BAND PROBE — near-dups whose
+#      lengths straddle a band boundary (99 vs 101 chars) are still
+#      compared: the probe side explodes to bands {b-1, b, b+1}, so every
+#      pair within one band-width of each other meets exactly once and the
+#      join stays a pure equi-join (shuffle on the key, no range join).
+#   2. the first EDIT_KEY chars of the text — bounds any one (lang, band)
+#      bucket: a popular length band in one language is no longer a single
+#      unbounded quadratic bucket; it fragments by prefix. At 100 TB this
+#      key would be stored md5-compacted; equality semantics identical.
+# Recall bound, documented: pairs differing within their first EDIT_KEY
+# chars or by more than EDIT_BAND chars of length are not candidates (the
+# LSH operators are the recall path; this is the cheap high-precision one).
+# Per-pair cost is O(EDIT_PREFIX^2) regardless of doc length.
 # ---------------------------------------------------------------------------
 EDIT_PREFIX = 64
 EDIT_BAND = 20
 EDIT_MAX = 8
+EDIT_KEY = 8
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,13 +503,25 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / EDIT_BAND).cast("bigint").alias("band"),
         F.substring("text", 1, EDIT_PREFIX).alias("prefix"),
+        F.substring("text", 1, EDIT_KEY).alias("pkey"),
     )
     a = docs.alias("a")
-    b = docs.alias("b")
+    # Probe side: each doc fans out to its own band +/- 1 so the adjacent-
+    # band comparison is an equi-join on (lang, pkey, band).
+    b = docs.select(
+        "doc_id",
+        "lang",
+        "prefix",
+        "pkey",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("probe_band"),
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.pkey") == F.col("b.pkey"))
+        & (F.col("a.band") == F.col("b.probe_band"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
@@ -496,13 +535,16 @@ _EDIT_SQL = f"""
 WITH d AS (
     SELECT doc_id, lang,
            CAST(n_chars // {EDIT_BAND} AS BIGINT) AS band,
-           substr(text, 1, {EDIT_PREFIX}) AS prefix
+           substr(text, 1, {EDIT_PREFIX}) AS prefix,
+           substr(text, 1, {EDIT_KEY}) AS pkey
     FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
 FROM d a JOIN d b
-  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+  ON a.lang = b.lang AND a.pkey = b.pkey
+ AND b.band BETWEEN a.band - 1 AND a.band + 1
+ AND a.doc_id < b.doc_id
 WHERE levenshtein(a.prefix, b.prefix) <= {EDIT_MAX}
 """
 
@@ -582,8 +624,10 @@ _COSINE_SQL = (
     "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
     " * sqrt(list_dot_product({b}, {b})))"
 )
-_IVF_SQL = f"""
-WITH emb AS (
+# Shared CTE chain: embeddings -> IVF cell assignment (nearest of the first
+# NUM_CENTROIDS vectors, tie -> lowest cid). Reused by the IVF top-k oracle
+# and the embedding-cosine dedup oracle so both mirror _cells() exactly.
+IVF_ASSIGN_CTE = f"""emb AS (
     SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ),
 cent AS (
@@ -599,7 +643,9 @@ assigned AS (
                             c.cid) AS crn
         FROM emb e CROSS JOIN cent c
     ) WHERE crn = 1
-),
+)"""
+_IVF_SQL = f"""
+WITH {IVF_ASSIGN_CTE},
 q AS (
     SELECT vec_id AS query_id, vec AS qvec, cell AS qcell
     FROM assigned WHERE vec_id < {NUM_QUERY_VECS}
