@@ -25,16 +25,42 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType
 # GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs.
 BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
 
+# CJK unified ideographs (+ext A, compat). CJK text carries no spaces, so a
+# whitespace fallback would return whole sentences as single tokens; char
+# bigrams are the standard analyzer-free IR fallback (what Lucene's
+# CJKAnalyzer does when a dictionary segmenter like IK/jieba is absent).
+CJK_RE = re.compile(r"[\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff]+")
+
+
+def _cjk_fallback(text: str) -> list[str]:
+    """Whitespace tokens for non-CJK spans; character bigrams inside CJK
+    runs (a single isolated ideograph stays a unigram)."""
+    toks: list[str] = []
+    for piece in text.split(" "):
+        pos = 0
+        for m in CJK_RE.finditer(piece):
+            if m.start() > pos:
+                toks.append(piece[pos : m.start()])
+            run = m.group()
+            if len(run) == 1:
+                toks.append(run)
+            else:
+                toks.extend(run[i : i + 2] for i in range(len(run) - 1))
+            pos = m.end()
+        if pos < len(piece):
+            toks.append(piece[pos:])
+    return toks
+
 
 def _segment(text: str) -> list[str]:
     """Pluggable analyzer: jieba if importable (IK-analyzer analogue),
-    whitespace otherwise."""
+    else whitespace + CJK char-bigram fallback."""
     try:  # pragma: no cover - jieba not in this container
         import jieba
 
         return [t for t in jieba.cut(text, cut_all=False) if t.strip()]
     except ImportError:
-        return [t for t in text.split(" ") if t]
+        return _cjk_fallback(text)
 
 
 @pandas_udf(ArrayType(StringType()))

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -75,11 +74,47 @@ def upsert_parquet(
     else:
         merged = within
 
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"rtdw-upsert-{uuid.uuid4().hex}"
-    )
-    merged.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (single filesystem): write fresh, then replace
+    # Crash-safe swap. The tmp dir is a SIBLING of `path` so the final move
+    # is a same-filesystem rename (os.rename), never a copy; the old table
+    # is renamed aside (not deleted) before the new one moves in, so a crash
+    # at any point leaves either the old or the new table recoverable on
+    # disk — standing in for Delta MERGE atomicity (see module docstring).
+    # Crash windows: before the swap -> old table untouched, tmp leaks and
+    # is cleaned next call; between the two renames -> table dir briefly
+    # absent but the old data is intact at `<path>.__old__` (recover_table
+    # restores it); after -> done, `.__old__` cleanup is best-effort.
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(os.path.abspath(path))
+    tmp = os.path.join(parent, f".{base}.__tmp__.{uuid.uuid4().hex}")
+    old = os.path.join(parent, f"{base}.__old__")
+    _clean_leftovers(parent, base)
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
-    shutil.move(tmp, path)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_table(path: str) -> bool:
+    """Post-crash recovery for `upsert_parquet`: if the table dir is missing
+    but `<path>.__old__` exists (crash between the two renames), restore the
+    old table. Returns True if a restore happened."""
+    old = f"{os.path.abspath(path)}.__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
+def _clean_leftovers(parent: str, base: str) -> None:
+    """Remove tmp dirs leaked by a crash before the swap point."""
+    prefix = f".{base}.__tmp__."
+    for name in os.listdir(parent) if os.path.isdir(parent) else ():
+        if name.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)

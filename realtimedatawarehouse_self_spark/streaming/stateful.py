@@ -70,21 +70,20 @@ def visitor_repair(events: DataFrame, key: str = "mid") -> DataFrame:
     def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
         first_dt = state.get[0] if state.exists else None
         pdf = _sorted_concat(pdfs, ["dt"])
-        out_is_new = []
-        for _, row in pdf.iterrows():
-            today = row["dt"]
-            flag = row["is_new"]
-            if flag == "1":
-                if first_dt is None:
-                    first_dt = today
-                elif first_dt != today:
-                    flag = "0"
-            else:
-                if first_dt is None:
-                    first_dt = EPOCH_DAY
-            out_is_new.append(flag)
+        if len(pdf):
+            # Once set, first_dt never changes, so the whole batch reduces
+            # to one scalar: the state, else the first sorted row decides
+            # (its own dt when it claims new, the epoch backfill otherwise).
+            if first_dt is None:
+                first_dt = (
+                    pdf["dt"].iat[0]
+                    if pdf["is_new"].iat[0] == "1"
+                    else EPOCH_DAY
+                )
+            # Vectorized repair: "1" survives only on the first-visit date.
+            demote = pdf["is_new"].eq("1") & pdf["dt"].ne(first_dt)
+            pdf = pdf.assign(is_new=pdf["is_new"].mask(demote, "0"))
         state.update((first_dt,))
-        pdf = pdf.assign(is_new=out_is_new)
         yield pdf
 
     return events.groupBy(key).applyInPandasWithState(
@@ -154,19 +153,30 @@ def login_back_flags(events: DataFrame, key: str = "uid") -> DataFrame:
     def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
         last_dt = state.get[0] if state.exists else None
         pdf = _sorted_concat(pdfs, ["dt"])
-        out = []
-        for _, row in pdf.iterrows():
-            dt = row["dt"]
-            if last_dt is None or dt > last_dt:
-                gap_days = (
-                    (pd.Timestamp(dt) - pd.Timestamp(last_dt)).days
-                    if last_dt is not None
-                    else 0
-                )
-                out.append((row[key], dt, 1, 1 if gap_days > 7 else 0))
-                last_dt = dt
+        # Sorted ascending, so the emitted rows are exactly the distinct
+        # dates above the incoming state, each once; the per-emission gap is
+        # against the previous emitted date (seeded with the state).
+        days = pdf["dt"].drop_duplicates()
+        if last_dt is not None:
+            days = days[days > last_dt]
+        ts = pd.to_datetime(days)
+        prev = ts.shift(1)
+        if last_dt is not None and len(prev):
+            prev.iloc[0] = pd.Timestamp(last_dt)
+        # first-ever login: prev is NaT -> gap NaN -> back_flag 0
+        back = ((ts - prev).dt.days > 7).astype("int32")
+        out = pd.DataFrame(
+            {
+                key: key_tuple[0],
+                "dt": days,
+                "uv_flag": 1,
+                "back_flag": back,
+            }
+        ).reset_index(drop=True)
+        if len(days):
+            last_dt = days.iat[-1]
         state.update((last_dt,))
-        yield pd.DataFrame(out, columns=[key, "dt", "uv_flag", "back_flag"])
+        yield out
 
     return events.groupBy(key).applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"

@@ -90,3 +90,39 @@ def test_word_shingles_edge_cases(spark):
     assert sh[1] == ["a b c", "b c d"]
     assert sh[2] == []  # fewer tokens than n -> empty, not negative sequence
     assert sh[3] == []
+
+
+def test_tokenize_udf_cjk_fallback(spark):
+    """U1 analyzer hook on unsegmented CJK text (reference: IK analyzer,
+    SplitFunction.java:12-28). Without a dictionary segmenter (jieba is not
+    in this container) the fallback must NOT return whole CJK sentences as
+    single tokens — it emits character bigrams inside CJK runs and plain
+    whitespace tokens elsewhere. If jieba IS installed this test still
+    passes the boundary assertions (no token contains a space; no token
+    mixes CJK and Latin)."""
+    from realtimedatawarehouse_self_spark.functions.text import (
+        CJK_RE,
+        _cjk_fallback,
+        tokenize_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "今天天气真好"), (2, "今天 very nice 真好"), (3, "中")],
+        "id long, text string",
+    )
+    toks = {
+        r.id: r.t for r in df.select("id", tokenize_udf("text").alias("t")).collect()
+    }
+    # Pure-CJK sentence: must be segmented, never one giant token.
+    assert len(toks[1]) > 1 and all(len(t) <= 4 for t in toks[1])
+    # Mixed text: latin words survive whole, CJK runs are segmented.
+    assert "very" in toks[2] and "nice" in toks[2]
+    assert all(" " not in t for t in toks[2])
+    assert all(
+        not (CJK_RE.search(t) and any(c.isascii() for c in t)) for t in toks[2]
+    )
+    # Isolated ideograph stays a unigram.
+    assert toks[3] == ["中"]
+    # Deterministic fallback shape (engine-pinned, independent of jieba).
+    assert _cjk_fallback("今天天气真好") == ["今天", "天天", "天气", "气真", "真好"]
+    assert _cjk_fallback("abc中文def") == ["abc", "中文", "def"]

@@ -356,3 +356,58 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     )
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {"1": "a", "2": "B2", "3": "c"}
+
+
+def test_upsert_parquet_crash_safety(spark, tmp_path):
+    """W7/K3 atomicity stand-in for Delta MERGE: a crash at ANY point of the
+    swap leaves the previous table recoverable (VERDICT r1 item 6)."""
+    import os
+    import shutil
+
+    from realtimedatawarehouse_self_spark.streaming.sinks import (
+        recover_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "dim_t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([("1", "a")], "id string, v string"),
+        path,
+        ["id"],
+    )
+
+    # Crash window 1: tmp dir leaked before the swap (write died mid-job).
+    leaked = str(tmp_path / ".dim_t.__tmp__.deadbeef")
+    os.makedirs(leaked)
+    # Crash window 2: died between rename(path, old) and rename(tmp, path):
+    # the table dir is GONE but the old data survives at <path>.__old__.
+    shutil.move(path, path + ".__old__")
+    assert not os.path.exists(path)
+    assert recover_table(path)
+    assert {r.id for r in spark.read.parquet(path).collect()} == {"1"}
+    assert not recover_table(path)  # no-op when the table is healthy
+
+    # Next upsert cleans the leaked tmp and completes normally.
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([("2", "b")], "id string, v string"),
+        path,
+        ["id"],
+    )
+    assert not os.path.exists(leaked)
+    assert not os.path.exists(path + ".__old__")
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"1": "a", "2": "b"}
+
+    # A failing merge write never touches the serving table.
+    bad = spark.createDataFrame([("3", "c")], "id string, v string").withColumn(
+        "v", F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("boom")))("v")
+    )
+    try:
+        upsert_parquet(spark, bad, path, ["id"])
+        raise AssertionError("expected write failure")
+    except Exception:
+        pass
+    assert {r.id: r.v for r in spark.read.parquet(path).collect()} == got
+    assert [n for n in os.listdir(tmp_path) if "__tmp__" in n] == []
