@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_clusters",
     "doc_chunking",
     "kmeans_ivf_train",
+    "skewed_salted_revenue",
 ]
 
 

@@ -240,7 +240,12 @@ PCTS = ((50, 0.5), (90, 0.9), (99, 0.99))
 
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULL placement pinned on BOTH sides: Spark defaults to NULLS FIRST
+    # ascending, DuckDB to NULLS LAST — data-dependent oracle drift if any
+    # NULL values ever appear.
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
     )
@@ -264,7 +269,7 @@ _PCT_SQL = f"""
 WITH ranked AS (
     SELECT event_type, value,
            row_number() OVER (PARTITION BY event_type
-                              ORDER BY value, event_id) AS rn,
+                              ORDER BY value NULLS LAST, event_id) AS rn,
            count(*) OVER (PARTITION BY event_type) AS n
     FROM events
 )

@@ -313,8 +313,14 @@ _DWS09_SQL = """
 WITH deduped AS (
     SELECT * FROM (
         SELECT l.*,
+               -- total order over the full payload so the survivor is
+               -- identical to Spark's min-over-struct even if the data ever
+               -- carried duplicate (orderkey, linenumber) with equal
+               -- (shipdate, partkey) prefixes
                row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-                                  ORDER BY l_shipdate, l_partkey) AS rn
+                                  ORDER BY l_shipdate, l_partkey,
+                                           l_extendedprice, l_discount,
+                                           l_tax) AS rn
         FROM lineitem l
     ) WHERE rn = 1
 )

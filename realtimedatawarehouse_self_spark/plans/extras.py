@@ -26,7 +26,9 @@ from realtimedatawarehouse_self_spark.functions.exprs import (
 )
 from realtimedatawarehouse_self_spark.operators.relational import (
     asof_join,
+    salted_join,
     sessionize,
+    two_phase_sum,
 )
 from realtimedatawarehouse_self_spark.session import apply_runtime_confs
 from realtimedatawarehouse_self_spark.sources.tables import load_table
@@ -394,6 +396,51 @@ GROUP BY user_id, session_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Deliberately skewed join + aggregate through the salted operators
+# (operators/relational.py::salted_join / two_phase_sum). `events` is the
+# canonical skew case: millions of rows over a handful of event_type keys,
+# so EVERY key is hot — an unsalted shuffle puts each key's entire volume on
+# one reducer. The salted plan spreads each key over n_salts reducers in
+# both the join and the partial-agg phase; re-association is safe because
+# the measure is integer cents. Salts never reach the output, so the DuckDB
+# oracle is the plain join + group-by.
+# ---------------------------------------------------------------------------
+def skewed_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # per-type dim derived from the fact itself: deterministic, and in a
+    # real pipeline a per-key profile table is exactly what rides along a
+    # skewed join that AQE can't re-plan (keyed state, not partition skew)
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_ct"))
+    fact = ev.select("event_type", money_cents("value").alias("v_cents"))
+    joined = salted_join(fact, dim, "event_type", n_salts=16)
+    agg = two_phase_sum(joined, ["event_type", "type_ct"], ["v_cents"])
+    return agg.select(
+        "event_type",
+        "type_ct",
+        cents_amount(F.col("sum_v_cents")).alias("total_value"),
+        "row_ct",
+    )
+
+
+_SKEWED_SALTED_SQL = """
+WITH d AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS type_ct
+    FROM events GROUP BY 1
+),
+e AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+    FROM events
+)
+SELECT e.event_type, d.type_ct,
+       CAST(sum(e.v) AS DOUBLE) / 100.0 AS total_value,
+       CAST(count(*) AS BIGINT) AS row_ct
+FROM e JOIN d ON e.event_type = d.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "set_operations_users": set_operations_users,
@@ -404,9 +451,11 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "session_window_native": session_window_native,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "skewed_salted_revenue": skewed_salted_revenue,
 }
 
 ORACLE = {
+    "skewed_salted_revenue": _SKEWED_SALTED_SQL,
     "tpch_q5_local_supplier": _Q5_SQL,
     "set_operations_users": _SET_OPS_SQL,
     "rollup_event_counts": _ROLLUP_SQL,

@@ -52,40 +52,47 @@ def _run_stream(
     (default: ``event_type != FLUSH_TYPE``; pipelines that drop the
     event_type column filter on the sentinel user_id instead)."""
     apply_runtime_confs(spark)
+    # scoped conf: restore the session's shuffle partitioning on exit so a
+    # batch query run after a streaming twin (e.g. a verify loop over all
+    # queries) doesn't silently inherit the tiny streaming setting
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    base = tempfile.mkdtemp(prefix="rtdw-stream-")
-    src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-stream-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
 
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    events.coalesce(1).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
-
-    def trigger():
-        stream = spark.readStream.schema(schema).parquet(src)
-        q = (
-            build(stream)
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
         )
-        q.awaitTermination(300)
+        events.coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
 
-    trigger()  # data batch (watermark unset: nothing late-dropped)
-    flush = spark.createDataFrame(
-        [(int(-1), max_ts + dt.timedelta(days=3), int(-1), FLUSH_TYPE, 0.0)],
-        schema,
-    )
-    flush.coalesce(1).write.mode("append").parquet(src)
-    trigger()  # flush batch: watermark passes every real window
-    if flush_filter is None:
-        flush_filter = F.col("event_type") != FLUSH_TYPE
-    return spark.read.parquet(out).filter(flush_filter)
+        def trigger():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                build(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        trigger()  # data batch (watermark unset: nothing late-dropped)
+        flush = spark.createDataFrame(
+            [(int(-1), max_ts + dt.timedelta(days=3), int(-1), FLUSH_TYPE, 0.0)],
+            schema,
+        )
+        flush.coalesce(1).write.mode("append").parquet(src)
+        trigger()  # flush batch: watermark passes every real window
+        if flush_filter is None:
+            flush_filter = F.col("event_type") != FLUSH_TYPE
+        return spark.read.parquet(out).filter(flush_filter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
 # ---------------------------------------------------------------------------

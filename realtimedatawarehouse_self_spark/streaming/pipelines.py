@@ -16,6 +16,7 @@ Topology mapping:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,34 +140,61 @@ def run_dim_routing(
     checkpoint: str,
     key_col: str = "event_id",
 ) -> "StreamingQuery":
+    """Per-rule auto-DDL parity (DIM_MyBroadcastFunction.java:138-200
+    checkTable): optional config columns `sink_pk` (CSV; the per-rule MERGE
+    key, default `key_col`) and `sink_extend` (table-options string — the
+    Phoenix DDL suffix; recorded verbatim in a `_sink_meta.json` sidecar on
+    first create, parquet having no DDL surface to splice it into)."""
+
     def process(batch: DataFrame, batch_id: int) -> None:
-        config = (
-            spark.read.parquet(config_path)
-            .withColumn("cols", F.split("sink_columns", ","))
-        )
+        config = spark.read.parquet(config_path)
+        for opt, default in (("sink_pk", key_col), ("sink_extend", None)):
+            if opt not in config.columns:
+                config = config.withColumn(opt, F.lit(default))
+        config = config.withColumn(
+            "cols", F.split("sink_columns", ",")
+        ).withColumn("pk_cols", F.split(F.coalesce("sink_pk", F.lit(key_col)), ","))
         routed = batch.join(
             F.broadcast(config), batch.event_type == config.source_type
         )
         data_cols = [c for c in batch.columns]
+        # keep: configured sink columns + the rule's own primary key
         pruned = routed.select(
             "sink_table",
             *[
                 F.when(
-                    F.array_contains("cols", c) | F.lit(c == key_col), F.col(c)
+                    F.array_contains("cols", c)
+                    | F.array_contains("pk_cols", c)
+                    | F.lit(c == key_col),
+                    F.col(c),
                 ).alias(c)
                 for c in data_cols
             ],
         )
-        rules = [r["sink_table"] for r in config.select("sink_table").distinct().collect()]
+        rules = config.select(
+            "sink_table", "sink_pk", "sink_extend"
+        ).distinct().collect()
         pruned.persist()
         try:
-            for sink_table in rules:
+            for r in rules:
+                sink_table = r["sink_table"]
+                pk = [
+                    c.strip()
+                    for c in (r["sink_pk"] or key_col).split(",")
+                    if c.strip()
+                ] or [key_col]
                 rows = pruned.filter(F.col("sink_table") == sink_table).drop(
                     "sink_table"
                 )
-                sinks.upsert_parquet(
-                    spark, rows, os.path.join(out_dir, sink_table), [key_col]
-                )
+                table_path = os.path.join(out_dir, sink_table)
+                created = not os.path.exists(table_path)
+                sinks.upsert_parquet(spark, rows, table_path, pk)
+                # sidecar sits BESIDE the table dir: the upsert swap
+                # replaces the dir wholesale on every merge
+                if created and os.path.exists(table_path):
+                    meta = {"sink_pk": pk, "sink_extend": r["sink_extend"]}
+                    with open(table_path + "._sink_meta.json", "w") as f:
+                        json.dump(meta, f)
         finally:
             pruned.unpersist()
 
