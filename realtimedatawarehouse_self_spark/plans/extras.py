@@ -297,23 +297,29 @@ GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: pairs above a cosine threshold, candidates
-# bounded by the IVF cell machinery shared with similarity_topk_ivf — every
-# vector is assigned to its nearest coarse centroid and only same-cell pairs
-# are scored. Worst-case pair count is sum over cells of |cell|^2/2 ≈
-# N^2/(2K) under balanced cells, and K (NUM_CENTROIDS) scales with corpus
-# size, vs. the unbounded all-pairs-within-label bucket this replaces.
-# Recall bound, documented: near-dup pairs split across two cells are not
-# compared (mitigable with multi-probe; the LSH dedup is the recall path).
+# blocked on (label, IVF cell) — the operator's original within-label
+# semantics intersected with the coarse-quantizer cell shared with
+# similarity_topk_ivf. Worst-case pair count is sum over (label, cell)
+# buckets of n^2/2 ≈ N^2/(2·K·L) under balanced buckets, and K
+# (NUM_CENTROIDS) scales with corpus size — vs. the unbounded
+# all-pairs-within-label bucket this replaces. Recall bound, documented:
+# near-dup pairs split across two cells are not compared (mitigable with
+# multi-probe; the LSH dedup is the recall path).
 # ---------------------------------------------------------------------------
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtimedatawarehouse_self_spark.plans.llm_ops import _cells, _emb
+    from realtimedatawarehouse_self_spark.plans.llm_ops import _cells
 
-    cells = _cells(_emb(spark, sf_dir))
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cells = _cells(emb)
     a = cells.alias("a")
     b = cells.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.cell") == F.col("b.cell"))
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.cell") == F.col("b.cell"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
@@ -333,7 +339,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          / (sqrt(list_dot_product(a.vec, a.vec))
             * sqrt(list_dot_product(b.vec, b.vec))) AS score
 FROM assigned a JOIN assigned b
-  ON a.cell = b.cell AND a.vec_id < b.vec_id
+  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.vec, b.vec)
         / (sqrt(list_dot_product(a.vec, a.vec))
            * sqrt(list_dot_product(b.vec, b.vec))) > 0.4

@@ -579,18 +579,31 @@ NUM_CENTROIDS = 8
 
 
 def _cells(emb: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine, tie ->
+    lowest cid). Physical shape matters at 100 TB: score K centroids per
+    vector, but reduce to the winning cell with a map-side-combinable
+    `max_by` aggregate over SKINNY rows (vec_id, score, cid) — the K-fold
+    row blowup never carries the vector payload and never hits a window
+    sort; the full vectors rejoin once, keyed on vec_id. Extra columns on
+    `emb` (e.g. label) ride through the rejoin untouched."""
     cent = emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
-    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "cscore", cosine(F.col("vec"), F.col("cvec"))
+    scored = emb.select("vec_id", "vec").crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        cosine(F.col("vec"), F.col("cvec")).alias("cscore"),
+        F.col("cid").cast("int").alias("cid"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cid"))
-    return (
-        scored.withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "vec", F.col("cid").alias("cell"))
+    # max over (score, -cid) == argmax score with ties to the lowest cid —
+    # the exact semantics of the oracle's row_number(ORDER BY score DESC,
+    # cid); (score, -cid) is unique per candidate so max_by is deterministic
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid",
+            F.struct(F.col("cscore").alias("s"), (-F.col("cid")).alias("nc")),
+        ).alias("cell")
     )
+    return emb.join(best, "vec_id")
 
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,15 +641,15 @@ _COSINE_SQL = (
 # NUM_CENTROIDS vectors, tie -> lowest cid). Reused by the IVF top-k oracle
 # and the embedding-cosine dedup oracle so both mirror _cells() exactly.
 IVF_ASSIGN_CTE = f"""emb AS (
-    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
 ),
 cent AS (
     SELECT vec_id AS cid, vec AS cvec FROM emb WHERE vec_id < {NUM_CENTROIDS}
 ),
 assigned AS (
-    SELECT vec_id, vec, cid AS cell
+    SELECT vec_id, label, vec, cid AS cell
     FROM (
-        SELECT e.vec_id, e.vec, c.cid,
+        SELECT e.vec_id, e.label, e.vec, c.cid,
                row_number() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY {_COSINE_SQL.format(a="e.vec", b="c.cvec")} DESC,
