@@ -106,6 +106,11 @@ HEADLINE = [
     "doc_chunking",
     "kmeans_ivf_train",
     "skewed_salted_revenue",
+    "decontaminate_ngram_overlap",
+    "repetition_filter",
+    "pii_scrub_stats",
+    "doc_pack_greedy",
+    "knn_label_vote",
 ]
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from realtimedatawarehouse_self_spark.plans import (
     advanced,
     core,
+    corpus_ops,
     extras,
     llm_ops,
     python_path,
@@ -27,6 +28,7 @@ _MODULES = (
     core,
     tpch,
     llm_ops,
+    corpus_ops,
     extras,
     advanced,
     streaming_twins,
@@ -42,6 +44,11 @@ _MODULES = (
 # the driver re-proves independently. Order within the list groups cheap
 # scan-bound queries first so a time-boxed verifier fits more of them.
 _VERIFY_FIRST = [
+    "decontaminate_ngram_overlap",
+    "repetition_filter",
+    "pii_scrub_stats",
+    "doc_pack_greedy",
+    "knn_label_vote",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

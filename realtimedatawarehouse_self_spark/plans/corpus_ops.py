@@ -1,0 +1,356 @@
+"""Training-corpus curation operators, round 2: decontamination,
+repetition filtering, PII scrubbing, context-window packing, and kNN label
+voting. These extend `plans/llm_ops.py` (beyond the reference's own surface
+— BASELINE.json north-star) with the remaining ops a 100 TB pretraining
+pipeline runs between "dedup" and "train".
+
+Design per operator (scale notes inline):
+
+- decontamination: the benchmark/eval shingle set is tiny relative to the
+  corpus — broadcast it; the corpus side is one scan + explode, no corpus
+  shuffle beyond the per-doc aggregate.
+- repetition filter: one shuffle on (doc_id, token) with map-side combine;
+  everything downstream is per-doc arithmetic in codegen.
+- PII scrub: pure regexp expressions — scan-bound, embarrassingly parallel.
+- packing: running prefix-sum per (lang) window — one shuffle per key
+  group; pack summaries via one tiny-key aggregate.
+- kNN vote: the query side (NUM_QUERY_VECS rows) broadcasts; the corpus is
+  scanned once; the vote is a tiny-key aggregate over query_id.
+
+All thresholds are integer-arithmetic (k*x >= y) so the DuckDB oracle
+comparison is exact; ratios emitted as doubles are single divisions of the
+same two integers on both engines (bit-identical IEEE754).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import cosine, tokens
+from realtimedatawarehouse_self_spark.plans.llm_ops import (
+    NUM_QUERY_VECS,
+    _SHINGLE_CTE,
+    _docs,
+    _doc_shingles,
+    _emb,
+)
+
+# eval/benchmark membership: deterministic id slice (stand-in for a real
+# held-out benchmark table; swap the filter for a join against it)
+EVAL_MOD = 97
+CONTAM_PCT_NUM, CONTAM_PCT_DEN = 1, 5  # contaminated if hits/sh >= 1/5
+
+# repetition-filter thresholds (Gopher-style, integer-exact)
+TOP_TOKEN_MAX_NUM, TOP_TOKEN_MAX_DEN = 1, 5  # top token <= 1/5 of tokens
+DISTINCT_MIN_NUM, DISTINCT_MIN_DEN = 3, 10  # distinct >= 3/10 of tokens
+
+# PII scrub: regex patterns plus a dictionary wordlist (the common shape:
+# pattern PII like emails, and a curated term list like names/products)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SCRUB_TERMS = ("customer", "vector")
+SCRUB_RE = r"\b(" + "|".join(SCRUB_TERMS) + r")\b"
+REDACTED = "[REDACTED]"
+
+PACK_BUDGET = 512  # tokens per training-context pack
+
+KNN_K = 5
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: fraction of each corpus doc's distinct shingles that
+# appear in the (same-language) eval set. Reference pipelines drop docs
+# above a small overlap threshold before training.
+# ---------------------------------------------------------------------------
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("lang", "sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    flagged = corpus.join(F.broadcast(eval_sh), ["lang", "sh"], "left")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hit_ct"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_sh",
+        "hit_ct",
+        (F.col("hit_ct").cast("double") / F.col("n_sh")).alias("contam_frac"),
+        (
+            F.lit(CONTAM_PCT_DEN) * F.col("hit_ct")
+            >= F.lit(CONTAM_PCT_NUM) * F.col("n_sh")
+        ).cast("int").alias("contaminated"),
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH {_SHINGLE_CTE},
+eval_sh AS (
+    SELECT DISTINCT lang, sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+),
+agg AS (
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(count(e.sh) AS BIGINT) AS hit_ct
+    FROM sh c
+    LEFT JOIN eval_sh e ON c.lang = e.lang AND c.sh = e.sh
+    WHERE c.doc_id % {EVAL_MOD} <> 0
+    GROUP BY 1
+)
+SELECT doc_id, n_sh, hit_ct,
+       CAST(hit_ct AS DOUBLE) / n_sh AS contam_frac,
+       CAST({CONTAM_PCT_DEN} * hit_ct >= {CONTAM_PCT_NUM} * n_sh AS INTEGER)
+           AS contaminated
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter: per-doc top-token share and distinct-token share
+# (Gopher-style repetition rules re-expressed over whitespace tokens).
+# ---------------------------------------------------------------------------
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tok_ct")
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("tok_ct").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("tok_ct").alias("top_ct"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_ct",
+        (F.col("top_ct").cast("double") / F.col("n_tokens")).alias("top_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "distinct_ratio"
+        ),
+        (
+            (
+                F.lit(TOP_TOKEN_MAX_DEN) * F.col("top_ct")
+                <= F.lit(TOP_TOKEN_MAX_NUM) * F.col("n_tokens")
+            )
+            & (
+                F.lit(DISTINCT_MIN_DEN) * F.col("n_distinct")
+                >= F.lit(DISTINCT_MIN_NUM) * F.col("n_tokens")
+            )
+        ).cast("int").alias("keep"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, u.t AS tok
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+    ), UNNEST(ts) AS u(t)
+),
+per_tok AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tok_ct
+    FROM tok GROUP BY 1, 2
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(tok_ct) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(tok_ct) AS BIGINT) AS top_ct
+    FROM per_tok GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct, top_ct,
+       CAST(top_ct AS DOUBLE) / n_tokens AS top_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST({TOP_TOKEN_MAX_DEN} * top_ct <= {TOP_TOKEN_MAX_NUM} * n_tokens
+            AND {DISTINCT_MIN_DEN} * n_distinct >= {DISTINCT_MIN_NUM} * n_tokens
+            AS INTEGER) AS keep
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: regex-pattern counts (emails here; phone/SSN patterns are the
+# same shape) plus dictionary-term redaction; emits the redacted content
+# hash so downstream exact-dedup runs on scrubbed text.
+# ---------------------------------------------------------------------------
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("email_ct"),
+        F.size(F.regexp_extract_all("text", F.lit(SCRUB_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("term_ct"),
+        F.md5(F.regexp_replace("text", SCRUB_RE, REDACTED)).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+_PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+           AS email_ct,
+       CAST(len(regexp_extract_all(text, '{SCRUB_RE}')) AS BIGINT)
+           AS term_ct,
+       md5(regexp_replace(text, '{SCRUB_RE}', '{REDACTED}', 'g'))
+           AS redacted_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing: sequential prefix-sum packing per language —
+# doc d goes to pack floor(prefix_tokens_before_d / budget). One window
+# shuffle per lang; deterministic (doc_id order); the streaming-friendly
+# packing rule (no bin-packing backtracking, O(1) state per lang).
+# ---------------------------------------------------------------------------
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("tok_ct")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = docs.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("tok_ct").over(w) - F.col("tok_ct")) / F.lit(PACK_BUDGET)
+        ).cast("bigint"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_ct").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS tok_ct
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, lang, tok_ct,
+           CAST(floor((sum(tok_ct) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tok_ct)
+                      / {PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM d
+)
+SELECT lang, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok_ct) AS BIGINT) AS tok_sum,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN label vote: classify each query vector by the majority label of its
+# KNN_K nearest corpus neighbors (brute-force cosine; ties -> higher vote
+# count first, then smaller label).
+# ---------------------------------------------------------------------------
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).join(
+        _docs_labels(spark, sf_dir), "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= KNN_K
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("vote_ct")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("vote_ct").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vrn", F.row_number().over(wv))
+        .filter(F.col("vrn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "vote_ct")
+    )
+
+
+def _docs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+
+_KNN_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, vec AS qvec
+    FROM emb WHERE vec_id < {NUM_QUERY_VECS}
+),
+topk AS (
+    SELECT query_id, label
+    FROM (
+        SELECT q.query_id, e.label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qvec, e.vec)
+                              / (sqrt(list_dot_product(q.qvec, q.qvec))
+                                 * sqrt(list_dot_product(e.vec, e.vec))) DESC,
+                            e.vec_id) AS rnk
+        FROM emb e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ) WHERE rnk <= {KNN_K}
+),
+votes AS (
+    SELECT query_id, label, CAST(count(*) AS BIGINT) AS vote_ct
+    FROM topk GROUP BY 1, 2
+)
+SELECT query_id, label AS pred_label, vote_ct
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY vote_ct DESC, label) AS vrn
+    FROM votes
+) WHERE vrn = 1
+"""
+
+
+QUERIES = {
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "repetition_filter": repetition_filter,
+    "pii_scrub_stats": pii_scrub_stats,
+    "doc_pack_greedy": doc_pack_greedy,
+    "knn_label_vote": knn_label_vote,
+}
+
+ORACLE = {
+    "decontaminate_ngram_overlap": _DECONTAM_SQL,
+    "repetition_filter": _REPETITION_SQL,
+    "pii_scrub_stats": _PII_SQL,
+    "doc_pack_greedy": _PACK_SQL,
+    "knn_label_vote": _KNN_SQL,
+}
