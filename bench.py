@@ -111,6 +111,7 @@ HEADLINE = [
     "pii_scrub_stats",
     "doc_pack_greedy",
     "knn_label_vote",
+    "gap_fill_locf",
 ]
 
 

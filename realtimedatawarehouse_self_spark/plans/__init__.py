@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "pii_scrub_stats",
     "doc_pack_greedy",
     "knn_label_vote",
+    "gap_fill_locf",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

@@ -123,26 +123,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Shingles occurring in a single document cannot form a pair; shingles
-    # above the df cap would dominate the join quadratically. Both ends are
-    # pruned by document frequency before the self-join. In synthetic/real
-    # corpora the vast majority of shingles are unique, so df>1 alone shrinks
-    # the join input by orders of magnitude.
+    # above the df cap would dominate the output quadratically. The df
+    # filter runs as a window count BEFORE any posting list is built, so no
+    # aggregation buffer ever holds a hot shingle's postings; the groupBy
+    # that follows reuses the window's (lang, sh) partitioning — one
+    # exchange for both steps.
     shared = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
     ).filter((F.col("df") > 1) & (F.col("df") <= SHINGLE_DF_CAP)).drop("df")
-    a = shared.alias("a")
-    b = shared.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    # Candidate pairs come straight out of each (bounded) posting list —
+    # explode the <=C(DF_CAP,2) combinations per shingle instead of a
+    # df-sized × df-sized self-join: the join's shuffle of both exploded
+    # sides disappears entirely.
+    postings = shared.groupBy("lang", "sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter_ct")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))

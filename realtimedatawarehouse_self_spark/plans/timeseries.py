@@ -220,14 +220,98 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap filling + LOCF: dense hourly series per event_type — missing hours
+# appear with event_ct=0 and the last observed value carried forward.
+# Scale shape: the fact aggregates ONCE to (type, hour) — tiny — and the
+# dense hour spine is generated per type from that aggregate (sequence +
+# explode), never from the fact table; the carry is the portable
+# "grp = running count of observations, then max per (type, grp)" trick —
+# identical SQL on both engines, no IGNORE NULLS dependence, exact because
+# the carried measure is integer cents.
+# ---------------------------------------------------------------------------
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        F.sum(money_cents("value")).alias("v_cents"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = F.sum(
+        F.when(F.col("v_cents").isNotNull(), 1).otherwise(0)
+    ).over(w_run)
+    filled = dense.withColumn("grp", grp).withColumn(
+        "v_locf", F.max("v_cents").over(Window.partitionBy("event_type", "grp"))
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", TS_FMT).alias("hour_ts"),
+        F.coalesce("event_ct", F.lit(0)).cast("bigint").alias("event_ct"),
+        cents_amount(F.col("v_locf")).alias("value_locf"),
+    )
+
+
+_GAP_FILL_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(count(*) AS BIGINT) AS event_ct,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type, u.h
+    FROM (
+        SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ), UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS u(h)
+),
+dense AS (
+    SELECT s.event_type, s.h, hr.event_ct, hr.v_cents
+    FROM spine s LEFT JOIN hourly hr
+      ON s.event_type = hr.event_type AND s.h = hr.h
+),
+filled AS (
+    SELECT *,
+           sum(CASE WHEN v_cents IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS UNBOUNDED PRECEDING) AS grp
+    FROM dense
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       CAST(coalesce(event_ct, 0) AS BIGINT) AS event_ct,
+       CAST(max(v_cents) OVER (PARTITION BY event_type, grp) AS DOUBLE)
+           / 100.0 AS value_locf
+FROM filled
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "scd2_user_value": scd2_user_value,
     "column_profile": column_profile,
+    "gap_fill_locf": gap_fill_locf,
 }
 
 ORACLE = {
     "hierarchical_time_rollup": _HIER_SQL,
     "scd2_user_value": _SCD2_SQL,
     "column_profile": _PROFILE_SQL,
+    "gap_fill_locf": _GAP_FILL_SQL,
 }
