@@ -112,6 +112,7 @@ HEADLINE = [
     "doc_pack_greedy",
     "knn_label_vote",
     "gap_fill_locf",
+    "embedding_quantize_int8",
 ]
 
 

@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "doc_pack_greedy",
     "knn_label_vote",
     "gap_fill_locf",
+    "embedding_quantize_int8",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

@@ -1373,6 +1373,66 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 embedding quantization: per-vector symmetric scale (max|x|/127),
+# q_i = floor(x_i/scale + 0.5). The 4x storage cut that makes billion-vector
+# ANN indexes fit executor memory; one scan, pure codegen expressions, no
+# shuffle. Output pins the quantized payload via sum / L1 / content hash so
+# the oracle comparison covers every element without comparing raw arrays.
+# floor(x + 0.5) is used instead of round() so both engines apply the
+# identical tie rule to identical doubles.
+# ---------------------------------------------------------------------------
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    staged = emb.withColumn(
+        "maxabs", F.expr("array_max(transform(vec, x -> abs(x)))")
+    ).withColumn(
+        "scale",
+        F.when(F.col("maxabs") == 0.0, F.lit(1.0)).otherwise(
+            F.col("maxabs") / F.lit(127.0)
+        ),
+    ).withColumn(
+        "q", F.expr("transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))")
+    )
+    return staged.select(
+        "vec_id",
+        "scale",
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
+        F.md5(
+            F.expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')")
+        ).alias("q_md5"),
+    )
+
+
+_QUANT_SQL = """
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+staged AS (
+    SELECT vec_id, vec,
+           CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+    FROM (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS m
+        FROM emb
+    )
+),
+quant AS (
+    SELECT vec_id, scale,
+           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+    FROM staged
+)
+SELECT vec_id, scale,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT)
+           AS q_l1,
+       md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ','))
+           AS q_md5
+FROM quant
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1396,6 +1456,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLE = {
@@ -1422,4 +1483,5 @@ ORACLE = {
     "dedup_clusters": _dedup_clusters_sql(),
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
+    "embedding_quantize_int8": _QUANT_SQL,
 }

@@ -454,3 +454,45 @@ def test_dim_routing_per_rule_pk_and_extend(spark, tmp_path, stream_src):
     # sink_extend recorded in the sidecar written at first create.
     meta = json.load(open(os.path.join(out_dir, "dim_view_u") + "._sink_meta.json"))
     assert meta == {"sink_pk": ["user_id"], "sink_extend": "SALT_BUCKETS=4"}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """T6 production path: Spark's native dropDuplicatesWithinWatermark
+    bounds dedup state to the watermark horizon (the reference's 5 s
+    Dws09 TTL expressed as engine machinery instead of custom state).
+    first_row_per_key (streaming/stateful.py) is the semantic-parity
+    processor; this pins the native operator on the same fixture shape."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10, "order", 5.0),
+        (1, datetime(2024, 1, 1, 0, 0, 1), 10, "order", 5.0),  # dup (retract)
+        (2, datetime(2024, 1, 1, 0, 0, 2), 11, "order", 7.0),
+        (2, datetime(2024, 1, 1, 0, 0, 2), 11, "order", 7.0),  # exact dup
+        (3, datetime(2024, 1, 1, 0, 5, 0), 12, "order", 9.0),
+    ]
+    src = str(tmp_path / "dd_src")
+    _write_events_fixture(spark, src, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    dd = stream.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out, cp = str(tmp_path / "dd_out"), str(tmp_path / "dd_cp")
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == [1, 2, 3]  # one survivor per key
+    # batch twin: dropDuplicates on the same key
+    batch_ids = sorted(
+        r.event_id
+        for r in spark.read.parquet(src).dropDuplicates(["event_id"]).collect()
+    )
+    assert ids == batch_ids
