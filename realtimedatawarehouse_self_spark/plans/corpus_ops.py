@@ -33,7 +33,6 @@ from realtimedatawarehouse_self_spark.plans.llm_ops import (
     _SHINGLE_CTE,
     _docs,
     _doc_shingles,
-    _emb,
 )
 
 # eval/benchmark membership: deterministic id slice (stand-in for a real
@@ -266,8 +265,15 @@ GROUP BY 1, 2
 # count first, then smaller label).
 # ---------------------------------------------------------------------------
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).join(
-        _docs_labels(spark, sf_dir), "vec_id"
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    # one scan carries vectors AND labels — no self-join on vec_id
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
     )
     q = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -294,14 +300,6 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vrn") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "vote_ct")
     )
-
-
-def _docs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
-    from realtimedatawarehouse_self_spark.sources.tables import load_table
-
-    apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
 
 
 _KNN_SQL = f"""
