@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "streaming_join_view_cart",
 ]
 
 

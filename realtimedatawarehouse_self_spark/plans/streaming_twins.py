@@ -197,14 +197,91 @@ def _session_stream_sql() -> str:
     return _SESSION_NATIVE_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming stream-stream inner join (J1), executed as a REAL streaming job
+# and gated by the DuckDB oracle: 'view' events join 'cart' events by user
+# when the cart add lands within JOIN_HORIZON after the view — the
+# reference's DwdTradeOrderDetail join shape (citation in
+# streaming/pipelines.py::order_detail_join_stream) over the driver's
+# events table. Both sides are watermarked and the join carries an explicit
+# event-time bound, so state is evicted at the horizon instead of growing
+# unboundedly (the contract the reference left to state-retention config).
+# The flush row's sentinel user never matches either filter.
+# ---------------------------------------------------------------------------
+JOIN_HORIZON_S = 600
+
+
+def streaming_join_view_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 seconds")
+        )
+        carts = (
+            stream.filter(F.col("event_type") == "cart")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("cart_id"),
+                F.col("ts").alias("c_ts"),
+                money_cents("value").alias("c_cents"),
+            )
+            .withWatermark("c_ts", "2 seconds")
+        )
+        joined = views.join(
+            carts,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (
+                F.col("c_ts")
+                < F.col("v_ts") + F.expr(f"interval {JOIN_HORIZON_S} seconds")
+            ),
+        )
+        return joined.select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "cart_id",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("cart_ts"),
+            cents_amount(F.col("c_cents")).alias("cart_value"),
+        )
+
+    return _run_stream(
+        spark, sf_dir, build, flush_filter=F.col("user_id") >= 0
+    )
+
+
+_JOIN_STREAM_SQL = f"""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS cart_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS cart_ts,
+       CAST(CAST(floor(c.value * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
+           AS cart_value
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts < v.ts + INTERVAL {JOIN_HORIZON_S} SECONDS
+WHERE v.event_type = 'view' AND c.event_type = 'cart'
+"""
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_uv_daily": streaming_uv_daily,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_join_view_cart": streaming_join_view_cart,
 }
 
 ORACLE = {
     "streaming_pv_hourly": _PV_SQL,
     "streaming_uv_daily": _UV_SQL,
     "streaming_session_windows": _session_stream_sql(),
+    "streaming_join_view_cart": _JOIN_STREAM_SQL,
 }
