@@ -113,6 +113,7 @@ HEADLINE = [
     "knn_label_vote",
     "gap_fill_locf",
     "embedding_quantize_int8",
+    "similarity_topk_ivf_multiprobe",
 ]
 
 

@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "knn_label_vote",
     "gap_fill_locf",
     "embedding_quantize_int8",
+    "similarity_topk_ivf_multiprobe",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

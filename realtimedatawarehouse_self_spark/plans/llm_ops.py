@@ -639,6 +639,55 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-probe IVF: each query probes its PROBES nearest cells instead of
+# one — the standard recall lever (a near neighbor that fell just across a
+# cell boundary is found by the second probe). Cost model: candidates ≈
+# PROBES × corpus/K per query; the probe list itself is tiny (queries ×
+# PROBES) and broadcasts with the query vectors.
+# ---------------------------------------------------------------------------
+PROBES = 2
+
+
+def similarity_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cells = _cells(emb)
+    cent = emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    qvecs = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    probes = (
+        qvecs.crossJoin(F.broadcast(cent))
+        .withColumn("cscore", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= PROBES)
+        .select("query_id", "qvec", F.col("cid").alias("qcell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), cells.cell == probes.qcell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("score"),
+        )
+    )
+
+
 _COSINE_SQL = (
     "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
     " * sqrt(list_dot_product({b}, {b})))"
@@ -663,6 +712,38 @@ assigned AS (
         FROM emb e CROSS JOIN cent c
     ) WHERE crn = 1
 )"""
+_MULTIPROBE_SQL = f"""
+WITH {IVF_ASSIGN_CTE},
+qv AS (
+    SELECT vec_id AS query_id, vec AS qvec
+    FROM emb WHERE vec_id < {NUM_QUERY_VECS}
+),
+probes AS (
+    SELECT query_id, qvec, cid AS qcell
+    FROM (
+        SELECT q.query_id, q.qvec, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COSINE_SQL.format(a="q.qvec", b="c.cvec")} DESC,
+                            c.cid) AS crn
+        FROM qv q CROSS JOIN cent c
+    ) WHERE crn <= {PROBES}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           {_COSINE_SQL.format(a="p.qvec", b="a.vec")} AS score
+    FROM assigned a JOIN probes p
+      ON a.cell = p.qcell AND a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+"""
+
 _IVF_SQL = f"""
 WITH {IVF_ASSIGN_CTE},
 q AS (
@@ -1457,6 +1538,7 @@ QUERIES = {
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "similarity_topk_ivf_multiprobe": similarity_topk_ivf_multiprobe,
 }
 
 ORACLE = {
@@ -1484,4 +1566,5 @@ ORACLE = {
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
+    "similarity_topk_ivf_multiprobe": _MULTIPROBE_SQL,
 }
