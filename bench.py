@@ -114,6 +114,7 @@ HEADLINE = [
     "gap_fill_locf",
     "embedding_quantize_int8",
     "similarity_topk_ivf_multiprobe",
+    "dedup_lsh_verified",
 ]
 
 

@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "gap_fill_locf",
     "embedding_quantize_int8",
     "similarity_topk_ivf_multiprobe",
+    "dedup_lsh_verified",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",
