@@ -115,6 +115,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "similarity_topk_ivf_multiprobe",
     "dedup_lsh_verified",
+    "multimodal_frame_sample",
 ]
 
 

@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "embedding_quantize_int8",
     "similarity_topk_ivf_multiprobe",
     "dedup_lsh_verified",
+    "multimodal_frame_sample",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

@@ -79,12 +79,55 @@ GROUP BY 1, 2
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling through mapInPandas (functions/multimodal.py::
+    sample_frames): each payload yields one row per 64-byte "frame" (the
+    stub for ffmpeg keyframe seeks). The oracle regenerates the same frames
+    in SQL (payloads are ASCII, so byte slicing == character slicing) and
+    hash-pins every frame's content — verifying the row-explosion plumbing
+    end-to-end, not just row counts."""
+    from realtimedatawarehouse_self_spark.functions.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    frames = sample_frames(attach_payload(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("bigint").alias("n_frame_bytes"),
+        "frame_sha256",
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH d AS (
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+    FROM documents WHERE length(text) > 0
+),
+frames AS (
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS frame_idx,
+           substr(text, CAST(u.i * 64 + 1 AS BIGINT), 64) AS frame
+    FROM d, UNNEST(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+       sha256(frame) AS frame_sha256
+FROM frames
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "keyword_page_view_udf": keyword_page_view_udf,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "keyword_page_view_udf": _KEYWORD_UDF_SQL,
+    "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
 }

@@ -64,3 +64,26 @@ def test_streaming_restart_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 5
     run()  # restart with nothing new: must not duplicate
     assert spark.read.parquet(out).count() == 5
+
+
+def test_hostile_session_timezone_overridden(spark, duck):
+    """The driver hands the engine an arbitrary session; if that session
+    carries a non-UTC time zone, every query must still match the oracle
+    because apply_runtime_confs pins the zone at query build time."""
+    import __spark_entry__ as e
+
+    register_duckdb_views(duck, SF)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        for name in ("dws02_traffic_page_view_window", "gap_fill_locf"):
+            got = e.queries()[name](spark, SF)
+            assert (
+                spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            ), "query builder must pin the session zone"
+            ok, detail = compare_query(got, duck, e.oracle_sql()[name])
+            assert ok, f"{name}: {detail}"
+            # re-poison before the next query builds
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
