@@ -71,3 +71,34 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view so pipelines can use spark.sql."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    ~target_file_bytes (the tail maintenance job every streaming warehouse
+    needs — micro-batch sinks leave thousands of KB-scale files that wreck
+    scan planning at 100 TB). File count is derived from the SOURCE byte
+    size, so the rewrite is one job with no count() pre-pass over rows;
+    repartition (round-robin) keeps output sizes even regardless of input
+    skew. Returns the number of files written."""
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    return sum(
+        1
+        for _, _, files in os.walk(dest)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -113,7 +113,11 @@ def test_topk_uses_window_group_limit(spark, sf):
 
 # Queries that INTENTIONALLY exercise the Arrow-batched Python path
 # (plans/python_path.py); everything else must stay JVM-side.
-PYTHON_PATH_QUERIES = {"multimodal_decode", "keyword_page_view_udf"}
+PYTHON_PATH_QUERIES = {
+    "multimodal_decode",
+    "keyword_page_view_udf",
+    "multimodal_frame_sample",
+}
 
 
 def test_no_python_udf_in_oracle_queries(spark, sf):
@@ -127,3 +131,41 @@ def test_no_python_udf_in_oracle_queries(spark, sf):
             continue  # eager-executing / intentionally-Python queries
         plan = _plan(q(spark, sf))
         assert "EvalPython" not in plan and "InPandas" not in plan, name
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Streaming sinks leave KB-scale files; compaction rewrites them into
+    ~target-size files without a row-count pre-pass, preserving content."""
+    from realtimedatawarehouse_self_spark.sources.tables import compact_parquet
+
+    src = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(src)
+    import os as _os
+
+    n_src = sum(
+        1 for f in _os.listdir(src) if f.endswith(".parquet")
+    )
+    assert n_src >= 30
+    dest = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, src, dest, target_file_bytes=256 * 1024)
+    assert n_out < n_src
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dest).orderBy("id").collect()
+    assert a == b
+
+
+def test_missing_sf_dir_raises_clear_error(spark):
+    """Driver probe: a bad sf_dir must fail fast with PATH_NOT_FOUND, not
+    produce an empty result."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    import __spark_entry__ as e
+
+    with pytest.raises(AnalysisException):
+        e.queries()["tpch_q1_pricing_summary"](
+            spark, "/root/testdata/sf_does_not_exist"
+        ).collect()
