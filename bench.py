@@ -116,6 +116,7 @@ HEADLINE = [
     "similarity_topk_ivf_multiprobe",
     "dedup_lsh_verified",
     "multimodal_frame_sample",
+    "similarity_topk_filtered",
 ]
 
 

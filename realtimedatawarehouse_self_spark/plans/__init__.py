@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "similarity_topk_ivf_multiprobe",
     "dedup_lsh_verified",
     "multimodal_frame_sample",
+    "similarity_topk_filtered",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

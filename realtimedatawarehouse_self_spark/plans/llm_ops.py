@@ -289,6 +289,76 @@ pairs AS (
 
 
 # ---------------------------------------------------------------------------
+# Filtered vector search: top-k over ONLY the corpus vectors whose joined
+# document metadata passes a predicate (lang = 'en') — the retrieval shape
+# every RAG/metadata-filtered ANN serves. The predicate applies BEFORE any
+# scoring: the metadata join prunes candidates first (filter pushes into
+# the documents scan), so cosine runs on |match| vectors, not the corpus.
+# ---------------------------------------------------------------------------
+FILTER_LANG = "en"
+
+
+def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    meta = _docs(spark, sf_dir).filter(F.col("lang") == FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    candidates = emb.join(meta, "vec_id")
+    q = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        candidates.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("score"),
+        )
+    )
+
+
+_FILTERED_TOPK_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+cand AS (
+    SELECT e.vec_id, e.vec
+    FROM emb e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = '{FILTER_LANG}'
+),
+q AS (
+    SELECT vec_id AS query_id, vec AS qvec
+    FROM emb WHERE vec_id < {NUM_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           list_dot_product(q.qvec, c.vec)
+             / (sqrt(list_dot_product(q.qvec, q.qvec))
+                * sqrt(list_dot_product(c.vec, c.vec))) AS score
+    FROM cand c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Production near-dup pattern: LSH candidates (recall path), each candidate
 # pair verified with the EXACT Jaccard — the role the judge notes assign to
 # the inverted-index ground truth at 100 TB: exact similarity runs on the
@@ -1603,6 +1673,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "similarity_topk_ivf_multiprobe": similarity_topk_ivf_multiprobe,
     "dedup_lsh_verified": dedup_lsh_verified,
+    "similarity_topk_filtered": similarity_topk_filtered,
 }
 
 ORACLE = {
@@ -1632,4 +1703,5 @@ ORACLE = {
     "embedding_quantize_int8": _QUANT_SQL,
     "similarity_topk_ivf_multiprobe": _MULTIPROBE_SQL,
     "dedup_lsh_verified": _lsh_verified_sql(),
+    "similarity_topk_filtered": _FILTERED_TOPK_SQL,
 }
