@@ -118,3 +118,20 @@ def _clean_leftovers(parent: str, base: str) -> None:
     for name in os.listdir(parent) if os.path.isdir(parent) else ():
         if name.startswith(prefix):
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
+def write_partitioned_overwrite(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partitioned write: dynamic partition overwrite replaces
+    ONLY the partitions present in `df`, leaving sibling partitions intact —
+    the backfill contract a daily/hourly lake table needs (re-running a day
+    never truncates the table, unlike static overwrite). At 100 TB this is
+    the batch-side companion to the streaming upsert: reprocessing is safe
+    because the write is a pure function of the input partition set."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

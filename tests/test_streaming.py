@@ -496,3 +496,33 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(src).dropDuplicates(["event_id"]).collect()
     )
     assert ids == batch_ids
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Re-writing one day must not truncate sibling days (static overwrite
+    would); re-running the same backfill is idempotent."""
+    from realtimedatawarehouse_self_spark.streaming.sinks import (
+        write_partitioned_overwrite,
+    )
+
+    path = str(tmp_path / "lake")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"), ("2024-01-02", 3, "c")],
+        "dt string, id long, v string",
+    )
+    write_partitioned_overwrite(full, path, ["dt"])
+    assert spark.read.parquet(path).count() == 3
+
+    # backfill day 1 with corrected data (one row instead of two)
+    day1_fixed = spark.createDataFrame(
+        [("2024-01-01", 1, "a2")], "dt string, id long, v string"
+    )
+    write_partitioned_overwrite(day1_fixed, path, ["dt"])
+    # partition-column type inference reads dt back as DATE
+    got = {(str(r.dt), r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1, "a2"), ("2024-01-02", 3, "c")}
+
+    # idempotent: same backfill again -> same table
+    write_partitioned_overwrite(day1_fixed, path, ["dt"])
+    got2 = {(str(r.dt), r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
