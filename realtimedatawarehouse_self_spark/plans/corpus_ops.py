@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from realtimedatawarehouse_self_spark.functions.exprs import cosine, tokens
 from realtimedatawarehouse_self_spark.plans.llm_ops import (
     NUM_QUERY_VECS,
+    _COSINE_SQL,
     _SHINGLE_CTE,
     _docs,
     _doc_shingles,
@@ -316,9 +317,7 @@ topk AS (
         SELECT q.query_id, e.label,
                row_number() OVER (
                    PARTITION BY q.query_id
-                   ORDER BY list_dot_product(q.qvec, e.vec)
-                              / (sqrt(list_dot_product(q.qvec, q.qvec))
-                                 * sqrt(list_dot_product(e.vec, e.vec))) DESC,
+                   ORDER BY {_COSINE_SQL.format(a="q.qvec", b="e.vec")} DESC,
                             e.vec_id) AS rnk
         FROM emb e CROSS JOIN q
         WHERE e.vec_id <> q.query_id

@@ -295,6 +295,13 @@ pairs AS (
 # scoring: the metadata join prunes candidates first (filter pushes into
 # the documents scan), so cosine runs on |match| vectors, not the corpus.
 # ---------------------------------------------------------------------------
+# One bit-identical cosine formula for every oracle in this module and
+# plans/corpus_ops.py — never hand-inline it.
+_COSINE_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
 FILTER_LANG = "en"
 
 
@@ -342,9 +349,7 @@ q AS (
 ),
 scored AS (
     SELECT q.query_id, c.vec_id,
-           list_dot_product(q.qvec, c.vec)
-             / (sqrt(list_dot_product(q.qvec, q.qvec))
-                * sqrt(list_dot_product(c.vec, c.vec))) AS score
+           {_COSINE_SQL.format(a="q.qvec", b="c.vec")} AS score
     FROM cand c CROSS JOIN q
     WHERE c.vec_id <> q.query_id
 )
@@ -821,10 +826,6 @@ def similarity_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_COSINE_SQL = (
-    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-    " * sqrt(list_dot_product({b}, {b})))"
-)
 # Shared CTE chain: embeddings -> IVF cell assignment (nearest of the first
 # NUM_CENTROIDS vectors, tie -> lowest cid). Reused by the IVF top-k oracle
 # and the embedding-cosine dedup oracle so both mirror _cells() exactly.

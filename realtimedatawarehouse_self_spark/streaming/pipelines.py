@@ -151,9 +151,17 @@ def run_dim_routing(
         for opt, default in (("sink_pk", key_col), ("sink_extend", None)):
             if opt not in config.columns:
                 config = config.withColumn(opt, F.lit(default))
+        # trim CSV entries so 'user_id, value' prunes and merges on the
+        # same column names the Python merge-key list strips to
         config = config.withColumn(
-            "cols", F.split("sink_columns", ",")
-        ).withColumn("pk_cols", F.split(F.coalesce("sink_pk", F.lit(key_col)), ","))
+            "cols", F.expr("transform(split(sink_columns, ','), c -> trim(c))")
+        ).withColumn(
+            "pk_cols",
+            F.expr(
+                f"transform(split(coalesce(sink_pk, '{key_col}'), ','),"
+                " c -> trim(c))"
+            ),
+        )
         routed = batch.join(
             F.broadcast(config), batch.event_type == config.source_type
         )

@@ -56,6 +56,12 @@ def upsert_parquet(
     batch, the row with the greatest `order_col` (if given) wins —
     deterministic, unlike the reference's arrival-order semantics.
     """
+    # If a previous run died between the two swap renames, the serving dir
+    # is missing but `<path>.__old__` holds the table — restore it BEFORE
+    # reading existing state, or this merge would silently rebuild the
+    # table from one batch and the cleanup below would destroy the backup.
+    recover_table(path)
+
     within = updates
     if order_col:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
@@ -112,12 +118,25 @@ def recover_table(path: str) -> bool:
     return False
 
 
-def _clean_leftovers(parent: str, base: str) -> None:
-    """Remove tmp dirs leaked by a crash before the swap point."""
+def _clean_leftovers(parent: str, base: str, min_age_s: float = 3600.0) -> None:
+    """Remove tmp dirs leaked by a crash before the swap point.
+
+    Only dirs older than `min_age_s` are removed: the swap protocol assumes
+    a single writer per table (like the Phoenix/Delta sinks it stands in
+    for), but if two writers ever race, an age gate keeps this sweep from
+    deleting a concurrent writer's in-flight tmp dir."""
+    import time
+
     prefix = f".{base}.__tmp__."
+    now = time.time()
     for name in os.listdir(parent) if os.path.isdir(parent) else ():
         if name.startswith(prefix):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+            full = os.path.join(parent, name)
+            try:
+                if now - os.path.getmtime(full) >= min_age_s:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
 
 
 def write_partitioned_overwrite(

@@ -378,8 +378,11 @@ def test_upsert_parquet_crash_safety(spark, tmp_path):
     )
 
     # Crash window 1: tmp dir leaked before the swap (write died mid-job).
+    # Backdate it: the sweep only removes STALE tmp dirs so a concurrent
+    # writer's in-flight dir is never touched.
     leaked = str(tmp_path / ".dim_t.__tmp__.deadbeef")
     os.makedirs(leaked)
+    os.utime(leaked, (1, 1))
     # Crash window 2: died between rename(path, old) and rename(tmp, path):
     # the table dir is GONE but the old data survives at <path>.__old__.
     shutil.move(path, path + ".__old__")
@@ -412,6 +415,19 @@ def test_upsert_parquet_crash_safety(spark, tmp_path):
     assert {r.id: r.v for r in spark.read.parquet(path).collect()} == got
     assert [n for n in os.listdir(tmp_path) if "__tmp__" in n] == []
 
+    # Auto-recovery: a retry that goes straight into upsert_parquet after
+    # a crash between the two swap renames must restore the backup BEFORE
+    # merging, not rebuild the table from the incoming batch alone.
+    shutil.move(path, path + ".__old__")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([("9", "z")], "id string, v string"),
+        path,
+        ["id"],
+    )
+    merged = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert merged == {**got, "9": "z"}
+
 
 def test_dim_routing_per_rule_pk_and_extend(spark, tmp_path, stream_src):
     """K5 auto-DDL parity (checkTable, DIM_MyBroadcastFunction.java:138-200):
@@ -426,7 +442,8 @@ def test_dim_routing_per_rule_pk_and_extend(spark, tmp_path, stream_src):
     config_path = str(tmp_path / "config_pk")
     spark.createDataFrame(
         [
-            ("view", "dim_view_u", "user_id,value", "user_id", "SALT_BUCKETS=4"),
+            # spaced CSV: trim must apply to pruning AND the merge key
+            ("view", "dim_view_u", "user_id, value", " user_id", "SALT_BUCKETS=4"),
             ("click", "dim_click_e", "event_id,user_id", None, None),
         ],
         "source_type string, sink_table string, sink_columns string,"
