@@ -117,6 +117,7 @@ HEADLINE = [
     "dedup_lsh_verified",
     "multimodal_frame_sample",
     "similarity_topk_filtered",
+    "cdc_changelog_snapshot",
 ]
 
 

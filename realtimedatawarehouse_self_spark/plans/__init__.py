@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "dedup_lsh_verified",
     "multimodal_frame_sample",
     "similarity_topk_filtered",
+    "cdc_changelog_snapshot",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

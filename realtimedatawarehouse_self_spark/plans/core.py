@@ -602,6 +602,54 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC changelog compaction as an oracle-gated query: the S4/K3 semantic —
+# a keyed change stream compacts to current state, last change per key
+# wins, keys whose last change is a tombstone disappear (reference:
+# upsert-Kafka retractions, MyKafkaUtil.java:129-137; tombstone null-check,
+# BaseDBApp.java:53). Executed through sources/envelopes.changelog_latest —
+# the same operator the Debezium/Maxwell paths use — over the events table
+# ('error' plays the tombstone op). One shuffle on the key.
+# ---------------------------------------------------------------------------
+def cdc_changelog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.sources.envelopes import (
+        changelog_latest,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    latest = changelog_latest(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        op_col="event_type",
+        delete_ops=("error",),
+        tiebreak_cols=["event_id"],
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_op"),
+        cents_amount(money_cents("value")).alias("last_value"),
+    )
+
+
+_CDC_SNAPSHOT_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_op,
+       CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
+           AS last_value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES = {
     "dws02_traffic_page_view_window": dws02_traffic_page_view_window,
     "dws03_home_detail_uv_window": dws03_home_detail_uv_window,
@@ -615,6 +663,7 @@ QUERIES = {
     "baselog_stream_split": baselog_stream_split,
     "keyword_page_view": keyword_page_view,
     "scalar_function_surface": scalar_function_surface,
+    "cdc_changelog_snapshot": cdc_changelog_snapshot,
 }
 
 ORACLE = {
@@ -630,4 +679,5 @@ ORACLE = {
     "baselog_stream_split": _BASELOG_SPLIT_SQL,
     "keyword_page_view": _KEYWORD_SQL,
     "scalar_function_surface": _SCALAR_SQL,
+    "cdc_changelog_snapshot": _CDC_SNAPSHOT_SQL,
 }
