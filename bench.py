@@ -118,6 +118,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "similarity_topk_filtered",
     "cdc_changelog_snapshot",
+    "funnel_conversion",
 ]
 
 

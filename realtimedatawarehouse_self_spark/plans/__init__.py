@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "multimodal_frame_sample",
     "similarity_topk_filtered",
     "cdc_changelog_snapshot",
+    "funnel_conversion",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

@@ -281,6 +281,99 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Funnel / sequence analytics: per-user ordered stage progression
+# signup -> view -> purchase, each stage within a 1-day conversion window
+# after the previous stage (strictly later, <= window). Chained
+# aggregations on the same key — each groupBy reuses the prior shuffle's
+# partitioning — then one tiny global rollup; no self-joins, no per-user
+# sort beyond the hash aggregate.
+# ---------------------------------------------------------------------------
+FUNNEL_STAGES = ("signup", "view", "purchase")
+FUNNEL_WINDOW = "1 day"
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))).alias(
+            "t1"
+        )
+    )
+    with_s1 = ev.join(s1, "user_id")
+    s2 = with_s1.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[1])
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + F.expr(f"interval {FUNNEL_WINDOW}")),
+                F.col("ts"),
+            )
+        ).alias("t2"),
+    )
+    with_s2 = ev.join(s2, "user_id")
+    s3 = with_s2.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[2])
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + F.expr(f"interval {FUNNEL_WINDOW}")),
+                F.col("ts"),
+            )
+        ).alias("t3"),
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stage1_ct"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stage2_ct"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stage3_ct"),
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH s1 AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END) AS t1
+    FROM events GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, any_value(s1.t1) AS t1,
+           min(CASE WHEN e.event_type = '{FUNNEL_STAGES[1]}'
+                     AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW}
+                THEN e.ts END) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, any_value(s2.t1) AS t1, any_value(s2.t2) AS t2,
+           min(CASE WHEN e.event_type = '{FUNNEL_STAGES[2]}'
+                     AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW}
+                THEN e.ts END) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS users_total,
+       CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS stage1_ct,
+       CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS stage2_ct,
+       CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS stage3_ct
+FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sliding windows: 1 h windows every 30 min (the reference only has tumbling
 # — SURVEY.md §2.7 "not present"; Spark supplies slide natively).
 # ---------------------------------------------------------------------------
@@ -429,6 +522,7 @@ QUERIES = {
     "cube_part_stats": cube_part_stats,
     "grouping_sets_events": grouping_sets_events,
     "window_frames_running_spend": window_frames_running_spend,
+    "funnel_conversion": funnel_conversion,
 }
 
 ORACLE = {
@@ -442,4 +536,5 @@ ORACLE = {
     "cube_part_stats": _CUBE_SQL,
     "grouping_sets_events": _GROUPING_SETS_SQL,
     "window_frames_running_spend": _WINDOW_FRAMES_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
 }
