@@ -1542,6 +1542,13 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+    # `kept` feeds BOTH the minhash candidate branch and the final
+    # anti-join: persist it so the scan+tokenize+dedup subtree materializes
+    # once (both consumers read InMemoryTableScan). Locally this is noise —
+    # the minhash band join dominates — but at 100 TB the double corpus
+    # scan is the expensive half; use DISK_ONLY there (the quality-gated,
+    # deduped survivor set is a fraction of the corpus).
+    kept = kept.persist()
     sh = kept.select(
         "doc_id", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
     ).distinct()
