@@ -119,6 +119,7 @@ HEADLINE = [
     "similarity_topk_filtered",
     "cdc_changelog_snapshot",
     "funnel_conversion",
+    "lang_mix_rebalance",
 ]
 
 

@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     "similarity_topk_filtered",
     "cdc_changelog_snapshot",
     "funnel_conversion",
+    "lang_mix_rebalance",
     "keyword_page_view_udf",
     "column_profile",
     "hierarchical_time_rollup",

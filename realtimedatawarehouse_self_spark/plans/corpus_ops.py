@@ -336,12 +336,80 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Language-mix rebalancing: equalize the per-language document mix by
+# sampling each language down to the smallest language's count — the data-derived
+# mixture-weighting step (C4/CCNet-style) that precedes training. Sampling
+# is a deterministic membership test (60-bit md5 fraction vs the source's
+# rate), so re-runs and both engines agree exactly and the job needs no
+# shuffle beyond the tiny per-source count aggregate (broadcast back).
+# The expected kept count per source is min_ct +- sampling noise; the
+# decision is per-document and reproducible, which is what matters for
+# training-data lineage.
+# ---------------------------------------------------------------------------
+_HASH_DEN = float(1 << 60)
+
+
+def lang_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total_ct"))
+    min_ct = counts.agg(F.min("total_ct").alias("min_ct"))
+    h = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "lang", "doc_id")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HASH_DEN)
+    )
+    flagged = (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(min_ct))
+        .withColumn(
+            "kept",
+            (h * F.col("total_ct").cast("double")
+             < F.col("min_ct").cast("double")).cast("int"),
+        )
+    )
+    return flagged.groupBy("lang").agg(
+        F.first("total_ct").alias("total_ct"),
+        F.first("min_ct").alias("target_ct"),
+        F.sum("kept").cast("bigint").alias("kept_ct"),
+    )
+
+
+_LANG_MIX_SQL = f"""
+WITH counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS total_ct
+    FROM documents GROUP BY 1
+),
+m AS (SELECT min(total_ct) AS min_ct FROM counts),
+flagged AS (
+    SELECT d.lang, c.total_ct, m.min_ct,
+           CASE WHEN (CAST(TRY_CAST('0x' || substr(
+                        md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT) AS DOUBLE) / {_HASH_DEN})
+                     * CAST(c.total_ct AS DOUBLE)
+                     < CAST(m.min_ct AS DOUBLE)
+                THEN 1 ELSE 0 END AS kept
+    FROM documents d
+    JOIN counts c ON d.lang = c.lang
+    CROSS JOIN m
+)
+SELECT lang,
+       any_value(total_ct) AS total_ct,
+       any_value(min_ct) AS target_ct,
+       CAST(sum(kept) AS BIGINT) AS kept_ct
+FROM flagged
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
     "pii_scrub_stats": pii_scrub_stats,
     "doc_pack_greedy": doc_pack_greedy,
     "knn_label_vote": knn_label_vote,
+    "lang_mix_rebalance": lang_mix_rebalance,
 }
 
 ORACLE = {
@@ -350,4 +418,5 @@ ORACLE = {
     "pii_scrub_stats": _PII_SQL,
     "doc_pack_greedy": _PACK_SQL,
     "knn_label_vote": _KNN_SQL,
+    "lang_mix_rebalance": _LANG_MIX_SQL,
 }
