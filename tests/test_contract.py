@@ -1,0 +1,53 @@
+"""Driver-contract regression guards: the two interop failures round 1
+exposed (bench stdout-line truncation; silent registry-rotation typos)
+must never recur."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_bench_summary_line_stays_small():
+    """The external harness keeps only a bounded stdout tail (~3 kB); the
+    one-line bench JSON must stay far below it no matter how many queries
+    the registry grows."""
+    import bench
+
+    # worst case: every summary query present with a wide float
+    fake = {k: 999.999 for k in bench.SUMMARY_QUERIES}
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_time",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": fake,
+            "sf": 0.1,
+        }
+    )
+    assert len(line) < 1500, f"summary line {len(line)}B risks tail truncation"
+    # and the summary set itself must be registered queries
+    from realtimedatawarehouse_self_spark import plans
+
+    qs = plans.all_queries()
+    missing = [k for k in bench.SUMMARY_QUERIES if k not in qs]
+    assert missing == [], f"summary names not in registry: {missing}"
+    missing_h = [k for k in bench.HEADLINE if k not in qs]
+    assert missing_h == [], f"headline names not in registry: {missing_h}"
+
+
+def test_registry_rotation_list_is_valid():
+    """_VERIFY_FIRST drives which queries the external verifier re-proves;
+    a typo silently drops a query from rotation (the _ordered() helper
+    skips unknown names)."""
+    from realtimedatawarehouse_self_spark import plans
+
+    qs = plans.all_queries()
+    oracles = plans.all_oracles()
+    missing = [k for k in plans._VERIFY_FIRST if k not in qs]
+    assert missing == [], f"rotation names not in registry: {missing}"
+    # registry and oracle key sets agree except documented rows-only ops
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"approx_daily_users"}, rows_only
+    # every query callable and oracle is non-trivially defined
+    assert all(callable(v) for v in qs.values())
+    assert all(isinstance(v, str) and "SELECT" in v.upper() for v in oracles.values())
