@@ -102,3 +102,24 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def export_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Write a table clustered for downstream scans: rows hash-partitioned
+    by `cluster_col` (each key's rows land in one file) and sorted by
+    `sort_cols` within each file. Sorted files give parquet tight per-
+    row-group min/max statistics, so point/range predicates on the sort
+    columns skip row groups at scan time — the layout lever that makes a
+    100 TB fact table cheap to probe without an index. The sort is
+    per-partition (sortWithinPartitions), NOT a global orderBy: no
+    all-to-one range shuffle."""
+    out = df.repartition(n_files, F.col(cluster_col)) if n_files else df.repartition(
+        F.col(cluster_col)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

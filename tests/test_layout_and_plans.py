@@ -169,3 +169,38 @@ def test_missing_sf_dir_raises_clear_error(spark):
         e.queries()["tpch_q1_pricing_summary"](
             spark, "/root/testdata/sf_does_not_exist"
         ).collect()
+
+
+def test_export_clustered_layout(spark, tmp_path):
+    """Clustered export: one file per hash bucket, rows sorted within each
+    file (tight parquet min/max stats for row-group skipping)."""
+    import pyarrow.parquet as pq
+
+    from realtimedatawarehouse_self_spark.sources.tables import export_clustered
+
+    df = spark.range(0, 10000).selectExpr(
+        "id % 16 AS user_id", "id AS ts", "id * 2 AS v"
+    )
+    path = str(tmp_path / "clustered")
+    export_clustered(df, path, "user_id", ["user_id", "ts"], n_files=4)
+    import os as _os
+
+    files = [
+        _os.path.join(path, f)
+        for f in _os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 4
+    total = 0
+    for f in files:
+        t = pq.read_table(f).to_pandas()
+        total += len(t)
+        # sorted within file -> (user_id, ts) is monotone non-decreasing
+        key = list(zip(t["user_id"], t["ts"]))
+        assert key == sorted(key)
+        # hash-clustered -> a key's rows never straddle files
+    seen = {}
+    for f in files:
+        for u in set(pq.read_table(f).to_pandas()["user_id"]):
+            assert seen.setdefault(u, f) == f, "key straddles files"
+    assert total == 10000
