@@ -365,11 +365,11 @@ FROM (
 
 # ---------------------------------------------------------------------------
 # Production near-dup pattern: LSH candidates (recall path), each candidate
-# pair verified with the EXACT Jaccard — the role the judge notes assign to
-# the inverted-index ground truth at 100 TB: exact similarity runs on the
-# LSH candidate set (|pairs| ~ linear in corpus), never on all shared
-# shingles. The candidate pair list broadcasts against the shingle scan, so
-# the verify stage adds no corpus-sized shuffle beyond the per-pair count.
+# pair verified with the EXACT Jaccard — exact similarity runs on the LSH
+# candidate set (|pairs| ~ linear in corpus), never on all shared shingles.
+# The pair list is deliberately NOT broadcast-hinted: candidates are
+# corpus-linear, so at 100 TB this must be a shuffle join on doc_id (AQE
+# still broadcasts automatically when the pair list is actually small).
 # ---------------------------------------------------------------------------
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
@@ -377,7 +377,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_side = sh.select(
         F.col("doc_id").alias("doc_a"), "lang", "sh"
-    ).join(F.broadcast(pairs), "doc_a")
+    ).join(pairs, "doc_a")
     inter = (
         a_side.join(
             sh.select(
