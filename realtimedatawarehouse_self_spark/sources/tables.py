@@ -13,12 +13,20 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-# Spark cannot map to a Catalyst type. We read them as raw nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and convert to micros inline —
-# integer `div 1000`, matching DuckDB's nanos->micros truncation exactly.
-NANO_TS_COLUMNS = {
+# Timestamp columns whose physical parquet encoding has drifted across
+# driver testdata generations: INT64 TIMESTAMP(NANOS) in early rounds,
+# timestamp[us] (Spark: TIMESTAMP_NTZ) now. Loading is type-adaptive —
+# we keep spark.sql.legacy.parquet.nanosAsLong on (it only affects
+# NANOS-annotated INT64 columns, a no-op for micros) and branch on the
+# dtype Spark actually inferred:
+#   LongType       -> raw nanos; `timestamp_micros(c div 1000)` matches
+#                     DuckDB's nanos->micros truncation exactly.
+#   TIMESTAMP_NTZ  -> cast("timestamp"); value-identical under the UTC
+#                     session TZ pinned in session.py, and keeps schema
+#                     parity with the DuckDB oracle reading the same file.
+TS_COLUMNS = {
     "events": ("ts",),
 }
 
@@ -57,11 +65,17 @@ def load_table(
     shuffle moves only the scanned columns, which is negligible relative to
     the compute it parallelizes.
     """
-    if name in NANO_TS_COLUMNS:
+    if name in TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in NANO_TS_COLUMNS.get(name, ()):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c in TS_COLUMNS.get(name, ()):
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
+            # INT64 TIMESTAMP(NANOS) read as raw nanos via nanosAsLong.
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        else:
+            # timestamp[us] arrives as TIMESTAMP_NTZ; exact under UTC session.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if fan_out:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
