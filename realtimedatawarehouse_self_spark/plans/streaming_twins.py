@@ -199,19 +199,23 @@ def _session_stream_sql() -> str:
 
 # ---------------------------------------------------------------------------
 # Streaming stream-stream inner join (J1), executed as a REAL streaming job
-# and gated by the DuckDB oracle: 'view' events join 'cart' events by user
-# when the cart add lands within JOIN_HORIZON after the view — the
+# and gated by the DuckDB oracle: 'view' events join 'purchase' events by
+# user when the purchase lands within JOIN_HORIZON after the view — the
 # reference's DwdTradeOrderDetail join shape (citation in
 # streaming/pipelines.py::order_detail_join_stream) over the driver's
-# events table. Both sides are watermarked and the join carries an explicit
-# event-time bound, so state is evicted at the horizon instead of growing
-# unboundedly (the contract the reference left to state-retention config).
-# The flush row's sentinel user never matches either filter.
+# events table. 'purchase' is a real event type in the testdata (the
+# pre-r4 version joined to a nonexistent 'cart' type, so both sides agreed
+# on zero rows and the row proved nothing; 40 matches at sf0.01 now
+# exercise real match/state semantics). Both sides are watermarked and the
+# join carries an explicit event-time bound, so state is evicted at the
+# horizon instead of growing unboundedly (the contract the reference left
+# to state-retention config). The flush row's sentinel user never matches
+# either filter.
 # ---------------------------------------------------------------------------
-JOIN_HORIZON_S = 600
+JOIN_HORIZON_S = 3600
 
 
-def streaming_join_view_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(stream: DataFrame) -> DataFrame:
         views = (
             stream.filter(F.col("event_type") == "view")
@@ -222,32 +226,32 @@ def streaming_join_view_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withWatermark("v_ts", "2 seconds")
         )
-        carts = (
-            stream.filter(F.col("event_type") == "cart")
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
             .select(
-                F.col("user_id").alias("c_user"),
-                F.col("event_id").alias("cart_id"),
-                F.col("ts").alias("c_ts"),
-                money_cents("value").alias("c_cents"),
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+                money_cents("value").alias("p_cents"),
             )
-            .withWatermark("c_ts", "2 seconds")
+            .withWatermark("p_ts", "2 seconds")
         )
         joined = views.join(
-            carts,
-            (F.col("v_user") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("v_ts"))
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
             & (
-                F.col("c_ts")
+                F.col("p_ts")
                 < F.col("v_ts") + F.expr(f"interval {JOIN_HORIZON_S} seconds")
             ),
         )
         return joined.select(
             F.col("v_user").alias("user_id"),
             "view_id",
-            "cart_id",
+            "purchase_id",
             F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
-            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("cart_ts"),
-            cents_amount(F.col("c_cents")).alias("cart_value"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            cents_amount(F.col("p_cents")).alias("purchase_value"),
         )
 
     return _run_stream(
@@ -258,17 +262,17 @@ def streaming_join_view_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_STREAM_SQL = f"""
 SELECT v.user_id,
        v.event_id AS view_id,
-       c.event_id AS cart_id,
+       p.event_id AS purchase_id,
        strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
-       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS cart_ts,
-       CAST(CAST(floor(c.value * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
-           AS cart_value
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
+           AS purchase_value
 FROM events v
-JOIN events c
-  ON v.user_id = c.user_id
- AND c.ts >= v.ts
- AND c.ts < v.ts + INTERVAL {JOIN_HORIZON_S} SECONDS
-WHERE v.event_type = 'view' AND c.event_type = 'cart'
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts < v.ts + INTERVAL {JOIN_HORIZON_S} SECONDS
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
@@ -276,12 +280,12 @@ QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_uv_daily": streaming_uv_daily,
     "streaming_session_windows": streaming_session_windows,
-    "streaming_join_view_cart": streaming_join_view_cart,
+    "streaming_join_view_purchase": streaming_join_view_purchase,
 }
 
 ORACLE = {
     "streaming_pv_hourly": _PV_SQL,
     "streaming_uv_daily": _UV_SQL,
     "streaming_session_windows": _session_stream_sql(),
-    "streaming_join_view_cart": _JOIN_STREAM_SQL,
+    "streaming_join_view_purchase": _JOIN_STREAM_SQL,
 }

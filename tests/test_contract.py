@@ -51,3 +51,32 @@ def test_registry_rotation_list_is_valid():
     # every query callable and oracle is non-trivially defined
     assert all(callable(v) for v in qs.values())
     assert all(isinstance(v, str) and "SELECT" in v.upper() for v in oracles.values())
+
+
+def test_rotation_advances_coverage():
+    """Rotation invariant (ADVICE r2/r3): each round's _VERIFY_FIRST must
+    surface the queries the PREVIOUS driver rotation did NOT cover, so two
+    consecutive rounds always cover the whole registry. Guards against
+    re-proving the same 50 queries round after round (the r3 failure mode).
+    Renamed/removed queries in the old record are ignored — they can't be
+    in the registry anymore."""
+    import glob
+    import os
+
+    from realtimedatawarehouse_self_spark import plans
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not records:  # fresh clone without driver artifacts
+        return
+    with open(records[-1]) as f:
+        prev = set(json.load(f).keys())
+    registry = set(plans.all_queries())
+    rotation = plans._VERIFY_FIRST
+    assert len(rotation) == len(set(rotation)), "duplicate rotation entries"
+    uncovered = registry - prev
+    missing = uncovered - set(rotation)
+    assert missing == set(), (
+        f"queries with no driver evidence since before {records[-1]} "
+        f"are absent from _VERIFY_FIRST: {sorted(missing)}"
+    )
