@@ -301,7 +301,8 @@ GROUP BY 1, 2
 # semantics intersected with the coarse-quantizer cell shared with
 # similarity_topk_ivf. Worst-case pair count is sum over (label, cell)
 # buckets of n^2/2 ≈ N^2/(2·K·L) under balanced buckets, and K
-# (NUM_CENTROIDS) scales with corpus size — vs. the unbounded
+# (llm_ops._ivf_k: max(8, n // 128)) scales with corpus size, making the
+# bound ~N·128/(2·L) — linear in N — vs. the unbounded
 # all-pairs-within-label bucket this replaces. Recall bound, documented:
 # near-dup pairs split across two cells are not compared (mitigable with
 # multi-probe; the LSH dedup is the recall path).

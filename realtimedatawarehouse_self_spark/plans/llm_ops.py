@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from realtimedatawarehouse_self_spark.functions.exprs import (
     cosine,
@@ -203,23 +204,41 @@ _MINHASH_AB = [
 ]
 
 
-def _minhash_pairs(sh: DataFrame) -> DataFrame:
-    """(doc_id, sh) shingles -> distinct LSH candidate pairs (doc_a < doc_b)."""
-    h0 = (
+def _shingle_hash() -> Column:
+    """60-bit md5 of a shingle, reduced mod the Mersenne prime — the h0
+    every minhash permutation is derived from."""
+    return (
         F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
         % F.lit(_MINHASH_P)
     ).alias("h0")
-    minh = sh.select("doc_id", h0).groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
-                f"h{i}"
-            )
-            for i, (a, b) in enumerate(_MINHASH_AB)
-        ]
+
+
+def _minhash_aggs() -> list[Column]:
+    """The 12 permutation-min aggregates over h0 (one per hash family row)."""
+    return [
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+
+
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) shingles -> distinct LSH candidate pairs (doc_a < doc_b)."""
+    minh = (
+        sh.select("doc_id", _shingle_hash())
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
     )
-    # Bands via explode — ONE upstream pipeline feeding all bands, instead of
-    # a per-band unionAll that re-scans and re-aggregates the corpus per band
-    # (16 scans -> 2 at NUM_BANDS=4; matters enormously at 100 TB).
+    return _band_pairs(minh)
+
+
+def _band_pairs(minh: DataFrame) -> DataFrame:
+    """Signature frame (doc_id, h0..h11) -> distinct candidate pairs.
+
+    Bands via explode — ONE upstream pipeline feeding all bands, instead of
+    a per-band unionAll that re-scans and re-aggregates the corpus per band
+    (16 scans -> 2 at NUM_BANDS=4; matters enormously at 100 TB)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -367,38 +386,60 @@ FROM (
 # Production near-dup pattern: LSH candidates (recall path), each candidate
 # pair verified with the EXACT Jaccard — exact similarity runs on the LSH
 # candidate set (|pairs| ~ linear in corpus), never on all shared shingles.
-# The pair list is deliberately NOT broadcast-hinted: candidates are
-# corpus-linear, so at 100 TB this must be a shuffle join on doc_id (AQE
-# still broadcasts automatically when the pair list is actually small).
+#
+# Physical shape (r4 rework): the corpus is tokenized/exploded ONCE into a
+# single per-doc aggregation producing minhash signatures, shingle count,
+# AND the sorted shingle array together; that doc-count-sized frame (NOT
+# the exploded shingle frame, which is ~2 orders of magnitude larger) is
+# persisted and feeds all four consumers — both sides of the band
+# self-join and both sides of the pair-verification join. Verification is
+# array_intersect on the two shingle arrays (exact distinct-intersection,
+# JVM builtin), replacing the pre-r4 double re-explosion + re-join of the
+# shingle frame: the corpus pipeline runs 1x instead of ~5x, and the only
+# per-pair work is one array intersection. The pair joins are deliberately
+# NOT broadcast-hinted: candidates are corpus-linear, so at 100 TB they
+# must be shuffle joins on doc_id (AQE still broadcasts automatically when
+# the pair list is actually small).
 # ---------------------------------------------------------------------------
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    pairs = _minhash_pairs(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_side = sh.select(
-        F.col("doc_id").alias("doc_a"), "lang", "sh"
-    ).join(pairs, "doc_a")
-    inter = (
-        a_side.join(
-            sh.select(
-                F.col("doc_id").alias("b_id"),
-                F.col("lang").alias("lang_b"),
-                F.col("sh").alias("sh_b"),
-            ),
-            (F.col("doc_b") == F.col("b_id"))
-            & (F.col("lang") == F.col("lang_b"))
-            & (F.col("sh") == F.col("sh_b")),
+    per_doc = (
+        sh.select("doc_id", "lang", "sh", _shingle_hash())
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_sh"),
+            F.collect_list("sh").alias("sh_arr"),
+            *_minhash_aggs(),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter_ct"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = _band_pairs(per_doc)
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("sh_arr").alias("arr_a"),
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("sh_arr").alias("arr_b"),
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .withColumn(
+            "inter_ct",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
+        )
         .withColumn("union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct"))
-        .filter(2 * F.col("inter_ct") >= F.col("union_ct"))
+        .filter(
+            (F.col("inter_ct") > 0)
+            & (2 * F.col("inter_ct") >= F.col("union_ct"))
+        )
         .select("doc_a", "doc_b", "inter_ct", "union_ct")
     )
 
@@ -694,22 +735,53 @@ WHERE levenshtein(a.prefix, b.prefix) <= {EDIT_MAX}
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HLL++): genuinely non-SQL-comparable (sketch
-# estimates differ per engine), so this query has NO oracle entry — the
-# driver records the weaker rows-only check. At 100 TB this replaces the
-# exact distinct in rollup/daily dashboards.
+# Approximate distinct (HLL++). Raw sketch estimates are engine-specific
+# (Spark's HLL++ and DuckDB's HLL disagree by design), so the estimate
+# itself can't be hash-compared; instead the query emits the EXACT distinct
+# beside the sketch and reduces the sketch to the deterministic, portable
+# claim `approx_ok` — the estimate landed within 10% of truth (5x the
+# configured rsd; measured max deviation across sfs is 1.4%). The oracle
+# recomputes the exact column and asserts the claim as a literal, making
+# this a full hash-gated row (pre-r4 it was the registry's only rows-only
+# check). Spark's HLL++ is order/partitioning-insensitive (register max),
+# so approx_ok is deterministic for a given dataset. At 100 TB the sketch
+# column replaces exact distinct in rollup/daily dashboards; the exact
+# column here is the verification companion.
 # ---------------------------------------------------------------------------
 def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
-        # rsd 2%: one precision notch finer than Spark's 5% default; 0.01
-        # quadruples the per-group register arrays (16 KiB × groups ×
-        # partitions of partial-agg state to merge) for accuracy this
-        # trend query doesn't need.
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("event_ct"),
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            # rsd 2%: one precision notch finer than Spark's 5% default; 0.01
+            # quadruples the per-group register arrays (16 KiB × groups ×
+            # partitions of partial-agg state to merge) for accuracy this
+            # trend query doesn't need.
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("event_ct"),
+        )
+        .select(
+            "dt",
+            "exact_users",
+            "event_ct",
+            (
+                10 * F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )
+
+
+_APPROX_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS event_ct,
+       TRUE AS approx_ok
+FROM events
+GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -718,11 +790,33 @@ def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid id), queries probe ONLY their own cell. At 100 TB: the centroid
 # table broadcasts, cell assignment is one scan, and each query scores
 # |corpus|/K candidates instead of |corpus|.
+#
+# K is DERIVED from corpus size, not fixed: K = max(MIN_CENTROIDS,
+# n // IVF_TARGET_CELL). With K ∝ n, per-cell population stays
+# ~IVF_TARGET_CELL regardless of corpus size, so the all-pairs work inside
+# a cell (dedup_embedding_cosine) is n · IVF_TARGET_CELL / 2 — LINEAR in n
+# — and a query probe scores ~IVF_TARGET_CELL candidates instead of n/8.
+# A fixed K=8 (the pre-r4 design) regrows quadratically at 100× corpus:
+# per-cell pairs scale (n/8)². The oracle SQL derives the same K via a
+# scalar subquery over the same table, so Spark and DuckDB always agree.
+# One cheap count() per query derives K; at cluster scale that is a
+# metadata-cheap scan of one skinny column, amortized over the ANN work
+# it bounds.
 # ---------------------------------------------------------------------------
-NUM_CENTROIDS = 8
+MIN_CENTROIDS = 8
+IVF_TARGET_CELL = 128
+
+# SQL twin of _ivf_k(): interpolated into every IVF oracle so both engines
+# derive K from the same formula over the same rows.
+IVF_K_SQL = f"(SELECT greatest({MIN_CENTROIDS}, count(*) // {IVF_TARGET_CELL}) FROM emb)"
 
 
-def _cells(emb: DataFrame) -> DataFrame:
+def _ivf_k(emb: DataFrame) -> int:
+    """Corpus-scaled centroid count (see block comment above)."""
+    return max(MIN_CENTROIDS, emb.count() // IVF_TARGET_CELL)
+
+
+def _cells(emb: DataFrame, k: int | None = None) -> DataFrame:
     """Assign every vector to its nearest centroid (argmax cosine, tie ->
     lowest cid). Physical shape matters at 100 TB: score K centroids per
     vector, but reduce to the winning cell with a map-side-combinable
@@ -730,7 +824,9 @@ def _cells(emb: DataFrame) -> DataFrame:
     row blowup never carries the vector payload and never hits a window
     sort; the full vectors rejoin once, keyed on vec_id. Extra columns on
     `emb` (e.g. label) ride through the rejoin untouched."""
-    cent = emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+    if k is None:
+        k = _ivf_k(emb)
+    cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
     scored = emb.select("vec_id", "vec").crossJoin(F.broadcast(cent)).select(
@@ -789,8 +885,9 @@ PROBES = 2
 
 def similarity_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cells = _cells(emb)
-    cent = emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+    k = _ivf_k(emb)
+    cells = _cells(emb, k)
+    cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
     qvecs = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
@@ -827,13 +924,14 @@ def similarity_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # Shared CTE chain: embeddings -> IVF cell assignment (nearest of the first
-# NUM_CENTROIDS vectors, tie -> lowest cid). Reused by the IVF top-k oracle
-# and the embedding-cosine dedup oracle so both mirror _cells() exactly.
+# K vectors, K derived from corpus size exactly as _ivf_k(), tie -> lowest
+# cid). Reused by the IVF top-k oracle and the embedding-cosine dedup
+# oracle so both mirror _cells() exactly.
 IVF_ASSIGN_CTE = f"""emb AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
 ),
 cent AS (
-    SELECT vec_id AS cid, vec AS cvec FROM emb WHERE vec_id < {NUM_CENTROIDS}
+    SELECT vec_id AS cid, vec AS cvec FROM emb WHERE vec_id < {IVF_K_SQL}
 ),
 assigned AS (
     SELECT vec_id, label, vec, cid AS cell
@@ -1664,7 +1762,7 @@ QUERIES = {
     "similarity_topk_lsh_bucketed": similarity_topk_lsh_bucketed,
     "similarity_topk_ivf": similarity_topk_ivf,
     "dedup_edit_distance": dedup_edit_distance,
-    "approx_daily_users": approx_daily_users,  # rows-only check (no oracle)
+    "approx_daily_users": approx_daily_users,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprint": doc_fingerprint,
@@ -1693,8 +1791,10 @@ ORACLE = {
     "similarity_topk_lsh_bucketed": _SIM_LSH_SQL,
     "similarity_topk_ivf": _IVF_SQL,
     "dedup_edit_distance": _EDIT_SQL,
-    # approx_daily_users intentionally absent: HLL++ estimates are
-    # engine-specific; the driver records the weaker rows-only check.
+    # approx_daily_users: the sketch estimate is reduced to the portable
+    # approx_ok claim + exact companion columns (see its docstring), so it
+    # hash-compares like every other query.
+    "approx_daily_users": _APPROX_DAILY_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,
     "lang_id_ngram": _lang_id_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
