@@ -21,12 +21,72 @@ the swap is mechanical.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to upsert a table whose lease is live.
+
+    The parquet swap protocol (like the Phoenix/Delta sinks it stands in
+    for) is single-writer-per-table; unlike Delta there is no log to
+    reconcile concurrent commits, so the second writer must fail fast
+    rather than corrupt the swap."""
+
+
+# Writers that die without releasing their lock must not wedge the table
+# forever: a lock older than the lease is presumed dead and taken over.
+# The lease must comfortably exceed one merge's runtime — a merge is
+# O(table) (see module docstring), so size this to the slowest expected
+# batch, not the average.
+LOCK_LEASE_S = 600.0
+
+
+def _acquire_lock(path: str, lease_s: float = LOCK_LEASE_S) -> str:
+    """Take the single-writer lease for `path` (atomic O_EXCL create).
+
+    Returns the lock path. Raises ConcurrentWriterError if another
+    writer's lease is live. A stale lock (older than `lease_s`) is
+    removed and acquisition retried — the unlink+create pair is not
+    atomic, so two writers racing on the SAME stale lock can in theory
+    both proceed; the window is microseconds against a lease of minutes,
+    and the alternative (never reclaiming) wedges the table after any
+    writer crash. Production systems swap this for Delta's log-based
+    commit protocol unchanged at the call site."""
+    lock = f"{os.path.abspath(path)}.__lock__"
+    # first upsert into a fresh directory tree: the table's parent may not
+    # exist yet (Spark's write would create it; the lock comes first)
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    for _ in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between our open and stat: retry
+            if age < lease_s:
+                raise ConcurrentWriterError(
+                    f"table {path!r} is being written by another process "
+                    f"(lock {lock!r}, age {age:.0f}s < lease {lease_s:.0f}s)"
+                )
+            # stale: presumed-dead holder; reclaim and retry the O_EXCL
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+    raise ConcurrentWriterError(
+        f"could not acquire lock {lock!r} after stale-lease takeover"
+    )
 
 
 def append_parquet(df: DataFrame, path: str) -> None:
@@ -55,7 +115,28 @@ def upsert_parquet(
     upsert-Kafka sink (MyKafkaUtil.java:129-137). Within a single `updates`
     batch, the row with the greatest `order_col` (if given) wins —
     deterministic, unlike the reference's arrival-order semantics.
+
+    Single-writer contract: a per-table lease lockfile makes a concurrent
+    upsert raise ConcurrentWriterError instead of corrupting the swap;
+    locks abandoned by crashed writers are reclaimed after LOCK_LEASE_S.
     """
+    lock = _acquire_lock(path)
+    try:
+        _upsert_locked(spark, updates, path, keys, order_col)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _upsert_locked(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str | None,
+) -> None:
     # If a previous run died between the two swap renames, the serving dir
     # is missing but `<path>.__old__` holds the table — restore it BEFORE
     # reading existing state, or this merge would silently rebuild the
@@ -125,8 +206,6 @@ def _clean_leftovers(parent: str, base: str, min_age_s: float = 3600.0) -> None:
     a single writer per table (like the Phoenix/Delta sinks it stands in
     for), but if two writers ever race, an age gate keeps this sweep from
     deleting a concurrent writer's in-flight tmp dir."""
-    import time
-
     prefix = f".{base}.__tmp__."
     now = time.time()
     for name in os.listdir(parent) if os.path.isdir(parent) else ():

@@ -543,3 +543,67 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     write_partitioned_overwrite(day1_fixed, path, ["dt"])
     got2 = {(str(r.dt), r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+def test_upsert_parquet_single_writer_lock(spark, tmp_path):
+    """K3 single-writer contract (VERDICT r3 task #8): a live lease makes a
+    second interleaved upsert fail fast with ConcurrentWriterError; a stale
+    lease (presumed-dead holder) is reclaimed; crashes release via finally."""
+    import json
+    import os
+    import time
+
+    from realtimedatawarehouse_self_spark.streaming.sinks import (
+        ConcurrentWriterError,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "dim_t")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([("1", "a")], "id string, v string"),
+        path,
+        ["id"],
+    )
+    lock = path + ".__lock__"
+    assert not os.path.exists(lock)  # released after a successful merge
+
+    # Writer A holds a live lease -> writer B must refuse, table untouched.
+    with open(lock, "w") as f:
+        json.dump({"pid": 999999, "ts": time.time()}, f)
+    try:
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([("2", "b")], "id string, v string"),
+            path,
+            ["id"],
+        )
+        raise AssertionError("expected ConcurrentWriterError")
+    except ConcurrentWriterError:
+        pass
+    assert {r.id for r in spark.read.parquet(path).collect()} == {"1"}
+    assert os.path.exists(lock)  # a refused writer never releases A's lock
+
+    # A's lease expires (crashed holder): B reclaims and merges normally.
+    os.utime(lock, (1, 1))
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([("2", "b")], "id string, v string"),
+        path,
+        ["id"],
+    )
+    assert not os.path.exists(lock)
+    assert {r.id for r in spark.read.parquet(path).collect()} == {"1", "2"}
+
+    # A failing merge still releases the lock (finally path).
+    bad = spark.createDataFrame([("3", "c")], "id string, v string").withColumn(
+        "v", F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("boom")))("v")
+    )
+    try:
+        upsert_parquet(spark, bad, path, ["id"])
+        raise AssertionError("expected write failure")
+    except ConcurrentWriterError:
+        raise
+    except Exception:
+        pass
+    assert not os.path.exists(lock)
