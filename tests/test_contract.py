@@ -45,9 +45,10 @@ def test_registry_rotation_list_is_valid():
     oracles = plans.all_oracles()
     missing = [k for k in plans._VERIFY_FIRST if k not in qs]
     assert missing == [], f"rotation names not in registry: {missing}"
-    # registry and oracle key sets agree except documented rows-only ops
+    # every registered query is oracle-gated (r4: approx_daily_users got a
+    # deterministic oracle via its exact-companion columns)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"approx_daily_users"}, rows_only
+    assert rows_only == set(), rows_only
     # every query callable and oracle is non-trivially defined
     assert all(callable(v) for v in qs.values())
     assert all(isinstance(v, str) and "SELECT" in v.upper() for v in oracles.values())

@@ -1,0 +1,94 @@
+"""NULL-bearing fixtures through the oracle-hazard query class (VERDICT r3
+task #9): NULL ordering (Spark NULLS FIRST vs DuckDB NULLS LAST defaults)
+and typed-NULL arithmetic are exactly the places a Spark/DuckDB comparison
+silently drifts when the live testdata happens to contain no NULLs. These
+tests inject NULL `value` rows (including an all-NULL group and a
+mostly-NULL group) into a synthetic events table and run the full
+engine-vs-oracle comparison on it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    """A tiny events table where NULL values land in every hazard spot:
+    first/last by event_id, an ALL-NULL event_type group, and a group with
+    more NULLs than values."""
+    d = tmp_path_factory.mktemp("nulldata")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'view': mixed values and NULLs interleaved within one user's window
+    for i, v in enumerate([None, 3.14, None, 1.0, 10.55, None, 2.0, None]):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "view", v))
+    # 'error': ALL values NULL — percentile of an all-NULL group
+    for i in range(8, 12):
+        rows.append((i, base + dt.timedelta(minutes=i), 2, "error", None))
+    # 'purchase': single non-NULL among NULLs; second user for windows
+    for i, v in enumerate([None, None, 7.07, None], start=12):
+        rows.append((i, base + dt.timedelta(minutes=i), 3, "purchase", v))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_duck(null_sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(null_sf_dir, 'events.parquet')}'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "event_value_percentiles",
+        "window_frames_running_spend",
+        "grouping_sets_events",
+        "rollup_event_counts",
+        "top_users_by_event_type",
+    ],
+)
+def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
+    from tests.oracle_harness import compare_query
+
+    from realtimedatawarehouse_self_spark import plans
+
+    qs = plans.all_queries()
+    oracles = plans.all_oracles()
+    ok, detail = compare_query(
+        qs[name](spark, null_sf_dir), null_duck, oracles[name]
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_null_values_actually_exercise_the_hazard(spark, null_sf_dir):
+    """Guard the fixture itself: NULLs must survive the loader (a fixture
+    that silently drops them proves nothing)."""
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    ev = load_table(spark, null_sf_dir, "events")
+    n_null = ev.filter("value IS NULL").count()
+    assert n_null == 11  # 4 in 'view' + 4 in 'error' + 3 in 'purchase'
