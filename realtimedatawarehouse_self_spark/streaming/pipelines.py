@@ -182,6 +182,24 @@ def run_dim_routing(
         rules = config.select(
             "sink_table", "sink_pk", "sink_extend"
         ).distinct().collect()
+        # Two source types MAY share one sink table, but only with the SAME
+        # merge key + DDL suffix: with conflicting sink_pk the batch's merge
+        # result would depend on rule iteration order (ADVICE r2). Refuse
+        # deterministically instead of last-rule-wins.
+        by_table: dict = {}
+        for r in rules:
+            prev = by_table.setdefault(r["sink_table"], r)
+            if (prev["sink_pk"], prev["sink_extend"]) != (
+                r["sink_pk"],
+                r["sink_extend"],
+            ):
+                raise ValueError(
+                    f"conflicting routing rules for sink table "
+                    f"{r['sink_table']!r}: sink_pk/sink_extend "
+                    f"{(prev['sink_pk'], prev['sink_extend'])} vs "
+                    f"{(r['sink_pk'], r['sink_extend'])}"
+                )
+        rules = [by_table[t] for t in sorted(by_table)]
         pruned.persist()
         try:
             for r in rules:

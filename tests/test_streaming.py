@@ -473,6 +473,40 @@ def test_dim_routing_per_rule_pk_and_extend(spark, tmp_path, stream_src):
     assert meta == {"sink_pk": ["user_id"], "sink_extend": "SALT_BUCKETS=4"}
 
 
+def test_dim_routing_conflicting_sink_pk_refused(spark, tmp_path, stream_src):
+    """Two rules routing to ONE sink table with different merge keys would
+    make the batch result depend on rule iteration order; the pipeline must
+    refuse deterministically (ADVICE r2) instead of last-rule-wins."""
+    from realtimedatawarehouse_self_spark.streaming.pipelines import (
+        run_dim_routing,
+    )
+
+    config_path = str(tmp_path / "config_conflict")
+    spark.createDataFrame(
+        [
+            ("view", "dim_shared", "user_id,value", "user_id", None),
+            ("click", "dim_shared", "user_id,value", "event_id", None),
+        ],
+        "source_type string, sink_table string, sink_columns string,"
+        " sink_pk string, sink_extend string",
+    ).write.parquet(config_path)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_src)
+    q = run_dim_routing(
+        spark,
+        stream,
+        config_path,
+        str(tmp_path / "dim_conflict"),
+        str(tmp_path / "cp_conflict"),
+    )
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("expected the conflicting config to fail the batch")
+    except Exception as exc:
+        assert "conflicting routing rules" in str(exc)
+    assert not os.path.exists(str(tmp_path / "dim_conflict" / "dim_shared"))
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """T6 production path: Spark's native dropDuplicatesWithinWatermark
     bounds dedup state to the watermark horizon (the reference's 5 s
