@@ -19,6 +19,7 @@ from realtimedatawarehouse_self_spark.plans import (
     extras,
     llm_ops,
     python_path,
+    retrieval,
     streaming_twins,
     timeseries,
     tpch,
@@ -31,6 +32,7 @@ _MODULES = (
     corpus_ops,
     extras,
     advanced,
+    retrieval,
     streaming_twins,
     timeseries,
     python_path,

@@ -1,0 +1,325 @@
+"""Corpus retrieval / tokenizer-training operators: BM25 search,
+BPE merge-candidate counting, and cross-document span dedup.
+
+These extend the training-data-pipeline surface (BASELINE.json north-star,
+beyond the reference's own operators — closest reference analogue is the
+keyword-search filter ``DwsTrafficSourceKeywordPageViewWindow.java:50-56``,
+which this generalizes from single-term match to ranked retrieval):
+
+- BM25: the inverted-index retrieval shape. The query set is constant and
+  tiny -> broadcast; the corpus side is ONE tokenize+explode scan filtered
+  to query terms before any shuffle (posting lists for non-query terms
+  never leave the scan stage). Two tiny-key aggregates (df per term, tf per
+  (doc, term)) with map-side combine; the scoring join fans tf rows against
+  the broadcast df/query constants. At 100 TB the only corpus-sized shuffle
+  is the (doc_id, term) tf combine over matched postings.
+- BPE pair counts: the first step of byte-pair-encoding tokenizer training
+  — count adjacent-token pairs corpus-wide, take the top merge candidates.
+  One shuffle on the pair key with map-side combine; top-k is
+  TakeOrderedAndProject (no global sort materialization).
+- Span dedup: the exact-substring-dedup approximation at fixed window
+  granularity (the practical stand-in for suffix-array dedup at scale
+  — cf. Lee et al., "Deduplicating Training Data Makes Language Models
+  Better"): hash non-overlapping W-token windows, find windows appearing
+  in >= 2 distinct documents, report each document's duplicated-span
+  share. Everything keys on the span hash — one shuffle, even keys.
+
+Float determinism: every double emitted here is either a single division
+of two exact integers or a fixed-order chain of IEEE754 correctly-rounded
+ops (+ - * / sqrt) over values derived from integers, written identically
+in the Spark expression and the DuckDB oracle — so hash comparison is
+exact. Per-term BM25 contributions are floored to integer micro-units
+BEFORE the per-doc sum, so the aggregation is order-independent exact
+bigint math (same trick as `functions/exprs.py::money_cents`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import tokens
+from realtimedatawarehouse_self_spark.plans.llm_ops import _docs
+
+# ---------------------------------------------------------------------------
+# BM25 (k1 = 1.2, b = 0.75; constants inlined into both expression trees).
+# idf is the Robertson odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log:
+# log is monotone, so per-term ranking is unchanged, and avoiding ln keeps
+# the expression inside the IEEE754 correctly-rounded op set (ln differs in
+# the last ulp across libm implementations; +-*/ and sqrt never do).
+# ---------------------------------------------------------------------------
+BM25_QUERIES = (
+    (0, ("table", "scan", "filter")),
+    (1, ("join", "merge", "sort")),
+    (2, ("vector", "stream", "batch")),
+)
+BM25_TOPK = 10
+
+# (query_id, term) rows for the broadcast side.
+_QUERY_ROWS = [(qid, t) for qid, terms in BM25_QUERIES for t in terms]
+_ALL_TERMS = sorted({t for _, terms in BM25_QUERIES for t in terms})
+
+# One scoring formula, one operation order, two renderings. Placeholders
+# are column/expression strings supplied per engine.
+_CONTRIB_FMT = (
+    "CAST(floor((((CAST({N} - {df} AS DOUBLE) + 0.5)"
+    " / (CAST({df} AS DOUBLE) + 0.5))"
+    " * ((CAST({tf} AS DOUBLE) * 2.2)"
+    " / (CAST({tf} AS DOUBLE)"
+    "    + 1.2 * (0.25 + 0.75 * (CAST({dl} AS DOUBLE) / {avgdl})))))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    docs = docs.select(
+        "doc_id", "tok_arr", F.size("tok_arr").cast("bigint").alias("dl")
+    )
+    # Corpus stats: one tiny aggregate, broadcast back via crossJoin.
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    # Postings restricted to query terms BEFORE any shuffle.
+    term_lits = F.array(*[F.lit(t) for t in _ALL_TERMS])
+    postings = docs.select(
+        "doc_id", "dl", F.explode("tok_arr").alias("term")
+    ).filter(F.array_contains(term_lits, F.col("term")))
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    df_ = (
+        postings.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    qterms = spark.createDataFrame(_QUERY_ROWS, "query_id INT, term STRING")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        )
+        .withColumn(
+            "contrib_micro",
+            F.expr(
+                _CONTRIB_FMT.format(
+                    N="n_docs", df="df", tf="tf", dl="dl", avgdl="avgdl"
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_micro").alias("score_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("matched_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score_micro", "matched_terms")
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERY_ROWS)
+    terms = ", ".join(f"'{t}'" for t in _ALL_TERMS)
+    contrib = _CONTRIB_FMT.format(
+        N="s.n_docs", df="d.df", tf="t.tf", dl="t.dl", avgdl="s.avgdl"
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    )
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS sum_dl,
+           CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+    FROM docs
+),
+postings AS (
+    SELECT docs.doc_id, docs.dl, u.term
+    FROM docs, UNNEST(docs.t) AS u(term)
+    WHERE u.term IN ({terms})
+),
+tf AS (
+    SELECT doc_id, term,
+           CAST(count(*) AS BIGINT) AS tf,
+           any_value(dl) AS dl
+    FROM postings GROUP BY 1, 2
+),
+df AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM postings) GROUP BY 1
+),
+q(query_id, term) AS (VALUES {qvals}),
+scored AS (
+    SELECT q.query_id, t.doc_id, {contrib} AS contrib_micro
+    FROM tf t
+    JOIN q ON t.term = q.term
+    JOIN df d ON t.term = d.term
+    CROSS JOIN stats s
+),
+per_doc AS (
+    SELECT query_id, doc_id,
+           CAST(sum(contrib_micro) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS matched_terms
+    FROM scored GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_micro, matched_terms
+FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+    FROM per_doc
+) WHERE rank <= {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting: adjacent-pair frequencies, top merges.
+# ---------------------------------------------------------------------------
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tok_arr) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(tok_arr) - 2), "
+                "i -> struct(tok_arr[i] AS lhs, tok_arr[i+1] AS rhs)) END"
+            )
+        ).alias("p")
+    ).select("p.lhs", "p.rhs")
+    counted = pairs.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_ct")
+    )
+    # Total order (ct desc, lhs, rhs) -> the limit is deterministic and the
+    # physical plan is TakeOrderedAndProject, not a global sort.
+    ranked = counted.orderBy(
+        F.col("pair_ct").desc(), F.col("lhs"), F.col("rhs")
+    ).limit(BPE_TOPK)
+    w = Window.orderBy(F.col("pair_ct").desc(), F.col("lhs"), F.col("rhs"))
+    return ranked.withColumn("merge_rank", F.row_number().over(w)).select(
+        "merge_rank", "lhs", "rhs", "pair_ct"
+    )
+
+
+_BPE_SQL = f"""
+WITH tok AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT t[i] AS lhs, t[i+1] AS rhs
+    FROM tok, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+counted AS (
+    SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS pair_ct
+    FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY pair_ct DESC, lhs, rhs) AS INTEGER)
+           AS merge_rank,
+       lhs, rhs, pair_ct
+FROM counted
+ORDER BY pair_ct DESC, lhs, rhs
+LIMIT {BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (fixed-window exact-substring approximation).
+# ---------------------------------------------------------------------------
+SPAN_W = 8
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tok_arr) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(0, (size(tok_arr) div {SPAN_W}) - 1), "
+                f"i -> md5(array_join(slice(tok_arr, i * {SPAN_W} + 1, "
+                f"{SPAN_W}), ' '))) END"
+            )
+        ).alias("h"),
+    )
+    # Distinct docs per span hash; a span is duplicated if seen in >= 2.
+    span_df = (
+        spans.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("span_docs"))
+    )
+    flagged = spans.join(span_df, "h")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum((F.col("span_docs") >= 2).cast("bigint")).alias("dup_spans"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_spans",
+        "dup_spans",
+        (F.col("dup_spans").cast("double") / F.col("n_spans")).alias(
+            "dup_frac"
+        ),
+    )
+
+
+_SPAN_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               t[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})], ' ')) AS h
+    FROM tok,
+         UNNEST(range(0, greatest(len(t) // {SPAN_W}, 0))) AS u(i)
+    WHERE len(t) >= {SPAN_W}
+),
+span_df AS (
+    SELECT h, CAST(count(*) AS BIGINT) AS span_docs
+    FROM (SELECT DISTINCT doc_id, h FROM spans) GROUP BY 1
+),
+agg AS (
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_spans
+    FROM spans s JOIN span_df d USING (h)
+    GROUP BY 1
+)
+SELECT doc_id, n_spans, dup_spans,
+       CAST(dup_spans AS DOUBLE) / n_spans AS dup_frac
+FROM agg
+"""
+
+
+QUERIES = {
+    "bm25_doc_search": bm25_doc_search,
+    "bpe_pair_counts": bpe_pair_counts,
+    "span_dedup_stats": span_dedup_stats,
+}
+
+ORACLE = {
+    "bm25_doc_search": _bm25_sql(),
+    "bpe_pair_counts": _BPE_SQL,
+    "span_dedup_stats": _SPAN_SQL,
+}
