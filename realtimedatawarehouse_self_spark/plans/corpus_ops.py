@@ -403,6 +403,100 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixture: sample each source's documents so the
+# final mix follows count^alpha with alpha = 0.5 (the multilingual/domain
+# rebalancing rule — small domains up-weighted relative to their share,
+# cf. the sampling-temperature scheme in multilingual pretraining). Weights
+# use sqrt (IEEE754 correctly rounded, so both engines agree bit-for-bit),
+# floored to integer micro-units BEFORE the normalizing sum so the
+# denominator is exact bigint; per-source targets are pure integer division;
+# membership is the same deterministic md5-fraction test as
+# `lang_mix_rebalance`. One tiny per-source aggregate broadcast back over
+# one corpus scan — no corpus shuffle at any size.
+# ---------------------------------------------------------------------------
+MIX_SAMPLE_TOTAL = 200  # target docs across all sources
+
+
+def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ct")
+    )
+    weighted = counts.withColumn(
+        "w_micro",
+        F.expr(
+            "CAST(floor(sqrt(CAST(total_ct AS DOUBLE)) * 1000000.0)"
+            " AS BIGINT)"
+        ),
+    )
+    tot = weighted.agg(F.sum("w_micro").alias("tot_w"))
+    targets = weighted.crossJoin(F.broadcast(tot)).withColumn(
+        "target_ct", F.expr(f"({MIX_SAMPLE_TOTAL} * w_micro) div tot_w")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "source", "doc_id")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HASH_DEN)
+    )
+    flagged = docs.join(F.broadcast(targets), "source").withColumn(
+        "kept",
+        (
+            h * F.col("total_ct").cast("double")
+            < F.col("target_ct").cast("double")
+        ).cast("int"),
+    )
+    return flagged.groupBy("source").agg(
+        F.first("total_ct").alias("total_ct"),
+        F.first("w_micro").alias("w_micro"),
+        F.first("target_ct").alias("target_ct"),
+        F.sum("kept").cast("bigint").alias("kept_ct"),
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS total_ct
+    FROM documents GROUP BY 1
+),
+weighted AS (
+    SELECT source, total_ct,
+           CAST(floor(sqrt(CAST(total_ct AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w_micro
+    FROM counts
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM weighted),
+targets AS (
+    SELECT w.source, w.total_ct, w.w_micro,
+           ({MIX_SAMPLE_TOTAL} * w.w_micro) // t.tot_w AS target_ct
+    FROM weighted w CROSS JOIN tot t
+),
+flagged AS (
+    SELECT d.source, g.total_ct, g.w_micro, g.target_ct,
+           CASE WHEN (CAST(TRY_CAST('0x' || substr(
+                        md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT) AS DOUBLE) / {_HASH_DEN})
+                     * CAST(g.total_ct AS DOUBLE)
+                     < CAST(g.target_ct AS DOUBLE)
+                THEN 1 ELSE 0 END AS kept
+    FROM documents d
+    JOIN targets g ON d.source = g.source
+)
+SELECT source,
+       any_value(total_ct) AS total_ct,
+       any_value(w_micro) AS w_micro,
+       any_value(target_ct) AS target_ct,
+       CAST(sum(kept) AS BIGINT) AS kept_ct
+FROM flagged
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
@@ -410,6 +504,7 @@ QUERIES = {
     "doc_pack_greedy": doc_pack_greedy,
     "knn_label_vote": knn_label_vote,
     "lang_mix_rebalance": lang_mix_rebalance,
+    "domain_mixture_temperature": domain_mixture_temperature,
 }
 
 ORACLE = {
@@ -419,4 +514,5 @@ ORACLE = {
     "doc_pack_greedy": _PACK_SQL,
     "knn_label_vote": _KNN_SQL,
     "lang_mix_rebalance": _LANG_MIX_SQL,
+    "domain_mixture_temperature": _MIXTURE_SQL,
 }

@@ -302,11 +302,135 @@ FROM filled
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity day; per (cohort, day
+# offset 0..7) the count of users active again on that offset day. Shape:
+# (user, day) distinct -> one shuffle on user_id; the cohort join reuses the
+# same user partitioning (co-partitioned, no second fact shuffle); the final
+# aggregate is tiny-key (days x 8 offsets). Since (user_id, d) rows are
+# unique after the distinct, the per-(cohort, offset) count is a plain
+# count(*) — no distinct aggregate in the hot path.
+# ---------------------------------------------------------------------------
+RETENTION_MAX_OFFSET = 7
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    offs = (
+        days.join(cohorts, "user_id")
+        .withColumn(
+            "day_offset", F.datediff("d", "cohort_day").cast("bigint")
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+    )
+    ret = offs.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("retained_users")
+    )
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return ret.join(sizes, "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "retained_users",
+        "cohort_size",
+        (
+            F.col("retained_users").cast("double") / F.col("cohort_size")
+        ).alias("retention_frac"),
+    )
+
+
+_RETENTION_SQL = f"""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohorts AS (
+    SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1
+),
+offs AS (
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, d.d) AS BIGINT) AS day_offset
+    FROM days d JOIN cohorts c USING (user_id)
+    WHERE date_diff('day', c.cohort_day, d.d) <= {RETENTION_MAX_OFFSET}
+),
+ret AS (
+    SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS retained_users
+    FROM offs GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+    FROM cohorts GROUP BY 1
+)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+       r.day_offset, r.retained_users, s.cohort_size,
+       CAST(r.retained_users AS DOUBLE) / s.cohort_size AS retention_frac
+FROM ret r JOIN sizes s USING (cohort_day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: the materialized-view refresh pattern.
+# The hourly rollup is computed as BASE (events before the cutoff day — the
+# standing aggregate) merged with INC (the newly-arrived partition), and the
+# oracle is the direct full rollup — proving the merge is lossless. Works
+# because the measures are exactly associative (counts + integer cents):
+# at 100 TB the nightly refresh touches only the new partition, never the
+# full fact table, and this query is the correctness contract for that.
+# ---------------------------------------------------------------------------
+ROLLUP_CUTOFF = "2024-01-25"
+
+
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def _hourly(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("event_ct"),
+            F.sum(money_cents("value")).alias("v_c"),
+        )
+
+    base = _hourly(ev.filter(F.to_date("ts") < F.lit(ROLLUP_CUTOFF)))
+    inc = _hourly(ev.filter(F.to_date("ts") >= F.lit(ROLLUP_CUTOFF)))
+    merged = (
+        base.unionByName(inc)
+        .groupBy("h", "event_type")
+        .agg(
+            F.sum("event_ct").cast("bigint").alias("event_ct"),
+            F.sum("v_c").alias("v_c"),
+        )
+    )
+    return merged.select(
+        F.date_format("h", TS_FMT).alias("hour_ts"),
+        "event_type",
+        "event_ct",
+        cents_amount("v_c").alias("total_value"),
+    )
+
+
+# Oracle is deliberately NON-incremental: the direct rollup the merge must
+# reproduce bit-for-bit.
+_INCREMENTAL_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       event_type,
+       CAST(count(*) AS BIGINT) AS event_ct,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "scd2_user_value": scd2_user_value,
     "column_profile": column_profile,
     "gap_fill_locf": gap_fill_locf,
+    "user_retention_cohorts": user_retention_cohorts,
+    "incremental_hourly_rollup": incremental_hourly_rollup,
 }
 
 ORACLE = {
@@ -314,4 +438,6 @@ ORACLE = {
     "scd2_user_value": _SCD2_SQL,
     "column_profile": _PROFILE_SQL,
     "gap_fill_locf": _GAP_FILL_SQL,
+    "user_retention_cohorts": _RETENTION_SQL,
+    "incremental_hourly_rollup": _INCREMENTAL_SQL,
 }
