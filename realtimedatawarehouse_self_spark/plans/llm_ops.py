@@ -1753,6 +1753,130 @@ FROM quant
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF + quantized-scan + exact rerank: the memory-bandwidth-tiered ANN the
+# 100 TB path actually runs (IVF-flat on int8 codes). Candidates inside the
+# probed cell are scored with the int8 QUANTIZED dot product first — a pure
+# bigint sum (4x less data to stream than the float vectors; on a cluster
+# the code table fits where the float table does not) — and only the top
+# RERANK_R shortlist per query is re-scored with exact float cosine. The
+# ranking key is CAST(idot AS DOUBLE) * corpus_scale: the query-side scale
+# is constant per query (monotone, droppable); idot is exact, so one
+# correctly-rounded multiply keeps both engines bit-identical. Quantization
+# formula is exactly `embedding_quantize_int8`'s (scale = max|x|/127,
+# floor(x/scale + 0.5)).
+# ---------------------------------------------------------------------------
+RERANK_R = 10
+
+
+def similarity_topk_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cells = _cells(emb)
+    quant = (
+        cells.withColumn(
+            "maxabs", F.expr("array_max(transform(vec, x -> abs(x)))")
+        )
+        .withColumn(
+            "scale",
+            F.when(F.col("maxabs") == 0.0, F.lit(1.0)).otherwise(
+                F.col("maxabs") / F.lit(127.0)
+            ),
+        )
+        .withColumn(
+            "q",
+            F.expr("transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))"),
+        )
+    )
+    qside = quant.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("cell").alias("qcell"),
+        F.col("q").alias("iq"),
+    )
+    cand = (
+        quant.join(F.broadcast(qside), quant.cell == qside.qcell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "idot",
+            F.expr(
+                "aggregate(zip_with(iq, q, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("adc_key", F.expr("CAST(idot AS DOUBLE) * scale"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_key").desc(), F.col("vec_id")
+    )
+    shortlist = cand.withColumn("arn", F.row_number().over(w1)).filter(
+        F.col("arn") <= RERANK_R
+    )
+    rer = shortlist.withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "idot",
+            "score",
+        )
+    )
+
+
+_ADC_SQL = f"""
+WITH {IVF_ASSIGN_CTE},
+quant AS (
+    SELECT vec_id, vec, cell, scale,
+           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+               AS q
+    FROM (
+        SELECT vec_id, vec, cell,
+               CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+        FROM (
+            SELECT vec_id, vec, cell,
+                   list_max(list_transform(vec, x -> abs(x))) AS m
+            FROM assigned
+        )
+    )
+),
+qside AS (
+    SELECT vec_id AS query_id, vec AS qvec, cell AS qcell, q AS iq
+    FROM quant WHERE vec_id < {NUM_QUERY_VECS}
+),
+cand AS (
+    SELECT s.query_id, s.qvec, c.vec_id, c.vec,
+           CAST(list_dot_product(s.iq, c.q) AS BIGINT) AS idot,
+           CAST(CAST(list_dot_product(s.iq, c.q) AS BIGINT) AS DOUBLE)
+               * c.scale AS adc_key
+    FROM quant c JOIN qside s
+      ON c.cell = s.qcell AND c.vec_id <> s.query_id
+),
+shortlist AS (
+    SELECT query_id, qvec, vec_id, vec, idot
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_key DESC, vec_id) AS arn
+        FROM cand
+    ) WHERE arn <= {RERANK_R}
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, idot, score
+FROM (
+    SELECT query_id, vec_id, idot,
+           {_COSINE_SQL.format(a="qvec", b="vec")} AS score,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY {_COSINE_SQL.format(a="qvec", b="vec")} DESC,
+                        vec_id) AS rnk
+    FROM shortlist
+) WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1778,6 +1902,7 @@ QUERIES = {
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
     "similarity_topk_ivf_multiprobe": similarity_topk_ivf_multiprobe,
+    "similarity_topk_ivf_adc_rerank": similarity_topk_ivf_adc_rerank,
     "dedup_lsh_verified": dedup_lsh_verified,
     "similarity_topk_filtered": similarity_topk_filtered,
 }
@@ -1810,6 +1935,7 @@ ORACLE = {
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
     "similarity_topk_ivf_multiprobe": _MULTIPROBE_SQL,
+    "similarity_topk_ivf_adc_rerank": _ADC_SQL,
     "dedup_lsh_verified": _lsh_verified_sql(),
     "similarity_topk_filtered": _FILTERED_TOPK_SQL,
 }
