@@ -120,6 +120,13 @@ HEADLINE = [
     "cdc_changelog_snapshot",
     "funnel_conversion",
     "lang_mix_rebalance",
+    "bm25_doc_search",
+    "bpe_pair_counts",
+    "span_dedup_stats",
+    "user_retention_cohorts",
+    "incremental_hourly_rollup",
+    "domain_mixture_temperature",
+    "similarity_topk_ivf_adc_rerank",
 ]
 
 

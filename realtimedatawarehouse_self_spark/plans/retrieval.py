@@ -90,11 +90,13 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.first("dl").alias("dl"),
     )
-    df_ = (
-        postings.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # df falls out of tf for free: one row per (doc, term) means counting
+    # rows per term IS the document frequency. Deriving it from the tiny tf
+    # aggregate (≤ |query terms| rows per doc) instead of a second
+    # distinct over postings avoids re-running the corpus scan + explode
+    # for the df branch (verified via .explain: 3 scans → 2).
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
     qterms = spark.createDataFrame(_QUERY_ROWS, "query_id INT, term STRING")
     scored = (

@@ -317,9 +317,12 @@ RETENTION_MAX_OFFSET = 7
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    cohorts = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    # Cohort day via window-min over the already-shuffled distinct days —
+    # no groupBy+join back against the user set (that join is SMJ-sized at
+    # cluster scale; the window reuses one user_id exchange).
+    wu = Window.partitionBy("user_id")
     offs = (
-        days.join(cohorts, "user_id")
+        days.withColumn("cohort_day", F.min("d").over(wu))
         .withColumn(
             "day_offset", F.datediff("d", "cohort_day").cast("bigint")
         )
@@ -328,10 +331,19 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = offs.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("retained_users")
     )
-    sizes = cohorts.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    # Every user is active on their own cohort day, so the offset-0 row IS
+    # the cohort size — lifted across the cohort's rows with a window over
+    # the TINY aggregate (days x 8 rows). A separate sizes branch would
+    # re-run the whole fact subtree (verified via .explain: second scan +
+    # two fact exchanges); this keeps the fact table read once.
+    wc = Window.partitionBy("cohort_day")
+    sized = ret.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("day_offset") == 0, F.col("retained_users"))
+        ).over(wc),
     )
-    return ret.join(sizes, "cohort_day").select(
+    return sized.select(
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         "day_offset",
         "retained_users",
