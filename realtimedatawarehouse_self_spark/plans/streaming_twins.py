@@ -276,11 +276,96 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming incremental rollup: the MATERIALIZED-VIEW MAINTENANCE loop run
+# as a real streaming job. Events arrive across MULTIPLE micro-batches
+# (maxFilesPerTrigger=1 over a multi-file source under availableNow); each
+# batch's hourly partial aggregate is merged additively into a keyed
+# parquet store through the crash-safe single-writer upsert sink
+# (K3/K4/K5 + the foreachBatch pattern, reference
+# DIM_SinkFunction.java:28-92). The oracle is the DIRECT batch rollup over
+# all events — so the gate proves that per-batch delta merges compose to
+# the full answer regardless of how the data was batched (counts + integer
+# cents are exactly associative). This is `incremental_hourly_rollup`'s
+# contract upgraded from a two-way batch split to a real streaming
+# execution with per-batch sink commits.
+# ---------------------------------------------------------------------------
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import TS_FMT
+    from realtimedatawarehouse_self_spark.streaming.sinks import upsert_parquet
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-incr-")
+        src, store, cp = (os.path.join(base, d) for d in ("src", "store", "cp"))
+        events = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        )
+        # 4 source files -> 4 micro-batches -> 4 delta merges into the store
+        events.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def merge(batch_df: DataFrame, _batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            part = batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("h"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("event_ct"),
+                F.sum(money_cents("value")).alias("v_c"),
+            )
+            if os.path.exists(store):
+                cur = sess.read.parquet(store).select(
+                    "h",
+                    "event_type",
+                    F.col("event_ct").alias("c0"),
+                    F.col("v_c").alias("v0"),
+                )
+                part = part.join(cur, ["h", "event_type"], "left").select(
+                    "h",
+                    "event_type",
+                    (F.col("event_ct") + F.coalesce("c0", F.lit(0))).alias(
+                        "event_ct"
+                    ),
+                    (F.col("v_c") + F.coalesce("v0", F.lit(0))).alias("v_c"),
+                )
+            upsert_parquet(sess, part, store, keys=["h", "event_type"])
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(store).select(
+            F.date_format("h", TS_FMT).alias("hour_ts"),
+            "event_type",
+            F.col("event_ct").cast("bigint").alias("event_ct"),
+            cents_amount("v_c").alias("total_value"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _incr_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.timeseries import (
+        _INCREMENTAL_SQL,
+    )
+
+    return _INCREMENTAL_SQL
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_uv_daily": streaming_uv_daily,
     "streaming_session_windows": streaming_session_windows,
     "streaming_join_view_purchase": streaming_join_view_purchase,
+    "streaming_incremental_rollup": streaming_incremental_rollup,
 }
 
 ORACLE = {
@@ -288,4 +373,5 @@ ORACLE = {
     "streaming_uv_daily": _UV_SQL,
     "streaming_session_windows": _session_stream_sql(),
     "streaming_join_view_purchase": _JOIN_STREAM_SQL,
+    "streaming_incremental_rollup": _incr_stream_sql(),
 }
