@@ -90,11 +90,16 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.first("dl").alias("dl"),
     )
+    # tf feeds BOTH the scoring join and the df derivation below; persist
+    # it so the corpus scan + explode + combine materializes once (without
+    # this, each consumer re-runs the postings subtree — at 100 TB that is
+    # a second full-corpus pass).
+    tf = tf.persist()
     # df falls out of tf for free: one row per (doc, term) means counting
     # rows per term IS the document frequency. Deriving it from the tiny tf
     # aggregate (≤ |query terms| rows per doc) instead of a second
     # distinct over postings avoids re-running the corpus scan + explode
-    # for the df branch (verified via .explain: 3 scans → 2).
+    # for the df branch.
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )

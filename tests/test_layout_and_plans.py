@@ -204,3 +204,49 @@ def test_export_clustered_layout(spark, tmp_path):
         for u in set(pq.read_table(f).to_pandas()["user_id"]):
             assert seen.setdefault(u, f) == f, "key straddles files"
     assert total == 10000
+
+
+# ---- round-4 plan-shape pins (PLANS.md "round-4 additions" table) ----
+
+def _distinct_scans(plan: str) -> int:
+    """Unique parquet-scan nodes in a formatted plan (the tree section may
+    print a shared node several times; the detail section lists each node
+    id exactly once)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+
+
+def test_retention_single_scan_zero_joins(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["user_retention_cohorts"](spark, sf))
+    assert _distinct_scans(plan) == 1  # sizes branch must not re-scan
+    assert "Join" not in plan  # cohort day + size are windows, not joins
+
+
+def test_bm25_two_scans_no_smj(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bm25_doc_search"](spark, sf))
+    # stats branch + persisted tf branch only; df derives from cached tf
+    assert _distinct_scans(plan) <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_bpe_topk_is_take_ordered(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bpe_pair_counts"](spark, sf))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_adc_rerank_stays_joinsafe(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["similarity_topk_ivf_adc_rerank"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # all joins broadcast-side
+    assert "WindowGroupLimit" in plan
