@@ -127,6 +127,8 @@ HEADLINE = [
     "incremental_hourly_rollup",
     "domain_mixture_temperature",
     "similarity_topk_ivf_adc_rerank",
+    "dq_constraint_audit",
+    "anomaly_zscore_daily",
 ]
 
 

@@ -58,11 +58,11 @@ _VERIFY_FIRST = [
     "domain_mixture_temperature",
     "bm25_doc_search",
     "similarity_topk_ivf_adc_rerank",
+    "dq_constraint_audit",
+    "anomaly_zscore_daily",
     "lang_id_ngram",
     "baselog_stream_split",
-    "corpus_split_assign",
     "stratified_sample_corpus",
-    "doc_length_histogram",
     "tpch_q14_promo_share",
     "token_count_stats",
     "dedup_edit_distance",
@@ -102,6 +102,8 @@ _VERIFY_FIRST = [
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
     # -- below the driver's ~50-query budget: demoted, r1-proven, trivial --
+    "doc_length_histogram",
+    "corpus_split_assign",
     "text_quality_score",
     "tpch_q6_forecast_revenue",
     "scalar_function_surface",

@@ -511,8 +511,200 @@ WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality constraint audit: the expectation-suite job every warehouse
+# runs before publishing a load — one row per declared constraint with its
+# violation count. Constraint classes covered: referential integrity
+# (FK orphans via left-anti joins — dimension side broadcasts; the
+# lineitem->orders probe is the only fact-sized shuffle), domain membership
+# (event_type enum), and range/null rules (conditional aggregation inside
+# ONE scan per table — no per-rule jobs). Counts are exact bigints.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+
+    def row(name: str, viol, checked) -> DataFrame:
+        return viol.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("v").cast("bigint").alias("violation_ct"),
+            F.lit(None).cast("bigint").alias("checked_ct"),
+        ).crossJoin(checked.select(F.col("n").alias("_n"))).select(
+            "constraint_name",
+            "violation_ct",
+            F.col("_n").cast("bigint").alias("checked_ct"),
+            (F.col("violation_ct") == 0).cast("int").alias("passed"),
+        )
+
+    fk_orders = row(
+        "orders.o_custkey -> customer.c_custkey",
+        orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v")),
+        orders.agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk_lineitem = row(
+        "lineitem.l_orderkey -> orders.o_orderkey",
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v")),
+        lineitem.agg(F.count(F.lit(1)).alias("n")),
+    )
+    enum_lits = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    ev_agg = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~F.expr(f"event_type IN ({enum_lits})")).cast("bigint")
+        ).alias("bad_type"),
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("null_user"),
+    )
+    ev_enum = ev_agg.select(
+        F.lit("events.event_type in enum").alias("constraint_name"),
+        F.col("bad_type").cast("bigint").alias("violation_ct"),
+        F.col("n").cast("bigint").alias("checked_ct"),
+        (F.col("bad_type") == 0).cast("int").alias("passed"),
+    )
+    ev_null = ev_agg.select(
+        F.lit("events.user_id not null").alias("constraint_name"),
+        F.col("null_user").cast("bigint").alias("violation_ct"),
+        F.col("n").cast("bigint").alias("checked_ct"),
+        (F.col("null_user") == 0).cast("int").alias("passed"),
+    )
+    li_agg = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("bad_qty"),
+    )
+    li_range = li_agg.select(
+        F.lit("lineitem.l_quantity > 0").alias("constraint_name"),
+        F.col("bad_qty").cast("bigint").alias("violation_ct"),
+        F.col("n").cast("bigint").alias("checked_ct"),
+        (F.col("bad_qty") == 0).cast("int").alias("passed"),
+    )
+    out = fk_orders
+    for part in (fk_lineitem, ev_enum, ev_null, li_range):
+        out = out.unionByName(part)
+    return out
+
+
+def _dq_sql() -> str:
+    enum_lits = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    return f"""
+SELECT 'orders.o_custkey -> customer.c_custkey' AS constraint_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT) AS violation_ct,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS checked_ct,
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+            AS INTEGER) AS passed
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+            AS INTEGER)
+UNION ALL
+SELECT 'events.event_type in enum',
+       CAST((SELECT count(*) FROM events
+             WHERE event_type NOT IN ({enum_lits})) AS BIGINT),
+       CAST((SELECT count(*) FROM events) AS BIGINT),
+       CAST((SELECT count(*) FROM events
+             WHERE event_type NOT IN ({enum_lits})) = 0 AS INTEGER)
+UNION ALL
+SELECT 'events.user_id not null',
+       CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT),
+       CAST((SELECT count(*) FROM events) AS BIGINT),
+       CAST((SELECT count(*) FROM events WHERE user_id IS NULL) = 0
+            AS INTEGER)
+UNION ALL
+SELECT 'lineitem.l_quantity > 0',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) = 0
+            AS INTEGER)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily-count anomaly detection: flag (event_type, day) cells whose count
+# deviates from the type's mean by more than 2 sigma. The FLAG is pure
+# integer arithmetic — |x - mean| > 2*sigma is squared into
+# (n*x - sum)^2 > 4*(n*sumsq - sum^2) over exact bigint daily counts — so
+# partial-agg order and float rounding cannot flip a verdict; the reported
+# z-score is a fixed-order double chain over the same integers. One fact
+# shuffle on (type, day); the per-type stats ride a window over the tiny
+# daily aggregate (days x types rows).
+# ---------------------------------------------------------------------------
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    wt = Window.partitionBy("event_type")
+    stats = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("s1", F.sum("ct").over(wt))
+        .withColumn("s2", F.sum(F.col("ct") * F.col("ct")).over(wt))
+    )
+    # z = (x - s1/n) / sqrt((n*s2 - s1^2)/n^2)  -- written as one fixed-
+    # order chain; flag squared into exact bigint comparison
+    return stats.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "ct",
+        F.expr(
+            "(CAST(ct AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))"
+        ).alias("zscore"),
+        F.expr(
+            "CAST((n * ct - s1) * (n * ct - s1) > 4 * (n * s2 - s1 * s1)"
+            " AS INT)"
+        ).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, d, ct,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(ct) OVER w AS BIGINT) AS s1,
+           CAST(sum(ct * ct) OVER w AS BIGINT) AS s2
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       ct,
+       (CAST(ct AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+           AS zscore,
+       CAST((n * ct - s1) * (n * ct - s1) > 4 * (n * s2 - s1 * s1)
+            AS INTEGER) AS is_anomaly
+FROM stats
+"""
+
+
 QUERIES = {
     "visitor_repair_batch": visitor_repair_batch,
+    "dq_constraint_audit": dq_constraint_audit,
+    "anomaly_zscore_daily": anomaly_zscore_daily,
     "tpch_q13_order_distribution": tpch_q13_order_distribution,
     "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
     "tpch_q18_large_orders": tpch_q18_large_orders,
@@ -527,6 +719,8 @@ QUERIES = {
 
 ORACLE = {
     "visitor_repair_batch": _VISITOR_REPAIR_SQL,
+    "dq_constraint_audit": _dq_sql(),
+    "anomaly_zscore_daily": _ANOMALY_SQL,
     "tpch_q13_order_distribution": _Q13_SQL,
     "tpch_q17_small_quantity_revenue": _Q17_SQL,
     "tpch_q18_large_orders": _Q18_SQL,
