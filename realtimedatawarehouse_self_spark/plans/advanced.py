@@ -664,9 +664,12 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "ct",
+        # nullif: a type whose daily counts are constant (or seen on one
+        # day) has sigma 0 — its z-score is undefined (NULL), not an error
         F.expr(
             "(CAST(ct AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
-            " / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " / nullif(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))"
+            " / CAST(n AS DOUBLE), 0.0)"
         ).alias("zscore"),
         F.expr(
             "CAST((n * ct - s1) * (n * ct - s1) > 4 * (n * s2 - s1 * s1)"
@@ -693,7 +696,8 @@ SELECT event_type,
        strftime(d, '%Y-%m-%d') AS day,
        ct,
        (CAST(ct AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-           / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+           / nullif(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                    / CAST(n AS DOUBLE), 0.0)
            AS zscore,
        CAST((n * ct - s1) * (n * ct - s1) > 4 * (n * s2 - s1 * s1)
             AS INTEGER) AS is_anomaly
