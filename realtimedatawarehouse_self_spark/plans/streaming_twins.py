@@ -307,7 +307,14 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.repartition(4).write.parquet(src)
         schema = spark.read.parquet(src).schema
 
-        def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        from realtimedatawarehouse_self_spark.streaming.sinks import (
+            batch_id_guard,
+        )
+
+        # Additive merges are not idempotent under foreachBatch replay —
+        # the guard's batch-id high-water mark makes them exactly-once.
+        @batch_id_guard(os.path.join(base, "last_batch"))
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
             sess = batch_df.sparkSession
             part = batch_df.groupBy(
                 F.date_trunc("hour", "ts").alias("h"), "event_type"

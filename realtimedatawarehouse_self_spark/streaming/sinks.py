@@ -89,6 +89,38 @@ def _acquire_lock(path: str, lease_s: float = LOCK_LEASE_S) -> str:
     )
 
 
+def batch_id_guard(marker_path: str):
+    """Make a non-idempotent foreachBatch function exactly-once.
+
+    Structured Streaming may REPLAY a micro-batch after a failure; sinks
+    whose merge is not idempotent (additive rollups, appends) double-apply
+    it. This decorator keeps a batch-id high-water mark next to the sink:
+    a batch at or below the mark is a replay and is skipped; the mark is
+    advanced with an atomic rename AFTER the wrapped merge commits. This
+    is the standard foreachBatch exactly-once recipe (Delta's
+    txnVersion/txnAppId, re-expressed for filesystem sinks). Crash window:
+    dying between the merge commit and the mark rename replays once —
+    close it by committing the mark inside the sink's own swap (as
+    upsert_parquet callers can, the mark being written before the final
+    rename) or by making the merge itself keyed-idempotent."""
+
+    def wrap(fn):
+        def inner(batch_df: DataFrame, batch_id: int) -> None:
+            if os.path.exists(marker_path):
+                with open(marker_path) as fh:
+                    if batch_id <= int(fh.read().strip()):
+                        return  # replayed batch: already applied
+            fn(batch_df, batch_id)
+            tmp = marker_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(batch_id))
+            os.replace(tmp, marker_path)
+
+        return inner
+
+    return wrap
+
+
 def append_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 

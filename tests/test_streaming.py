@@ -641,3 +641,52 @@ def test_upsert_parquet_single_writer_lock(spark, tmp_path):
     except Exception:
         pass
     assert not os.path.exists(lock)
+
+
+def test_batch_id_guard_skips_replayed_batches(spark, tmp_path):
+    """foreachBatch replay safety: a non-idempotent merge wrapped in
+    batch_id_guard must apply each batch id exactly once, in order, and
+    skip any replay of an already-applied id."""
+    from realtimedatawarehouse_self_spark.streaming.sinks import batch_id_guard
+
+    applied = []
+    marker = str(tmp_path / "last_batch")
+
+    @batch_id_guard(marker)
+    def merge(batch_df, batch_id):
+        applied.append(batch_id)
+
+    df = spark.range(1)
+    merge(df, 0)
+    merge(df, 0)  # replay of 0: skipped
+    merge(df, 1)
+    merge(df, 1)  # replay of 1: skipped
+    merge(df, 0)  # stale replay below the mark: skipped
+    merge(df, 2)
+    assert applied == [0, 1, 2]
+
+
+def test_batch_id_guard_mark_survives_failed_merge(spark, tmp_path):
+    """A merge that RAISES must not advance the high-water mark — the
+    retried batch must be applied on the retry, not skipped."""
+    from realtimedatawarehouse_self_spark.streaming.sinks import batch_id_guard
+
+    applied = []
+    marker = str(tmp_path / "last_batch")
+    fail_once = {"armed": True}
+
+    @batch_id_guard(marker)
+    def merge(batch_df, batch_id):
+        if batch_id == 1 and fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("transient sink failure")
+        applied.append(batch_id)
+
+    df = spark.range(1)
+    merge(df, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        merge(df, 1)
+    merge(df, 1)  # retry after failure: must apply
+    assert applied == [0, 1]
