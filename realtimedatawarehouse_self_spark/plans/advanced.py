@@ -533,7 +533,6 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return viol.select(
             F.lit(name).alias("constraint_name"),
             F.col("v").cast("bigint").alias("violation_ct"),
-            F.lit(None).cast("bigint").alias("checked_ct"),
         ).crossJoin(checked.select(F.col("n").alias("_n"))).select(
             "constraint_name",
             "violation_ct",
@@ -597,23 +596,31 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dq_sql() -> str:
     enum_lits = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    # NOT EXISTS (never NOT IN): NOT IN evaluates to NULL when either side
+    # holds a NULL key, silently dropping violations — NOT EXISTS with an
+    # equality predicate matches Spark's left_anti exactly (a NULL FK never
+    # equals any key, so it counts as an orphan on both engines).
     return f"""
 SELECT 'orders.o_custkey -> customer.c_custkey' AS constraint_name,
        CAST((SELECT count(*) FROM orders o
-             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
             AS BIGINT) AS violation_ct,
        CAST((SELECT count(*) FROM orders) AS BIGINT) AS checked_ct,
        CAST((SELECT count(*) FROM orders o
-             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) = 0
             AS INTEGER) AS passed
 UNION ALL
 SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
        CAST((SELECT count(*) FROM lineitem l
-             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
             AS BIGINT),
        CAST((SELECT count(*) FROM lineitem) AS BIGINT),
        CAST((SELECT count(*) FROM lineitem l
-             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) = 0
             AS INTEGER)
 UNION ALL
 SELECT 'events.event_type in enum',
@@ -641,7 +648,8 @@ SELECT 'lineitem.l_quantity > 0',
 # Daily-count anomaly detection: flag (event_type, day) cells whose count
 # deviates from the type's mean by more than 2 sigma. The FLAG is pure
 # integer arithmetic — |x - mean| > 2*sigma is squared into
-# (n*x - sum)^2 > 4*(n*sumsq - sum^2) over exact bigint daily counts — so
+# (n*x - sum)^2 > 4*(n*sumsq - sum^2) over exact wide integers
+# (DECIMAL(38,0) / HUGEINT; int64 would wrap at ~1e9 daily counts) — so
 # partial-agg order and float rounding cannot flip a verdict; the reported
 # z-score is a fixed-order double chain over the same integers. One fact
 # shuffle on (type, day); the per-type stats ride a window over the tiny
@@ -653,13 +661,20 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
     wt = Window.partitionBy("event_type")
+    # The squared-sigma intermediates (ct^2 sums and their products) exceed
+    # int64 once daily counts reach ~1e9, so they are carried in
+    # DECIMAL(38,0) (int128-class exact arithmetic; HUGEINT on the DuckDB
+    # side) — int64 would silently wrap under Spark's non-ANSI mode and
+    # flip verdicts. Outputs stay bigint/int/double.
     stats = (
         daily.withColumn("n", F.count(F.lit(1)).over(wt))
         .withColumn("s1", F.sum("ct").over(wt))
-        .withColumn("s2", F.sum(F.col("ct") * F.col("ct")).over(wt))
+        .withColumn(
+            "s2", F.sum(F.expr("CAST(ct AS DECIMAL(38,0)) * ct")).over(wt)
+        )
     )
     # z = (x - s1/n) / sqrt((n*s2 - s1^2)/n^2)  -- written as one fixed-
-    # order chain; flag squared into exact bigint comparison
+    # order chain; flag squared into exact wide-integer comparison
     return stats.select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
@@ -668,12 +683,15 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         # day) has sigma 0 — its z-score is undefined (NULL), not an error
         F.expr(
             "(CAST(ct AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
-            " / nullif(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))"
+            " / nullif(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))"
             " / CAST(n AS DOUBLE), 0.0)"
         ).alias("zscore"),
         F.expr(
-            "CAST((n * ct - s1) * (n * ct - s1) > 4 * (n * s2 - s1 * s1)"
-            " AS INT)"
+            "CAST((CAST(n AS DECIMAL(38,0)) * ct - s1)"
+            " * (CAST(n AS DECIMAL(38,0)) * ct - s1)"
+            " > 4 * (CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1) AS INT)"
         ).alias("is_anomaly"),
     )
 
@@ -688,7 +706,7 @@ stats AS (
     SELECT event_type, d, ct,
            CAST(count(*) OVER w AS BIGINT) AS n,
            CAST(sum(ct) OVER w AS BIGINT) AS s1,
-           CAST(sum(ct * ct) OVER w AS BIGINT) AS s2
+           CAST(sum(CAST(ct AS HUGEINT) * ct) OVER w AS HUGEINT) AS s2
     FROM daily
     WINDOW w AS (PARTITION BY event_type)
 )
@@ -696,10 +714,12 @@ SELECT event_type,
        strftime(d, '%Y-%m-%d') AS day,
        ct,
        (CAST(ct AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-           / nullif(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+           / nullif(sqrt(CAST(CAST(n AS HUGEINT) * s2
+                              - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
                     / CAST(n AS DOUBLE), 0.0)
            AS zscore,
-       CAST((n * ct - s1) * (n * ct - s1) > 4 * (n * s2 - s1 * s1)
+       CAST((CAST(n AS HUGEINT) * ct - s1) * (CAST(n AS HUGEINT) * ct - s1)
+            > 4 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
             AS INTEGER) AS is_anomaly
 FROM stats
 """

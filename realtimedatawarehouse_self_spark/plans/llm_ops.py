@@ -1701,19 +1701,51 @@ GROUP BY 1
 # the oracle comparison covers every element without comparing raw arrays.
 # floor(x + 0.5) is used instead of round() so both engines apply the
 # identical tie rule to identical doubles.
+# THE quantization formula lives in exactly two shared places —
+# `_with_int8_codes` (Spark) and `_quant_sql_fragment` (DuckDB) — consumed
+# by both `embedding_quantize_int8` and `similarity_topk_ivf_adc_rerank`,
+# so the two queries cannot drift apart.
 # ---------------------------------------------------------------------------
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    staged = emb.withColumn(
-        "maxabs", F.expr("array_max(transform(vec, x -> abs(x)))")
-    ).withColumn(
-        "scale",
-        F.when(F.col("maxabs") == 0.0, F.lit(1.0)).otherwise(
-            F.col("maxabs") / F.lit(127.0)
-        ),
-    ).withColumn(
-        "q", F.expr("transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))")
+def _with_int8_codes(df: DataFrame) -> DataFrame:
+    """Add `scale` and int8 code array `q` for a `vec` column."""
+    return (
+        df.withColumn(
+            "maxabs", F.expr("array_max(transform(vec, x -> abs(x)))")
+        )
+        .withColumn(
+            "scale",
+            F.when(F.col("maxabs") == 0.0, F.lit(1.0)).otherwise(
+                F.col("maxabs") / F.lit(127.0)
+            ),
+        )
+        .withColumn(
+            "q",
+            F.expr("transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))"),
+        )
+        .drop("maxabs")
     )
+
+
+def _quant_sql_fragment(src: str, cols: str) -> str:
+    """SQL twin of `_with_int8_codes`: select `cols`, vec, scale, q from
+    relation `src` (which must expose `cols` and vec)."""
+    return f"""
+    SELECT {cols}, vec, scale,
+           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+               AS q
+    FROM (
+        SELECT {cols}, vec,
+               CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+        FROM (
+            SELECT {cols}, vec,
+                   list_max(list_transform(vec, x -> abs(x))) AS m
+            FROM {src}
+        )
+    )"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _with_int8_codes(_emb(spark, sf_dir))
     return staged.select(
         "vec_id",
         "scale",
@@ -1725,23 +1757,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANT_SQL = """
+_QUANT_SQL = f"""
 WITH emb AS (
     SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ),
-staged AS (
-    SELECT vec_id, vec,
-           CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
-    FROM (
-        SELECT vec_id, vec,
-               list_max(list_transform(vec, x -> abs(x))) AS m
-        FROM emb
-    )
-),
 quant AS (
-    SELECT vec_id, scale,
-           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
-    FROM staged
+{_quant_sql_fragment("emb", "vec_id")}
 )
 SELECT vec_id, scale,
        CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
@@ -1771,22 +1792,7 @@ RERANK_R = 10
 
 def similarity_topk_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cells = _cells(emb)
-    quant = (
-        cells.withColumn(
-            "maxabs", F.expr("array_max(transform(vec, x -> abs(x)))")
-        )
-        .withColumn(
-            "scale",
-            F.when(F.col("maxabs") == 0.0, F.lit(1.0)).otherwise(
-                F.col("maxabs") / F.lit(127.0)
-            ),
-        )
-        .withColumn(
-            "q",
-            F.expr("transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))"),
-        )
-    )
+    quant = _with_int8_codes(_cells(emb))
     qside = quant.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -1831,18 +1837,7 @@ def similarity_topk_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFram
 _ADC_SQL = f"""
 WITH {IVF_ASSIGN_CTE},
 quant AS (
-    SELECT vec_id, vec, cell, scale,
-           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
-               AS q
-    FROM (
-        SELECT vec_id, vec, cell,
-               CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
-        FROM (
-            SELECT vec_id, vec, cell,
-                   list_max(list_transform(vec, x -> abs(x))) AS m
-            FROM assigned
-        )
-    )
+{_quant_sql_fragment("assigned", "vec_id, cell")}
 ),
 qside AS (
     SELECT vec_id AS query_id, vec AS qvec, cell AS qcell, q AS iq

@@ -42,11 +42,20 @@ from realtimedatawarehouse_self_spark.functions.exprs import tokens
 from realtimedatawarehouse_self_spark.plans.llm_ops import _docs
 
 # ---------------------------------------------------------------------------
-# BM25 (k1 = 1.2, b = 0.75; constants inlined into both expression trees).
-# idf is the Robertson odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log:
-# log is monotone, so per-term ranking is unchanged, and avoiding ln keeps
-# the expression inside the IEEE754 correctly-rounded op set (ln differs in
-# the last ulp across libm implementations; +-*/ and sqrt never do).
+# BM25-family scoring (k1 = 1.2, b = 0.75; constants inlined into both
+# expression trees). idf is the Robertson odds ratio
+# (N - df + 0.5)/(df + 0.5) WITHOUT the log — a DOCUMENTED DEVIATION from
+# textbook BM25, chosen so the expression stays inside the IEEE754
+# correctly-rounded op set (ln differs in the last ulp across libm
+# implementations; +-*/ and sqrt never do), keeping the cross-engine
+# oracle comparison exact. Consequences, stated honestly: per-TERM
+# ranking is unchanged (log is monotone), but the per-document SUM
+# weights rare terms more aggressively than log-idf BM25 — one very rare
+# term can outrank two moderately rare ones that log-idf would score
+# near-equal. Single-term queries rank identically to BM25. On a real
+# deployment (no bit-parity oracle) swap the odds ratio for
+# ln(odds + 1) in `_CONTRIB_FMT` — a one-line change; the distributed
+# plan (pruned postings, broadcast df, micro-unit sum) is unaffected.
 # ---------------------------------------------------------------------------
 BM25_QUERIES = (
     (0, ("table", "scan", "filter")),
@@ -93,7 +102,10 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds BOTH the scoring join and the df derivation below; persist
     # it so the corpus scan + explode + combine materializes once (without
     # this, each consumer re-runs the postings subtree — at 100 TB that is
-    # a second full-corpus pass).
+    # a second full-corpus pass). Not unpersisted: the query-builder
+    # contract returns an unexecuted frame, so eager cleanup would evict
+    # the cache before the caller runs it; the default MEMORY_AND_DISK
+    # level is LRU-evictable, bounding the residency cost.
     tf = tf.persist()
     # df falls out of tf for free: one row per (doc, term) means counting
     # rows per term IS the document frequency. Deriving it from the tiny tf

@@ -308,13 +308,20 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(src).schema
 
         from realtimedatawarehouse_self_spark.streaming.sinks import (
-            batch_id_guard,
+            read_table_meta,
         )
 
-        # Additive merges are not idempotent under foreachBatch replay —
-        # the guard's batch-id high-water mark makes them exactly-once.
-        @batch_id_guard(os.path.join(base, "last_batch"))
+        # Additive merges are not idempotent under foreachBatch replay.
+        # The batch-id high-water mark is committed INSIDE the upsert's
+        # atomic swap (`meta=`), so there is no crash window between "data
+        # merged" and "mark advanced" — a replayed batch is skipped iff its
+        # merge actually committed. (For sinks without transactional meta,
+        # `sinks.batch_id_guard` is the standalone recipe, with a
+        # documented one-replay window.)
         def merge(batch_df: DataFrame, batch_id: int) -> None:
+            seen = read_table_meta(store)
+            if seen is not None and batch_id <= seen["batch_id"]:
+                return  # replayed batch: its merge already committed
             sess = batch_df.sparkSession
             part = batch_df.groupBy(
                 F.date_trunc("hour", "ts").alias("h"), "event_type"
@@ -337,7 +344,13 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     (F.col("v_c") + F.coalesce("v0", F.lit(0))).alias("v_c"),
                 )
-            upsert_parquet(sess, part, store, keys=["h", "event_type"])
+            upsert_parquet(
+                sess,
+                part,
+                store,
+                keys=["h", "event_type"],
+                meta={"batch_id": batch_id},
+            )
 
         q = (
             spark.readStream.schema(schema)

@@ -358,27 +358,31 @@ _RETENTION_SQL = f"""
 WITH days AS (
     SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
 ),
-cohorts AS (
-    SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1
-),
+-- window (not a USING join) mirrors the Spark plan: a NULL user_id forms
+-- its own partition on both engines, where an equality join would drop it
 offs AS (
-    SELECT c.cohort_day,
-           CAST(date_diff('day', c.cohort_day, d.d) AS BIGINT) AS day_offset
-    FROM days d JOIN cohorts c USING (user_id)
-    WHERE date_diff('day', c.cohort_day, d.d) <= {RETENTION_MAX_OFFSET}
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset
+    FROM (
+        SELECT d, min(d) OVER (PARTITION BY user_id) AS cohort_day
+        FROM days
+    )
+    WHERE date_diff('day', cohort_day, d) <= {RETENTION_MAX_OFFSET}
 ),
 ret AS (
     SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS retained_users
     FROM offs GROUP BY 1, 2
 ),
-sizes AS (
-    SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
-    FROM cohorts GROUP BY 1
+sized AS (
+    SELECT *,
+           max(CASE WHEN day_offset = 0 THEN retained_users END)
+               OVER (PARTITION BY cohort_day) AS cohort_size
+    FROM ret
 )
-SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
-       r.day_offset, r.retained_users, s.cohort_size,
-       CAST(r.retained_users AS DOUBLE) / s.cohort_size AS retention_frac
-FROM ret r JOIN sizes s USING (cohort_day)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       day_offset, retained_users, cohort_size,
+       CAST(retained_users AS DOUBLE) / cohort_size AS retention_frac
+FROM sized
 """
 
 

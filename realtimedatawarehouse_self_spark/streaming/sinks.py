@@ -140,6 +140,7 @@ def upsert_parquet(
     path: str,
     keys: list[str],
     order_col: str | None = None,
+    meta: dict | None = None,
 ) -> None:
     """MERGE INTO analogue: last-writer-wins upsert keyed on `keys`.
 
@@ -151,15 +152,32 @@ def upsert_parquet(
     Single-writer contract: a per-table lease lockfile makes a concurrent
     upsert raise ConcurrentWriterError instead of corrupting the swap;
     locks abandoned by crashed writers are reclaimed after LOCK_LEASE_S.
+
+    `meta` (optional) is committed ATOMICALLY with the data: it is written
+    as `_meta.json` inside the new table directory before the swap rename
+    (underscore-prefixed files are invisible to parquet directory reads),
+    so a transactional marker — e.g. a foreachBatch batch-id high-water
+    mark — can never be observed out of sync with the table contents.
+    Read it back with `read_table_meta`.
     """
     lock = _acquire_lock(path)
     try:
-        _upsert_locked(spark, updates, path, keys, order_col)
+        _upsert_locked(spark, updates, path, keys, order_col, meta)
     finally:
         try:
             os.unlink(lock)
         except OSError:
             pass
+
+
+def read_table_meta(path: str) -> dict | None:
+    """Read the `_meta.json` committed with the last `upsert_parquet` swap
+    (None if the table or its meta does not exist)."""
+    f = os.path.join(path, "_meta.json")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
 
 
 def _upsert_locked(
@@ -168,6 +186,7 @@ def _upsert_locked(
     path: str,
     keys: list[str],
     order_col: str | None,
+    meta: dict | None = None,
 ) -> None:
     # If a previous run died between the two swap renames, the serving dir
     # is missing but `<path>.__old__` holds the table — restore it BEFORE
@@ -209,6 +228,11 @@ def _upsert_locked(
     _clean_leftovers(parent, base)
     try:
         merged.write.mode("overwrite").parquet(tmp)
+        if meta is not None:
+            # inside tmp BEFORE the rename: the swap commits data + meta
+            # as one atomic unit
+            with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+                json.dump(meta, fh)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

@@ -25,13 +25,15 @@ def seeded_sf_dir(tmp_path_factory):
         pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())}),
         os.path.join(d, "customer.parquet"),
     )
-    # orders: 8 rows; 2 orphans (custkey 98, 99)
+    # orders: 9 rows; 3 orphans (custkey 98, 99, and a NULL key — an FK
+    # that cannot match counts as a violation, matching left_anti/NOT
+    # EXISTS semantics on both engines)
     pq.write_table(
         pa.table(
             {
-                "o_orderkey": pa.array(list(range(10, 18)), pa.int64()),
+                "o_orderkey": pa.array(list(range(10, 19)), pa.int64()),
                 "o_custkey": pa.array(
-                    [1, 2, 3, 98, 4, 5, 99, 1], pa.int64()
+                    [1, 2, 3, 98, 4, 5, 99, 1, None], pa.int64()
                 ),
             }
         ),
@@ -92,11 +94,45 @@ def test_dq_audit_detects_planted_violations(spark, seeded_sf_dir):
         r["constraint_name"]: (r["violation_ct"], r["checked_ct"], r["passed"])
         for r in dq_constraint_audit(spark, seeded_sf_dir).collect()
     }
-    assert got["orders.o_custkey -> customer.c_custkey"] == (2, 8, 0)
+    assert got["orders.o_custkey -> customer.c_custkey"] == (3, 9, 0)
     assert got["lineitem.l_orderkey -> orders.o_orderkey"] == (3, 10, 0)
     assert got["events.event_type in enum"] == (1, 103, 0)
     assert got["events.user_id not null"] == (2, 103, 0)
     assert got["lineitem.l_quantity > 0"] == (1, 10, 0)
+
+
+def test_dq_audit_oracle_parity_with_null_keys(spark, seeded_sf_dir):
+    """Engine-vs-oracle agreement ON the NULL-bearing seeded data — pins
+    the left_anti <-> NOT EXISTS correspondence (NOT IN would collapse
+    violation counts to 0 the moment a NULL key appears)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare_query, register_duckdb_views
+
+    con = duckdb.connect()
+    register_duckdb_views(con, seeded_sf_dir)
+    df = e.queries()["dq_constraint_audit"](spark, seeded_sf_dir)
+    ok, detail = compare_query(df, con, e.oracle_sql()["dq_constraint_audit"])
+    assert ok, detail
+
+
+def test_retention_oracle_parity_with_null_users(spark, seeded_sf_dir):
+    """The seeded events include NULL user_ids: Spark's window partitions
+    and the oracle's window (vs a USING join, which would drop NULL keys)
+    must agree on treating NULL as its own cohort member."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare_query, register_duckdb_views
+
+    con = duckdb.connect()
+    register_duckdb_views(con, seeded_sf_dir)
+    df = e.queries()["user_retention_cohorts"](spark, seeded_sf_dir)
+    ok, detail = compare_query(
+        df, con, e.oracle_sql()["user_retention_cohorts"]
+    )
+    assert ok, detail
 
 
 def test_anomaly_flags_spike_day_only(spark, seeded_sf_dir):

@@ -690,3 +690,23 @@ def test_batch_id_guard_mark_survives_failed_merge(spark, tmp_path):
         merge(df, 1)
     merge(df, 1)  # retry after failure: must apply
     assert applied == [0, 1]
+
+
+def test_upsert_meta_commits_atomically_with_swap(spark, tmp_path):
+    """`meta=` rides the upsert's atomic swap: visible after the merge,
+    carrying exactly the last committed writer's payload."""
+    from realtimedatawarehouse_self_spark.streaming.sinks import (
+        read_table_meta,
+        upsert_parquet,
+    )
+
+    store = str(tmp_path / "t")
+    assert read_table_meta(store) is None
+    df1 = spark.createDataFrame([(1, 10)], "k int, v int")
+    upsert_parquet(spark, df1, store, keys=["k"], meta={"batch_id": 0})
+    assert read_table_meta(store) == {"batch_id": 0}
+    df2 = spark.createDataFrame([(1, 20), (2, 5)], "k int, v int")
+    upsert_parquet(spark, df2, store, keys=["k"], meta={"batch_id": 1})
+    assert read_table_meta(store) == {"batch_id": 1}
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(store).collect()}
+    assert rows == {1: 20, 2: 5}  # _meta.json invisible to the scan
