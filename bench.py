@@ -129,6 +129,7 @@ HEADLINE = [
     "similarity_topk_ivf_adc_rerank",
     "dq_constraint_audit",
     "anomaly_zscore_daily",
+    "active_users_rolling",
 ]
 
 

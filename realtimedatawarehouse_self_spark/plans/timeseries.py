@@ -440,6 +440,66 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / trailing-7-day WAU / stickiness): the
+# engagement metric family. Distinct-users-over-a-trailing-range is not a
+# window sum, so WAU uses the explode trick: each distinct (user, day)
+# activity row contributes the user to report days d..d+6, deduped, then a
+# plain count per report day. Work is bounded by 7x|distinct user-days| —
+# linear, no self-join on the day spine, no count-distinct over ranges.
+# NULL user_ids count once (no key join anywhere, so both engines agree).
+# ---------------------------------------------------------------------------
+WAU_WINDOW_DAYS = 7
+
+
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add("d", WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("rd"),
+    ).distinct()
+    wau = contrib.groupBy("rd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau_7")
+    )
+    # inner join restricts report days to observed days (the trailing
+    # window of a day past the data's end is not a reportable day)
+    return dau.join(wau, dau.d == wau.rd).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau_7",
+        (F.col("dau").cast("double") / F.col("wau_7")).alias("stickiness"),
+    )
+
+
+_ACTIVE_USERS_SQL = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+dau AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+),
+contrib AS (
+    SELECT DISTINCT user_id, CAST(u.rd AS DATE) AS rd
+    FROM ud,
+         UNNEST(generate_series(d, d + INTERVAL {WAU_WINDOW_DAYS - 1} DAY,
+                                INTERVAL 1 DAY)) AS u(rd)
+),
+wau AS (
+    SELECT rd, CAST(count(*) AS BIGINT) AS wau_7 FROM contrib GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       dau.dau, wau.wau_7,
+       CAST(dau.dau AS DOUBLE) / wau.wau_7 AS stickiness
+FROM dau JOIN wau ON dau.d = wau.rd
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "scd2_user_value": scd2_user_value,
@@ -447,6 +507,7 @@ QUERIES = {
     "gap_fill_locf": gap_fill_locf,
     "user_retention_cohorts": user_retention_cohorts,
     "incremental_hourly_rollup": incremental_hourly_rollup,
+    "active_users_rolling": active_users_rolling,
 }
 
 ORACLE = {
@@ -456,4 +517,5 @@ ORACLE = {
     "gap_fill_locf": _GAP_FILL_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
     "incremental_hourly_rollup": _INCREMENTAL_SQL,
+    "active_users_rolling": _ACTIVE_USERS_SQL,
 }
