@@ -1,0 +1,175 @@
+"""Property-based equivalence for the reusable relational operators.
+
+Each Spark operator is compared against a few-line pure-Python reference
+on hypothesis-generated inputs — the randomized companion to the
+fixed-case tests in test_operators.py. Examples are kept small and few
+(each example runs real Spark jobs); hypothesis still explores the edge
+geometry fixed cases miss: empty groups, all-ties, single-row frames,
+duplicate timestamps, keys present on only one join side.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.operators.relational import (
+    asof_join,
+    salted_join,
+    sessionize,
+    topk_per_group,
+    two_phase_sum,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.sampled_from(["a", "b", "c"])
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(_keys, st.integers(-50, 50)), min_size=1, max_size=30
+    ),
+    k=st.integers(1, 4),
+)
+def test_topk_per_group_matches_python(spark, rows, k):
+    # unique row id makes the requested total order unambiguous
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v int, rid int")
+    got = sorted(
+        map(tuple, topk_per_group(df, ["g"], [F.col("v").desc(), F.col("rid")], k).collect())
+    )
+    by_g = defaultdict(list)
+    for g, v, rid in data:
+        by_g[g].append((v, rid))
+    want = sorted(
+        (g, v, rid)
+        for g, items in by_g.items()
+        for v, rid in sorted(items, key=lambda t: (-t[0], t[1]))[:k]
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(_keys, st.integers(0, 100)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(_keys, st.integers(0, 100)), min_size=0, max_size=20
+    ),
+)
+def test_asof_join_matches_python(spark, left, right):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ldata = [(i, g, t(s)) for i, (g, s) in enumerate(left)]
+    rdata = [(g, t(s)) for g, s in right]
+    ldf = spark.createDataFrame(ldata, "row_id int, uid string, ts timestamp")
+    rdf = spark.createDataFrame(rdata, "uid string, r_ts timestamp") if rdata else (
+        spark.createDataFrame([], "uid string, r_ts timestamp")
+    )
+    got = {
+        r.row_id: r.r_ts
+        for r in asof_join(
+            ldf, rdf, on="uid", left_ts="ts", right_ts="r_ts", row_key="row_id"
+        ).collect()
+    }
+    for i, g, ts in ldata:
+        cands = [rt for rg, rt in rdata if rg == g and rt <= ts]
+        assert got[i] == (max(cands) if cands else None), (i, g, ts)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(_keys, st.integers(0, 200)), min_size=1, max_size=25
+    ),
+    gap_s=st.integers(1, 60),
+)
+def test_sessionize_matches_python(spark, rows, gap_s):
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (g, t0 + dt.timedelta(seconds=s), i) for i, (g, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "uid string, ts timestamp, eid int")
+    got = {
+        r.eid: r.session_idx
+        for r in sessionize(
+            df, key="uid", ts="ts", gap_ms=gap_s * 1000, tiebreak="eid"
+        ).collect()
+    }
+    by_g = defaultdict(list)
+    for g, ts, eid in data:
+        by_g[g].append((ts, eid))
+    for g, items in by_g.items():
+        items.sort()
+        idx = 0
+        prev = None
+        for ts, eid in items:
+            if prev is None or (ts - prev).total_seconds() * 1000 > gap_s * 1000:
+                idx += 1
+            assert got[eid] == idx, (g, eid)
+            prev = ts
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(_keys, st.integers(-(10**6), 10**6)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(2, 8),
+)
+def test_two_phase_sum_matches_plain(spark, rows, n_salts):
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = sorted(
+        map(tuple, two_phase_sum(df, ["k"], ["v"], n_salts=n_salts).collect())
+    )
+    plain = sorted(
+        map(
+            tuple,
+            df.groupBy("k")
+            .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("row_ct"))
+            .collect(),
+        )
+    )
+    assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(_keys, st.integers(0, 9)), min_size=0, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 9)),
+        min_size=0,
+        max_size=10,
+    ),
+    n_salts=st.integers(2, 6),
+)
+def test_salted_join_matches_plain(spark, left, right, n_salts):
+    ldf = spark.createDataFrame(left, "k string, lv int") if left else (
+        spark.createDataFrame([], "k string, lv int")
+    )
+    rdf = spark.createDataFrame(right, "k string, rv int") if right else (
+        spark.createDataFrame([], "k string, rv int")
+    )
+    salted = sorted(
+        map(tuple, salted_join(ldf, rdf, on="k", n_salts=n_salts).collect())
+    )
+    plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
+    assert salted == plain
