@@ -130,6 +130,7 @@ HEADLINE = [
     "dq_constraint_audit",
     "anomaly_zscore_daily",
     "active_users_rolling",
+    "pretrain_data_recipe",
 ]
 
 

@@ -40,10 +40,10 @@ _MODULES = (
 
 # The external driver verifies queries in registry order and stops at a
 # budget (r1-r3 each recorded exactly the first 50). Rotation plan for r04:
-# the 11 round-4 additions lead (zero driver evidence yet), followed by the
+# the 12 round-4 additions lead (zero driver evidence yet), followed by the
 # queries whose last independent driver evidence is round 1 (not covered by
 # the r02/r03 rotation, CORRECTNESS_r03.json) — so r04 ∪ r03 covers the
-# whole registry except the 8 deliberately-demoted entries listed after
+# whole registry except the 9 deliberately-demoted entries listed after
 # the budget-line marker below (trivial scan-bound projections whose
 # pytest parity twins run every session; they stay r1-proven — the price
 # of fronting 10 new queries in a fixed 50-row budget). Every entry
@@ -63,7 +63,7 @@ _VERIFY_FIRST = [
     "dq_constraint_audit",
     "anomaly_zscore_daily",
     "active_users_rolling",
-    "lang_id_ngram",
+    "pretrain_data_recipe",
     "baselog_stream_split",
     "stratified_sample_corpus",
     "tpch_q14_promo_share",
@@ -104,6 +104,7 @@ _VERIFY_FIRST = [
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
     # -- below the driver's ~50-query budget: demoted, r1-proven, trivial --
+    "lang_id_ngram",
     "token_count_stats",
     "doc_length_histogram",
     "corpus_split_assign",

@@ -497,6 +497,207 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end pretraining-data recipe: the round-4 operators CHAINED the way
+# a production corpus build runs them — quality gate -> exact dedup ->
+# cross-document span dedup (drop docs that are >= half duplicated spans)
+# -> temperature-weighted source sampling — with ONE funnel oracle over the
+# whole composition (stage, surviving docs, surviving tokens), so a drift
+# at any stage boundary breaks the gate. Complements
+# `llm_ops.corpus_clean_pipeline` (quality -> exact -> minhash) with the
+# span-level and mixture stages. Scale: each stage is its already-audited
+# plan; intermediate survivor sets are persisted so no stage re-runs its
+# upstream (the funnel reads each stage once).
+# ---------------------------------------------------------------------------
+RECIPE_MIN_TOKENS = 20
+RECIPE_SPAN_W = 8
+RECIPE_SAMPLE_TOTAL = 200
+
+
+def pretrain_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_ct = F.expr(
+        f"size(filter(tok_arr, x -> array_contains(array({stop_arr}), x)))"
+    )
+    q = docs.filter(
+        (F.size("tok_arr") >= RECIPE_MIN_TOKENS)
+        & (4 * stop_ct <= F.size("tok_arr"))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    spans = kept.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tok_arr) < {RECIPE_SPAN_W} THEN array() "
+                f"ELSE transform(sequence(0, (size(tok_arr) div "
+                f"{RECIPE_SPAN_W}) - 1), "
+                f"i -> md5(array_join(slice(tok_arr, i * {RECIPE_SPAN_W} + 1, "
+                f"{RECIPE_SPAN_W}), ' '))) END"
+            )
+        ).alias("h"),
+    )
+    span_df = (
+        spans.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("span_docs"))
+    )
+    flags = (
+        spans.join(span_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum((F.col("span_docs") >= 2).cast("bigint")).alias("dup_spans"),
+        )
+    )
+    # drop iff >= half the doc's spans are cross-document duplicates
+    # (docs too short to have spans pass through: left join, null-safe)
+    survivors = (
+        kept.join(flags, "doc_id", "left")
+        .filter(
+            F.col("n_spans").isNull()
+            | (2 * F.col("dup_spans") < F.col("n_spans"))
+        )
+        .persist()
+    )
+    counts = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ct")
+    )
+    weighted = counts.withColumn(
+        "w_micro",
+        F.expr(
+            "CAST(floor(sqrt(CAST(total_ct AS DOUBLE)) * 1000000.0)"
+            " AS BIGINT)"
+        ),
+    )
+    tot = weighted.agg(F.sum("w_micro").alias("tot_w"))
+    targets = weighted.crossJoin(F.broadcast(tot)).withColumn(
+        "target_ct", F.expr(f"({RECIPE_SAMPLE_TOTAL} * w_micro) div tot_w")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "source", "doc_id")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HASH_DEN)
+    )
+    sampled = survivors.join(F.broadcast(targets), "source").filter(
+        h * F.col("total_ct").cast("double")
+        < F.col("target_ct").cast("double")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.size("tok_arr").cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+
+    out = stage("00_raw", docs)
+    for name, df in (
+        ("01_quality", q),
+        ("02_exact_dedup", kept),
+        ("03_span_dedup", survivors),
+        ("04_mixture_sample", sampled),
+    ):
+        out = out.unionByName(stage(name, df))
+    return out
+
+
+def _recipe_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import _STOP_LIST
+
+    return f"""
+WITH tok AS (
+    SELECT doc_id, source, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+q AS (
+    SELECT * FROM tok
+    WHERE len(t) >= {RECIPE_MIN_TOKENS}
+      AND 4 * len(list_filter(t, x -> list_contains([{_STOP_LIST}], x)))
+          <= len(t)
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+spans AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               t[(i * {RECIPE_SPAN_W} + 1):(i * {RECIPE_SPAN_W} + {RECIPE_SPAN_W})],
+               ' ')) AS h
+    FROM kept,
+         UNNEST(range(0, greatest(len(t) // {RECIPE_SPAN_W}, 0))) AS u(i)
+    WHERE len(t) >= {RECIPE_SPAN_W}
+),
+span_df AS (
+    SELECT h, CAST(count(*) AS BIGINT) AS span_docs
+    FROM (SELECT DISTINCT doc_id, h FROM spans) GROUP BY 1
+),
+flags AS (
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_spans
+    FROM spans s JOIN span_df d USING (h)
+    GROUP BY 1
+),
+survivors AS (
+    SELECT kept.* FROM kept
+    LEFT JOIN flags USING (doc_id)
+    WHERE flags.n_spans IS NULL OR 2 * flags.dup_spans < flags.n_spans
+),
+counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS total_ct
+    FROM survivors GROUP BY 1
+),
+weighted AS (
+    SELECT source, total_ct,
+           CAST(floor(sqrt(CAST(total_ct AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w_micro
+    FROM counts
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM weighted),
+targets AS (
+    SELECT w.source, w.total_ct,
+           ({RECIPE_SAMPLE_TOTAL} * w.w_micro) // t.tot_w AS target_ct
+    FROM weighted w CROSS JOIN tot t
+),
+sampled AS (
+    SELECT s.* FROM survivors s
+    JOIN targets g ON s.source = g.source
+    WHERE (CAST(TRY_CAST('0x' || substr(
+                md5(s.source || '|' || CAST(s.doc_id AS VARCHAR)),
+                1, 15) AS BIGINT) AS DOUBLE) / {_HASH_DEN})
+          * CAST(g.total_ct AS DOUBLE)
+          < CAST(g.target_ct AS DOUBLE)
+)
+SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS total_tokens FROM tok
+UNION ALL
+SELECT '01_quality', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT) FROM q
+UNION ALL
+SELECT '02_exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT) FROM kept
+UNION ALL
+SELECT '03_span_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT) FROM survivors
+UNION ALL
+SELECT '04_mixture_sample', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT) FROM sampled
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
@@ -505,6 +706,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "lang_mix_rebalance": lang_mix_rebalance,
     "domain_mixture_temperature": domain_mixture_temperature,
+    "pretrain_data_recipe": pretrain_data_recipe,
 }
 
 ORACLE = {
@@ -515,4 +717,5 @@ ORACLE = {
     "knn_label_vote": _KNN_SQL,
     "lang_mix_rebalance": _LANG_MIX_SQL,
     "domain_mixture_temperature": _MIXTURE_SQL,
+    "pretrain_data_recipe": _recipe_sql(),
 }
