@@ -46,7 +46,7 @@ _MODULES = (
 # whole registry except the 9 deliberately-demoted entries listed after
 # the budget-line marker below (trivial scan-bound projections whose
 # pytest parity twins run every session; they stay r1-proven — the price
-# of fronting 10 new queries in a fixed 50-row budget). Every entry
+# of fronting 12 new queries in a fixed 50-row budget). Every entry
 # passes the identical in-repo
 # sf0.01 DuckDB-parity gate (tests/test_oracle_parity.py); this ordering
 # only rotates which subset the driver re-proves independently. The two

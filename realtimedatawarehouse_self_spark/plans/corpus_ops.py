@@ -414,15 +414,16 @@ GROUP BY 1
 # membership is the same deterministic md5-fraction test as
 # `lang_mix_rebalance`. One tiny per-source aggregate broadcast back over
 # one corpus scan — no corpus shuffle at any size.
+# THE sqrt-temperature formula lives in exactly two shared places —
+# `_sqrt_targets`/`_mixture_keep_pred` (Spark) and `_mixture_sql_ctes`
+# (DuckDB) — consumed by both `domain_mixture_temperature` and
+# `pretrain_data_recipe`, so the two queries cannot drift apart.
 # ---------------------------------------------------------------------------
 MIX_SAMPLE_TOTAL = 200  # target docs across all sources
 
 
-def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    counts = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_ct")
-    )
+def _sqrt_targets(counts: DataFrame, sample_total: int) -> DataFrame:
+    """source, total_ct -> + w_micro (floor(1e6*sqrt(ct))) + target_ct."""
     weighted = counts.withColumn(
         "w_micro",
         F.expr(
@@ -431,9 +432,13 @@ def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tot = weighted.agg(F.sum("w_micro").alias("tot_w"))
-    targets = weighted.crossJoin(F.broadcast(tot)).withColumn(
-        "target_ct", F.expr(f"({MIX_SAMPLE_TOTAL} * w_micro) div tot_w")
+    return weighted.crossJoin(F.broadcast(tot)).withColumn(
+        "target_ct", F.expr(f"({sample_total} * w_micro) div tot_w")
     )
+
+
+def _mixture_keep_pred():
+    """Deterministic membership: md5-fraction(source|doc_id) * ct < target."""
     h = (
         F.conv(
             F.substring(F.md5(F.concat_ws("|", "source", "doc_id")), 1, 15),
@@ -444,25 +449,17 @@ def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.lit(_HASH_DEN)
     )
-    flagged = docs.join(F.broadcast(targets), "source").withColumn(
-        "kept",
-        (
-            h * F.col("total_ct").cast("double")
-            < F.col("target_ct").cast("double")
-        ).cast("int"),
-    )
-    return flagged.groupBy("source").agg(
-        F.first("total_ct").alias("total_ct"),
-        F.first("w_micro").alias("w_micro"),
-        F.first("target_ct").alias("target_ct"),
-        F.sum("kept").cast("bigint").alias("kept_ct"),
+    return h * F.col("total_ct").cast("double") < F.col("target_ct").cast(
+        "double"
     )
 
 
-_MIXTURE_SQL = f"""
-WITH counts AS (
+def _mixture_sql_ctes(src: str, sample_total: int) -> str:
+    """DuckDB twin of _sqrt_targets: CTEs counts/weighted/tot/targets over
+    relation `src` (which must expose source, doc_id)."""
+    return f"""counts AS (
     SELECT source, CAST(count(*) AS BIGINT) AS total_ct
-    FROM documents GROUP BY 1
+    FROM {src} GROUP BY 1
 ),
 weighted AS (
     SELECT source, total_ct,
@@ -473,16 +470,42 @@ weighted AS (
 tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM weighted),
 targets AS (
     SELECT w.source, w.total_ct, w.w_micro,
-           ({MIX_SAMPLE_TOTAL} * w.w_micro) // t.tot_w AS target_ct
+           ({sample_total} * w.w_micro) // t.tot_w AS target_ct
     FROM weighted w CROSS JOIN tot t
-),
-flagged AS (
-    SELECT d.source, g.total_ct, g.w_micro, g.target_ct,
-           CASE WHEN (CAST(TRY_CAST('0x' || substr(
+)"""
+
+
+# SQL twin of _mixture_keep_pred — alias table of the doc row as `d`, the
+# targets row as `g`.
+_MIXTURE_KEEP_SQL = f"""(CAST(TRY_CAST('0x' || substr(
                         md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)),
                         1, 15) AS BIGINT) AS DOUBLE) / {_HASH_DEN})
                      * CAST(g.total_ct AS DOUBLE)
-                     < CAST(g.target_ct AS DOUBLE)
+                     < CAST(g.target_ct AS DOUBLE)"""
+
+
+def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ct")
+    )
+    targets = _sqrt_targets(counts, MIX_SAMPLE_TOTAL)
+    flagged = docs.join(F.broadcast(targets), "source").withColumn(
+        "kept", _mixture_keep_pred().cast("int")
+    )
+    return flagged.groupBy("source").agg(
+        F.first("total_ct").alias("total_ct"),
+        F.first("w_micro").alias("w_micro"),
+        F.first("target_ct").alias("target_ct"),
+        F.sum("kept").cast("bigint").alias("kept_ct"),
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH {_mixture_sql_ctes("documents", MIX_SAMPLE_TOTAL)},
+flagged AS (
+    SELECT d.source, g.total_ct, g.w_micro, g.target_ct,
+           CASE WHEN {_MIXTURE_KEEP_SQL}
                 THEN 1 ELSE 0 END AS kept
     FROM documents d
     JOIN targets g ON d.source = g.source
@@ -498,53 +521,42 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# End-to-end pretraining-data recipe: the round-4 operators CHAINED the way
-# a production corpus build runs them — quality gate -> exact dedup ->
+# End-to-end pretraining-data recipe: the operators CHAINED the way a
+# production corpus build runs them — quality gate -> exact dedup ->
 # cross-document span dedup (drop docs that are >= half duplicated spans)
 # -> temperature-weighted source sampling — with ONE funnel oracle over the
 # whole composition (stage, surviving docs, surviving tokens), so a drift
-# at any stage boundary breaks the gate. Complements
-# `llm_ops.corpus_clean_pipeline` (quality -> exact -> minhash) with the
-# span-level and mixture stages. Scale: each stage is its already-audited
-# plan; intermediate survivor sets are persisted so no stage re-runs its
-# upstream (the funnel reads each stage once).
+# at any stage boundary breaks the gate. Every stage is the SHARED
+# primitive, not a copy: quality gate + exact dedup from
+# `llm_ops.quality_gate`/`exact_dedup_first` (and their SQL CTE twin),
+# span width from `retrieval.SPAN_W`, mixture from `_sqrt_targets`/
+# `_mixture_keep_pred` — tuning any threshold retunes both the standalone
+# query and this composition. Scale: every frame that feeds two consumers
+# (docs -> funnel+q, q -> funnel+kept, kept -> spans+survivors+funnel,
+# spans -> span_df+flags, survivors -> counts+sampled+funnel) is
+# persisted, so the corpus scan and each derived stage materialize once.
 # ---------------------------------------------------------------------------
-RECIPE_MIN_TOKENS = 20
-RECIPE_SPAN_W = 8
-RECIPE_SAMPLE_TOTAL = 200
-
-
 def pretrain_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        exact_dedup_first,
+        quality_gate,
+    )
+    from realtimedatawarehouse_self_spark.plans.retrieval import SPAN_W
 
-    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
-    stop_ct = F.expr(
-        f"size(filter(tok_arr, x -> array_contains(array({stop_arr}), x)))"
-    )
-    q = docs.filter(
-        (F.size("tok_arr") >= RECIPE_MIN_TOKENS)
-        & (4 * stop_ct <= F.size("tok_arr"))
-    )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    kept = (
-        q.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .persist()
-    )
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text")).persist()
+    q = quality_gate(docs).persist()
+    kept = exact_dedup_first(q).persist()
     spans = kept.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size(tok_arr) < {RECIPE_SPAN_W} THEN array() "
-                f"ELSE transform(sequence(0, (size(tok_arr) div "
-                f"{RECIPE_SPAN_W}) - 1), "
-                f"i -> md5(array_join(slice(tok_arr, i * {RECIPE_SPAN_W} + 1, "
-                f"{RECIPE_SPAN_W}), ' '))) END"
+                f"CASE WHEN size(tok_arr) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(0, (size(tok_arr) div {SPAN_W}) - 1), "
+                f"i -> md5(array_join(slice(tok_arr, i * {SPAN_W} + 1, "
+                f"{SPAN_W}), ' '))) END"
             )
         ).alias("h"),
-    )
+    ).persist()
     span_df = (
         spans.distinct()
         .groupBy("h")
@@ -571,26 +583,9 @@ def pretrain_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = survivors.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("total_ct")
     )
-    weighted = counts.withColumn(
-        "w_micro",
-        F.expr(
-            "CAST(floor(sqrt(CAST(total_ct AS DOUBLE)) * 1000000.0)"
-            " AS BIGINT)"
-        ),
-    )
-    tot = weighted.agg(F.sum("w_micro").alias("tot_w"))
-    targets = weighted.crossJoin(F.broadcast(tot)).withColumn(
-        "target_ct", F.expr(f"({RECIPE_SAMPLE_TOTAL} * w_micro) div tot_w")
-    )
-    h = (
-        F.conv(F.substring(F.md5(F.concat_ws("|", "source", "doc_id")), 1, 15), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(_HASH_DEN)
-    )
+    targets = _sqrt_targets(counts, MIX_SAMPLE_TOTAL)
     sampled = survivors.join(F.broadcast(targets), "source").filter(
-        h * F.col("total_ct").cast("double")
-        < F.col("target_ct").cast("double")
+        _mixture_keep_pred()
     )
 
     def stage(name: str, df: DataFrame) -> DataFrame:
@@ -614,30 +609,19 @@ def pretrain_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recipe_sql() -> str:
-    from realtimedatawarehouse_self_spark.plans.llm_ops import _STOP_LIST
+    from realtimedatawarehouse_self_spark.plans.llm_ops import quality_sql_ctes
+    from realtimedatawarehouse_self_spark.plans.retrieval import SPAN_W
 
     return f"""
-WITH tok AS (
-    SELECT doc_id, source, text,
-           list_filter(string_split(text, ' '), x -> x <> '') AS t
-    FROM documents
-),
-q AS (
-    SELECT * FROM tok
-    WHERE len(t) >= {RECIPE_MIN_TOKENS}
-      AND 4 * len(list_filter(t, x -> list_contains([{_STOP_LIST}], x)))
-          <= len(t)
-),
-keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+WITH {quality_sql_ctes(extra_cols="source")},
 spans AS (
     SELECT doc_id,
            md5(array_to_string(
-               t[(i * {RECIPE_SPAN_W} + 1):(i * {RECIPE_SPAN_W} + {RECIPE_SPAN_W})],
+               t[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})],
                ' ')) AS h
     FROM kept,
-         UNNEST(range(0, greatest(len(t) // {RECIPE_SPAN_W}, 0))) AS u(i)
-    WHERE len(t) >= {RECIPE_SPAN_W}
+         UNNEST(range(0, greatest(len(t) // {SPAN_W}, 0))) AS u(i)
+    WHERE len(t) >= {SPAN_W}
 ),
 span_df AS (
     SELECT h, CAST(count(*) AS BIGINT) AS span_docs
@@ -656,30 +640,11 @@ survivors AS (
     LEFT JOIN flags USING (doc_id)
     WHERE flags.n_spans IS NULL OR 2 * flags.dup_spans < flags.n_spans
 ),
-counts AS (
-    SELECT source, CAST(count(*) AS BIGINT) AS total_ct
-    FROM survivors GROUP BY 1
-),
-weighted AS (
-    SELECT source, total_ct,
-           CAST(floor(sqrt(CAST(total_ct AS DOUBLE)) * 1000000.0) AS BIGINT)
-               AS w_micro
-    FROM counts
-),
-tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM weighted),
-targets AS (
-    SELECT w.source, w.total_ct,
-           ({RECIPE_SAMPLE_TOTAL} * w.w_micro) // t.tot_w AS target_ct
-    FROM weighted w CROSS JOIN tot t
-),
+{_mixture_sql_ctes("survivors", MIX_SAMPLE_TOTAL)},
 sampled AS (
-    SELECT s.* FROM survivors s
-    JOIN targets g ON s.source = g.source
-    WHERE (CAST(TRY_CAST('0x' || substr(
-                md5(s.source || '|' || CAST(s.doc_id AS VARCHAR)),
-                1, 15) AS BIGINT) AS DOUBLE) / {_HASH_DEN})
-          * CAST(g.total_ct AS DOUBLE)
-          < CAST(g.target_ct AS DOUBLE)
+    SELECT d.* FROM survivors d
+    JOIN targets g ON d.source = g.source
+    WHERE {_MIXTURE_KEEP_SQL}
 )
 SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS total_tokens FROM tok

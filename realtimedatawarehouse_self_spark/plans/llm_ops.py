@@ -1621,25 +1621,56 @@ GROUP BY 1, 2
 MIN_TOKENS = 20
 
 
-def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """THE corpus quality rule (length >= MIN_TOKENS, stopword density
+    <= 1/4) — shared by `corpus_clean_pipeline` and
+    `corpus_ops.pretrain_data_recipe` so a threshold tune cannot diverge
+    them. Expects a `tok_arr` column."""
     stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
     stop_ct = F.expr(
         f"size(filter(tok_arr, x -> array_contains(array({stop_arr}), x)))"
     )
-    q = docs.filter(
+    return docs.filter(
         (F.size("tok_arr") >= MIN_TOKENS)
         & (4 * stop_ct <= F.size("tok_arr"))
     )
-    # Exact dedup as a window rank (one shuffle on the content hash), not
-    # groupBy+self-join: halves the number of times the tokenize subtree
-    # is recomputed and removes a join from the plan.
+
+
+def exact_dedup_first(q: DataFrame) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per content hash, as a window
+    rank (one shuffle on the content hash, no self-join). Shared twin of
+    the SQL `keep/kept` CTEs in `quality_sql_ctes`."""
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    kept = (
+    return (
         q.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def quality_sql_ctes(extra_cols: str = "") -> str:
+    """DuckDB twin of quality_gate + exact_dedup_first: CTEs tok/q/keep/
+    kept over `documents`. `extra_cols` adds projected columns to tok."""
+    cols = f", {extra_cols}" if extra_cols else ""
+    return f"""tok AS (
+    SELECT doc_id, lang, text{cols},
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+q AS (
+    SELECT * FROM tok
+    WHERE len(t) >= {MIN_TOKENS}
+      AND 4 * len(list_filter(t, x -> list_contains([{_STOP_LIST}], x)))
+          <= len(t)
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+kept AS (SELECT q.* FROM q JOIN keep USING (doc_id))"""
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    q = quality_gate(docs)
+    kept = exact_dedup_first(q)
     # `kept` feeds BOTH the minhash candidate branch and the final
     # anti-join: persist it so the scan+tokenize+dedup subtree materializes
     # once (both consumers read InMemoryTableScan). Locally this is noise —
@@ -1663,19 +1694,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_clean_sql() -> str:
     return f"""
-WITH tok AS (
-    SELECT doc_id, lang, text,
-           list_filter(string_split(text, ' '), x -> x <> '') AS t
-    FROM documents
-),
-q AS (
-    SELECT * FROM tok
-    WHERE len(t) >= {MIN_TOKENS}
-      AND 4 * len(list_filter(t, x -> list_contains([{_STOP_LIST}], x)))
-          <= len(t)
-),
-keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+WITH {quality_sql_ctes()},
 sh AS (
     SELECT DISTINCT doc_id,
            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh

@@ -467,13 +467,27 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     wau = contrib.groupBy("rd").agg(
         F.count(F.lit(1)).cast("bigint").alias("wau_7")
     )
-    # inner join restricts report days to observed days (the trailing
-    # window of a day past the data's end is not a reportable day)
-    return dau.join(wau, dau.d == wau.rd).select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        "dau",
-        "wau_7",
-        (F.col("dau").cast("double") / F.col("wau_7")).alias("stickiness"),
+    # Dense day spine over [min_day, max_day]: a zero-activity day INSIDE
+    # the range (an outage) must appear with dau=0 — that drop is the
+    # signal the metric exists for — while trailing windows of days past
+    # the data's end stay excluded. The spine derives from the tiny dau
+    # aggregate, never the fact table; dau=0 days report wau from the
+    # trailing week and stickiness 0 (or NULL if the whole week is empty).
+    spine = dau.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("rd"))
+    return (
+        spine.join(dau, spine.rd == dau.d, "left")
+        .join(wau, "rd", "left")
+        .select(
+            F.date_format("rd", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("wau_7", F.lit(0)).cast("bigint").alias("wau_7"),
+            F.expr(
+                "CAST(coalesce(dau, 0) AS DOUBLE)"
+                " / nullif(CAST(coalesce(wau_7, 0) AS DOUBLE), 0.0)"
+            ).alias("stickiness"),
+        )
     )
 
 
@@ -492,11 +506,21 @@ contrib AS (
 ),
 wau AS (
     SELECT rd, CAST(count(*) AS BIGINT) AS wau_7 FROM contrib GROUP BY 1
+),
+spine AS (
+    SELECT CAST(u.rd AS DATE) AS rd
+    FROM (SELECT min(d) AS d0, max(d) AS d1 FROM dau),
+         UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(rd)
 )
-SELECT strftime(dau.d, '%Y-%m-%d') AS day,
-       dau.dau, wau.wau_7,
-       CAST(dau.dau AS DOUBLE) / wau.wau_7 AS stickiness
-FROM dau JOIN wau ON dau.d = wau.rd
+SELECT strftime(s.rd, '%Y-%m-%d') AS day,
+       CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+       CAST(coalesce(wau.wau_7, 0) AS BIGINT) AS wau_7,
+       CAST(coalesce(dau.dau, 0) AS DOUBLE)
+           / nullif(CAST(coalesce(wau.wau_7, 0) AS DOUBLE), 0.0)
+           AS stickiness
+FROM spine s
+LEFT JOIN dau ON s.rd = dau.d
+LEFT JOIN wau ON s.rd = wau.rd
 """
 
 

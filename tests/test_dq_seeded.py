@@ -147,3 +147,45 @@ def test_anomaly_flags_spike_day_only(spark, seeded_sf_dir):
     for day, r in clicks.items():
         if day != "2024-01-11":
             assert r["is_anomaly"] == 0, day
+
+
+def test_active_users_reports_zero_activity_gap_days(spark, tmp_path):
+    """A zero-activity day INSIDE the data range (an outage) must appear
+    with dau=0 — and still hash-match the oracle on the same data."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare_query, register_duckdb_views
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in (0, 1, 2, 4):  # Jan 4 (day index 3) is the outage day
+        for u in range(3):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=u), u))
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = {
+        r["day"]: (r["dau"], r["wau_7"])
+        for r in e.queries()["active_users_rolling"](spark, d).collect()
+    }
+    assert got["2024-01-04"] == (0, 3)  # outage day present, trailing WAU
+    assert set(got) == {f"2024-01-0{i}" for i in range(1, 6)}  # dense spine
+    con = duckdb.connect()
+    register_duckdb_views(con, d)
+    df = e.queries()["active_users_rolling"](spark, d)
+    ok, detail = compare_query(df, con, e.oracle_sql()["active_users_rolling"])
+    assert ok, detail

@@ -77,9 +77,7 @@ def test_asof_join_matches_python(spark, left, right):
     ldata = [(i, g, t(s)) for i, (g, s) in enumerate(left)]
     rdata = [(g, t(s)) for g, s in right]
     ldf = spark.createDataFrame(ldata, "row_id int, uid string, ts timestamp")
-    rdf = spark.createDataFrame(rdata, "uid string, r_ts timestamp") if rdata else (
-        spark.createDataFrame([], "uid string, r_ts timestamp")
-    )
+    rdf = spark.createDataFrame(rdata, "uid string, r_ts timestamp")
     got = {
         r.row_id: r.r_ts
         for r in asof_join(
@@ -162,12 +160,8 @@ def test_two_phase_sum_matches_plain(spark, rows, n_salts):
     n_salts=st.integers(2, 6),
 )
 def test_salted_join_matches_plain(spark, left, right, n_salts):
-    ldf = spark.createDataFrame(left, "k string, lv int") if left else (
-        spark.createDataFrame([], "k string, lv int")
-    )
-    rdf = spark.createDataFrame(right, "k string, rv int") if right else (
-        spark.createDataFrame([], "k string, rv int")
-    )
+    ldf = spark.createDataFrame(left, "k string, lv int")
+    rdf = spark.createDataFrame(right, "k string, rv int")
     salted = sorted(
         map(tuple, salted_join(ldf, rdf, on="k", n_salts=n_salts).collect())
     )
