@@ -131,6 +131,7 @@ HEADLINE = [
     "anomaly_zscore_daily",
     "active_users_rolling",
     "pretrain_data_recipe",
+    "collocation_pmi",
 ]
 
 

@@ -40,13 +40,13 @@ _MODULES = (
 
 # The external driver verifies queries in registry order and stops at a
 # budget (r1-r3 each recorded exactly the first 50). Rotation plan for r04:
-# the 12 round-4 additions lead (zero driver evidence yet), followed by the
+# the 13 round-4 additions lead (zero driver evidence yet), followed by the
 # queries whose last independent driver evidence is round 1 (not covered by
 # the r02/r03 rotation, CORRECTNESS_r03.json) — so r04 ∪ r03 covers the
-# whole registry except the 9 deliberately-demoted entries listed after
+# whole registry except the 10 deliberately-demoted entries listed after
 # the budget-line marker below (trivial scan-bound projections whose
 # pytest parity twins run every session; they stay r1-proven — the price
-# of fronting 12 new queries in a fixed 50-row budget). Every entry
+# of fronting 13 new queries in a fixed 50-row budget). Every entry
 # passes the identical in-repo
 # sf0.01 DuckDB-parity gate (tests/test_oracle_parity.py); this ordering
 # only rotates which subset the driver re-proves independently. The two
@@ -64,9 +64,9 @@ _VERIFY_FIRST = [
     "anomaly_zscore_daily",
     "active_users_rolling",
     "pretrain_data_recipe",
+    "collocation_pmi",
     "baselog_stream_split",
     "stratified_sample_corpus",
-    "tpch_q14_promo_share",
     "dedup_edit_distance",
     "tpch_q4_late_orders",
     "dws06_cart_add_uu_window",
@@ -104,6 +104,7 @@ _VERIFY_FIRST = [
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
     # -- below the driver's ~50-query budget: demoted, r1-proven, trivial --
+    "tpch_q14_promo_share",
     "lang_id_ngram",
     "token_count_stats",
     "doc_length_histogram",

@@ -208,13 +208,14 @@ FROM (
 
 # ---------------------------------------------------------------------------
 # BPE merge-candidate counting: adjacent-pair frequencies, top merges.
+# `_adjacent_pairs` is shared with `collocation_pmi` below.
 # ---------------------------------------------------------------------------
 BPE_TOPK = 20
 
 
-def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    pairs = docs.select(
+def _adjacent_pairs(docs: DataFrame) -> DataFrame:
+    """(lhs, rhs) rows for every adjacent token pair (expects tok_arr)."""
+    return docs.select(
         F.explode(
             F.expr(
                 "CASE WHEN size(tok_arr) < 2 THEN array() "
@@ -223,6 +224,11 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.lhs", "p.rhs")
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    pairs = _adjacent_pairs(docs)
     counted = pairs.groupBy("lhs", "rhs").agg(
         F.count(F.lit(1)).cast("bigint").alias("pair_ct")
     )
@@ -256,6 +262,109 @@ SELECT CAST(row_number() OVER (ORDER BY pair_ct DESC, lhs, rhs) AS INTEGER)
 FROM counted
 ORDER BY pair_ct DESC, lhs, rhs
 LIMIT {BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining: rank adjacent pairs by pointwise mutual
+# information — the association measure separating real collocations
+# ("hash join") from merely-frequent pairs ("the the"). Log-free like BM25's
+# idf: ranking uses the PMI odds N_pairs*c_xy / (c_x*c_y) (log is monotone,
+# and unlike BM25 nothing is summed afterwards, so the ranking is EXACTLY
+# PMI's). The scaled odds is pure wide-integer arithmetic
+# (DECIMAL(38,0)/HUGEINT products — bigint would overflow once
+# 1e6*N_pairs*c_xy passes 2^63, i.e. web-scale corpora), floored via
+# integer division: no floating point anywhere, bit-exact across engines.
+# MIN_PAIR_CT prunes the singleton-pair tail (classic PMI noise) before
+# the unigram join; unigram counts broadcast (vocab << corpus).
+# ---------------------------------------------------------------------------
+PMI_TOPK = 20
+MIN_PAIR_CT = 5
+PMI_SCALE = 1_000_000
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    pairs = _adjacent_pairs(docs)
+    pair_ct = pairs.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_ct")
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    uni = (
+        docs.select(F.explode("tok_arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("uni_ct"))
+    )
+    scored = (
+        pair_ct.filter(F.col("pair_ct") >= MIN_PAIR_CT)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("lhs"),
+                                   F.col("uni_ct").alias("lhs_ct"))),
+            "lhs",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("rhs"),
+                                   F.col("uni_ct").alias("rhs_ct"))),
+            "rhs",
+        )
+        .crossJoin(F.broadcast(n_pairs))
+        .withColumn(
+            "pmi_odds_micro",
+            F.expr(
+                f"CAST((CAST({PMI_SCALE} AS DECIMAL(38,0)) * n_pairs"
+                f" * pair_ct) div (CAST(lhs_ct AS DECIMAL(38,0)) * rhs_ct)"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.col("pmi_odds_micro").desc(), F.col("lhs"), F.col("rhs")
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_odds_micro").desc(), F.col("lhs"), F.col("rhs")
+        )
+        .limit(PMI_TOPK)
+        .withColumn("pmi_rank", F.row_number().over(w))
+        .select("pmi_rank", "lhs", "rhs", "pair_ct", "pmi_odds_micro")
+    )
+
+
+_PMI_SQL = f"""
+WITH tok AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT t[i] AS lhs, t[i+1] AS rhs
+    FROM tok, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+pair_ct AS (
+    SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS pair_ct
+    FROM pairs GROUP BY 1, 2
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+uni AS (
+    SELECT u.t AS tok, CAST(count(*) AS BIGINT) AS uni_ct
+    FROM tok, UNNEST(t) AS u(t) GROUP BY 1
+),
+scored AS (
+    SELECT p.lhs, p.rhs, p.pair_ct,
+           CAST((CAST({PMI_SCALE} AS HUGEINT) * np.n_pairs * p.pair_ct)
+                // (CAST(l.uni_ct AS HUGEINT) * r.uni_ct)
+                AS BIGINT) AS pmi_odds_micro
+    FROM pair_ct p
+    JOIN uni l ON p.lhs = l.tok
+    JOIN uni r ON p.rhs = r.tok
+    CROSS JOIN np
+    WHERE p.pair_ct >= {MIN_PAIR_CT}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_odds_micro DESC, lhs, rhs)
+            AS INTEGER) AS pmi_rank,
+       lhs, rhs, pair_ct, pmi_odds_micro
+FROM scored
+ORDER BY pmi_odds_micro DESC, lhs, rhs
+LIMIT {PMI_TOPK}
 """
 
 
@@ -334,11 +443,13 @@ FROM agg
 QUERIES = {
     "bm25_doc_search": bm25_doc_search,
     "bpe_pair_counts": bpe_pair_counts,
+    "collocation_pmi": collocation_pmi,
     "span_dedup_stats": span_dedup_stats,
 }
 
 ORACLE = {
     "bm25_doc_search": _bm25_sql(),
     "bpe_pair_counts": _BPE_SQL,
+    "collocation_pmi": _PMI_SQL,
     "span_dedup_stats": _SPAN_SQL,
 }
