@@ -18,6 +18,7 @@ from realtimedatawarehouse_self_spark.plans import (
     corpus_ops,
     extras,
     llm_ops,
+    mining,
     python_path,
     retrieval,
     streaming_twins,
@@ -33,6 +34,7 @@ _MODULES = (
     extras,
     advanced,
     retrieval,
+    mining,
     streaming_twins,
     timeseries,
     python_path,
@@ -53,6 +55,11 @@ _MODULES = (
 # real-streaming-execution twins sit at positions 49-50 (seconds, not
 # millis — cheap scan-bound queries go first for a time-boxed verifier).
 _VERIFY_FIRST = [
+    # r4 late additions (zero driver evidence): front of the rotation.
+    "heavy_hitter_users",
+    "audience_overlap_jaccard",
+    "embedding_gram_matrix",
+    "lm_bigram_coverage",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -78,12 +85,8 @@ _VERIFY_FIRST = [
     "dwd_cart_add",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
-    "tpch_q12_priority_lines",
-    "tpch_q22_idle_balances",
     "vocab_topk",
     "tpch_q21_waiting_supplier",
-    "tpch_q10_returned_revenue",
-    "tpch_q16_supplier_variety",
     "similarity_topk_lsh_bucketed",
     "dwd_trade_order_detail",
     "dedup_simhash",
@@ -103,7 +106,13 @@ _VERIFY_FIRST = [
     "tpch_q19_branch_revenue",
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
-    # -- below the driver's ~50-query budget: demoted, r1-proven, trivial --
+    # -- below the driver's ~50-query budget: demoted, r1-proven, with
+    # pytest parity twins green every session (q10/q12/q16/q22 demoted to
+    # make room for the four late-r4 additions fronted above) --
+    "tpch_q12_priority_lines",
+    "tpch_q22_idle_balances",
+    "tpch_q10_returned_revenue",
+    "tpch_q16_supplier_variety",
     "tpch_q14_promo_share",
     "lang_id_ngram",
     "token_count_stats",

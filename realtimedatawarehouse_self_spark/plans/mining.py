@@ -1,0 +1,418 @@
+"""Scale-pattern mining operators: bounded-memory heavy hitters, audience
+set-overlap, exact distributed Gram/covariance, and corpus-LM bigram
+coverage scoring.
+
+These extend the beyond-reference analytics surface (closest reference
+analogues: the per-key count reduces in ``Dws02...java:81-203`` — which
+always shuffle the FULL key cardinality — and the keyword frequency window
+``DwsTrafficKeywordPageViewWindow.java:50-106``):
+
+- Heavy hitters is THE bounded-memory pattern for 100 TB key profiling:
+  a per-partition Misra-Gries sketch (fixed ``k`` counters, no shuffle)
+  produces a small candidate superset, then one exact recount restricted
+  to the broadcast candidates confirms. The full user cardinality never
+  crosses the wire — only ``<= k * n_partitions`` candidate ids plus the
+  per-candidate exact counts. The final output is EXACT and deterministic
+  (the threshold filter runs on exact counts), so the oracle is the plain
+  GROUP BY/HAVING — the sketch only bounds memory, never changes answers.
+- Audience overlap avoids the naive distinct-pairs self-join (quadratic in
+  per-user activity): one distinct, one collect_set per user (bounded by
+  the #event_types domain), then a bounded in-row pair explode — shuffle
+  carries at most ``n_users * T(T-1)/2`` tiny rows for T event types.
+- The Gram/covariance matrix is one-pass distributed linear algebra in
+  exact integer arithmetic: per-row outer products (upper triangle) explode
+  to ``d(d+1)/2`` cells inside codegen, and map-side combine collapses each
+  partition to ``d(d+1)/2`` partial sums before the single tiny shuffle.
+  Accumulation is DECIMAL(38,0)/HUGEINT — int64 products of micro-unit
+  embeddings wrap once row counts pass ~1e5 at |x| ~ 10 (1e14 per product).
+- Bigram LM coverage is the log-free corpus-LM quality filter: the corpus'
+  frequent-bigram table (pruned by MIN count, vocab-bounded — far smaller
+  than the corpus) broadcasts to a per-document coverage ratio. Documents
+  whose bigrams the corpus LM has "seen" score high; gibberish scores low.
+
+Float-determinism doctrine: no floating point anywhere in these four —
+every ratio is an integer micro-unit division (``x * 1e6 div y``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import tokens
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents", fan_out=True)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: users generating >= 1/HH_DEN of all events.
+#
+# Guarantee chain: a user with global count >= n/HH_DEN has, in at least
+# one partition p, count_p >= n_p/HH_DEN (pigeonhole); a Misra-Gries sketch
+# with k = HH_DEN counters undercounts any item by at most n_p/(k+1)
+# < n_p/HH_DEN, so that user's counter is positive and the user survives
+# into the candidate set. False candidates are removed by the exact
+# recount, so the output never depends on partition boundaries or row
+# order. (Misra & Gries 1982; the distributed two-pass confirm is the
+# standard production variant.)
+# ---------------------------------------------------------------------------
+HH_DEN = 125  # heavy = at least 1/125 of all events (13/150 users at sf0.01)
+
+
+def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries over `user_id` with HH_DEN counters.
+
+    Vectorized: each Arrow batch folds in via value_counts; when the
+    counter table exceeds k, subtracting the (size-k)-th smallest count
+    from ALL counters (and dropping <= 0) is the batched decrement step —
+    each unit subtracted removes >= k+1 units of total mass, preserving
+    the n_p/(k+1) undercount bound.
+    """
+    k = HH_DEN
+    counters = pd.Series(dtype="int64")
+    for batch in batches:
+        counters = counters.add(batch["user_id"].value_counts(), fill_value=0)
+        if len(counters) > k:
+            cut = counters.nsmallest(len(counters) - k).iloc[-1]
+            counters = counters[counters > cut] - cut
+    yield pd.DataFrame({"user_id": counters.index.astype("int64")})
+
+
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id")  # column-pruned scan
+    candidates = (
+        ev.mapInPandas(_mg_candidates, "user_id BIGINT").distinct()
+    )
+    total = _events(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    exact = (
+        ev.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("event_ct"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("event_ct") * HH_DEN >= F.col("n_total"))
+    )
+    return exact.select(
+        "user_id",
+        "event_ct",
+        F.expr("event_ct * 1000000 div n_total").alias("share_micro"),
+    )
+
+
+_HH_SQL = f"""
+WITH total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events),
+cnt AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS event_ct
+    FROM events GROUP BY 1
+)
+SELECT c.user_id, c.event_ct,
+       c.event_ct * 1000000 // t.n_total AS share_micro
+FROM cnt c CROSS JOIN total t
+WHERE c.event_ct * {HH_DEN} >= t.n_total
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: pairwise Jaccard between event-type user sets.
+# ---------------------------------------------------------------------------
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "user_id").distinct()
+    # Per-user sorted type set (bounded by the event_type domain), then ONE
+    # in-row explode emitting both the singleton markers (type, NULL) —
+    # whose counts are the per-type audience sizes — and the ordered pairs
+    # — whose counts are the intersections. One scan, one combine-backed
+    # shuffle; the naive distinct-pairs self-join (quadratic in per-user
+    # activity) and a second sizes pass over events are both avoided.
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts_arr")
+    )
+    combo = per_user.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(ts_arr, t -> "
+                "  struct(t AS type_a, CAST(NULL AS STRING) AS type_b)), "
+                "CASE WHEN size(ts_arr) < 2 THEN array() "
+                "ELSE flatten(transform(sequence(0, size(ts_arr) - 2), "
+                "i -> transform(sequence(i + 1, size(ts_arr) - 1), "
+                "j -> struct(ts_arr[i] AS type_a, ts_arr[j] AS type_b)))) "
+                "END)"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    # Tiny result (<= T + T(T-1)/2 rows for T event types): persist so the
+    # three consumers below reuse it instead of re-running the events scan.
+    counts = (
+        combo.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .persist()
+    )
+    sizes = counts.filter(F.col("type_b").isNull()).select(
+        F.col("type_a").alias("t"), F.col("ct").alias("n_users")
+    )
+    inter = counts.filter(F.col("type_b").isNotNull()).select(
+        "type_a", "type_b", F.col("ct").alias("inter_ct")
+    )
+    sz_a = sizes.select(F.col("t").alias("type_a"), F.col("n_users").alias("users_a"))
+    sz_b = sizes.select(F.col("t").alias("type_b"), F.col("n_users").alias("users_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "type_a")
+        .join(F.broadcast(sz_b), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "inter_ct",
+            F.expr(
+                "inter_ct * 1000000 div (users_a + users_b - inter_ct)"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+_OVERLAP_SQL = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM d GROUP BY 1
+),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS inter_ct
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n_users AS users_a, sb.n_users AS users_b,
+       i.inter_ct,
+       i.inter_ct * 1000000 // (sa.n_users + sb.n_users - i.inter_ct)
+           AS jaccard_micro
+FROM inter i
+JOIN sizes sa ON i.type_a = sa.event_type
+JOIN sizes sb ON i.type_b = sb.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Gram + covariance numerators over the embedding table.
+#
+# Embeddings quantize to integer micro-units (floor(x * 1e6) — float->double
+# widening is exact and *1e6 is correctly rounded, so both engines quantize
+# identically), and everything downstream is exact wide-integer math:
+#   dot(i,j)     = sum_r q_r[i] * q_r[j]          (upper triangle i <= j)
+#   cov_num(i,j) = n * dot(i,j) - s_i * s_j        (covariance numerator*n^2
+#                                                   in micro^2 units)
+# ---------------------------------------------------------------------------
+EMB_DIM = 64
+Q_SCALE = 1_000_000
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {Q_SCALE}.0) AS BIGINT))"
+        ).alias("q")
+    )
+    # ONE explode per row carries all three moment families — upper-triangle
+    # products (i,j), per-index sums tagged (i,0), and the row-count tag
+    # (0,0) — so the embeddings table is scanned ONCE and the groupBy's
+    # map-side combine collapses each partition to d(d+1)/2 + d + 1 rows
+    # before the single tiny shuffle.
+    cells = q.select(
+        F.explode(
+            F.expr(
+                f"concat("
+                f"flatten(transform(sequence(1, {EMB_DIM}), "
+                f"i -> transform(sequence(i, {EMB_DIM}), "
+                f"j -> struct(i AS i, j AS j, "
+                f"CAST(q[i-1] AS DECIMAL(38,0)) * q[j-1] AS prod)))), "
+                f"transform(sequence(1, {EMB_DIM}), "
+                f"i -> struct(i AS i, 0 AS j, "
+                f"CAST(q[i-1] AS DECIMAL(38,0)) AS prod)), "
+                f"array(struct(0 AS i, 0 AS j, "
+                f"CAST(1 AS DECIMAL(38,0)) AS prod)))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.prod")
+    # Tiny aggregate (2,145 rows at d=64): persist so the three consumers
+    # below reuse it instead of re-running the scan + explode.
+    moments = (
+        cells.groupBy("i", "j")
+        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).cast("decimal(38,0)").alias("m"))
+        .persist()
+    )
+    dots = moments.filter((F.col("i") > 0) & (F.col("j") > 0)).select(
+        "i", "j", F.col("m").alias("dot")
+    )
+    sums = moments.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        "i", F.col("m").alias("s")
+    )
+    n = moments.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("m").alias("n_rows")
+    )
+    return (
+        dots.join(F.broadcast(sums.select(F.col("i"), F.col("s").alias("s_i"))), "i")
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.col("dot"),
+            (F.col("n_rows") * F.col("dot") - F.col("s_i") * F.col("s_j"))
+            .cast("decimal(38,0)")
+            .alias("cov_num"),
+        )
+    )
+
+
+_GRAM_SQL = f"""
+WITH q AS (
+    SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {Q_SCALE}.0) AS BIGINT))
+           AS q
+    FROM embeddings
+),
+cells AS (
+    SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+           CAST(q.q[a.i] AS HUGEINT) * q.q[b.j] AS prod
+    FROM q,
+         UNNEST(range(1, {EMB_DIM} + 1)) AS a(i),
+         UNNEST(range(1, {EMB_DIM} + 1)) AS b(j)
+    WHERE a.i <= b.j
+),
+dots AS (
+    SELECT i, j, CAST(sum(prod) AS HUGEINT) AS dot
+    FROM cells GROUP BY 1, 2
+),
+sums AS (
+    SELECT CAST(a.i AS INTEGER) AS i,
+           CAST(sum(CAST(q.q[a.i] AS HUGEINT)) AS HUGEINT) AS s
+    FROM q, UNNEST(range(1, {EMB_DIM} + 1)) AS a(i)
+    GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n_rows FROM q)
+SELECT d.i, d.j,
+       CAST(d.dot AS DECIMAL(38,0)) AS dot,
+       CAST(n.n_rows * d.dot - si.s * sj.s AS DECIMAL(38,0)) AS cov_num
+FROM dots d
+JOIN sums si ON d.i = si.i
+JOIN sums sj ON d.j = sj.i
+CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM coverage: per-document fraction of adjacent bigrams that the
+# corpus has seen >= LM_MIN_CT times.
+# ---------------------------------------------------------------------------
+LM_MIN_CT = 3
+
+
+def lm_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tok_arr) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(tok_arr) - 2), "
+                "i -> struct(tok_arr[i] AS lhs, tok_arr[i+1] AS rhs)) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.lhs", "p.rhs")
+    # pairs feeds both the LM table and the per-doc scoring join; persist so
+    # the tokenize+explode subtree runs once (same contract note as BM25's
+    # tf persist — the builder returns an unexecuted frame, LRU-evictable).
+    pairs = pairs.persist()
+    # The corpus LM: bigrams seen >= LM_MIN_CT times. Vocab-bounded and
+    # MIN-pruned — orders of magnitude smaller than the corpus, hence
+    # broadcast. (If a corpus' frequent-bigram table outgrew the broadcast
+    # threshold, drop the hint and let AQE pick a shuffle join — the
+    # per-doc aggregation below is unchanged.)
+    lm = (
+        pairs.groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .filter(F.col("ct") >= LM_MIN_CT)
+        .select("lhs", "rhs", F.lit(1).alias("seen"))
+    )
+    scored = pairs.join(F.broadcast(lm), ["lhs", "rhs"], "left").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.coalesce(F.col("seen"), F.lit(0)).cast("bigint")).alias(
+            "covered"
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "covered",
+        F.expr("covered * 1000000 div n_bigrams").alias("coverage_micro"),
+    )
+
+
+_LM_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, t[i] AS lhs, t[i+1] AS rhs
+    FROM tok, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+lm AS (
+    SELECT lhs, rhs FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= {LM_MIN_CT}
+),
+scored AS (
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN l.lhs IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS covered
+    FROM pairs p
+    LEFT JOIN lm l ON p.lhs = l.lhs AND p.rhs = l.rhs
+    GROUP BY 1
+)
+SELECT doc_id, n_bigrams, covered,
+       covered * 1000000 // n_bigrams AS coverage_micro
+FROM scored
+"""
+
+
+QUERIES = {
+    "heavy_hitter_users": heavy_hitter_users,
+    "audience_overlap_jaccard": audience_overlap_jaccard,
+    "embedding_gram_matrix": embedding_gram_matrix,
+    "lm_bigram_coverage": lm_bigram_coverage,
+}
+
+ORACLE = {
+    "heavy_hitter_users": _HH_SQL,
+    "audience_overlap_jaccard": _OVERLAP_SQL,
+    "embedding_gram_matrix": _GRAM_SQL,
+    "lm_bigram_coverage": _LM_SQL,
+}

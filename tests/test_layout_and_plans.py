@@ -117,6 +117,10 @@ PYTHON_PATH_QUERIES = {
     "multimodal_decode",
     "keyword_page_view_udf",
     "multimodal_frame_sample",
+    # bounded-memory Misra-Gries sketch stage (plans/mining.py): the
+    # MapInPandas node holds k counters per partition and emits candidate
+    # ids only; the exact recount that determines the ANSWER is JVM-side.
+    "heavy_hitter_users",
 }
 
 
