@@ -132,6 +132,10 @@ HEADLINE = [
     "active_users_rolling",
     "pretrain_data_recipe",
     "collocation_pmi",
+    "heavy_hitter_users",
+    "audience_overlap_jaccard",
+    "embedding_gram_matrix",
+    "lm_bigram_coverage",
 ]
 
 
