@@ -136,6 +136,9 @@ HEADLINE = [
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
     "lm_bigram_coverage",
+    "snapshot_diff_user_state",
+    "dedup_incoming_batch",
+    "value_quantile_sketch",
 ]
 
 

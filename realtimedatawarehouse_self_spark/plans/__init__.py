@@ -20,6 +20,7 @@ from realtimedatawarehouse_self_spark.plans import (
     llm_ops,
     mining,
     python_path,
+    state_ops,
     retrieval,
     streaming_twins,
     timeseries,
@@ -35,6 +36,7 @@ _MODULES = (
     advanced,
     retrieval,
     mining,
+    state_ops,
     streaming_twins,
     timeseries,
     python_path,
@@ -60,6 +62,9 @@ _VERIFY_FIRST = [
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
     "lm_bigram_coverage",
+    "snapshot_diff_user_state",
+    "dedup_incoming_batch",
+    "value_quantile_sketch",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -80,7 +85,6 @@ _VERIFY_FIRST = [
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "keyword_page_view",
-    "dedup_exact",
     "tpch_q7_nation_trade",
     "dwd_cart_add",
     "tpch_q2_min_cost_supplier",
@@ -90,9 +94,7 @@ _VERIFY_FIRST = [
     "similarity_topk_lsh_bucketed",
     "dwd_trade_order_detail",
     "dedup_simhash",
-    "top_users_by_event_type",
     "tpch_q20_dominant_supplier",
-    "similarity_topk_bruteforce",
     "dws09_trade_sku_order_window",
     "approx_daily_users",
     "tpch_q11_important_stock",
@@ -106,9 +108,14 @@ _VERIFY_FIRST = [
     "tpch_q19_branch_revenue",
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
-    # -- below the driver's ~50-query budget: demoted, r1-proven, with
-    # pytest parity twins green every session (q10/q12/q16/q22 demoted to
-    # make room for the four late-r4 additions fronted above) --
+    # -- below the driver's ~50-query budget: demoted, with pytest parity
+    # twins green every session (q10/q12/q16/q22 + dedup_exact /
+    # top_users / topk_bruteforce demoted to make room for the seven
+    # late-r4 additions fronted above; each is either trivially
+    # scan-bound or subsumed by a harder sibling still in the head) --
+    "dedup_exact",
+    "top_users_by_event_type",
+    "similarity_topk_bruteforce",
     "tpch_q12_priority_lines",
     "tpch_q22_idle_balances",
     "tpch_q10_returned_revenue",

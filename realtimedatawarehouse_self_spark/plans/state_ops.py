@@ -1,0 +1,402 @@
+"""Temporal-state and incremental-ingest operators: snapshot changelog
+diff, ingest-time near-dup screening, and sketch-vs-exact quantiles.
+
+Reference lineage: the CDC changelog family (``sources/envelopes.py``,
+reference ``CDC/FlinkCDC_MysqlSource.java:47-60`` + Maxwell envelopes) —
+these three give the BATCH counterparts a warehouse needs around that
+stream:
+
+- `snapshot_diff_user_state` derives the I/U/D changelog BETWEEN two
+  temporal states of an append-only event log — the op a downstream
+  consumer runs when it has no CDC feed and must reconcile snapshots.
+  State@T is "each user's latest event in the trailing window"; the diff
+  classifies insert (user appears), delete (user ages out), update
+  (latest event changed). ONE scan — both snapshot states come out of a
+  single conditional aggregation keyed by user (no per-snapshot scan, no
+  self-join); the window predicate is pushed into the parquet scan.
+- `dedup_incoming_batch` is the INGEST-TIME variant of the LSH near-dup
+  pipeline (`llm_ops.dedup_lsh_verified`): an incoming batch is screened
+  against the existing corpus, never against itself — the band join is
+  incoming×corpus, so candidate count is linear in the BATCH size however
+  large the corpus grows (the corpus side still prunes to matching band
+  signatures). Verification (exact Jaccard via array_intersect) runs only
+  on candidates; REJECTED candidates stay in the output with
+  ``is_dup=false`` so the screening decision itself is oracle-checked.
+- `value_quantile_sketch` computes per-type p50/p90/p99 twice — a
+  fixed-width histogram sketch (ONE combine-backed aggregation to ~1000
+  bins per type, the 100 TB path) and the exact order statistic (global
+  per-type sort — the expensive truth) — and emits both plus their gap.
+  The bin width IS the deterministic error bound (err in (0, BIN_CENTS]),
+  asserted in pytest, and both paths are exact integer arithmetic so the
+  cross-engine hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from realtimedatawarehouse_self_spark.functions.exprs import money_cents
+from realtimedatawarehouse_self_spark.plans.llm_ops import (
+    _SHINGLE_CTE,
+    _doc_shingles,
+    _minhash_aggs,
+    _minhash_tail_cte,
+    _shingle_hash,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot changelog diff.
+# ---------------------------------------------------------------------------
+SNAP_T1 = "2024-01-10 00:00:00"
+SNAP_T2 = "2024-01-25 00:00:00"
+SNAP_WINDOW_DAYS = 1  # state@T = latest event in (T - 1 day, T]
+
+
+def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "ts", "user_id", "event_id", money_cents("value").alias("cents")
+    )
+    lo1 = f"timestamp'{SNAP_T1}' - interval {SNAP_WINDOW_DAYS} days"
+    lo2 = f"timestamp'{SNAP_T2}' - interval {SNAP_WINDOW_DAYS} days"
+    # One pushed-down scan covering both windows; each snapshot's "latest
+    # event" is a conditional struct-max (ordered by ts, then event_id —
+    # identical to the oracle's row_number DESC ordering; cents rides in
+    # the last slot and never influences the ordering because (ts,
+    # event_id) is unique).
+    ev = ev.filter(
+        (F.col("ts") > F.expr(lo1)) & (F.col("ts") <= F.lit(SNAP_T2))
+    )
+    in_a = (F.col("ts") > F.expr(lo1)) & (F.col("ts") <= F.lit(SNAP_T1))
+    in_b = F.col("ts") > F.expr(lo2)
+    snap = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(in_a, F.struct("ts", "event_id", "cents"))
+        ).alias("la"),
+        F.max(
+            F.when(in_b, F.struct("ts", "event_id", "cents"))
+        ).alias("lb"),
+    )
+    return (
+        # Users whose events all fall BETWEEN the windows have no state in
+        # either snapshot — they are not changelog rows (the oracle's full
+        # outer join never sees them; without this guard they'd leak
+        # through as spurious both-NULL 'I' rows).
+        snap.filter(F.col("la").isNotNull() | F.col("lb").isNotNull())
+        .filter(
+            F.col("la").isNull()
+            | F.col("lb").isNull()
+            | (F.col("la.event_id") != F.col("lb.event_id"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("la").isNull(), F.lit("I"))
+            .when(F.col("lb").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("la.cents").alias("old_cents"),
+            F.col("lb.cents").alias("new_cents"),
+        )
+    )
+
+
+_SNAP_SQL = f"""
+WITH win AS (
+    SELECT user_id, event_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE ts > TIMESTAMP '{SNAP_T1}' - INTERVAL {SNAP_WINDOW_DAYS} DAY
+      AND ts <= TIMESTAMP '{SNAP_T2}'
+),
+a AS (
+    SELECT user_id, event_id, cents FROM (
+        SELECT user_id, event_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM win
+        WHERE ts <= TIMESTAMP '{SNAP_T1}'
+    ) WHERE rn = 1
+),
+b AS (
+    SELECT user_id, event_id, cents FROM (
+        SELECT user_id, event_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM win
+        WHERE ts > TIMESTAMP '{SNAP_T2}' - INTERVAL {SNAP_WINDOW_DAYS} DAY
+    ) WHERE rn = 1
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'I'
+            WHEN b.user_id IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       a.cents AS old_cents,
+       b.cents AS new_cents
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.event_id <> b.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time near-dup screening: incoming batch vs existing corpus.
+# ---------------------------------------------------------------------------
+# Deterministic stand-in for "the newly arrived batch": every 5th doc_id.
+INCOMING_MOD = 5
+
+
+def dedup_incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    per_doc = (
+        sh.select("doc_id", "lang", "sh", _shingle_hash())
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_sh"),
+            F.collect_list("sh").alias("sh_arr"),
+            *_minhash_aggs(),
+        )
+        .withColumn("is_new", F.col("doc_id") % INCOMING_MOD == 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        BAND_ROWS,
+        NUM_BANDS,
+    )
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                ":", *[f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
+            ).alias("sig"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = per_doc.select(
+        "doc_id", "is_new", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "is_new", "bs.band_id", "bs.sig")
+    # Incoming x corpus only — the batch never self-joins, so candidates
+    # are linear in batch size regardless of corpus growth.
+    cand = (
+        bands.filter("is_new")
+        .alias("a")
+        .join(
+            bands.filter("NOT is_new").alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    a = per_doc.select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("sh_arr").alias("arr_a"),
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("sh_arr").alias("arr_b"),
+    )
+    return (
+        cand.join(a, "new_doc")
+        .join(b, "corpus_doc")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .withColumn(
+            "inter_ct",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
+        )
+        .withColumn(
+            "union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct")
+        )
+        .select(
+            "new_doc",
+            "corpus_doc",
+            "inter_ct",
+            "union_ct",
+            (2 * F.col("inter_ct") >= F.col("union_ct")).alias("is_dup"),
+        )
+    )
+
+
+def _incoming_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+{_minhash_tail_cte()},
+inc_cand AS (
+    SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.sig = b.sig
+    WHERE a.doc_id % {INCOMING_MOD} = 0
+      AND b.doc_id % {INCOMING_MOD} <> 0
+),
+doc_stats AS (
+    SELECT doc_id, any_value(lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_sh
+    FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT c.new_doc, c.corpus_doc, CAST(count(*) AS BIGINT) AS inter_ct
+    FROM inc_cand c
+    JOIN sh a ON a.doc_id = c.new_doc
+    JOIN sh b ON b.doc_id = c.corpus_doc AND b.sh = a.sh
+    GROUP BY 1, 2
+)
+SELECT c.new_doc, c.corpus_doc,
+       coalesce(i.inter_ct, 0) AS inter_ct,
+       sa.n_sh + sb.n_sh - coalesce(i.inter_ct, 0) AS union_ct,
+       2 * coalesce(i.inter_ct, 0)
+           >= sa.n_sh + sb.n_sh - coalesce(i.inter_ct, 0) AS is_dup
+FROM inc_cand c
+JOIN doc_stats sa ON sa.doc_id = c.new_doc
+JOIN doc_stats sb ON sb.doc_id = c.corpus_doc
+LEFT JOIN inter i
+  ON i.new_doc = c.new_doc AND i.corpus_doc = c.corpus_doc
+WHERE sa.lang = sb.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketch-vs-exact quantiles.
+# ---------------------------------------------------------------------------
+BIN_CENTS = 50
+PCTS = (50, 90, 99)
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", "event_id", money_cents("value").alias("cents")
+    )
+    n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # (type, pct, k) target ranks: k = ceil(pct * n / 100) in pure ints.
+    targets = n.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in PCTS])).alias("pct"),
+    ).withColumn("k", F.expr("(pct * n + 99) div 100"))
+    # Exact order statistic: per-type sort (the expensive truth path).
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    tgt = targets.select(
+        F.col("event_type").alias("t_type"), "pct", "k"
+    )
+    exact = ranked.join(
+        F.broadcast(tgt),
+        (ranked.event_type == tgt.t_type) & (ranked.rn == tgt.k),
+    ).select(
+        "event_type", "pct", F.col("cents").alias("exact_cents")
+    )
+    # Histogram sketch: one combine-backed aggregation to ~1000 bins/type;
+    # cumulative counts ride a window over the TINY histogram, and the
+    # answer is the first bin whose cumulative count reaches k.
+    hist = ev.withColumn("bin", F.expr(f"cents div {BIN_CENTS}")).groupBy(
+        "event_type", "bin"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("ct").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sketch = (
+        cum.join(F.broadcast(targets), "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type", "pct")
+        .agg(
+            ((F.min("bin") + 1) * BIN_CENTS).cast("bigint").alias(
+                "sketch_upper_cents"
+            )
+        )
+    )
+    return exact.join(sketch, ["event_type", "pct"]).select(
+        "event_type",
+        "pct",
+        "exact_cents",
+        "sketch_upper_cents",
+        (F.col("sketch_upper_cents") - F.col("exact_cents")).alias(
+            "err_cents"
+        ),
+    )
+
+
+_QUANTILE_SQL = f"""
+WITH ev AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+n AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM ev GROUP BY 1
+),
+targets AS (
+    SELECT event_type, n, p.pct, (p.pct * n + 99) // 100 AS k
+    FROM n, (VALUES {", ".join(f"({p})" for p in PCTS)}) AS p(pct)
+),
+ranked AS (
+    SELECT event_type, cents,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS BIGINT) AS rn
+    FROM ev
+),
+exact AS (
+    SELECT r.event_type, t.pct, r.cents AS exact_cents
+    FROM ranked r JOIN targets t
+      ON r.event_type = t.event_type AND r.rn = t.k
+),
+hist AS (
+    SELECT event_type, cents // {BIN_CENTS} AS bin,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM ev GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin,
+           sum(ct) OVER (PARTITION BY event_type ORDER BY bin
+                         ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hist
+),
+sketch AS (
+    SELECT c.event_type, t.pct,
+           CAST((min(c.bin) + 1) * {BIN_CENTS} AS BIGINT)
+               AS sketch_upper_cents
+    FROM cum c JOIN targets t ON c.event_type = t.event_type
+    WHERE c.cum >= t.k
+    GROUP BY 1, 2
+)
+SELECT e.event_type, CAST(e.pct AS INTEGER) AS pct, e.exact_cents,
+       s.sketch_upper_cents,
+       s.sketch_upper_cents - e.exact_cents AS err_cents
+FROM exact e
+JOIN sketch s ON e.event_type = s.event_type AND e.pct = s.pct
+"""
+
+
+QUERIES = {
+    "snapshot_diff_user_state": snapshot_diff_user_state,
+    "dedup_incoming_batch": dedup_incoming_batch,
+    "value_quantile_sketch": value_quantile_sketch,
+}
+
+ORACLE = {
+    "snapshot_diff_user_state": _SNAP_SQL,
+    "dedup_incoming_batch": _incoming_sql(),
+    "value_quantile_sketch": _QUANTILE_SQL,
+}
