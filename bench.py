@@ -186,9 +186,15 @@ def main() -> None:
         df = qs[name](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()  # warmup: codegen
         # min of two timed runs: this machine shows large scheduler jitter
-        # (same plan 0.3s vs 4s across runs); the min is the plan's cost
+        # (same plan 0.3s vs 4s across runs); the min is the plan's cost.
+        # clearCache before every timed run: several queries persist an
+        # interior aggregate, and without the clear the warm pass would
+        # leave it cached — the timed run would then skip the scan stage
+        # and report only the post-persist assembly (caught in the r4
+        # stress audit; the JVM/codegen warmup above is unaffected).
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
