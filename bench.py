@@ -139,6 +139,7 @@ HEADLINE = [
     "snapshot_diff_user_state",
     "dedup_incoming_batch",
     "value_quantile_sketch",
+    "pagerank_co_engagement",
 ]
 
 

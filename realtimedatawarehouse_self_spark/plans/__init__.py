@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "snapshot_diff_user_state",
     "dedup_incoming_batch",
     "value_quantile_sketch",
+    "pagerank_co_engagement",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -83,7 +84,6 @@ _VERIFY_FIRST = [
     "tpch_q4_late_orders",
     "dws06_cart_add_uu_window",
     "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
     "keyword_page_view",
     "tpch_q7_nation_trade",
     "dwd_cart_add",
@@ -116,6 +116,7 @@ _VERIFY_FIRST = [
     "dedup_exact",
     "top_users_by_event_type",
     "similarity_topk_bruteforce",
+    "tpch_q15_top_supplier",
     "tpch_q12_priority_lines",
     "tpch_q22_idle_balances",
     "tpch_q10_returned_revenue",

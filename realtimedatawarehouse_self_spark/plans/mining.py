@@ -403,8 +403,135 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the user co-engagement graph — the numeric-iterative
+# distributed algorithm family (complement to `dedup_clusters`' label
+# propagation). Fixed iteration count unrolls into ONE declarative DAG:
+# each iteration is a join + combine-backed aggregation over the persisted
+# edge list, so Catalyst/AQE optimize the whole chain and nothing touches
+# the driver between iterations.
+#
+# Graph: users co-active in the same (event_type, hour) bucket, edge
+# weight = number of shared buckets. Buckets larger than BUCKET_CAP users
+# are dropped BEFORE the pair explode (the hub-bucket guard — same design
+# as the shingle df-cap in dedup_ngram_jaccard): per-bucket pairs are then
+# ≤ BUCKET_CAP², so edge count is linear in bucket count at any corpus
+# size, and the documented recall cost is only "everyone was there"
+# buckets that carry no affinity signal anyway.
+#
+# Arithmetic is pure int64 — rank mass starts at 1e6 per node and only
+# shrinks (floor divisions), so r*w < n_nodes·1e6·w_max stays far inside
+# bigint at any realistic scale (overflow needs n·w_max > 9e12); the
+# floored update is written identically in both engines, making all three
+# unrolled iterations bit-exact.
+# ---------------------------------------------------------------------------
+BUCKET_CAP = 200
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+
+
+def pagerank_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    # Per-bucket user sets via one combine-backed aggregation, pairs via an
+    # in-row explode (≤ CAP²/2 per bucket) — no bucket self-join shuffle.
+    buckets = ev.groupBy("event_type", "h").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    ).filter(F.size("us") <= BUCKET_CAP)
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(us) < 2 THEN array() "
+                    "ELSE flatten(transform(sequence(0, size(us) - 2), "
+                    "i -> transform(sequence(i + 1, size(us) - 1), "
+                    "j -> struct(us[i] AS ua, us[j] AS ub)))) END"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.ua", "p.ub")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        # Persist at the PAIR level — the smallest frame everything
+        # downstream (symmetrize, degree, every iteration's join, the
+        # rank init) derives from, so the scan + bucket self-join run
+        # exactly once however many iterations unroll.
+        .persist()
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ua").alias("src"), F.col("ub").alias("dst"), "w"),
+                F.struct(F.col("ub").alias("src"), F.col("ua").alias("dst"), "w"),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    edges = edges.join(deg, "src")
+    ranks = edges.select(F.col("src").alias("user_id")).distinct().withColumn(
+        "r", F.lit(PR_SCALE).cast("bigint")
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges.join(
+            ranks, edges.src == ranks.user_id
+        ).select("dst", F.expr("r * w div deg").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("user_id")).agg(
+            F.expr("150000 + (85 * sum(c)) div 100").alias("r")
+        )
+    return ranks.select("user_id", F.col("r").alias("rank_micro"))
+
+
+def _pagerank_sql() -> str:
+    iter_cte = """
+r{next} AS (
+    SELECT e.dst AS user_id,
+           150000 + (85 * sum(r{cur}.r * e.w // e.deg)) // 100 AS r
+    FROM edges e JOIN r{cur} ON e.src = r{cur}.user_id
+    GROUP BY 1
+)"""
+    iters = ",".join(
+        iter_cte.format(cur=i, next=i + 1) for i in range(PR_ITERS)
+    )
+    return f"""
+WITH b AS (
+    SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+    FROM events
+),
+bn AS (
+    SELECT event_type, h, user_id,
+           count(*) OVER (PARTITION BY event_type, h) AS bucket_n
+    FROM b
+),
+bc AS (SELECT * FROM bn WHERE bucket_n <= {BUCKET_CAP}),
+pairs AS (
+    SELECT a.user_id AS ua, c.user_id AS ub,
+           CAST(count(*) AS BIGINT) AS w
+    FROM bc a JOIN bc c
+      ON a.event_type = c.event_type AND a.h = c.h
+     AND a.user_id < c.user_id
+    GROUP BY 1, 2
+),
+edges_raw AS (
+    SELECT ua AS src, ub AS dst, w FROM pairs
+    UNION ALL
+    SELECT ub AS src, ua AS dst, w FROM pairs
+),
+deg AS (SELECT src, sum(w) AS deg FROM edges_raw GROUP BY 1),
+edges AS (
+    SELECT e.src, e.dst, e.w, d.deg
+    FROM edges_raw e JOIN deg d ON e.src = d.src
+),
+r0 AS (
+    SELECT DISTINCT src AS user_id, CAST({PR_SCALE} AS BIGINT) AS r
+    FROM edges
+),{iters}
+SELECT user_id, r AS rank_micro FROM r{PR_ITERS}
+"""
+
+
 QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
+    "pagerank_co_engagement": pagerank_co_engagement,
     "audience_overlap_jaccard": audience_overlap_jaccard,
     "embedding_gram_matrix": embedding_gram_matrix,
     "lm_bigram_coverage": lm_bigram_coverage,
@@ -412,6 +539,7 @@ QUERIES = {
 
 ORACLE = {
     "heavy_hitter_users": _HH_SQL,
+    "pagerank_co_engagement": _pagerank_sql(),
     "audience_overlap_jaccard": _OVERLAP_SQL,
     "embedding_gram_matrix": _GRAM_SQL,
     "lm_bigram_coverage": _LM_SQL,

@@ -51,6 +51,31 @@ def test_mg_heavy_survives_any_order():
     assert len(cands) <= HH_DEN
 
 
+def test_pagerank_invariants(spark):
+    """Exact-integer PageRank: every co-engaged user gets a rank, ranks are
+    differentiated (not a fixed point of the uniform vector), and total
+    mass is bounded by n * (damping-sum upper bound)."""
+    import os
+
+    from tests.conftest import TESTDATA
+
+    from realtimedatawarehouse_self_spark.plans.mining import (
+        PR_SCALE,
+        pagerank_co_engagement,
+    )
+
+    rows = pagerank_co_engagement(
+        spark, os.path.join(TESTDATA, "sf0.001")
+    ).collect()
+    assert len(rows) > 0
+    ranks = [r.rank_micro for r in rows]
+    assert all(r > 0 for r in ranks)
+    assert len(set(ranks)) > 1, "ranks degenerate to uniform"
+    # mass can only shrink from the initial n * PR_SCALE (floor divisions),
+    # modulo the teleport term's +15% headroom on the first iteration
+    assert sum(ranks) <= len(ranks) * PR_SCALE * 1.15
+
+
 def test_mg_exact_when_under_capacity():
     # Fewer distinct users than capacity: no decrement ever fires, the
     # candidate set is exactly the observed users.
