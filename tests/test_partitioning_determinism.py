@@ -1,0 +1,72 @@
+"""Partitioning-independence: every query's RESULT must be byte-identical
+whatever the physical partitioning — the property the engine's integer
+micro-unit / fixed-order-float doctrine exists to guarantee, and the one
+that silently breaks when a float sum sneaks into a combine-backed
+aggregation or a sketch's partition-dependence leaks into the answer.
+
+Perturbation: re-run with a prime shuffle-partition count AND a tiny
+maxPartitionBytes (splits the scans differently, which changes Arrow batch
+boundaries for mapInPandas stages — the heavy-hitter sketch's candidate
+SET genuinely changes; its final answer must not).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import TESTDATA
+from tests.oracle_harness import _normalize
+
+SF = os.path.join(TESTDATA, "sf0.001")
+
+# Representative set: every float-emitting family, both Python-path
+# sketches, the iterative op, and a decimal/window/join sample.
+QUERIES = [
+    "heavy_hitter_users",          # partition-dependent MG candidate set
+    "pagerank_co_engagement",      # iterative integer arithmetic
+    "embedding_gram_matrix",       # decimal accumulation
+    "span_dedup_stats",            # double division output
+    "bm25_doc_search",             # micro-unit floored contributions
+    "anomaly_zscore_daily",        # fixed-order double chain
+    "domain_mixture_temperature",  # IEEE sqrt weights
+    "event_value_percentiles",
+    "window_frames_running_spend",
+    "dws09_trade_sku_order_window",
+    "value_quantile_sketch",
+    "dedup_lsh_verified",
+    "audience_overlap_jaccard",
+    "tpch_q1_pricing_summary",
+]
+
+PERTURBED = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": str(64 * 1024),
+}
+
+
+def _collect_normalized(spark, name):
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, SF)
+    return _normalize(df.columns, [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_independent_of_partitioning(spark, name):
+    baseline = dict(
+        (k, spark.conf.get(k)) for k in PERTURBED
+    )
+    ref = _collect_normalized(spark, name)
+    try:
+        for k, v in PERTURBED.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()
+        per = _collect_normalized(spark, name)
+    finally:
+        for k, v in baseline.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()
+    assert ref[0] == per[0], f"{name}: column drift"
+    assert ref[1] == per[1], f"{name}: result depends on partitioning"
