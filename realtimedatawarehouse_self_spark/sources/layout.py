@@ -36,6 +36,58 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def zvalue(col_a: str, col_b: str, bits: int = 16) -> "F.Column":
+    """Interleave the low `bits` of two non-negative integer columns (by
+    name) into a Morton (Z-order) key — pure shift/mask SQL expressions,
+    fully inside whole-stage codegen.
+
+    Clustering a fact table by the z-key gives BOTH columns locality in
+    every file/row group, so parquet min/max statistics prune scans for
+    predicates on EITHER column — the layout answer when a 100 TB table
+    has two independent access paths (e.g. user_id point lookups AND time
+    ranges) and single-column sorting would sacrifice one of them.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({col_a}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({col_b}, {i}) & 1, {2 * i + 1})")
+    return F.expr(" | ".join(terms)).cast("bigint")
+
+
+def export_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+    block_bytes: int | None = None,
+) -> None:
+    """Write `df` clustered by the Morton key of (col_a, col_b): range
+    partitioning keeps each output file a contiguous z-range, and the
+    within-file sort keeps row-group min/max tight on both dimensions.
+
+    Inputs must already be scaled to non-negative ints that fit `bits` —
+    and to EQUAL effective bit widths: if one dimension's domain uses far
+    fewer high bits than the other, the interleaved key degenerates into
+    single-column order and that dimension loses its pruning (scale the
+    wider domain down, e.g. bucket timestamps, before calling).
+
+    `block_bytes` shrinks parquet row groups below the 128 MiB default —
+    pruning granularity IS row-group granularity, so smaller groups trade
+    a little scan throughput for much finer min/max skipping."""
+    out = df.withColumn("_z", zvalue(col_a, col_b, bits))
+    w = (
+        out.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+    )
+    if block_bytes:
+        w = w.option("parquet.block.size", block_bytes)
+    w.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
