@@ -76,7 +76,14 @@ def test_hostile_session_timezone_overridden(spark, duck):
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
     try:
-        for name in ("dws02_traffic_page_view_window", "gap_fill_locf"):
+        for name in (
+            "dws02_traffic_page_view_window",
+            "gap_fill_locf",
+            # late-r4 timestamp-sensitive additions: window-boundary diff
+            # and hour-bucketed graph construction
+            "snapshot_diff_user_state",
+            "pagerank_co_engagement",
+        ):
             got = e.queries()[name](spark, SF)
             assert (
                 spark.conf.get("spark.sql.session.timeZone") == "UTC"
