@@ -140,6 +140,8 @@ HEADLINE = [
     "dedup_incoming_batch",
     "value_quantile_sketch",
     "pagerank_co_engagement",
+    "running_balance_floor",
+    "attribution_last_touch",
 ]
 
 

@@ -66,6 +66,8 @@ _VERIFY_FIRST = [
     "dedup_incoming_batch",
     "value_quantile_sketch",
     "pagerank_co_engagement",
+    "running_balance_floor",
+    "attribution_last_touch",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -81,13 +83,11 @@ _VERIFY_FIRST = [
     "baselog_stream_split",
     "stratified_sample_corpus",
     "dedup_edit_distance",
-    "tpch_q4_late_orders",
     "dws06_cart_add_uu_window",
     "tpch_q8_market_share",
     "keyword_page_view",
     "tpch_q7_nation_trade",
     "dwd_cart_add",
-    "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "vocab_topk",
     "tpch_q21_waiting_supplier",
@@ -114,6 +114,8 @@ _VERIFY_FIRST = [
     # late-r4 additions fronted above; each is either trivially
     # scan-bound or subsumed by a harder sibling still in the head) --
     "dedup_exact",
+    "tpch_q4_late_orders",
+    "tpch_q2_min_cost_supplier",
     "top_users_by_event_type",
     "similarity_topk_bruteforce",
     "tpch_q15_top_supplier",

@@ -389,14 +389,183 @@ JOIN sketch s ON e.event_type = s.event_type AND e.pct = s.pct
 """
 
 
+# ---------------------------------------------------------------------------
+# Floor-at-zero running balance — the Lindley recursion, declaratively.
+#
+# B_t = max(0, B_{t-1} + D_t) is prefix-dependent and NOT associative, so
+# it looks like it needs a stateful per-row loop (the reference would
+# reach for a KeyedProcessFunction). The reflection identity
+#     B_t = S_t - min(0, min_{k<=t} S_k)
+# turns it into TWO stacked window functions over the same (user, ts)
+# ordering — one prefix sum, one running min — so the whole computation
+# stays in Spark's window operator: one shuffle on user_id, sort reused
+# by both frames, zero Python. Wallet semantics: view/click/signup
+# credit `cents`, purchase debits, error is a no-op.
+# ---------------------------------------------------------------------------
+def running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        money_cents("value").alias("cents"),
+    )
+    delta = (
+        F.when(F.col("event_type") == "purchase", -F.col("cents"))
+        .when(F.col("event_type") == "error", F.lit(0))
+        .otherwise(F.col("cents"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_s = ev.withColumn("s", F.sum(delta).over(w))
+    balanced = with_s.withColumn(
+        "balance_cents",
+        F.col("s") - F.least(F.lit(0), F.min("s").over(w)),
+    )
+    # Per-user summary: final balance + the depth of the worst drawdown
+    # (how much floor-clamping absorbed) — both pure integer.
+    last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        balanced.withColumn("rn", F.row_number().over(last))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("balance_cents"))).alias(
+                "final_balance_cents"
+            ),
+            (-F.least(F.lit(0), F.min("s"))).alias("clamped_cents"),
+        )
+    )
+
+
+_BALANCE_SQL = """
+WITH ev AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+d AS (
+    SELECT *, CASE WHEN event_type = 'purchase' THEN -cents
+                   WHEN event_type = 'error' THEN 0
+                   ELSE cents END AS delta
+    FROM ev
+),
+s AS (
+    SELECT user_id, event_id, ts,
+           sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS s
+    FROM d
+),
+b AS (
+    SELECT user_id, event_id, ts, s,
+           s - least(0, min(s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING))
+               AS balance_cents
+    FROM s
+)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN balance_cents END) AS final_balance_cents,
+       -least(0, min(s)) AS clamped_cents
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM b
+)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase's revenue is credited to the
+# user's most recent view/click within the lookback window, else 'direct'.
+# ONE scan, ONE window: purchases and touches ride the same per-user
+# ordering and `last(..., ignorenulls)` carries the latest touch forward —
+# no purchases×touches as-of self-join.
+# ---------------------------------------------------------------------------
+ATTR_LOOKBACK_DAYS = 7
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        money_cents("value").alias("cents"),
+    ).filter(F.col("event_type").isin("purchase", "view", "click"))
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "touch_type", F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    ).withColumn(
+        "touch_ts", F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    )
+    attributed = flagged.filter(F.col("event_type") == "purchase").withColumn(
+        "channel",
+        F.when(
+            F.col("touch_ts")
+            >= F.col("ts") - F.expr(f"interval {ATTR_LOOKBACK_DAYS} days"),
+            F.col("touch_type"),
+        ).otherwise(F.lit("direct")),
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+_ATTR_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('purchase', 'view', 'click')
+),
+flagged AS (
+    SELECT *,
+           last_value(CASE WHEN event_type IN ('view', 'click')
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+           last_value(CASE WHEN event_type IN ('view', 'click')
+                           THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+    FROM ev
+)
+SELECT coalesce(CASE WHEN touch_ts >= ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+                     THEN touch_type END, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM flagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "snapshot_diff_user_state": snapshot_diff_user_state,
+    "running_balance_floor": running_balance_floor,
+    "attribution_last_touch": attribution_last_touch,
     "dedup_incoming_batch": dedup_incoming_batch,
     "value_quantile_sketch": value_quantile_sketch,
 }
 
 ORACLE = {
     "snapshot_diff_user_state": _SNAP_SQL,
+    "running_balance_floor": _BALANCE_SQL,
+    "attribution_last_touch": _ATTR_SQL,
     "dedup_incoming_batch": _incoming_sql(),
     "value_quantile_sketch": _QUANTILE_SQL,
 }

@@ -167,3 +167,34 @@ def test_salted_join_matches_plain(spark, left, right, n_salts):
     )
     plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
     assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    deltas=st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+)
+def test_lindley_reflection_identity_matches_loop(spark, deltas):
+    """running_balance_floor's window algebra rests on the reflection
+    identity B_t = S_t - min(0, min_{k<=t} S_k) == max(0, B_{t-1} + D_t);
+    prove it against the literal loop on random delta sequences."""
+    data = [(1, i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(data, "u int, t int, d long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = [
+        r.b
+        for r in df.withColumn("s", F.sum("d").over(w))
+        .withColumn("b", F.col("s") - F.least(F.lit(0), F.min("s").over(w)))
+        .orderBy("t")
+        .collect()
+    ]
+    ref, bal = [], 0
+    for d in deltas:
+        bal = max(0, bal + d)
+        ref.append(bal)
+    assert got == ref
