@@ -210,3 +210,49 @@ def first_row_per_key(events: DataFrame, key: str, payload_cols: list[str]) -> D
     return events.groupBy(key).applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+# ---------------------------------------------------------------------------
+# Floor-at-zero running balance — streaming twin of
+# plans/state_ops.py::running_balance_floor (the batch side computes the
+# same values via the reflection identity over two window functions; here
+# the state carries the balance across micro-batches and the identity is
+# applied WITHIN each batch, seeded by the carried balance). The pairing
+# matters because max(0, B + D) is NOT associative: it cannot be a
+# combine-backed aggregate, so streaming needs keyed state and batch
+# needs the window identity — asserted equal in tests.
+# ---------------------------------------------------------------------------
+def running_balance(events: DataFrame, key: str = "uid") -> DataFrame:
+    """Per-key wallet balance clamped at zero. Input: (key, seq, delta);
+    emits every row with its post-event `balance`. Rows are processed in
+    `seq` order within the key; state is one bigint.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("seq", LongType()),
+            StructField("delta", LongType()),
+            StructField("balance", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("balance", LongType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        bal = state.get[0] if state.exists else 0
+        pdf = _sorted_concat(pdfs, ["seq"])
+        if len(pdf):
+            # Vectorized within-batch Lindley step seeded by the carried
+            # balance: S_t = bal + cumsum(delta);
+            # B_t = S_t - min(0, running_min(S)).
+            s = bal + pdf["delta"].cumsum()
+            b = s - s.cummin().clip(upper=0)
+            pdf = pdf.assign(balance=b.astype("int64"))
+            bal = int(pdf["balance"].iat[-1])
+        state.update((bal,))
+        yield pdf
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

@@ -710,3 +710,70 @@ def test_upsert_meta_commits_atomically_with_swap(spark, tmp_path):
     assert read_table_meta(store) == {"batch_id": 1}
     rows = {r["k"]: r["v"] for r in spark.read.parquet(store).collect()}
     assert rows == {1: 20, 2: 5}  # _meta.json invisible to the scan
+
+
+def test_running_balance_stream_matches_batch_identity(spark, tmp_path):
+    """The non-associative floor-at-zero balance: the streaming keyed-state
+    processor (balance carried across micro-batches) must equal the batch
+    reflection-identity windows over the full history — including when the
+    clamp fires INSIDE an earlier batch."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType
+
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        running_balance,
+    )
+
+    schema = StructType(
+        [
+            StructField("uid", StringType()),
+            StructField("seq", LongType()),
+            StructField("delta", LongType()),
+        ]
+    )
+    src = str(tmp_path / "bsrc")
+    cp = str(tmp_path / "bcp")
+    out = str(tmp_path / "bout")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            running_balance(spark.readStream.schema(schema).parquet(src))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [("u1", 1, 50), ("u1", 2, -80), ("u2", 1, -5)]
+    b2 = [("u1", 3, 30), ("u2", 2, 10), ("u1", 4, -10)]
+    run_batch(b1)
+    run_batch(b2)
+
+    got = {
+        (r.uid, r.seq): r.balance
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch twin: reflection identity over the FULL history
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        (r.uid, r.seq): r.balance
+        for r in full.withColumn("s", F.sum("delta").over(w))
+        .withColumn(
+            "balance", F.col("s") - F.least(F.lit(0), F.min("s").over(w))
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[("u1", 2)] == 0  # clamp fired inside batch 1
+    assert got[("u1", 3)] == 30  # carried state is the clamped value
