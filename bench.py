@@ -142,6 +142,7 @@ HEADLINE = [
     "pagerank_co_engagement",
     "running_balance_floor",
     "attribution_last_touch",
+    "source_span_overlap",
 ]
 
 

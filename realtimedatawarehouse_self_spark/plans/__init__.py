@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "pagerank_co_engagement",
     "running_balance_floor",
     "attribution_last_touch",
+    "source_span_overlap",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -84,7 +85,6 @@ _VERIFY_FIRST = [
     "stratified_sample_corpus",
     "dedup_edit_distance",
     "dws06_cart_add_uu_window",
-    "tpch_q8_market_share",
     "keyword_page_view",
     "tpch_q7_nation_trade",
     "dwd_cart_add",
@@ -115,6 +115,7 @@ _VERIFY_FIRST = [
     # scan-bound or subsumed by a harder sibling still in the head) --
     "dedup_exact",
     "tpch_q4_late_orders",
+    "tpch_q8_market_share",
     "tpch_q2_min_cost_supplier",
     "top_users_by_event_type",
     "similarity_topk_bruteforce",

@@ -433,9 +433,10 @@ PR_SCALE = 1_000_000
 def pagerank_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    # Per-bucket user sets via one combine-backed aggregation, pairs via an
-    # in-row explode (≤ CAP²/2 per bucket) — no bucket self-join shuffle.
+    )
+    # Per-bucket user sets via one combine-backed aggregation (collect_set
+    # dedups, so no separate distinct shuffle), pairs via an in-row explode
+    # (≤ CAP²/2 per bucket) — no bucket self-join shuffle either.
     buckets = ev.groupBy("event_type", "h").agg(
         F.array_sort(F.collect_set("user_id")).alias("us")
     ).filter(F.size("us") <= BUCKET_CAP)

@@ -440,8 +440,111 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source span overlap matrix — corpus provenance / leakage
+# diagnostics: which ingest sources share verbatim W-token spans (mirror
+# sites, syndicated content, benchmark leakage between "independent"
+# crawls). Same window-hash primitive as span_dedup_stats; the pair
+# explode is bounded by the SOURCE domain (≤ S(S-1)/2 per span however
+# many documents share it), so the shuffle is span-hash keyed and the
+# output is at most S² rows. Overlap coefficient = inter / min(|a|, |b|)
+# in integer micro-units (the containment-leaning measure — a small
+# source fully copied into a big one scores 1.0, which is exactly the
+# provenance signal wanted; Jaccard would dilute it).
+# ---------------------------------------------------------------------------
+def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    spans = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tok_arr) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(0, (size(tok_arr) div {SPAN_W}) - 1), "
+                f"i -> md5(array_join(slice(tok_arr, i * {SPAN_W} + 1, "
+                f"{SPAN_W}), ' '))) END"
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = spans.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    per_span = spans.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    ).filter(F.size("srcs") >= 2)
+    inter = (
+        per_span.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(srcs) - 2), "
+                    "i -> transform(sequence(i + 1, size(srcs) - 1), "
+                    "j -> struct(srcs[i] AS src_a, srcs[j] AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
+    )
+    sz_a = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_spans").alias("spans_a")
+    )
+    sz_b = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_spans").alias("spans_b")
+    )
+    return (
+        inter.join(F.broadcast(sz_a), "src_a")
+        .join(F.broadcast(sz_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "spans_a",
+            "spans_b",
+            "shared_spans",
+            F.expr(
+                "shared_spans * 1000000 div least(spans_a, spans_b)"
+            ).alias("overlap_micro"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH tok AS (
+    SELECT source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+spans AS (
+    SELECT DISTINCT source,
+           md5(array_to_string(
+               t[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})], ' ')) AS h
+    FROM tok,
+         UNNEST(range(0, greatest(len(t) // {SPAN_W}, 0))) AS u(i)
+    WHERE len(t) >= {SPAN_W}
+),
+sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY 1
+),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS shared_spans
+    FROM spans a JOIN spans b
+      ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       sa.n_spans AS spans_a, sb.n_spans AS spans_b,
+       i.shared_spans,
+       i.shared_spans * 1000000 // least(sa.n_spans, sb.n_spans)
+           AS overlap_micro
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+"""
+
+
 QUERIES = {
     "bm25_doc_search": bm25_doc_search,
+    "source_span_overlap": source_span_overlap,
     "bpe_pair_counts": bpe_pair_counts,
     "collocation_pmi": collocation_pmi,
     "span_dedup_stats": span_dedup_stats,
@@ -449,6 +552,7 @@ QUERIES = {
 
 ORACLE = {
     "bm25_doc_search": _bm25_sql(),
+    "source_span_overlap": _SOURCE_OVERLAP_SQL,
     "bpe_pair_counts": _BPE_SQL,
     "collocation_pmi": _PMI_SQL,
     "span_dedup_stats": _SPAN_SQL,
