@@ -67,6 +67,10 @@ def _run_stream(
         events.coalesce(1).write.parquet(src)
         schema = spark.read.parquet(src).schema
         max_ts = events.agg(F.max("ts")).collect()[0][0]
+        if max_ts is None:
+            # empty source (a day with no events): any sentinel timestamp
+            # works — there are no real windows for the flush to close
+            max_ts = dt.datetime(1970, 1, 1)
 
         def trigger():
             stream = spark.readStream.schema(schema).parquet(src)
