@@ -321,3 +321,37 @@ def test_adc_rerank_stays_joinsafe(spark, sf):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # all joins broadcast-side
     assert "WindowGroupLimit" in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf):
+    """Runtime bloom-filter join (on by default in the engine session): a
+    selective dim-side predicate must inject a bloom probe into the FACT
+    side's scan stage when the join is a shuffle join — the runtime
+    semi-join reduction that saves shuffling 100 TB of non-matching fact
+    rows. Thresholds are lowered test-scoped (defaults are cluster-sized);
+    the capability, not the threshold, is what's pinned."""
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        o = (
+            load_table(spark, sf, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        l = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
