@@ -143,6 +143,9 @@ HEADLINE = [
     "running_balance_floor",
     "attribution_last_touch",
     "source_span_overlap",
+    "user_ltv_segments",
+    "event_type_markov_transitions",
+    "winsorized_value_stats",
 ]
 
 

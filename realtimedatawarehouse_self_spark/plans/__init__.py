@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from realtimedatawarehouse_self_spark.plans import (
     advanced,
+    behavior,
     core,
     corpus_ops,
     extras,
@@ -29,6 +30,7 @@ from realtimedatawarehouse_self_spark.plans import (
 
 _MODULES = (
     core,
+    behavior,
     tpch,
     llm_ops,
     corpus_ops,
@@ -69,6 +71,9 @@ _VERIFY_FIRST = [
     "running_balance_floor",
     "attribution_last_touch",
     "source_span_overlap",
+    "user_ltv_segments",
+    "event_type_markov_transitions",
+    "winsorized_value_stats",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -86,15 +91,12 @@ _VERIFY_FIRST = [
     "dedup_edit_distance",
     "dws06_cart_add_uu_window",
     "keyword_page_view",
-    "tpch_q7_nation_trade",
-    "dwd_cart_add",
     "tpch_q9_product_profit",
     "vocab_topk",
     "tpch_q21_waiting_supplier",
     "similarity_topk_lsh_bucketed",
     "dwd_trade_order_detail",
     "dedup_simhash",
-    "tpch_q20_dominant_supplier",
     "dws09_trade_sku_order_window",
     "approx_daily_users",
     "tpch_q11_important_stock",
@@ -114,6 +116,9 @@ _VERIFY_FIRST = [
     # late-r4 additions fronted above; each is either trivially
     # scan-bound or subsumed by a harder sibling still in the head) --
     "dedup_exact",
+    "tpch_q7_nation_trade",
+    "dwd_cart_add",
+    "tpch_q20_dominant_supplier",
     "tpch_q4_late_orders",
     "tpch_q8_market_share",
     "tpch_q2_min_cost_supplier",

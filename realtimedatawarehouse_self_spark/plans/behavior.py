@@ -1,0 +1,235 @@
+"""Behavioral analytics: LTV decile segmentation, event-sequence Markov
+transitions, and winsorized robust aggregates.
+
+Reference lineage: the per-user aggregation shapes of the dws layer
+(``Dws04UserUserLoginWindow.java:82-125`` et al.) extended with the three
+analytics every warehouse team layers on top — value segmentation,
+sequence mining, and outlier-robust reporting. All integer-exact (cents /
+micro-units), all one- or two-shuffle plans.
+
+- `user_ltv_segments`: users ranked into spend deciles with NTILE (total
+  order pinned by (spend, user_id) so bucket edges are deterministic and
+  engine-identical); per-decile stats ride a tiny re-aggregation of the
+  user-level frame. Two shuffles: user combine, then the 10-row decile agg
+  (the NTILE window over users is the unavoidable rank step — at 100 TB
+  the user table is the SMALL side of this engine's tables).
+- `event_type_markov_transitions`: per-user lag() chains events into
+  (prev, next) transition counts; probabilities are integer micro-unit
+  divisions against the per-prev row totals (broadcast — the matrix is
+  |types|² ≤ 25 rows). One user-keyed window sort + one tiny combine.
+- `winsorized_value_stats`: per-type mean/sum computed raw AND with cents
+  clamped to the exact [p01, p99] order statistics — the outlier-robust
+  reporting pair. The percentile bounds reuse the exact-rank pattern from
+  `value_quantile_sketch` (window row_number against ceil(p·n/100)); the
+  clamp is a pure column expression so the second aggregation adds no
+  extra fact shuffle beyond the re-keyed combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import money_cents
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# LTV decile segmentation.
+# ---------------------------------------------------------------------------
+N_SEGMENTS = 10
+
+
+def user_ltv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(money_cents("value")).alias("spend_cents"))
+    )
+    w = Window.orderBy("spend_cents", "user_id")
+    seg = spend.withColumn("segment", F.ntile(N_SEGMENTS).over(w))
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("spend_cents").alias("min_spend_cents"),
+        F.max("spend_cents").alias("max_spend_cents"),
+        F.sum("spend_cents").alias("sum_spend_cents"),
+    )
+
+
+_LTV_SQL = f"""
+WITH spend AS (
+    SELECT user_id,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+),
+seg AS (
+    SELECT *, CAST(ntile({N_SEGMENTS})
+               OVER (ORDER BY spend_cents, user_id) AS INTEGER) AS segment
+    FROM spend
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       min(spend_cents) AS min_spend_cents,
+       max(spend_cents) AS max_spend_cents,
+       CAST(sum(spend_cents) AS BIGINT) AS sum_spend_cents
+FROM seg GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence Markov transitions.
+# ---------------------------------------------------------------------------
+def event_type_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chained = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = chained.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("transitions")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("transitions").alias("total_from")
+    )
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.expr("transitions * 1000000 div total_from").alias("prob_micro"),
+    )
+
+
+_MARKOV_SQL = """
+WITH chained AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS transitions
+    FROM chained WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT prev_type, CAST(sum(transitions) AS BIGINT) AS total_from
+    FROM counts GROUP BY 1
+)
+SELECT c.prev_type, c.next_type, c.transitions,
+       c.transitions * 1000000 // t.total_from AS prob_micro
+FROM counts c JOIN totals t USING (prev_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust aggregates.
+# ---------------------------------------------------------------------------
+WINSOR_LO = 1
+WINSOR_HI = 99
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", "event_id", money_cents("value").alias("cents")
+    )
+    n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    targets = n.select(
+        F.col("event_type").alias("t_type"),
+        F.expr(f"({WINSOR_LO} * n + 99) div 100").alias("k_lo"),
+        F.expr(f"({WINSOR_HI} * n + 99) div 100").alias("k_hi"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    bounds = (
+        ranked.join(
+            F.broadcast(targets), ranked.event_type == targets.t_type
+        )
+        .filter((F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi")))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("k_lo"), F.col("cents"))).alias("p_lo"),
+            F.min(F.when(F.col("rn") == F.col("k_hi"), F.col("cents"))).alias("p_hi"),
+        )
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "wins", F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("cents")))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("sum_raw_cents"),
+        F.sum("wins").alias("sum_wins_cents"),
+        F.expr("sum(cents) * 1000000 div count(1)").alias("mean_raw_micro"),
+        F.expr("sum(wins) * 1000000 div count(1)").alias("mean_wins_micro"),
+        F.min("p_lo").alias("p_lo_cents"),
+        F.min("p_hi").alias("p_hi_cents"),
+    )
+
+
+_WINSOR_SQL = f"""
+WITH ev AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+targets AS (
+    SELECT event_type AS t_type,
+           ({WINSOR_LO} * n + 99) // 100 AS k_lo,
+           ({WINSOR_HI} * n + 99) // 100 AS k_hi
+    FROM n
+),
+ranked AS (
+    SELECT event_type, cents,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS BIGINT) AS rn
+    FROM ev
+),
+bounds AS (
+    SELECT r.event_type,
+           min(CASE WHEN r.rn = t.k_lo THEN r.cents END) AS p_lo,
+           min(CASE WHEN r.rn = t.k_hi THEN r.cents END) AS p_hi
+    FROM ranked r JOIN targets t ON r.event_type = t.t_type
+    WHERE r.rn = t.k_lo OR r.rn = t.k_hi
+    GROUP BY 1
+),
+clamped AS (
+    SELECT e.event_type, e.cents, b.p_lo, b.p_hi,
+           greatest(b.p_lo, least(b.p_hi, e.cents)) AS wins
+    FROM ev e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_raw_cents,
+       CAST(sum(wins) AS BIGINT) AS sum_wins_cents,
+       CAST(sum(cents) AS BIGINT) * 1000000 // count(*) AS mean_raw_micro,
+       CAST(sum(wins) AS BIGINT) * 1000000 // count(*) AS mean_wins_micro,
+       min(p_lo) AS p_lo_cents,
+       min(p_hi) AS p_hi_cents
+FROM clamped GROUP BY 1
+"""
+
+
+QUERIES = {
+    "user_ltv_segments": user_ltv_segments,
+    "event_type_markov_transitions": event_type_markov_transitions,
+    "winsorized_value_stats": winsorized_value_stats,
+}
+
+ORACLE = {
+    "user_ltv_segments": _LTV_SQL,
+    "event_type_markov_transitions": _MARKOV_SQL,
+    "winsorized_value_stats": _WINSOR_SQL,
+}
