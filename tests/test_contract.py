@@ -81,3 +81,24 @@ def test_rotation_advances_coverage():
         f"queries with no driver evidence since before {records[-1]} "
         f"are absent from _VERIFY_FIRST: {sorted(missing)}"
     )
+
+
+def test_no_vacuous_queries_at_driver_scale(duck):
+    """Every oracle must return at least one row at the driver's sf0.01 —
+    a hash-match on two empty results is zero-information (the r3 failure
+    mode: a streaming join whose predicate matched a nonexistent event
+    type was 'green' for two rounds). DuckDB-only, so the sweep is cheap
+    enough to run every session."""
+    import os
+
+    import __spark_entry__ as e
+
+    from tests.conftest import TESTDATA
+    from tests.oracle_harness import register_duckdb_views
+
+    register_duckdb_views(duck, os.path.join(TESTDATA, "sf0.01"))
+    empty = []
+    for name, sql in e.oracle_sql().items():
+        if duck.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == 0:
+            empty.append(name)
+    assert empty == [], f"vacuous at sf0.01: {empty}"
