@@ -146,6 +146,7 @@ HEADLINE = [
     "user_ltv_segments",
     "event_type_markov_transitions",
     "winsorized_value_stats",
+    "similarity_topk_pq_adc",
 ]
 
 

@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "user_ltv_segments",
     "event_type_markov_transitions",
     "winsorized_value_stats",
+    "similarity_topk_pq_adc",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -96,7 +97,6 @@ _VERIFY_FIRST = [
     "tpch_q21_waiting_supplier",
     "similarity_topk_lsh_bucketed",
     "dwd_trade_order_detail",
-    "dedup_simhash",
     "dws09_trade_sku_order_window",
     "approx_daily_users",
     "tpch_q11_important_stock",
@@ -117,6 +117,7 @@ _VERIFY_FIRST = [
     # scan-bound or subsumed by a harder sibling still in the head) --
     "dedup_exact",
     "tpch_q7_nation_trade",
+    "dedup_simhash",
     "dwd_cart_add",
     "tpch_q20_dominant_supplier",
     "tpch_q4_late_orders",

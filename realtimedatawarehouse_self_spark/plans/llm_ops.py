@@ -1891,6 +1891,225 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization ANN (`similarity_topk_pq_adc`) — the deepest memory
+# tier in the vector-search family: int8 codes (`..._ivf_adc_rerank`) store
+# d bytes/vector; PQ stores M bytes/vector (8 here — a further 8×). Each
+# vector splits into M subspaces; per subspace a K=16-centroid codebook is
+# trained (one Lloyd step from deterministic seeds — same exact-integer
+# recipe as `kmeans_ivf_train`: integer metric ss(c) - 2·dot, centroid
+# update `sum div n`, truncation identical in Spark `div` and DuckDB `//`),
+# and the vector is stored as its M nearest-centroid ids. Search is
+# asymmetric distance (ADC): per query a (M × K) lookup table of exact
+# integer distance contributions broadcasts, the code table joins it, and
+# the approximate distance is a SUM of M table entries — the scan touches
+# only the 8-byte codes, never the vectors. Exact float cosine reranks the
+# R-shortlist (family convention). Everything through the shortlist is
+# exact bigint arithmetic → bit-identical across engines.
+# ---------------------------------------------------------------------------
+PQ_M = 8
+PQ_SUB = 8  # 64 dims / PQ_M
+PQ_K = 16
+
+# Same quantization as kmeans (_QUANT) but over the pre-cast `vec` column.
+_QUANT_VEC = (
+    f"transform(vec, x -> CAST(floor(x * {KM_SCALE} + 0.5) AS BIGINT))"
+)
+# PQ shortlist is wider than the int8 path's RERANK_R: an 8-byte code is a
+# much coarser distance proxy than a full int8 vector, so recall is bought
+# with candidates, not bytes. Measured at sf0.01 against the exact top-3:
+# R=10 -> 0.37, R=25 -> 0.60, R=50 -> 0.70, R=100 -> 0.80; R=50 is the
+# chosen point (10% of THIS tiny corpus, a constant ~50 rows per query at
+# any real corpus size).
+PQ_R = 50
+
+
+def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pts = emb.select("vec_id", "vec", F.expr(_QUANT_VEC).alias("q"))
+    sub = pts.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(q, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv))"
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.m", "e.sv")
+    c0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cent")
+    )
+
+    _metric = (
+        "aggregate(transform(cent, x -> x * x), 0L, (acc, x) -> acc + x)"
+        " - 2 * aggregate(zip_with(sv, cent, (a, b) -> a * b), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+
+    def _assign(codebook: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(codebook), "m")
+            .withColumn("metric", F.expr(_metric))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct("metric", "cid")).alias("mc"),
+                F.first("sv").alias("sv"),
+            )
+            .select("vec_id", "m", F.col("mc.cid").alias("cid"), "sv")
+        )
+
+    a0 = _assign(c0)
+    sums = (
+        a0.select("m", "cid", F.posexplode("sv").alias("pos", "v"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t["s"],
+            ).alias("s_arr")
+        )
+    )
+    counts = a0.groupBy("m", "cid").agg(F.count(F.lit(1)).alias("n"))
+    c1 = sums.join(counts, ["m", "cid"]).select(
+        "m", "cid", F.expr("transform(s_arr, s -> s div n)").alias("cent")
+    )
+    codes = _assign(c1).select("vec_id", "m", F.col("cid").alias("code"))
+
+    qsub = sub.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    lut = (
+        qsub.join(F.broadcast(c1), "m")
+        .withColumn(
+            "contrib",
+            F.expr(_metric.replace("sv", "qsv")),
+        )
+        .select("query_id", "m", "cid", "contrib")
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.cid),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("contrib").alias("adist"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    shortlist = approx.withColumn("arn", F.row_number().over(w1)).filter(
+        F.col("arn") <= PQ_R
+    )
+    qvecs = pts.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    rer = (
+        shortlist.join(F.broadcast(qvecs), "query_id")
+        .join(pts.select("vec_id", "vec"), "vec_id")
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "adist",
+            "score",
+        )
+    )
+
+
+def _pq_sql() -> str:
+    # element grain: (vec_id, m, pos, v); codebooks at (m, cid, pos, s)
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+q AS (
+    SELECT vec_id, (i - 1) // {PQ_SUB} AS m, i - 1 AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * {KM_SCALE} + 0.5)
+                AS BIGINT) AS v
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+c0 AS (
+    SELECT m, vec_id AS cid, pos, v AS s FROM q WHERE vec_id < {PQ_K}
+),
+asg0 AS (
+    SELECT vec_id, m, cid FROM (
+        SELECT d.vec_id, d.m, d.cid,
+               row_number() OVER (PARTITION BY d.vec_id, d.m
+                   ORDER BY s.ss - 2 * d.dot, d.cid) AS rn
+        FROM (SELECT q.vec_id, q.m, c.cid, CAST(sum(q.v * c.s) AS BIGINT) AS dot
+              FROM q JOIN c0 c ON q.m = c.m AND q.pos = c.pos
+              GROUP BY 1, 2, 3) d
+        JOIN (SELECT m, cid, CAST(sum(s * s) AS BIGINT) AS ss
+              FROM c0 GROUP BY 1, 2) s ON d.m = s.m AND d.cid = s.cid
+    ) WHERE rn = 1
+),
+c1 AS (
+    SELECT a.m, a.cid, q.pos,
+           CAST(sum(q.v) AS BIGINT) // CAST(count(DISTINCT a.vec_id) AS BIGINT)
+               AS s
+    FROM asg0 a
+    JOIN q ON q.vec_id = a.vec_id AND q.m = a.m
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, cid AS code FROM (
+        SELECT d.vec_id, d.m, d.cid,
+               row_number() OVER (PARTITION BY d.vec_id, d.m
+                   ORDER BY s.ss - 2 * d.dot, d.cid) AS rn
+        FROM (SELECT q.vec_id, q.m, c.cid, CAST(sum(q.v * c.s) AS BIGINT) AS dot
+              FROM q JOIN c1 c ON q.m = c.m AND q.pos = c.pos
+              GROUP BY 1, 2, 3) d
+        JOIN (SELECT m, cid, CAST(sum(s * s) AS BIGINT) AS ss
+              FROM c1 GROUP BY 1, 2) s ON d.m = s.m AND d.cid = s.cid
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT d.query_id, d.m, d.cid, s.ss - 2 * d.dot AS contrib
+    FROM (SELECT q.vec_id AS query_id, q.m, c.cid,
+                 CAST(sum(q.v * c.s) AS BIGINT) AS dot
+          FROM q JOIN c1 c ON q.m = c.m AND q.pos = c.pos
+          WHERE q.vec_id < {NUM_QUERY_VECS}
+          GROUP BY 1, 2, 3) d
+    JOIN (SELECT m, cid, CAST(sum(s * s) AS BIGINT) AS ss
+          FROM c1 GROUP BY 1, 2) s ON d.m = s.m AND d.cid = s.cid
+),
+approx AS (
+    SELECT l.query_id, c.vec_id, CAST(sum(l.contrib) AS BIGINT) AS adist
+    FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+    WHERE c.vec_id <> l.query_id
+    GROUP BY 1, 2
+),
+shortlist AS (
+    SELECT query_id, vec_id, adist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist, vec_id) AS arn
+        FROM approx
+    ) WHERE arn <= {PQ_R}
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, adist, score
+FROM (
+    SELECT s.query_id, s.vec_id, s.adist,
+           {_COSINE_SQL.format(a="qv.vec", b="cv.vec")} AS score,
+           row_number() OVER (PARTITION BY s.query_id
+               ORDER BY {_COSINE_SQL.format(a="qv.vec", b="cv.vec")} DESC,
+                        s.vec_id) AS rnk
+    FROM shortlist s
+    JOIN vecs qv ON qv.vec_id = s.query_id
+    JOIN vecs cv ON cv.vec_id = s.vec_id
+) WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1917,6 +2136,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "similarity_topk_ivf_multiprobe": similarity_topk_ivf_multiprobe,
     "similarity_topk_ivf_adc_rerank": similarity_topk_ivf_adc_rerank,
+    "similarity_topk_pq_adc": similarity_topk_pq_adc,
     "dedup_lsh_verified": dedup_lsh_verified,
     "similarity_topk_filtered": similarity_topk_filtered,
 }
@@ -1950,6 +2170,7 @@ ORACLE = {
     "embedding_quantize_int8": _QUANT_SQL,
     "similarity_topk_ivf_multiprobe": _MULTIPROBE_SQL,
     "similarity_topk_ivf_adc_rerank": _ADC_SQL,
+    "similarity_topk_pq_adc": _pq_sql(),
     "dedup_lsh_verified": _lsh_verified_sql(),
     "similarity_topk_filtered": _FILTERED_TOPK_SQL,
 }
