@@ -147,6 +147,7 @@ HEADLINE = [
     "event_type_markov_transitions",
     "winsorized_value_stats",
     "similarity_topk_pq_adc",
+    "fifo_credit_matching",
 ]
 
 

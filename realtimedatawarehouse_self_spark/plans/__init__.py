@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "event_type_markov_transitions",
     "winsorized_value_stats",
     "similarity_topk_pq_adc",
+    "fifo_credit_matching",
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
@@ -107,7 +108,6 @@ _VERIFY_FIRST = [
     "similarity_topk_ivf",
     "tpch_q3_shipping_priority",
     "dedup_ngram_jaccard",
-    "tpch_q19_branch_revenue",
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
@@ -116,8 +116,9 @@ _VERIFY_FIRST = [
     # late-r4 additions fronted above; each is either trivially
     # scan-bound or subsumed by a harder sibling still in the head) --
     "dedup_exact",
-    "tpch_q7_nation_trade",
+    "tpch_q19_branch_revenue",
     "dedup_simhash",
+    "tpch_q7_nation_trade",
     "dwd_cart_add",
     "tpch_q20_dominant_supplier",
     "tpch_q4_late_orders",

@@ -222,14 +222,120 @@ FROM clamped GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# FIFO credit matching — the cost-basis / credit-consumption allocation:
+# each purchase consumes the user's oldest unconsumed credits first, and
+# the output says WHICH credit funded WHICH purchase and by how much.
+#
+# The classic formulation is an imperative per-user loop; the declarative
+# form is cumulative-interval overlap: credits occupy [cum_prev, cum) on
+# the user's credit number line, debits likewise on the debit line, and a
+# (credit, debit) pair matches where the intervals overlap —
+# min(hi) - max(lo) when positive. Total matched segments per user is
+# LINEAR (≤ credits + debits - 1): each segment boundary consumes one
+# interval end. The join itself is BANDED (intervals explode to fixed-size
+# bands of their cumulative range; equi-join on (user, band); distinct) so
+# the pair candidates stay near-linear too — a hot user with thousands of
+# events never triggers a quadratic per-user cross join. All integer
+# cents; fully deterministic.
+# ---------------------------------------------------------------------------
+FIFO_BAND_CENTS = 10_000
+
+
+def fifo_credit_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type",
+        money_cents("value").alias("cents"),
+    ).filter(F.col("event_type") != "error")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    def side(df, label):
+        return (
+            df.withColumn("hi", F.sum("cents").over(w))
+            .withColumn("lo", F.col("hi") - F.col("cents"))
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"{label}_event"),
+                F.col("lo").alias(f"{label}_lo"),
+                F.col("hi").alias(f"{label}_hi"),
+            )
+        )
+    credits = side(ev.filter(F.col("event_type") != "purchase"), "c")
+    debits = side(ev.filter(F.col("event_type") == "purchase"), "d")
+    B = FIFO_BAND_CENTS
+    def banded(df, label):
+        return df.select(
+            "*",
+            F.explode(
+                F.expr(f"sequence({label}_lo div {B}, ({label}_hi - 1) div {B})")
+            ).alias("band"),
+        )
+    pairs = (
+        banded(credits.filter(F.col("c_hi") > F.col("c_lo")), "c")
+        .join(
+            banded(debits.filter(F.col("d_hi") > F.col("d_lo")), "d"),
+            ["user_id", "band"],
+        )
+        .filter(
+            (F.col("c_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("c_hi"))
+        )
+        .select("user_id", "c_event", "d_event", "c_lo", "c_hi", "d_lo", "d_hi")
+        .distinct()
+    )
+    return pairs.select(
+        "user_id",
+        F.col("c_event").alias("credit_event"),
+        F.col("d_event").alias("debit_event"),
+        (
+            F.least("c_hi", "d_hi") - F.greatest("c_lo", "d_lo")
+        ).alias("matched_cents"),
+    )
+
+
+_FIFO_SQL = """
+WITH ev AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type <> 'error'
+),
+credits AS (
+    SELECT user_id, event_id AS c_event,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - cents AS c_lo,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS c_hi
+    FROM ev WHERE event_type <> 'purchase'
+),
+debits AS (
+    SELECT user_id, event_id AS d_event,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - cents AS d_lo,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS d_hi
+    FROM ev WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.c_event AS credit_event, d.d_event AS debit_event,
+       least(c.c_hi, d.d_hi) - greatest(c.c_lo, d.d_lo) AS matched_cents
+FROM credits c JOIN debits d
+  ON c.user_id = d.user_id
+ AND c.c_lo < d.d_hi AND d.d_lo < c.c_hi
+WHERE c.c_hi > c.c_lo AND d.d_hi > d.d_lo
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
+    "fifo_credit_matching": fifo_credit_matching,
     "event_type_markov_transitions": event_type_markov_transitions,
     "winsorized_value_stats": winsorized_value_stats,
 }
 
 ORACLE = {
     "user_ltv_segments": _LTV_SQL,
+    "fifo_credit_matching": _FIFO_SQL,
     "event_type_markov_transitions": _MARKOV_SQL,
     "winsorized_value_stats": _WINSOR_SQL,
 }

@@ -42,3 +42,38 @@ def test_incoming_dedup_sides_disjoint(spark):
         assert r.new_doc % S.INCOMING_MOD == 0
         assert r.corpus_doc % S.INCOMING_MOD != 0
         assert r.union_ct >= r.inter_ct >= 0
+
+
+def test_fifo_matching_conserves_mass(spark):
+    """Conservation law of FIFO allocation: per user, total matched cents
+    equals min(total credits, total debits) — nothing double-allocated,
+    nothing unmatchable left matched."""
+    import duckdb
+
+    from realtimedatawarehouse_self_spark.plans.behavior import (
+        fifo_credit_matching,
+    )
+
+    rows = fifo_credit_matching(spark, SF).collect()
+    assert rows and all(r.matched_cents > 0 for r in rows)
+    matched = {}
+    for r in rows:
+        matched[r.user_id] = matched.get(r.user_id, 0) + r.matched_cents
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    want = dict(
+        con.execute(
+            """
+        SELECT user_id,
+               least(
+                 sum(CASE WHEN event_type NOT IN ('purchase','error')
+                     THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END),
+                 sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END))
+        FROM events GROUP BY 1"""
+        ).fetchall()
+    )
+    for u, m in matched.items():
+        assert m == want[u], (u, m, want[u])
