@@ -38,6 +38,10 @@ QUERIES = [
     "dedup_lsh_verified",
     "audience_overlap_jaccard",
     "tpch_q1_pricing_summary",
+    "similarity_topk_pq_adc",       # float-cosine rerank over exact shortlist
+    "fifo_credit_matching",         # banded interval join
+    "winsorized_value_stats",       # exact-percentile clamp
+    "event_type_markov_transitions",
 ]
 
 PERTURBED = {
