@@ -46,14 +46,14 @@ _MODULES = (
 
 # The external driver verifies queries in registry order and stops at a
 # budget (r1-r3 each recorded exactly the first 50). Rotation plan for r04:
-# the 13 round-4 additions lead (zero driver evidence yet), followed by the
-# queries whose last independent driver evidence is round 1 (not covered by
-# the r02/r03 rotation, CORRECTNESS_r03.json) — so r04 ∪ r03 covers the
-# whole registry except the 10 deliberately-demoted entries listed after
-# the budget-line marker below (trivial scan-bound projections whose
-# pytest parity twins run every session; they stay r1-proven — the price
-# of fronting 13 new queries in a fixed 50-row budget). Every entry
-# passes the identical in-repo
+# every query with ZERO driver evidence leads — the 13 early-r4 additions
+# plus the 16 late-r4 additions (mining, state_ops, behavior, PQ, source
+# overlap) — followed by queries whose last independent driver evidence
+# is round 1 (not covered by the r02/r03 rotation). Fronting 29 new
+# queries in a fixed 50-row budget forces demotions: the entries after
+# the budget-line marker are r1/r2-proven, trivially scan-bound or
+# subsumed by a harder sibling still in the head, and their pytest parity
+# twins run every session. Every entry passes the identical in-repo
 # sf0.01 DuckDB-parity gate (tests/test_oracle_parity.py); this ordering
 # only rotates which subset the driver re-proves independently. The two
 # real-streaming-execution twins sit at positions 49-50 (seconds, not
