@@ -115,3 +115,19 @@ def l2_norm_sq(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+
+
+def ordered_pair_structs(arr_col: str, a_alias: str, b_alias: str) -> Column:
+    """Array column -> array of structs over all ordered index pairs i<j
+    (upper triangle). THE pair-explode primitive for set-overlap /
+    co-occurrence operators (audience overlap, co-engagement graph,
+    source span overlap) — one definition so the subtle index arithmetic
+    cannot drift per call site. Runs inside codegen; empty/singleton
+    arrays yield an empty pair array."""
+    return F.expr(
+        f"CASE WHEN size({arr_col}) < 2 THEN array() "
+        f"ELSE flatten(transform(sequence(0, size({arr_col}) - 2), "
+        f"i -> transform(sequence(i + 1, size({arr_col}) - 1), "
+        f"j -> struct({arr_col}[i] AS {a_alias}, "
+        f"{arr_col}[j] AS {b_alias})))) END"
+    )

@@ -111,10 +111,13 @@ _VERIFY_FIRST = [
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
-    # twins green every session (q10/q12/q16/q22 + dedup_exact /
-    # top_users / topk_bruteforce demoted to make room for the seven
-    # late-r4 additions fronted above; each is either trivially
-    # scan-bound or subsumed by a harder sibling still in the head) --
+    # twins green every session. Demoted this round to make room for the
+    # 16 late-r4 additions fronted above: dedup_exact/dedup_simhash,
+    # tpch q2/q4/q7/q8/q15/q19/q20, top_users_by_event_type,
+    # similarity_topk_bruteforce, dwd_cart_add — each trivially
+    # scan-bound, r1/r2 driver-proven, or subsumed by a harder sibling
+    # still in the head (the remaining entries below were demoted in
+    # earlier rebalances under the same criteria) --
     "dedup_exact",
     "tpch_q19_branch_revenue",
     "dedup_simhash",

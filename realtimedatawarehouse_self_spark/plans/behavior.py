@@ -143,21 +143,21 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", "event_id", money_cents("value").alias("cents")
     )
-    n = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    targets = n.select(
-        F.col("event_type").alias("t_type"),
-        F.expr(f"({WINSOR_LO} * n + 99) div 100").alias("k_lo"),
-        F.expr(f"({WINSOR_HI} * n + 99) div 100").alias("k_hi"),
-    )
+    # Per-type count rides the SAME exchange as the rank window (an
+    # unordered whole-partition frame over the same key) — no separate
+    # counting scan of the fact table.
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    wn = Window.partitionBy("event_type")
+    ranked = (
+        ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .withColumn("k_lo", F.expr(f"({WINSOR_LO} * n + 99) div 100"))
+        .withColumn("k_hi", F.expr(f"({WINSOR_HI} * n + 99) div 100"))
+    )
     bounds = (
-        ranked.join(
-            F.broadcast(targets), ranked.event_type == targets.t_type
+        ranked.filter(
+            (F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi"))
         )
-        .filter((F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi")))
         .groupBy("event_type")
         .agg(
             F.min(F.when(F.col("rn") == F.col("k_lo"), F.col("cents"))).alias("p_lo"),

@@ -233,12 +233,16 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
     return _band_pairs(minh)
 
 
-def _band_pairs(minh: DataFrame) -> DataFrame:
-    """Signature frame (doc_id, h0..h11) -> distinct candidate pairs.
+def signature_bands(minh: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, h0..h11[, extras]) -> (doc_id[, extras], band_id, sig).
 
-    Bands via explode — ONE upstream pipeline feeding all bands, instead of
-    a per-band unionAll that re-scans and re-aggregates the corpus per band
-    (16 scans -> 2 at NUM_BANDS=4; matters enormously at 100 TB)."""
+    THE band/sig encoding for the whole LSH family — both the corpus
+    self-join (`_band_pairs`) and the ingest-time screen
+    (`state_ops.dedup_incoming_batch`) call this, so the encoding cannot
+    silently diverge between them. Bands via explode — ONE upstream
+    pipeline feeding all bands, instead of a per-band unionAll that
+    re-scans and re-aggregates the corpus per band (16 scans -> 2 at
+    NUM_BANDS=4; matters enormously at 100 TB)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -248,9 +252,14 @@ def _band_pairs(minh: DataFrame) -> DataFrame:
         )
         for b in range(NUM_BANDS)
     ]
-    bands = minh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "bs.band_id", "bs.sig")
+    return minh.select(
+        "doc_id", *extra_cols, F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", *extra_cols, "bs.band_id", "bs.sig")
+
+
+def _band_pairs(minh: DataFrame) -> DataFrame:
+    """Signature frame (doc_id, h0..h11) -> distinct candidate pairs."""
+    bands = signature_bands(minh)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1940,16 +1949,21 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cent")
     )
 
-    _metric = (
-        "aggregate(transform(cent, x -> x * x), 0L, (acc, x) -> acc + x)"
-        " - 2 * aggregate(zip_with(sv, cent, (a, b) -> a * b), 0L,"
-        " (acc, x) -> acc + x)"
-    )
+    def _metric(vec_col: str) -> str:
+        """Exact integer ADC metric ss(cent) - 2·dot(vec, cent), as a
+        function of the probing vector's column name (no string surgery
+        on a shared expression — a stray substring match would silently
+        score with the wrong column)."""
+        return (
+            "aggregate(transform(cent, x -> x * x), 0L, (acc, x) -> acc + x)"
+            f" - 2 * aggregate(zip_with({vec_col}, cent, (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x)"
+        )
 
     def _assign(codebook: DataFrame) -> DataFrame:
         return (
             sub.join(F.broadcast(codebook), "m")
-            .withColumn("metric", F.expr(_metric))
+            .withColumn("metric", F.expr(_metric("sv")))
             .groupBy("vec_id", "m")
             .agg(
                 F.min(F.struct("metric", "cid")).alias("mc"),
@@ -1982,10 +1996,7 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut = (
         qsub.join(F.broadcast(c1), "m")
-        .withColumn(
-            "contrib",
-            F.expr(_metric.replace("sv", "qsv")),
-        )
+        .withColumn("contrib", F.expr(_metric("qsv")))
         .select("query_id", "m", "cid", "contrib")
     )
     approx = (

@@ -42,7 +42,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtimedatawarehouse_self_spark.functions.exprs import tokens
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    ordered_pair_structs,
+    tokens,
+)
 from realtimedatawarehouse_self_spark.session import apply_runtime_confs
 from realtimedatawarehouse_self_spark.sources.tables import load_table
 
@@ -140,18 +143,13 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("ts_arr")
     )
+    singles = F.expr(
+        "transform(ts_arr, t -> "
+        "struct(t AS type_a, CAST(NULL AS STRING) AS type_b))"
+    )
     combo = per_user.select(
         F.explode(
-            F.expr(
-                "concat("
-                "transform(ts_arr, t -> "
-                "  struct(t AS type_a, CAST(NULL AS STRING) AS type_b)), "
-                "CASE WHEN size(ts_arr) < 2 THEN array() "
-                "ELSE flatten(transform(sequence(0, size(ts_arr) - 2), "
-                "i -> transform(sequence(i + 1, size(ts_arr) - 1), "
-                "j -> struct(ts_arr[i] AS type_a, ts_arr[j] AS type_b)))) "
-                "END)"
-            )
+            F.concat(singles, ordered_pair_structs("ts_arr", "type_a", "type_b"))
         ).alias("p")
     ).select("p.type_a", "p.type_b")
     # Tiny result (<= T + T(T-1)/2 rows for T event types): persist so the
@@ -442,14 +440,7 @@ def pagerank_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("us") <= BUCKET_CAP)
     pairs = (
         buckets.select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(us) < 2 THEN array() "
-                    "ELSE flatten(transform(sequence(0, size(us) - 2), "
-                    "i -> transform(sequence(i + 1, size(us) - 1), "
-                    "j -> struct(us[i] AS ua, us[j] AS ub)))) END"
-                )
-            ).alias("p")
+            F.explode(ordered_pair_structs("us", "ua", "ub")).alias("p")
         )
         .groupBy("p.ua", "p.ub")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))

@@ -38,7 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realtimedatawarehouse_self_spark.functions.exprs import tokens
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    ordered_pair_structs,
+    tokens,
+)
 from realtimedatawarehouse_self_spark.plans.llm_ops import _docs
 
 # ---------------------------------------------------------------------------
@@ -474,11 +477,7 @@ def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         per_span.select(
             F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(srcs) - 2), "
-                    "i -> transform(sequence(i + 1, size(srcs) - 1), "
-                    "j -> struct(srcs[i] AS src_a, srcs[j] AS src_b))))"
-                )
+                ordered_pair_structs("srcs", "src_a", "src_b")
             ).alias("p")
         )
         .groupBy("p.src_a", "p.src_b")

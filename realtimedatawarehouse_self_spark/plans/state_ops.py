@@ -168,22 +168,10 @@ def dedup_incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     from realtimedatawarehouse_self_spark.plans.llm_ops import (
-        BAND_ROWS,
-        NUM_BANDS,
+        signature_bands,
     )
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                ":", *[f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
-            ).alias("sig"),
-        )
-        for b in range(NUM_BANDS)
-    ]
-    bands = per_doc.select(
-        "doc_id", "is_new", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "is_new", "bs.band_id", "bs.sig")
+    bands = signature_bands(per_doc, extra_cols=("is_new",))
     # Incoming x corpus only — the batch never self-joins, so candidates
     # are linear in batch size regardless of corpus growth.
     cand = (
@@ -281,30 +269,37 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", "event_id", money_cents("value").alias("cents")
     )
-    n = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    # (type, pct, k) target ranks: k = ceil(pct * n / 100) in pure ints.
-    targets = n.select(
-        "event_type",
-        "n",
-        F.explode(F.array(*[F.lit(p) for p in PCTS])).alias("pct"),
-    ).withColumn("k", F.expr("(pct * n + 99) div 100"))
-    # Exact order statistic: per-type sort (the expensive truth path).
+    # Exact order statistic: per-type sort (the expensive truth path). The
+    # per-type count rides the SAME exchange as the rank window (unordered
+    # whole-partition frame) — no separate counting scan; the tiny
+    # percentile explode happens on the <= |targets| candidate rows AFTER
+    # the rank filter, never on the fact table.
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
-    tgt = targets.select(
-        F.col("event_type").alias("t_type"), "pct", "k"
+    wn = Window.partitionBy("event_type")
+    pct_arr = F.array(*[F.lit(p) for p in PCTS])
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).withColumn("n", F.count(F.lit(1)).over(wn).cast("bigint"))
+    ks = F.expr(
+        "transform(array(%s), p -> (p * n + 99) div 100)"
+        % ", ".join(str(p) for p in PCTS)
     )
-    exact = ranked.join(
-        F.broadcast(tgt),
-        (ranked.event_type == tgt.t_type) & (ranked.rn == tgt.k),
-    ).select(
-        "event_type", "pct", F.col("cents").alias("exact_cents")
+    exact = (
+        ranked.filter(F.array_contains(ks, F.col("rn")))
+        .select(
+            "event_type",
+            "cents",
+            "rn",
+            "n",
+            F.explode(pct_arr).alias("pct"),
+        )
+        .filter(F.expr("rn = (pct * n + 99) div 100"))
+        .select("event_type", "pct", F.col("cents").alias("exact_cents"))
     )
     # Histogram sketch: one combine-backed aggregation to ~1000 bins/type;
-    # cumulative counts ride a window over the TINY histogram, and the
-    # answer is the first bin whose cumulative count reaches k.
+    # cumulative counts AND the per-type total ride windows over the TINY
+    # histogram, and the answer is the first bin whose cumulative count
+    # reaches k.
     hist = ev.withColumn("bin", F.expr(f"cents div {BIN_CENTS}")).groupBy(
         "event_type", "bin"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
@@ -315,10 +310,12 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
-    )
+    ).withColumn("n", F.sum("ct").over(Window.partitionBy("event_type")))
     sketch = (
-        cum.join(F.broadcast(targets), "event_type")
-        .filter(F.col("cum") >= F.col("k"))
+        cum.select(
+            "event_type", "bin", "cum", "n", F.explode(pct_arr).alias("pct")
+        )
+        .filter(F.expr("cum >= (pct * n + 99) div 100"))
         .groupBy("event_type", "pct")
         .agg(
             ((F.min("bin") + 1) * BIN_CENTS).cast("bigint").alias(

@@ -47,10 +47,15 @@ def zvalue(col_a: str, col_b: str, bits: int = 16) -> "F.Column":
     has two independent access paths (e.g. user_id point lookups AND time
     ranges) and single-column sorting would sacrifice one of them.
     """
+    # Shift in BIGINT: shiftleft returns its input's type, so an int32
+    # column at bits=16 would set the int32 sign bit (2*15+1 = 31) and
+    # produce negative keys that silently split the z-curve in two.
+    a = f"CAST({col_a} AS BIGINT)"
+    b = f"CAST({col_b} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"shiftleft(shiftright({col_a}, {i}) & 1, {2 * i})")
-        terms.append(f"shiftleft(shiftright({col_b}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})")
     return F.expr(" | ".join(terms)).cast("bigint")
 
 

@@ -323,6 +323,23 @@ def test_adc_rerank_stays_joinsafe(spark, sf):
     assert "WindowGroupLimit" in plan
 
 
+def test_zvalue_nonnegative_for_int32_inputs(spark):
+    """Regression: shiftleft preserves its input type, so int32 columns at
+    bits=16 used to set the int32 sign bit (position 31) and produce
+    negative Morton keys that split the z-curve. zvalue must cast to
+    bigint internally."""
+    from realtimedatawarehouse_self_spark.sources.layout import zvalue
+
+    df = spark.range(0, 70000).selectExpr(
+        "CAST(id % 65536 AS INT) AS a", "CAST(id % 65536 AS INT) AS b"
+    )
+    stats = df.select(zvalue("a", "b", 16).alias("z")).agg(
+        F.min("z").alias("mn"), F.max("z").alias("mx")
+    ).collect()[0]
+    assert stats.mn >= 0
+    assert stats.mx >= (1 << 31)  # top interleaved bit genuinely reached
+
+
 def test_runtime_bloom_filter_reaches_fact_scan(spark, sf):
     """Runtime bloom-filter join (on by default in the engine session): a
     selective dim-side predicate must inject a bloom probe into the FACT
