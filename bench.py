@@ -148,6 +148,10 @@ HEADLINE = [
     "winsorized_value_stats",
     "similarity_topk_pq_adc",
     "fifo_credit_matching",
+    "triangle_count_co_engagement",
+    "dedup_jaccard_prefix_filter",
+    "abandoned_view_rate",
+    "user_journey_paths",
 ]
 
 

@@ -60,6 +60,10 @@ _MODULES = (
 # millis — cheap scan-bound queries go first for a time-boxed verifier).
 _VERIFY_FIRST = [
     # r4 late additions (zero driver evidence): front of the rotation.
+    "triangle_count_co_engagement",
+    "dedup_jaccard_prefix_filter",
+    "abandoned_view_rate",
+    "user_journey_paths",
     "heavy_hitter_users",
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
@@ -92,16 +96,12 @@ _VERIFY_FIRST = [
     "stratified_sample_corpus",
     "dedup_edit_distance",
     "dws06_cart_add_uu_window",
-    "keyword_page_view",
-    "tpch_q9_product_profit",
-    "vocab_topk",
     "tpch_q21_waiting_supplier",
     "similarity_topk_lsh_bucketed",
     "dwd_trade_order_detail",
     "dws09_trade_sku_order_window",
     "approx_daily_users",
     "tpch_q11_important_stock",
-    "tpch_q1_pricing_summary",
     "dim_config_routing",
     "dedup_minhash_lsh",
     "corpus_clean_pipeline",
@@ -117,7 +117,15 @@ _VERIFY_FIRST = [
     # similarity_topk_bruteforce, dwd_cart_add — each trivially
     # scan-bound, r1/r2 driver-proven, or subsumed by a harder sibling
     # still in the head (the remaining entries below were demoted in
-    # earlier rebalances under the same criteria) --
+    # earlier rebalances under the same criteria). Final rebalance fronts
+    # triangle/prefix-filter/abandoned-view (zero driver evidence) and
+    # demotes keyword_page_view (superset sibling keyword_page_view_udf
+    # r3-green in the head), vocab_topk, tpch_q1 and tpch_q9 (scan-bound,
+    # driver-proven, bench-measured every round) --
+    "tpch_q9_product_profit",
+    "keyword_page_view",
+    "vocab_topk",
+    "tpch_q1_pricing_summary",
     "dedup_exact",
     "tpch_q19_branch_revenue",
     "dedup_simhash",

@@ -326,8 +326,165 @@ WHERE c.c_hi > c.c_lo AND d.d_hi > d.d_lo
 """
 
 
+# ---------------------------------------------------------------------------
+# Abandoned-view rate: views with NO purchase by the same user within the
+# horizon. The time-bounded ANTI-join complement of
+# `asof_join_purchase_signup` (which keeps the nearest match) and of the
+# streaming view->purchase twin — the reference's order/cart funnel
+# (`R/app/dwd/db/DwdTradeOrderDetail.java:161-163` joins the matched side;
+# abandonment is the unmatched remainder a funnel report needs).
+#
+# Scale: the anti-join carries user_id as its equi-key, so it compiles to a
+# sort-merge anti-join shuffled on user_id with the time bound evaluated
+# in-join — never a broadcast-nested-loop. Per-user event counts are
+# human-bounded (a user generates thousands of events, not billions), so
+# per-key match work is flat at any corpus size; both sides are
+# filter-pushed scans of the same table and the day rollup reuses the
+# view side's partitioning.
+# ---------------------------------------------------------------------------
+ABANDON_HORIZON_MIN = 60
+
+
+def abandoned_view_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") > F.col("vts"))
+        & (
+            F.col("pts")
+            <= F.col("vts") + F.expr(f"INTERVAL {ABANDON_HORIZON_MIN} MINUTES")
+        )
+    )
+    # Day keys as strings (repo convention): the driver's comparator
+    # stringifies cells, and DATE round-trips differ between engines.
+    abandoned = (
+        views.join(purchases, cond, "left_anti")
+        .groupBy(F.date_format("vts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("abandoned_ct"))
+    )
+    daily = views.groupBy(F.date_format("vts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("view_ct")
+    )
+    return (
+        daily.join(abandoned, "day", "left")
+        .withColumn(
+            "abandoned_ct", F.coalesce("abandoned_ct", F.lit(0).cast("bigint"))
+        )
+        .select(
+            "day",
+            "view_ct",
+            "abandoned_ct",
+            F.expr("abandoned_ct * 1000000 div view_ct").alias(
+                "abandoned_micro"
+            ),
+        )
+    )
+
+
+_ABANDON_SQL = f"""
+WITH v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+ab AS (
+    SELECT strftime(v.ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS abandoned_ct
+    FROM v
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts > v.ts
+          AND p.ts <= v.ts + INTERVAL {ABANDON_HORIZON_MIN} MINUTE
+    )
+    GROUP BY 1
+),
+daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS view_ct
+    FROM v GROUP BY 1
+)
+SELECT d.day, d.view_ct,
+       COALESCE(a.abandoned_ct, CAST(0 AS BIGINT)) AS abandoned_ct,
+       COALESCE(a.abandoned_ct, CAST(0 AS BIGINT)) * 1000000 // d.view_ct
+           AS abandoned_micro
+FROM daily d LEFT JOIN ab a ON a.day = d.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Journey-path mining: top event-type 3-grams across user sessions — the
+# sequence generalization of `event_type_markov_transitions` (1-step).
+# Reference analogue: the page-path fields the reference carries per log
+# event (`last_page_id` chains in R/app/dwd/BaseLogApp.java:137-139) —
+# here the chain is materialized two steps deep and ranked corpus-wide.
+#
+# Scale: one user-keyed window sort produces both lead steps (the two
+# lead() calls share ONE partitioning/sort); the path space is bounded by
+# T³ for T event types, so the count combine and the rank run on a tiny
+# frame. Determinism: ties rank by (count desc, path asc) under
+# row_number, so top-K is a total order, independent of partitioning.
+# ---------------------------------------------------------------------------
+JOURNEY_TOPK = 20
+
+
+def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grams = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    counts = grams.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("path_ct")
+    )
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("path_ct").desc(), F.col("path"))
+        ),
+    )
+    return ranked.filter(F.col("rk") <= JOURNEY_TOPK).select(
+        "path", "path_ct", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+_JOURNEY_SQL = f"""
+WITH g AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS path_ct
+    FROM g WHERE e3 IS NOT NULL
+    GROUP BY 1
+),
+ranked AS (
+    SELECT path, path_ct,
+           CAST(row_number() OVER (ORDER BY path_ct DESC, path) AS BIGINT)
+               AS rk
+    FROM counts
+)
+SELECT path, path_ct, rk FROM ranked WHERE rk <= {JOURNEY_TOPK}
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
+    "abandoned_view_rate": abandoned_view_rate,
+    "user_journey_paths": user_journey_paths,
     "fifo_credit_matching": fifo_credit_matching,
     "event_type_markov_transitions": event_type_markov_transitions,
     "winsorized_value_stats": winsorized_value_stats,
@@ -335,6 +492,8 @@ QUERIES = {
 
 ORACLE = {
     "user_ltv_segments": _LTV_SQL,
+    "abandoned_view_rate": _ABANDON_SQL,
+    "user_journey_paths": _JOURNEY_SQL,
     "fifo_credit_matching": _FIFO_SQL,
     "event_type_markov_transitions": _MARKOV_SQL,
     "winsorized_value_stats": _WINSOR_SQL,

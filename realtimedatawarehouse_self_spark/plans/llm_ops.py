@@ -32,6 +32,7 @@ from pyspark.storagelevel import StorageLevel
 
 from realtimedatawarehouse_self_spark.functions.exprs import (
     cosine,
+    ordered_pair_structs,
     tokens,
     word_shingles,
 )
@@ -176,6 +177,105 @@ inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS inter_ct
     FROM shared a JOIN shared b
+      ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_ct,
+       sa.n_sh + sb.n_sh - inter_ct AS union_ct
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
+"""
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard self-join (PPJoin family: Chaudhuri et al.
+# ICDE'06 SSJoin; Bayardo et al. WWW'07; Xiao et al. WWW'08). LOSSLESS
+# counterpart to `dedup_ngram_jaccard`'s df-cap: instead of dropping hot
+# shingles (a documented recall cut), each document indexes only its PREFIX
+# — its p = n - ceil(t*n) + 1 globally-rarest shingles under a total
+# (df asc, shingle asc) order. Theorem (prefix filter): if J(A,B) >= t then
+# |A∩B| >= ceil(t*|A|), and were A's prefix disjoint from B's, every common
+# element would sit in A's suffix of size ceil(t*|A|) - 1 < |A∩B| — so any
+# qualifying pair shares a prefix shingle and NO qualifying pair is missed.
+# Exact verification (array_intersect on the full shingle sets) then removes
+# false candidates, so the output equals the unfiltered exact join — the
+# oracle below is exactly _JACCARD_SQL minus the df cap.
+#
+# Scale: prefix shingles are by construction the globally RARE half of each
+# document, so posting lists entering the pair explode are short (boilerplate
+# shingles live in the suffix and never generate candidates); candidate
+# volume is the PPJoin bound sum_sh(df_prefix(sh)^2) with df_prefix ≪ df.
+# Verification touches candidates only, and both shingle scans derive from
+# the one persisted (doc, lang, sh, df) frame — the window that computes df
+# and the per-doc ranking reuse a single exchange chain.
+# ---------------------------------------------------------------------------
+JACCARD_T_NUM, JACCARD_T_DEN = 1, 2  # Jaccard >= 1/2, matching the capped op
+
+
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).persist()
+    ranked = (
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+    )
+    # p = n - ceil(n/2) + 1 == n div 2 + 1 for t = 1/2.
+    prefix = ranked.filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
+    postings = prefix.groupBy("lang", "sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    cand = (
+        postings.select(
+            F.explode(ordered_pair_structs("docs", "doc_a", "doc_b")).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    full = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+    )
+    fa = full.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    fb = full.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "inter_ct",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint"),
+        )
+        .withColumn("union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct"))
+        .filter(2 * F.col("inter_ct") >= F.col("union_ct"))
+        .select("doc_a", "doc_b", "inter_ct", "union_ct")
+    )
+
+
+_JACCARD_PREFIX_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter_ct
+    FROM sh a JOIN sh b
       ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -2124,6 +2224,7 @@ FROM (
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -2155,6 +2256,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_jaccard_prefix_filter": _JACCARD_PREFIX_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "similarity_topk_bruteforce": _SIM_TOPK_SQL,

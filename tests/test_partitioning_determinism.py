@@ -42,6 +42,8 @@ QUERIES = [
     "fifo_credit_matching",         # banded interval join
     "winsorized_value_stats",       # exact-percentile clamp
     "event_type_markov_transitions",
+    "triangle_count_co_engagement",  # degree-orientation must not leak into answer
+    "dedup_jaccard_prefix_filter",   # prefix selection must stay lossless
 ]
 
 PERTURBED = {
