@@ -97,7 +97,6 @@ _VERIFY_FIRST = [
     "dedup_edit_distance",
     "dws06_cart_add_uu_window",
     "tpch_q21_waiting_supplier",
-    "similarity_topk_lsh_bucketed",
     "dwd_trade_order_detail",
     "dws09_trade_sku_order_window",
     "approx_daily_users",
@@ -110,6 +109,7 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard",
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
+    "streaming_abandoned_views",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
     # twins green every session. Demoted this round to make room for the
     # 16 late-r4 additions fronted above: dedup_exact/dedup_simhash,
@@ -121,7 +121,10 @@ _VERIFY_FIRST = [
     # triangle/prefix-filter/abandoned-view (zero driver evidence) and
     # demotes keyword_page_view (superset sibling keyword_page_view_udf
     # r3-green in the head), vocab_topk, tpch_q1 and tpch_q9 (scan-bound,
-    # driver-proven, bench-measured every round) --
+    # driver-proven, bench-measured every round), and
+    # similarity_topk_lsh_bucketed (harder sibling
+    # similarity_topk_ivf_adc_rerank in the head) --
+    "similarity_topk_lsh_bucketed",
     "tpch_q9_product_profit",
     "keyword_page_view",
     "vocab_topk",

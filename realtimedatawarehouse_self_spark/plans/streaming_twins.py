@@ -44,13 +44,31 @@ FLUSH_TYPE = "__flush__"
 
 
 def _run_stream(
-    spark: SparkSession, sf_dir: str, build, flush_filter=None
+    spark: SparkSession, sf_dir: str, build, flush_filter=None,
+    double_flush: bool = False, flush_types=(FLUSH_TYPE,),
 ) -> DataFrame:
     """events -> file stream -> `build(stream)` -> parquet sink -> DataFrame.
 
     ``flush_filter``: predicate removing the flush row from the sink output
     (default: ``event_type != FLUSH_TYPE``; pipelines that drop the
-    event_type column filter on the sentinel user_id instead)."""
+    event_type column filter on the sentinel user_id instead).
+
+    ``double_flush``: append a SECOND flush row and run a third trigger.
+    Needed by stream-stream OUTER joins: join-state eviction (which is
+    what emits null-extended rows) uses the watermark as of batch START,
+    whereas windowed aggregations emit with the end-of-batch watermark —
+    so a join twin's final-horizon rows only surface in the batch AFTER
+    the one that read the first flush row.
+
+    ``flush_types``: event_type value(s) stamped on each flush row.
+    Pipelines that filter the stream by event_type BEFORE joining need
+    the sentinel to wear the REAL types (with the sentinel user_id
+    carrying the flush identity): Catalyst pushes deterministic filters
+    below the EventTimeWatermark operator, so a sentinel with a synthetic
+    type is filtered out before the watermark node ever sees it and the
+    watermark silently never advances (measured: stuck at
+    last-real-row - delay; found by this twin's missing final-horizon
+    rows)."""
     apply_runtime_confs(spark)
     # scoped conf: restore the session's shuffle partitioning on exit so a
     # batch query run after a streaming twin (e.g. a verify loop over all
@@ -87,11 +105,30 @@ def _run_stream(
 
         trigger()  # data batch (watermark unset: nothing late-dropped)
         flush = spark.createDataFrame(
-            [(int(-1), max_ts + dt.timedelta(days=3), int(-1), FLUSH_TYPE, 0.0)],
+            [
+                (int(-1 - i), max_ts + dt.timedelta(days=3), int(-1), ft, 0.0)
+                for i, ft in enumerate(flush_types)
+            ],
             schema,
         )
         flush.coalesce(1).write.mode("append").parquet(src)
         trigger()  # flush batch: watermark passes every real window
+        if double_flush:
+            flush2 = spark.createDataFrame(
+                [
+                    (
+                        int(-100 - i),
+                        max_ts + dt.timedelta(days=6),
+                        int(-1),
+                        ft,
+                        0.0,
+                    )
+                    for i, ft in enumerate(flush_types)
+                ],
+                schema,
+            )
+            flush2.coalesce(1).write.mode("append").parquet(src)
+            trigger()  # eviction batch: STARTS with the flush-1 watermark
         if flush_filter is None:
             flush_filter = F.col("event_type") != FLUSH_TYPE
         return spark.read.parquet(out).filter(flush_filter)
@@ -281,6 +318,83 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 
 
 # ---------------------------------------------------------------------------
+# Streaming ABANDONMENT detection (J2 as a driver row): the left-outer
+# twin of `streaming_join_view_purchase` — views with NO purchase inside
+# the horizon surface as null-extended rows exactly ONCE, after the
+# watermark passes view_ts + horizon (reference left-join leakage
+# contract: DwdTradeOrderDetail's dwd_order_pre_process left joins,
+# R/app/dwd/db/DwdTradeOrderPreProcess semantics; here the null side IS
+# the answer). This is the streaming twin of the batch
+# `abandoned_view_rate` anti-join at detail grain.
+#
+# Watermark placement: BEFORE the event_type filters — the flush row
+# (type __flush__) passes neither filter, so were the watermark computed
+# after them it would never advance and no null-extension would ever
+# emit; placing EventTimeWatermark ahead of the filter lets the sentinel
+# drive eviction while matching nothing.
+# ---------------------------------------------------------------------------
+def streaming_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        views = (
+            stream.select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+                "event_type",
+            )
+            .withWatermark("v_ts", "2 seconds")
+            .filter(F.col("event_type") == "view")
+            .drop("event_type")
+        )
+        purchases = (
+            stream.select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                "event_type",
+            )
+            .withWatermark("p_ts", "2 seconds")
+            .filter(F.col("event_type") == "purchase")
+            .drop("event_type")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr(f"interval {JOIN_HORIZON_S} seconds")
+            ),
+            "leftOuter",
+        )
+        return joined.filter(F.col("p_ts").isNull()).select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        )
+
+    return _run_stream(
+        spark, sf_dir, build, flush_filter=F.col("user_id") >= 0,
+        double_flush=True, flush_types=("view", "purchase"),
+    )
+
+
+_ABANDON_STREAM_SQL = f"""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM events v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = v.user_id
+        AND p.ts > v.ts
+        AND p.ts <= v.ts + INTERVAL {JOIN_HORIZON_S} SECONDS
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming incremental rollup: the MATERIALIZED-VIEW MAINTENANCE loop run
 # as a real streaming job. Events arrive across MULTIPLE micro-batches
 # (maxFilesPerTrigger=1 over a multi-file source under availableNow); each
@@ -389,6 +503,7 @@ QUERIES = {
     "streaming_uv_daily": streaming_uv_daily,
     "streaming_session_windows": streaming_session_windows,
     "streaming_join_view_purchase": streaming_join_view_purchase,
+    "streaming_abandoned_views": streaming_abandoned_views,
     "streaming_incremental_rollup": streaming_incremental_rollup,
 }
 
@@ -397,5 +512,6 @@ ORACLE = {
     "streaming_uv_daily": _UV_SQL,
     "streaming_session_windows": _session_stream_sql(),
     "streaming_join_view_purchase": _JOIN_STREAM_SQL,
+    "streaming_abandoned_views": _ABANDON_STREAM_SQL,
     "streaming_incremental_rollup": _incr_stream_sql(),
 }
