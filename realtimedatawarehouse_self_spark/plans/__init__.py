@@ -46,18 +46,21 @@ _MODULES = (
 
 # The external driver verifies queries in registry order and stops at a
 # budget (r1-r3 each recorded exactly the first 50). Rotation plan for r04:
-# every query with ZERO driver evidence leads — the 13 early-r4 additions
-# plus the 16 late-r4 additions (mining, state_ops, behavior, PQ, source
-# overlap) — followed by queries whose last independent driver evidence
-# is round 1 (not covered by the r02/r03 rotation). Fronting 29 new
-# queries in a fixed 50-row budget forces demotions: the entries after
-# the budget-line marker are r1/r2-proven, trivially scan-bound or
-# subsumed by a harder sibling still in the head, and their pytest parity
-# twins run every session. Every entry passes the identical in-repo
-# sf0.01 DuckDB-parity gate (tests/test_oracle_parity.py); this ordering
-# only rotates which subset the driver re-proves independently. The two
-# real-streaming-execution twins sit at positions 49-50 (seconds, not
-# millis — cheap scan-bound queries go first for a time-boxed verifier).
+# every query with ZERO driver evidence leads — the 13 early-r4 additions,
+# the 16 late-r4 additions (mining, state_ops, behavior, PQ, source
+# overlap), and the 5 final-r4 additions (triangle, prefix-filter,
+# abandonment batch + streaming, journey paths) — followed by queries
+# whose last independent driver evidence is round 1 (not covered by the
+# r02/r03 rotation). Fronting 34 new queries in a fixed 50-row budget
+# forces demotions: the entries after the budget-line marker are
+# r1/r2-proven, trivially scan-bound or subsumed by a harder sibling
+# still in the head, and their pytest parity twins run every session.
+# Every entry passes the identical in-repo sf0.01 DuckDB-parity gate
+# (tests/test_oracle_parity.py); this ordering only rotates which subset
+# the driver re-proves independently. The THREE real-streaming-execution
+# twins sit at positions 48-50 (seconds, not millis — cheap scan-bound
+# queries go first for a time-boxed verifier; budget accordingly when
+# rebalancing).
 _VERIFY_FIRST = [
     # r4 late additions (zero driver evidence): front of the rotation.
     "triangle_count_co_engagement",

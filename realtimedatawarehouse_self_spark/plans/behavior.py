@@ -348,7 +348,7 @@ ABANDON_HORIZON_MIN = 60
 def abandoned_view_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", F.col("ts").alias("vts")
+        "user_id", F.col("ts").alias("vts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
@@ -389,7 +389,7 @@ def abandoned_view_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ABANDON_SQL = f"""
 WITH v AS (
-    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    SELECT user_id, ts FROM events WHERE event_type = 'view'
 ),
 p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
 ab AS (

@@ -327,11 +327,15 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 # the answer). This is the streaming twin of the batch
 # `abandoned_view_rate` anti-join at detail grain.
 #
-# Watermark placement: BEFORE the event_type filters — the flush row
-# (type __flush__) passes neither filter, so were the watermark computed
-# after them it would never advance and no null-extension would ever
-# emit; placing EventTimeWatermark ahead of the filter lets the sentinel
-# drive eviction while matching nothing.
+# Flush contract: the sentinel rows must wear the REAL event types
+# ('view'/'purchase', sentinel user_id < 0) — NOT the synthetic
+# FLUSH_TYPE. Writing the watermark before the filter does not help:
+# Catalyst pushes the deterministic event_type filter below the
+# EventTimeWatermark node, so a synthetic-typed sentinel is gone before
+# the watermark operator sees it and the watermark silently freezes at
+# last-real-row − delay (see _run_stream's flush_types docstring; this
+# twin is where that was measured). The typed sentinels match nothing:
+# flush view/purchase share one timestamp, and p_ts > v_ts is strict.
 # ---------------------------------------------------------------------------
 def streaming_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(stream: DataFrame) -> DataFrame:

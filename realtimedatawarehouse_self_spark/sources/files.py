@@ -24,9 +24,9 @@ semantics:
   every record is one line, so a 1 TB shard splits at arbitrary byte
   offsets across executors. Multi-line JSON cannot split and is rejected
   here by design.
-- Both output frames are lazy filters over ONE parsed scan — no second
-  pass; at 100 TB the dead frame is written next to the clean output for
-  replay, never collected.
+- Every DATA line lands in exactly one of the two frames, which are lazy
+  filters over ONE parsed scan — no second pass; at 100 TB the dead
+  frame is written next to the clean output for replay, never collected.
 """
 
 from __future__ import annotations
@@ -44,10 +44,30 @@ def _as_schema(schema: Union[str, StructType]) -> StructType:
     return StructType.fromDDL(schema) if isinstance(schema, str) else schema
 
 
-def _split(parsed: DataFrame, ok: Column) -> Tuple[DataFrame, DataFrame]:
-    clean = parsed.filter(ok).select("rec.*")
+def _parse_split(
+    lines: DataFrame, user: StructType, parser
+) -> Tuple[DataFrame, DataFrame]:
+    """Shared dead-letter contract for every reader in this module.
+
+    ``parser(value_col, schema_with_corrupt)`` -> struct Column. One
+    definition of the corrupt-capture schema, the accept predicate, and
+    the (clean, dead) split, so the batch and streaming variants cannot
+    drift (their equality is asserted in tests/test_files_source.py).
+    """
+    with_corrupt = StructType(list(user.fields)).add(CORRUPT_COL, "string")
+    parsed = lines.withColumn("rec", parser(F.col("value"), with_corrupt))
+    ok = F.col("rec").isNotNull() & F.col(f"rec.{CORRUPT_COL}").isNull()
+    clean = parsed.filter(ok).select("rec.*").drop(CORRUPT_COL)
     dead = parsed.filter(~ok).select(F.col("value").alias("raw"))
     return clean, dead
+
+
+def _json_parser(value: Column, schema: StructType) -> Column:
+    return F.from_json(
+        value,
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
 
 
 def read_jsonl(
@@ -58,24 +78,22 @@ def read_jsonl(
     clean: user-schema rows that parsed fully; dead_letter: one string
     column `raw` holding each malformed line verbatim (the reference's
     dirty-data side output, BaseLogApp.java:58-66). A line that is valid
-    JSON but mismatches a field type is dead-lettered too: `from_json`
-    in FAILFAST-per-row disguise — we parse PERMISSIVE with the corrupt
-    capture field and treat any capture as rejection, so `clean` holds
-    only fully-typed rows.
+    JSON but mismatches a field type is dead-lettered too — any corrupt
+    capture counts as rejection, so `clean` holds only fully-typed rows.
     """
-    user = _as_schema(schema)
-    with_corrupt = StructType(list(user.fields)).add(CORRUPT_COL, "string")
-    parsed = spark.read.text(path).withColumn(
-        "rec",
-        F.from_json(
-            "value",
-            with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ),
+    return _parse_split(spark.read.text(path), _as_schema(schema), _json_parser)
+
+
+def stream_jsonl(
+    spark: SparkSession, path: str, schema: Union[str, StructType]
+) -> Tuple[DataFrame, DataFrame]:
+    """Streaming twin of `read_jsonl` (`readStream` text source): new
+    shards dropped into `path` become micro-batches; the dead-letter
+    split is byte-identical to the batch one because both run the same
+    `_parse_split`. Trigger/maxFilesPerTrigger are the caller's concern."""
+    return _parse_split(
+        spark.readStream.text(path), _as_schema(schema), _json_parser
     )
-    ok = F.col("rec").isNotNull() & F.col(f"rec.{CORRUPT_COL}").isNull()
-    clean, dead = _split(parsed, ok)
-    return clean.drop(CORRUPT_COL), dead
 
 
 def read_csv(
@@ -87,12 +105,23 @@ def read_csv(
 ) -> Tuple[DataFrame, DataFrame]:
     """Read CSV into (clean, dead_letter) under the same contract as
     `read_jsonl`: explicit schema, per-line `from_csv` parse, malformed
-    lines captured verbatim. With `header=True` the header line is
-    recognized by equality against the schema's column names and dropped
-    (per file — the text source is line-oriented, so "first line" is not
-    a well-defined concept under splitting; name-equality is)."""
+    lines captured verbatim.
+
+    Header semantics (`header=True`): the text source is line-oriented,
+    so "first line of the file" is not well-defined under byte-offset
+    splitting; instead any line whose trimmed fields equal the schema's
+    column names is treated as a header and dropped (whitespace around
+    fields tolerated). Two documented consequences of that contract:
+    a DATA line spelled exactly like the header is dropped as a header —
+    inherent CSV ambiguity; note it could only have been clean under an
+    all-string schema, since under any typed column it would fail the
+    parse anyway — and a header whose spelling deviates beyond
+    whitespace (e.g. quoted names) is NOT recognized: it flows through
+    the parse and lands in dead_letter, where replay tooling sees it —
+    the explicit-schema contract treats an unrecognizable header as data
+    it cannot type rather than guessing.
+    """
     user = _as_schema(schema)
-    with_corrupt = StructType(list(user.fields)).add(CORRUPT_COL, "string")
     opts = {
         "mode": "PERMISSIVE",
         "columnNameOfCorruptRecord": CORRUPT_COL,
@@ -100,33 +129,13 @@ def read_csv(
     }
     lines = spark.read.text(path)
     if header:
-        header_line = sep.join(f.name for f in user.fields)
-        lines = lines.filter(F.col("value") != F.lit(header_line))
-    parsed = lines.withColumn(
-        "rec", F.from_csv("value", with_corrupt.simpleString(), opts)
-    )
-    ok = F.col("rec").isNotNull() & F.col(f"rec.{CORRUPT_COL}").isNull()
-    clean, dead = _split(parsed, ok)
-    return clean.drop(CORRUPT_COL), dead
+        names = F.array(*[F.lit(f.name) for f in user.fields])
+        split_trimmed = F.transform(
+            F.split(F.col("value"), sep), lambda x: F.trim(x)
+        )
+        lines = lines.filter(split_trimmed != names)
 
+    def parser(value: Column, with_corrupt: StructType) -> Column:
+        return F.from_csv(value, with_corrupt.simpleString(), opts)
 
-def stream_jsonl(
-    spark: SparkSession, path: str, schema: Union[str, StructType]
-) -> Tuple[DataFrame, DataFrame]:
-    """Streaming twin of `read_jsonl` (`readStream` text source): new
-    shards dropped into `path` become micro-batches; the dead-letter
-    split is identical because both frames are lazy over the same parsed
-    stream. Trigger/maxFilesPerTrigger are the caller's concern."""
-    user = _as_schema(schema)
-    with_corrupt = StructType(list(user.fields)).add(CORRUPT_COL, "string")
-    parsed = spark.readStream.text(path).withColumn(
-        "rec",
-        F.from_json(
-            "value",
-            with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ),
-    )
-    ok = F.col("rec").isNotNull() & F.col(f"rec.{CORRUPT_COL}").isNull()
-    clean, dead = _split(parsed, ok)
-    return clean.drop(CORRUPT_COL), dead
+    return _parse_split(lines, user, parser)

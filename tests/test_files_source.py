@@ -65,6 +65,16 @@ def test_csv_header_and_dead_letter(spark, tmp_path):
     assert [r.raw for r in dead.collect()] == ["boom,12,view"]
 
 
+def test_csv_whitespace_tolerant_header(spark, tmp_path):
+    p = _write(
+        tmp_path / "ws.csv",
+        ["event_id, user_id, event_type", "7,70,view"],
+    )
+    clean, dead = read_csv(spark, p, SCHEMA, header=True)
+    assert [tuple(r) for r in clean.collect()] == [(7, 70, "view")]
+    assert dead.count() == 0
+
+
 def test_csv_no_header(spark, tmp_path):
     p = _write(tmp_path / "nh.csv", ["5,50,view"])
     clean, dead = read_csv(spark, p, SCHEMA, header=False)
