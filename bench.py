@@ -152,6 +152,8 @@ HEADLINE = [
     "dedup_jaccard_prefix_filter",
     "abandoned_view_rate",
     "user_journey_paths",
+    "dedup_containment",
+    "plan_range_partitions",
 ]
 
 

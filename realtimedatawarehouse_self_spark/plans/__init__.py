@@ -67,6 +67,8 @@ _VERIFY_FIRST = [
     "dedup_jaccard_prefix_filter",
     "abandoned_view_rate",
     "user_journey_paths",
+    "dedup_containment",
+    "plan_range_partitions",
     "heavy_hitter_users",
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
@@ -105,9 +107,7 @@ _VERIFY_FIRST = [
     "approx_daily_users",
     "tpch_q11_important_stock",
     "dim_config_routing",
-    "dedup_minhash_lsh",
     "corpus_clean_pipeline",
-    "similarity_topk_ivf",
     "tpch_q3_shipping_priority",
     "dedup_ngram_jaccard",
     "streaming_incremental_rollup",
@@ -125,9 +125,14 @@ _VERIFY_FIRST = [
     # demotes keyword_page_view (superset sibling keyword_page_view_udf
     # r3-green in the head), vocab_topk, tpch_q1 and tpch_q9 (scan-bound,
     # driver-proven, bench-measured every round), and
-    # similarity_topk_lsh_bucketed (harder sibling
-    # similarity_topk_ivf_adc_rerank in the head) --
+    # similarity_topk_lsh_bucketed and similarity_topk_ivf (harder
+    # sibling similarity_topk_ivf_adc_rerank in the head; ivf also
+    # bench-measured every round) and dedup_minhash_lsh (its
+    # production composition dedup_lsh_verified was r3-green and runs
+    # the same band mechanism plus exact verify) --
     "similarity_topk_lsh_bucketed",
+    "similarity_topk_ivf",
+    "dedup_minhash_lsh",
     "tpch_q9_product_profit",
     "keyword_page_view",
     "vocab_topk",

@@ -15,7 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtimedatawarehouse_self_spark.functions.exprs import (
@@ -448,8 +448,88 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-depth range-partition planner: the boundaries a 1000-executor job
+# would feed to repartitionByRange / bucketed writes so every range holds
+# ~n/B rows REGARDLESS of key skew (uniform key-range splitting collapses
+# when 1% of users generate 50% of events). This is the planning operator
+# behind `sources/layout.py`'s partitioned exports: run it on yesterday's
+# partition, ship the boundaries as a broadcast literal.
+#
+# Exact variant: the cumulative distribution runs over the DISTINCT-key
+# frequency table (|keys| rows, far below |rows|) — one combine-backed
+# groupBy, then a single-partition ordered window over keys (fine for the
+# key cardinalities a planner handles; the documented 100 TB swap for
+# billion-key domains is approx_percentile over the key column, same
+# output shape). Bucket of a key = ((cum_before) * B) div n — pure
+# integer, deterministic, and every bucket's [lo_key, hi_key] is closed
+# over whole keys so a router never splits one key across ranges (the
+# property repartitionByRange needs).
+# ---------------------------------------------------------------------------
+RANGE_BUCKETS = 16
+
+
+def plan_range_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    keys = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("key_ct")
+    )
+    w = Window.orderBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = keys.withColumn("cum", F.sum("key_ct").over(w)).withColumn(
+        "n_total", F.sum("key_ct").over(Window.partitionBy())
+    )
+    bucketed = cum.withColumn(
+        "bucket_id",
+        F.expr(f"((cum - key_ct) * {RANGE_BUCKETS}) div n_total").cast(
+            "bigint"
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket_id")
+        .agg(
+            F.min("user_id").alias("lo_key"),
+            F.max("user_id").alias("hi_key"),
+            F.sum("key_ct").alias("row_ct"),
+            F.count(F.lit(1)).cast("bigint").alias("key_ct"),
+        )
+        .select("bucket_id", "lo_key", "hi_key", "row_ct", "key_ct")
+    )
+
+
+_RANGE_PLAN_SQL = f"""
+WITH keys AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS key_ct
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+),
+cum AS (
+    SELECT user_id, key_ct,
+           sum(key_ct) OVER (ORDER BY user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(key_ct) OVER () AS n_total
+    FROM keys
+),
+bucketed AS (
+    SELECT user_id, key_ct,
+           CAST(((cum - key_ct) * {RANGE_BUCKETS}) // n_total AS BIGINT)
+               AS bucket_id
+    FROM cum
+)
+SELECT bucket_id,
+       min(user_id) AS lo_key,
+       max(user_id) AS hi_key,
+       sum(key_ct) AS row_ct,
+       CAST(count(*) AS BIGINT) AS key_ct
+FROM bucketed
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "plan_range_partitions": plan_range_partitions,
     "set_operations_users": set_operations_users,
     "rollup_event_counts": rollup_event_counts,
     "semi_anti_customers": semi_anti_customers,
@@ -464,6 +544,7 @@ QUERIES = {
 ORACLE = {
     "skewed_salted_revenue": _SKEWED_SALTED_SQL,
     "tpch_q5_local_supplier": _Q5_SQL,
+    "plan_range_partitions": _RANGE_PLAN_SQL,
     "set_operations_users": _SET_OPS_SQL,
     "rollup_event_counts": _ROLLUP_SQL,
     "semi_anti_customers": _SEMI_ANTI_SQL,

@@ -267,6 +267,114 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Containment near-superset detection: |A∩B| / |A| >= 4/5 (or /|B|) — the
+# asymmetric cousin of Jaccard that catches what a symmetric threshold
+# structurally cannot: a short document swallowed whole by a long one
+# (boilerplate wrapping, quotation inclusion, chunk-of-a-doc reposts).
+# J(A,B) = |A∩B|/|A∪B| stays ~|A|/|B| → arbitrarily small for a perfect
+# subset, so Jaccard dedup never fires; containment is the standard
+# corpus-curation answer (Broder 1997's "containment" alongside
+# "resemblance").
+#
+# Candidates: same df-capped posting-list explode as dedup_ngram_jaccard
+# (documented recall bound: a pair must share >=1 shingle with df in
+# [2, CAP]; a short doc made ENTIRELY of ubiquitous boilerplate shingles
+# is invisible — precisely the pairs carrying no curation signal).
+# Verification is EXACT on full shingle sets (array_intersect), so both
+# containment ratios are true values, not candidate-limited counts; the
+# oracle mirrors the cap in candidate generation and the exactness in
+# verification, identically to the Jaccard family.
+# ---------------------------------------------------------------------------
+CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment >= 4/5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).persist()
+    shared = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
+    ).filter((F.col("df") > 1) & (F.col("df") <= SHINGLE_DF_CAP)).drop("df")
+    postings = shared.groupBy("lang", "sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    cand = (
+        postings.select(
+            F.explode(ordered_pair_structs("docs", "doc_a", "doc_b")).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    full = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+    )
+    fa = full.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    fb = full.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "inter_ct",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint"),
+        )
+        .filter(
+            (F.col("inter_ct") * CONTAIN_DEN >= CONTAIN_NUM * F.col("n_a"))
+            | (F.col("inter_ct") * CONTAIN_DEN >= CONTAIN_NUM * F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_ct",
+            "n_a",
+            "n_b",
+            F.expr("inter_ct * 1000000 div n_a").alias("cont_a_micro"),
+            F.expr("inter_ct * 1000000 div n_b").alias("cont_b_micro"),
+        )
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+),
+shared AS (
+    SELECT doc_id, lang, sh FROM (
+        SELECT *, count(*) OVER (PARTITION BY lang, sh) AS df FROM sh
+    ) WHERE df > 1 AND df <= {SHINGLE_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shared a JOIN shared b
+      ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter_ct
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh AND b.lang = a.lang
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_ct,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       i.inter_ct * 1000000 // sa.n_sh AS cont_a_micro,
+       i.inter_ct * 1000000 // sb.n_sh AS cont_b_micro
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter_ct * {CONTAIN_DEN} >= {CONTAIN_NUM} * sa.n_sh
+   OR i.inter_ct * {CONTAIN_DEN} >= {CONTAIN_NUM} * sb.n_sh
+"""
+
+
 _JACCARD_PREFIX_SQL = f"""
 WITH {_SHINGLE_CTE},
 sizes AS (
@@ -2225,6 +2333,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -2257,6 +2366,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_jaccard_prefix_filter": _JACCARD_PREFIX_SQL,
+    "dedup_containment": _CONTAINMENT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "similarity_topk_bruteforce": _SIM_TOPK_SQL,
