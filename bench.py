@@ -154,6 +154,8 @@ HEADLINE = [
     "user_journey_paths",
     "dedup_containment",
     "plan_range_partitions",
+    "embedding_centroid_drift",
+    "distribution_shift_chi2",
 ]
 
 

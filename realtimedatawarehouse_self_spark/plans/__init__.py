@@ -17,6 +17,7 @@ from realtimedatawarehouse_self_spark.plans import (
     behavior,
     core,
     corpus_ops,
+    drift,
     extras,
     llm_ops,
     mining,
@@ -39,6 +40,7 @@ _MODULES = (
     retrieval,
     mining,
     state_ops,
+    drift,
     streaming_twins,
     timeseries,
     python_path,
@@ -69,6 +71,8 @@ _VERIFY_FIRST = [
     "user_journey_paths",
     "dedup_containment",
     "plan_range_partitions",
+    "embedding_centroid_drift",
+    "distribution_shift_chi2",
     "heavy_hitter_users",
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
@@ -107,8 +111,6 @@ _VERIFY_FIRST = [
     "approx_daily_users",
     "tpch_q11_important_stock",
     "dim_config_routing",
-    "corpus_clean_pipeline",
-    "tpch_q3_shipping_priority",
     "dedup_ngram_jaccard",
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
@@ -130,9 +132,13 @@ _VERIFY_FIRST = [
     # bench-measured every round) and dedup_minhash_lsh (its
     # production composition dedup_lsh_verified was r3-green and runs
     # the same band mechanism plus exact verify) --
+    # corpus_clean_pipeline and tpch_q3 (bench-measured every round;
+    # corpus_clean is a composition of four already-audited stages) --
     "similarity_topk_lsh_bucketed",
     "similarity_topk_ivf",
     "dedup_minhash_lsh",
+    "corpus_clean_pipeline",
+    "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
     "keyword_page_view",
     "vocab_topk",

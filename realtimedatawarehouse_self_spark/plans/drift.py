@@ -1,0 +1,194 @@
+"""Drift monitoring: embedding centroid drift and categorical
+distribution shift between two temporal cohorts — the checks a training
+pipeline runs before trusting yesterday's data against today's.
+
+Extends the monitoring family (`dq_constraint_audit`,
+`anomaly_zscore_daily`; closest reference analogue: the per-window metric
+reduces of ``R/app/dws/Dws02...java:81-203``, which trend counters over
+time but never compare distributions) with the two standard drift
+questions:
+
+- **Embedding drift** (`embedding_centroid_drift`): per label, how far
+  did the class centroid move between cohort A and cohort B? Quantizes
+  to integer micro-units exactly like `embedding_gram_matrix`
+  (floor(x*1e6) after exact float->double widening, identical in both
+  engines), so centroids (floored mean per dimension) and the squared L2
+  drift are pure bigint arithmetic — bit-exact cross-engine, no cosine
+  floats. One scan: posexplode carries (label, cohort, dim) partial sums
+  through a single combine-backed aggregation of ≤ labels × 2 × d rows.
+- **Categorical shift** (`distribution_shift_chi2`): per event_type, the
+  chi-square homogeneity contribution between the two halves of the time
+  range, in the cross-multiplied integer form
+  ``(c_a*n_b − c_b*n_a)² / (n_a*n_b*(c_a+c_b))`` — no expected-count
+  fractions, so the statistic is an exact integer micro-unit division.
+  Counts are DECIMAL(38,0)/HUGEINT before squaring: the numerator is
+  (rows²)² and wraps int64 past ~55k rows per cohort.
+
+Cohorts are deterministic: vec_id parity for embeddings (the table has no
+timestamp; parity is stable, shuffle-independent, and splits ~50/50),
+calendar halves for events (split at the midpoint day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+EMB_DIM = 64
+Q_SCALE = 1_000_000
+SPLIT_DAY = "2024-01-16"  # events midpoint (testdata spans 2024-01)
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("cohort"),
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {Q_SCALE}.0) AS BIGINT))"
+        ).alias("q"),
+    )
+    dims = q.select(
+        "label", "cohort", F.posexplode("q").alias("dim", "v")
+    )
+    sums = dims.groupBy("label", "cohort", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # Floored per-dimension centroid; identical floor division on both
+    # engines (micro-unit values are bounded, so no precision games).
+    cent = sums.select(
+        "label", "dim", "cohort", F.expr("s div n").alias("m"), "n"
+    )
+    a = cent.filter(F.col("cohort") == 0).select(
+        "label", "dim", F.col("m").alias("m_a"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("cohort") == 1).select(
+        "label", "dim", F.col("m").alias("m_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.sum(
+                (F.col("m_a") - F.col("m_b")) * (F.col("m_a") - F.col("m_b"))
+            ).alias("drift_sq_micro2"),
+        )
+        .select("label", "n_a", "n_b", "drift_sq_micro2")
+    )
+
+
+_CENTROID_SQL = f"""
+WITH q AS (
+    SELECT label,
+           CAST(vec_id % 2 AS INTEGER) AS cohort,
+           u.i AS dim,
+           CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {Q_SCALE}.0)
+               AS BIGINT) AS v
+    FROM embeddings, UNNEST(range(1, {EMB_DIM} + 1)) AS u(i)
+),
+sums AS (
+    SELECT label, cohort, dim,
+           sum(v) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM q GROUP BY 1, 2, 3
+),
+cent AS (SELECT label, dim, cohort, s // n AS m, n FROM sums)
+SELECT a.label,
+       min(a.n) AS n_a,
+       min(b.n) AS n_b,
+       sum((a.m - b.m) * (a.m - b.m)) AS drift_sq_micro2
+FROM cent a
+JOIN cent b ON a.label = b.label AND a.dim = b.dim
+WHERE a.cohort = 0 AND b.cohort = 1
+GROUP BY 1
+"""
+
+
+def distribution_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(SPLIT_DAY).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("cohort"),
+    )
+    counts = tagged.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = counts.filter(F.col("cohort") == 0).select(
+        "event_type", F.col("c").alias("c_a")
+    )
+    b = counts.filter(F.col("cohort") == 1).select(
+        "event_type", F.col("c").alias("c_b")
+    )
+    per_type = a.join(b, "event_type", "full").fillna(
+        0, subset=["c_a", "c_b"]
+    )
+    totals = per_type.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST((CAST(c_a AS DECIMAL(38,0)) * n_b"
+                " - CAST(c_b AS DECIMAL(38,0)) * n_a) AS DECIMAL(38,0))"
+            ).alias("num_root"),
+            F.expr(
+                "CAST(CAST(n_a AS DECIMAL(38,0)) * n_b"
+                " * (c_a + c_b) AS DECIMAL(38,0))"
+            ).alias("den"),
+        )
+        .select(
+            "event_type",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST((num_root * num_root * 1000000) div den AS DECIMAL(38,0))"
+            ).alias("chi2_contrib_micro"),
+        )
+    )
+
+
+_CHI2_SQL = f"""
+WITH tagged AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '{SPLIT_DAY}' THEN 0 ELSE 1 END AS cohort
+    FROM events
+),
+counts AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+           CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+    FROM tagged GROUP BY 1
+),
+tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM counts)
+SELECT c.event_type, c.c_a, c.c_b,
+       CAST(((CAST(c.c_a AS HUGEINT) * t.n_b - CAST(c.c_b AS HUGEINT) * t.n_a)
+             * (CAST(c.c_a AS HUGEINT) * t.n_b - CAST(c.c_b AS HUGEINT) * t.n_a)
+             * 1000000)
+            // (CAST(t.n_a AS HUGEINT) * t.n_b * (c.c_a + c.c_b))
+           AS DECIMAL(38,0)) AS chi2_contrib_micro
+FROM counts c, tot t
+"""
+
+
+QUERIES = {
+    "embedding_centroid_drift": embedding_centroid_drift,
+    "distribution_shift_chi2": distribution_shift_chi2,
+}
+
+ORACLE = {
+    "embedding_centroid_drift": _CENTROID_SQL,
+    "distribution_shift_chi2": _CHI2_SQL,
+}
