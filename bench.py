@@ -156,6 +156,7 @@ HEADLINE = [
     "plan_range_partitions",
     "embedding_centroid_drift",
     "distribution_shift_chi2",
+    "user_churn_labels",
 ]
 
 

@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "plan_range_partitions",
     "embedding_centroid_drift",
     "distribution_shift_chi2",
+    "user_churn_labels",
     "heavy_hitter_users",
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
@@ -103,7 +104,6 @@ _VERIFY_FIRST = [
     "collocation_pmi",
     "baselog_stream_split",
     "stratified_sample_corpus",
-    "dedup_edit_distance",
     "dws06_cart_add_uu_window",
     "tpch_q21_waiting_supplier",
     "dwd_trade_order_detail",
@@ -133,7 +133,10 @@ _VERIFY_FIRST = [
     # production composition dedup_lsh_verified was r3-green and runs
     # the same band mechanism plus exact verify) --
     # corpus_clean_pipeline and tpch_q3 (bench-measured every round;
-    # corpus_clean is a composition of four already-audited stages) --
+    # corpus_clean is a composition of four already-audited stages),
+    # dedup_edit_distance (r1/r2-proven banded algorithm, bench-measured,
+    # in the same exact-verify family as three head entries) --
+    "dedup_edit_distance",
     "similarity_topk_lsh_bucketed",
     "similarity_topk_ivf",
     "dedup_minhash_lsh",

@@ -481,10 +481,80 @@ SELECT path, path_ct, rk FROM ranked WHERE rk <= {JOURNEY_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Churn labeling: the supervised-label generator for retention models —
+# per signup-day cohort, the share of users with NO activity in the final
+# CHURN_WINDOW_DAYS of the observed range. Complements
+# `user_retention_cohorts` (which counts RETURNING activity day-by-day)
+# with the binary label an ML pipeline actually trains on.
+#
+# One user-keyed combine produces first-day (cohort) and last-day
+# (churn test) together; the cutoff derives from the data's own max ts so
+# the label is reproducible from the table alone. Integer micro-unit rate.
+# ---------------------------------------------------------------------------
+CHURN_WINDOW_DAYS = 7
+
+
+def user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    labeled = users.crossJoin(F.broadcast(bounds)).select(
+        F.date_format("first_ts", "yyyy-MM-dd").alias("cohort_day"),
+        F.when(
+            F.col("last_ts")
+            < F.col("max_ts")
+            - F.expr(f"INTERVAL {CHURN_WINDOW_DAYS} DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("churned"),
+    )
+    return (
+        labeled.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("churned").alias("churned_ct"),
+        )
+        .select(
+            "cohort_day",
+            "n_users",
+            "churned_ct",
+            F.expr("churned_ct * 1000000 div n_users").alias("churn_micro"),
+        )
+    )
+
+
+_CHURN_SQL = f"""
+WITH bounds AS (SELECT max(ts) AS max_ts FROM events),
+users AS (
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY 1
+),
+labeled AS (
+    SELECT strftime(u.first_ts, '%Y-%m-%d') AS cohort_day,
+           CAST(CASE WHEN u.last_ts <
+                    b.max_ts - INTERVAL {CHURN_WINDOW_DAYS} DAY
+                THEN 1 ELSE 0 END AS BIGINT) AS churned
+    FROM users u, bounds b
+)
+SELECT cohort_day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       sum(churned) AS churned_ct,
+       sum(churned) * 1000000 // count(*) AS churn_micro
+FROM labeled
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "abandoned_view_rate": abandoned_view_rate,
     "user_journey_paths": user_journey_paths,
+    "user_churn_labels": user_churn_labels,
     "fifo_credit_matching": fifo_credit_matching,
     "event_type_markov_transitions": event_type_markov_transitions,
     "winsorized_value_stats": winsorized_value_stats,
@@ -494,6 +564,7 @@ ORACLE = {
     "user_ltv_segments": _LTV_SQL,
     "abandoned_view_rate": _ABANDON_SQL,
     "user_journey_paths": _JOURNEY_SQL,
+    "user_churn_labels": _CHURN_SQL,
     "fifo_credit_matching": _FIFO_SQL,
     "event_type_markov_transitions": _MARKOV_SQL,
     "winsorized_value_stats": _WINSOR_SQL,

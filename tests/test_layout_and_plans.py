@@ -372,3 +372,31 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_range_partition_planner_equi_depth(spark, sf):
+    """plan_range_partitions invariants: buckets cover every row exactly
+    once, ranges are disjoint whole-key intervals in key order, and no
+    bucket exceeds the equi-depth bound n/B + max single-key frequency
+    (the slack whole-key granularity forces)."""
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.extras import RANGE_BUCKETS
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    rows = sorted(
+        tuple(r)
+        for r in e.queries()["plan_range_partitions"](spark, sf).collect()
+    )
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    n = ev.count()
+    max_key = (
+        ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sum(r[3] for r in rows) == n
+    assert len(rows) <= RANGE_BUCKETS
+    for (b1, lo1, hi1, ct1, k1), (b2, lo2, hi2, ct2, k2) in zip(
+        rows, rows[1:]
+    ):
+        assert b1 < b2 and lo1 <= hi1 and hi1 < lo2
+    for _, _, _, ct, _ in rows:
+        assert ct <= n // RANGE_BUCKETS + max_key
