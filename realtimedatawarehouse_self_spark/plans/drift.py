@@ -34,11 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtimedatawarehouse_self_spark.plans.mining import EMB_DIM, Q_SCALE
 from realtimedatawarehouse_self_spark.session import apply_runtime_confs
 from realtimedatawarehouse_self_spark.sources.tables import load_table
 
-EMB_DIM = 64
-Q_SCALE = 1_000_000
 SPLIT_DAY = "2024-01-16"  # events midpoint (testdata spans 2024-01)
 
 
@@ -119,17 +118,16 @@ def distribution_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("cohort"),
     )
-    counts = tagged.groupBy("event_type", "cohort").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    a = counts.filter(F.col("cohort") == 0).select(
-        "event_type", F.col("c").alias("c_a")
-    )
-    b = counts.filter(F.col("cohort") == 1).select(
-        "event_type", F.col("c").alias("c_b")
-    )
-    per_type = a.join(b, "event_type", "full").fillna(
-        0, subset=["c_a", "c_b"]
+    # ONE conditional aggregation, mirroring the oracle's GROUP BY shape —
+    # a filter+full-outer-join form would also double-count a NULL
+    # event_type group (Spark equijoins never match NULL keys).
+    per_type = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
     )
     totals = per_type.agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")

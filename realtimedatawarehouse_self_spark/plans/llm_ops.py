@@ -130,13 +130,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation buffer ever holds a hot shingle's postings; the groupBy
     # that follows reuses the window's (lang, sh) partitioning — one
     # exchange for both steps.
-    shared = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
-    ).filter((F.col("df") > 1) & (F.col("df") <= SHINGLE_DF_CAP)).drop("df")
+    shared = _df_capped_entries(sh)
     # Candidate pairs come straight out of each (bounded) posting list —
     # explode the <=C(DF_CAP,2) combinations per shingle instead of a
     # df-sized × df-sized self-join: the join's shuffle of both exploded
-    # sides disappears entirely.
+    # sides disappears entirely. (Not `_posting_pairs`: this operator
+    # needs the per-pair MULTIPLICITY — shared-shingle counts — so the
+    # explode keeps duplicates and aggregates them, where the exact-verify
+    # family distincts them away.)
     postings = shared.groupBy("lang", "sh").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
@@ -230,37 +231,9 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # p = n - ceil(n/2) + 1 == n div 2 + 1 for t = 1/2.
     prefix = ranked.filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
-    postings = prefix.groupBy("lang", "sh").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
-    )
-    cand = (
-        postings.select(
-            F.explode(ordered_pair_structs("docs", "doc_a", "doc_b")).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    full = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shs"),
-        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
-    )
-    fa = full.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    fb = full.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n_sh").alias("n_b"),
-    )
+    cand = _posting_pairs(prefix.select("doc_id", "lang", "sh"))
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn(
-            "inter_ct",
-            F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint"),
-        )
+        _exact_pair_verify(cand, sh)
         .withColumn("union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct"))
         .filter(2 * F.col("inter_ct") >= F.col("union_ct"))
         .select("doc_a", "doc_b", "inter_ct", "union_ct")
@@ -289,21 +262,35 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment >= 4/5
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).persist()
-    shared = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
-    ).filter((F.col("df") > 1) & (F.col("df") <= SHINGLE_DF_CAP)).drop("df")
-    postings = shared.groupBy("lang", "sh").agg(
+def _posting_pairs(entries: DataFrame) -> DataFrame:
+    """Distinct ordered candidate pairs from (lang, sh)-keyed posting
+    lists — the one definition of the posting-explode candidate
+    generator shared by the exact-verify dedup family."""
+    postings = entries.groupBy("lang", "sh").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
-    cand = (
+    return (
         postings.select(
             F.explode(ordered_pair_structs("docs", "doc_a", "doc_b")).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def _df_capped_entries(sh: DataFrame) -> DataFrame:
+    """Shingle entries surviving the df cap (shared candidate bound of
+    dedup_ngram_jaccard and dedup_containment)."""
+    return sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
+    ).filter((F.col("df") > 1) & (F.col("df") <= SHINGLE_DF_CAP)).drop("df")
+
+
+def _exact_pair_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach exact (n_a, n_b, inter_ct) — over ALL shingles, whatever
+    bound generated the candidates — via full-set array_intersect. The
+    single verify implementation behind the prefix-filter and containment
+    operators (so the verify semantics cannot drift between them)."""
     full = sh.groupBy("doc_id").agg(
         F.collect_set("sh").alias("shs"),
         F.count(F.lit(1)).cast("bigint").alias("n_sh"),
@@ -325,6 +312,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter_ct",
             F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint"),
         )
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).persist()
+    cand = _posting_pairs(_df_capped_entries(sh))
+    return (
+        _exact_pair_verify(cand, sh)
         .filter(
             (F.col("inter_ct") * CONTAIN_DEN >= CONTAIN_NUM * F.col("n_a"))
             | (F.col("inter_ct") * CONTAIN_DEN >= CONTAIN_NUM * F.col("n_b"))

@@ -31,6 +31,7 @@ semantics:
 
 from __future__ import annotations
 
+import re
 from typing import Tuple, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -130,8 +131,11 @@ def read_csv(
     lines = spark.read.text(path)
     if header:
         names = F.array(*[F.lit(f.name) for f in user.fields])
+        # F.split takes a REGEX: escape the separator or metacharacter
+        # seps ('|', '.', '+') split per-character and header lines slip
+        # through into the data path.
         split_trimmed = F.transform(
-            F.split(F.col("value"), sep), lambda x: F.trim(x)
+            F.split(F.col("value"), re.escape(sep)), lambda x: F.trim(x)
         )
         lines = lines.filter(split_trimmed != names)
 

@@ -75,6 +75,15 @@ def test_csv_whitespace_tolerant_header(spark, tmp_path):
     assert dead.count() == 0
 
 
+def test_csv_regex_metachar_separator(spark, tmp_path):
+    # '|' is a regex metacharacter: header detection must treat the
+    # separator literally or the header slips into the data path.
+    p = _write(tmp_path / "pipe.csv", ["event_id|user_id|event_type", "9|90|view"])
+    clean, dead = read_csv(spark, p, SCHEMA, header=True, sep="|")
+    assert [tuple(r) for r in clean.collect()] == [(9, 90, "view")]
+    assert dead.count() == 0
+
+
 def test_csv_no_header(spark, tmp_path):
     p = _write(tmp_path / "nh.csv", ["5,50,view"])
     clean, dead = read_csv(spark, p, SCHEMA, header=False)

@@ -83,9 +83,10 @@ def test_hostile_session_timezone_overridden(spark, duck):
             # and hour-bucketed graph construction
             "snapshot_diff_user_state",
             "pagerank_co_engagement",
-            # final-r4: day-string rollup and minute-bucketed graph
+            # final-r4: day-string rollups and minute-bucketed graph
             "abandoned_view_rate",
             "triangle_count_co_engagement",
+            "user_churn_labels",
         ):
             got = e.queries()[name](spark, SF)
             assert (
