@@ -157,6 +157,7 @@ HEADLINE = [
     "embedding_centroid_drift",
     "distribution_shift_chi2",
     "user_churn_labels",
+    "user_event_diversity",
 ]
 
 

@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "embedding_centroid_drift",
     "distribution_shift_chi2",
     "user_churn_labels",
+    "user_event_diversity",
     "heavy_hitter_users",
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
@@ -105,7 +106,6 @@ _VERIFY_FIRST = [
     "baselog_stream_split",
     "stratified_sample_corpus",
     "dws06_cart_add_uu_window",
-    "tpch_q21_waiting_supplier",
     "dwd_trade_order_detail",
     "dws09_trade_sku_order_window",
     "approx_daily_users",
@@ -135,8 +135,11 @@ _VERIFY_FIRST = [
     # corpus_clean_pipeline and tpch_q3 (bench-measured every round;
     # corpus_clean is a composition of four already-audited stages),
     # dedup_edit_distance (r1/r2-proven banded algorithm, bench-measured,
-    # in the same exact-verify family as three head entries) --
+    # in the same exact-verify family as three head entries),
+    # tpch_q21 (r1-proven, same double-EXISTS machinery as q4/q16 kin
+    # below, bench-measured) --
     "dedup_edit_distance",
+    "tpch_q21_waiting_supplier",
     "similarity_topk_lsh_bucketed",
     "similarity_topk_ivf",
     "dedup_minhash_lsh",

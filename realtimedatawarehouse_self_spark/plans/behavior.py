@@ -550,11 +550,57 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Behavioral diversity: Gini impurity of each user's event-type mix —
+# the log-free diversity metric (entropy needs ln, which the engine's
+# float-determinism doctrine bans from oracle-gated expressions; Gini
+# 1 − Σp² carries the same "how one-dimensional is this user" signal in
+# exact integer arithmetic: 1e6 − Σc_i²·1e6 div n²). Two combines: the
+# (user, type) counts, then the per-user reduce; both map-side partial.
+# ---------------------------------------------------------------------------
+def user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr(
+                "1000000 - (sum_sq * 1000000) div (n_events * n_events)"
+            ).alias("gini_micro"),
+        )
+    )
+
+
+_DIVERSITY_SQL = """
+WITH counts AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       sum(c) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       1000000 - (sum(c * c) * 1000000) // (sum(c) * sum(c)) AS gini_micro
+FROM counts
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "abandoned_view_rate": abandoned_view_rate,
     "user_journey_paths": user_journey_paths,
     "user_churn_labels": user_churn_labels,
+    "user_event_diversity": user_event_diversity,
     "fifo_credit_matching": fifo_credit_matching,
     "event_type_markov_transitions": event_type_markov_transitions,
     "winsorized_value_stats": winsorized_value_stats,
@@ -565,6 +611,7 @@ ORACLE = {
     "abandoned_view_rate": _ABANDON_SQL,
     "user_journey_paths": _JOURNEY_SQL,
     "user_churn_labels": _CHURN_SQL,
+    "user_event_diversity": _DIVERSITY_SQL,
     "fifo_credit_matching": _FIFO_SQL,
     "event_type_markov_transitions": _MARKOV_SQL,
     "winsorized_value_stats": _WINSOR_SQL,
