@@ -34,6 +34,13 @@ def null_sf_dir(tmp_path_factory):
     # 'purchase': single non-NULL among NULLs; second user for windows
     for i, v in enumerate([None, None, 7.07, None], start=12):
         rows.append((i, base + dt.timedelta(minutes=i), 3, "purchase", v))
+    # NULL user_id rows: a view + a later purchase (NULL never equals
+    # NULL, so the anti-join must still call the view abandoned on BOTH
+    # engines), plus a click so NULL-keyed groupBy/window paths see a
+    # multi-row NULL partition
+    rows.append((16, base + dt.timedelta(minutes=16), None, "view", 1.0))
+    rows.append((17, base + dt.timedelta(minutes=17), None, "purchase", 2.0))
+    rows.append((18, base + dt.timedelta(minutes=18), None, "click", None))
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -69,6 +76,15 @@ def null_duck(null_sf_dir):
         "grouping_sets_events",
         "rollup_event_counts",
         "top_users_by_event_type",
+        # final-r4: NULL user_id through the anti-join (NULL = NULL is
+        # never true — the view must count as abandoned on both engines),
+        # NULL-keyed window partitions and groupBys, and the planner's
+        # explicit NOT NULL filter
+        "abandoned_view_rate",
+        "user_journey_paths",
+        "user_event_diversity",
+        "user_churn_labels",
+        "plan_range_partitions",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
@@ -91,4 +107,6 @@ def test_null_values_actually_exercise_the_hazard(spark, null_sf_dir):
 
     ev = load_table(spark, null_sf_dir, "events")
     n_null = ev.filter("value IS NULL").count()
-    assert n_null == 11  # 4 in 'view' + 4 in 'error' + 3 in 'purchase'
+    # 4 in 'view' + 4 in 'error' + 3 in 'purchase' + 1 NULL-user 'click'
+    assert n_null == 12
+    assert ev.filter("user_id IS NULL").count() == 3
