@@ -290,10 +290,29 @@ def _exact_pair_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Attach exact (n_a, n_b, inter_ct) — over ALL shingles, whatever
     bound generated the candidates — via full-set array_intersect. The
     single verify implementation behind the prefix-filter and containment
-    operators (so the verify semantics cannot drift between them)."""
-    full = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shs"),
-        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+    operators (so the verify semantics cannot drift between them).
+
+    The full-set aggregation is pruned to docs that appear in a candidate
+    BEFORE collect_set runs: at 100 TB candidates are a sliver of the
+    corpus, and without the semi-join every document's entire shingle set
+    would be collected into an array (the corpus' full token volume in
+    aggregation buffers) only for most arrays to be dropped by the join.
+    """
+    # cand feeds docs_needed AND both verify joins — persist so the
+    # candidate pipeline (window + posting explode + distinct) runs once.
+    cand = cand.persist()
+    docs_needed = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    full = (
+        sh.join(docs_needed, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("sh").alias("shs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+        )
     )
     fa = full.select(
         F.col("doc_id").alias("doc_a"),
