@@ -158,6 +158,7 @@ HEADLINE = [
     "distribution_shift_chi2",
     "user_churn_labels",
     "user_event_diversity",
+    "kcore_peeling_rounds",
 ]
 
 

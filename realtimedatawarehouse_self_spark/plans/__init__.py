@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "distribution_shift_chi2",
     "user_churn_labels",
     "user_event_diversity",
+    "kcore_peeling_rounds",
     "heavy_hitter_users",
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
@@ -107,7 +108,6 @@ _VERIFY_FIRST = [
     "stratified_sample_corpus",
     "dws06_cart_add_uu_window",
     "dwd_trade_order_detail",
-    "dws09_trade_sku_order_window",
     "approx_daily_users",
     "tpch_q11_important_stock",
     "dim_config_routing",
@@ -132,8 +132,10 @@ _VERIFY_FIRST = [
     # bench-measured every round) and dedup_minhash_lsh (its
     # production composition dedup_lsh_verified was r3-green and runs
     # the same band mechanism plus exact verify) --
-    # corpus_clean_pipeline and tpch_q3 (bench-measured every round;
-    # corpus_clean is a composition of four already-audited stages),
+    # corpus_clean_pipeline, tpch_q3 and dws09 (bench-measured every
+    # round; corpus_clean is a composition of four already-audited
+    # stages),
+    "dws09_trade_sku_order_window",
     # dedup_edit_distance (r1/r2-proven banded algorithm, bench-measured,
     # in the same exact-verify family as three head entries),
     # tpch_q21 (r1-proven, same double-EXISTS machinery as q4/q16 kin

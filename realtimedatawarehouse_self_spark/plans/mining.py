@@ -671,10 +671,134 @@ FROM deg d LEFT JOIN tpu t ON t.id = d.id
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core peeling (fixed rounds) over the minute-grain co-engagement graph
+# — completes the graph family: components (dedup_clusters), rank
+# (pagerank), local density (triangles), cohesive subgraphs (this).
+#
+# Semantics, stated exactly: `in_core` = the node survives KCORE_ROUNDS
+# synchronized peeling rounds at threshold KCORE_K (each round
+# simultaneously removes every node whose degree among current survivors
+# is < K). This is the standard distributed k-core iteration; a fixed
+# round count makes it ONE declarative DAG (like the unrolled PageRank)
+# instead of a driver-controlled fixpoint loop — rounds where nothing is
+# removed are free re-aggregations, and the oracle unrolls the identical
+# CTE chain so the per-round survivor sets are bit-equal. Peeling is
+# order-independent within a round (simultaneous removal), so the result
+# is partitioning-independent by construction.
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("minute", "ts").alias("h"), "user_id"
+    )
+    buckets = ev.groupBy("event_type", "h").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    ).filter(F.size("us") <= BUCKET_CAP)
+    und = (
+        buckets.select(
+            F.explode(ordered_pair_structs("us", "ua", "ub")).alias("p")
+        )
+        .select("p.ua", "p.ub")
+        .distinct()
+        .persist()
+    )
+    edges = und.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst")
+    ).unionAll(und.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))
+    survivors = edges.select(F.col("src").alias("id")).distinct()
+    deg0 = None
+    for r in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(
+                survivors.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .join(
+                survivors.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+        if deg0 is None:
+            deg0 = deg  # degree in the full graph, reported alongside
+        survivors = deg.filter(F.col("deg") >= KCORE_K).select(
+            F.col("src").alias("id")
+        )
+    all_nodes = edges.select(F.col("src").alias("user_id")).distinct()
+    return (
+        all_nodes.join(
+            deg0.select(F.col("src").alias("user_id"), "deg"), "user_id"
+        )
+        .join(
+            survivors.select(
+                F.col("id").alias("user_id"), F.lit(1).alias("in_core")
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            "deg",
+            F.coalesce("in_core", F.lit(0)).cast("bigint").alias("in_core"),
+        )
+    )
+
+
+def _kcore_sql() -> str:
+    round_cte = """
+s{next} AS (
+    SELECT e.src AS id
+    FROM edges e
+    JOIN s{cur} a ON e.src = a.id
+    JOIN s{cur} b ON e.dst = b.id
+    GROUP BY 1
+    HAVING count(*) >= {k}
+)"""
+    rounds = ",".join(
+        round_cte.format(cur=i, next=i + 1, k=KCORE_K)
+        for i in range(KCORE_ROUNDS)
+    )
+    return f"""
+WITH b AS (
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+    FROM events
+),
+bn AS (
+    SELECT event_type, h, user_id,
+           count(*) OVER (PARTITION BY event_type, h) AS bucket_n
+    FROM b
+),
+bc AS (SELECT * FROM bn WHERE bucket_n <= {BUCKET_CAP}),
+und AS (
+    SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+    FROM bc a JOIN bc c
+      ON a.event_type = c.event_type AND a.h = c.h
+     AND a.user_id < c.user_id
+),
+edges AS (
+    SELECT ua AS src, ub AS dst FROM und
+    UNION ALL
+    SELECT ub AS src, ua AS dst FROM und
+),
+s0 AS (SELECT DISTINCT src AS id FROM edges),
+deg0 AS (
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+    FROM edges GROUP BY 1
+),{rounds}
+SELECT d.id AS user_id, d.deg,
+       CAST(CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+FROM deg0 d LEFT JOIN s{KCORE_ROUNDS} s ON s.id = d.id
+"""
+
+
 QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "pagerank_co_engagement": pagerank_co_engagement,
     "triangle_count_co_engagement": triangle_count_co_engagement,
+    "kcore_peeling_rounds": kcore_peeling_rounds,
     "audience_overlap_jaccard": audience_overlap_jaccard,
     "embedding_gram_matrix": embedding_gram_matrix,
     "lm_bigram_coverage": lm_bigram_coverage,
@@ -684,6 +808,7 @@ ORACLE = {
     "heavy_hitter_users": _HH_SQL,
     "pagerank_co_engagement": _pagerank_sql(),
     "triangle_count_co_engagement": _TRIANGLE_SQL,
+    "kcore_peeling_rounds": _kcore_sql(),
     "audience_overlap_jaccard": _OVERLAP_SQL,
     "embedding_gram_matrix": _GRAM_SQL,
     "lm_bigram_coverage": _LM_SQL,
