@@ -704,6 +704,11 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.ua", "p.ub")
         .distinct()
+        # the edge list is orders of magnitude smaller than the fact scan
+        # (bounded by bucket count x CAP^2/2); collapsing partitions before
+        # the 3x(2 semi-joins + combine) round chain removes ~6 rounds of
+        # 64-task scheduling overhead on a frame that fits in one task
+        .coalesce(8)
         .persist()
     )
     edges = und.select(
@@ -712,12 +717,27 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = edges.select(F.col("src").alias("id")).distinct()
     deg0 = None
     for r in range(KCORE_ROUNDS):
+        # each round references `survivors` TWICE (both join sides): an
+        # unpersisted chain re-evaluates the previous rounds 2^r times —
+        # persisting the (tiny) per-round survivor set keeps the DAG
+        # linear in rounds, the k-core analogue of pagerank persisting
+        # its pair list
+        survivors = survivors.persist()
+        # broadcast both survivor probes: the survivor set (distinct
+        # co-engaged users) is magnitudes below the edge list, so each
+        # round is one map-side filter pass + combine instead of two
+        # shuffle joins — at a scale where users outgrow broadcast,
+        # drop the hint and AQE falls back to shuffled semi-joins
         deg = (
             edges.join(
-                survivors.select(F.col("id").alias("src")), "src", "left_semi"
+                F.broadcast(survivors.select(F.col("id").alias("src"))),
+                "src",
+                "left_semi",
             )
             .join(
-                survivors.select(F.col("id").alias("dst")), "dst", "left_semi"
+                F.broadcast(survivors.select(F.col("id").alias("dst"))),
+                "dst",
+                "left_semi",
             )
             .groupBy("src")
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
