@@ -159,6 +159,9 @@ HEADLINE = [
     "user_churn_labels",
     "user_event_diversity",
     "kcore_peeling_rounds",
+    "tfidf_doc_keywords",
+    "lm_quality_probability",
+    "ewma_anomaly_daily",
 ]
 
 

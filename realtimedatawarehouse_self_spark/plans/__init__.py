@@ -64,6 +64,10 @@ _MODULES = (
 # queries go first for a time-boxed verifier; budget accordingly when
 # rebalancing).
 _VERIFY_FIRST = [
+    # r5 additions (zero driver evidence): very front of the rotation.
+    "tfidf_doc_keywords",
+    "lm_quality_probability",
+    "ewma_anomaly_daily",
     # r4 late additions (zero driver evidence): front of the rotation.
     "triangle_count_co_engagement",
     "dedup_jaccard_prefix_filter",
@@ -107,14 +111,22 @@ _VERIFY_FIRST = [
     "baselog_stream_split",
     "stratified_sample_corpus",
     "dws06_cart_add_uu_window",
-    "dwd_trade_order_detail",
     "approx_daily_users",
-    "tpch_q11_important_stock",
     "dim_config_routing",
-    "dedup_ngram_jaccard",
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
     "streaming_abandoned_views",
+    # -- r5 rebalance: the 3 new-query slots at the head displaced
+    # dwd_trade_order_detail (streaming twin streaming_join_view_purchase
+    # keeps the same join machinery in the head; batch pytest parity twin
+    # green every session), tpch_q11 (scan-bound, r1 driver-proven) and
+    # dedup_ngram_jaccard (r1/r2 driver-proven, bench-measured every
+    # round, same df-capped posting + exact-verify family as
+    # dedup_containment and dedup_jaccard_prefix_filter still in the
+    # head) --
+    "dwd_trade_order_detail",
+    "tpch_q11_important_stock",
+    "dedup_ngram_jaccard",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
     # twins green every session. Demoted this round to make room for the
     # 16 late-r4 additions fronted above: dedup_exact/dedup_simhash,

@@ -814,6 +814,111 @@ FROM deg0 d LEFT JOIN s{KCORE_ROUNDS} s ON s.id = d.id
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram-LM probability quality score — the probability-weighted upgrade of
+# `lm_bigram_coverage` (the CCNet-style "LM quality filter" shape: score
+# documents by how predictable their text is under a corpus-trained LM,
+# keep/bucket by score). Coverage asks "has the corpus SEEN this bigram";
+# this asks "how LIKELY is this bigram given its prefix":
+#
+#   P(rhs | lhs) ~= count(lhs, rhs) / count(lhs, *)   (MLE, no smoothing)
+#   doc score    = mean over the doc's bigram INSTANCES, micro-units.
+#
+# Integer determinism: prob_micro = big_ct * 1e6 div uni_ct (both exact
+# corpus counts), summed per doc as bigints, floored mean. No logs — the
+# textbook perplexity exp(-mean log P) is monotone-decreasing in mean log P
+# while this is mean P; both order "predictable" above "gibberish", but
+# mean-P weights frequent easy bigrams more. Documented engine semantics,
+# bit-identical in the oracle.
+#
+# The LM table is MIN-pruned (>= LM_MIN_CT) so it stays vocab-bounded and
+# broadcastable at corpus scale — same argument as `lm_bigram_coverage`.
+# Pruned bigrams contribute probability 0 (they're exactly the
+# hapax-legomena tail whose MLE estimate is noise anyway). uni_ct is the
+# UNPRUNED prefix total, so surviving probabilities remain true fractions
+# of a proper distribution. Shuffles: the corpus-sized pair frame is
+# aggregated twice from one persisted explode (lm + the per-doc score);
+# everything else is vocab-sized.
+# ---------------------------------------------------------------------------
+def lm_quality_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tok_arr) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(tok_arr) - 2), "
+                "i -> struct(tok_arr[i] AS lhs, tok_arr[i+1] AS rhs)) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.lhs", "p.rhs")
+    pairs = pairs.persist()
+    uni = pairs.groupBy("lhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("uni_ct")
+    )
+    lm = (
+        pairs.groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("big_ct"))
+        .filter(F.col("big_ct") >= LM_MIN_CT)
+        .join(uni, "lhs")
+        .select(
+            "lhs",
+            "rhs",
+            F.expr("big_ct * 1000000 div uni_ct").alias("prob_micro"),
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(lm), ["lhs", "rhs"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("prob_micro"), F.lit(0)).cast("bigint"))
+            .alias("sum_prob_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_prob_micro",
+        F.expr("sum_prob_micro div n_bigrams").alias("mean_prob_micro"),
+    )
+
+
+_LM_PROB_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, t[i] AS lhs, t[i+1] AS rhs
+    FROM tok, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+uni AS (
+    SELECT lhs, CAST(count(*) AS BIGINT) AS uni_ct FROM pairs GROUP BY 1
+),
+lm AS (
+    SELECT b.lhs, b.rhs, b.big_ct * 1000000 // u.uni_ct AS prob_micro
+    FROM (
+        SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS big_ct
+        FROM pairs GROUP BY 1, 2
+        HAVING count(*) >= {LM_MIN_CT}
+    ) b JOIN uni u ON b.lhs = u.lhs
+),
+scored AS (
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(coalesce(l.prob_micro, 0)) AS BIGINT) AS sum_prob_micro
+    FROM pairs p
+    LEFT JOIN lm l ON p.lhs = l.lhs AND p.rhs = l.rhs
+    GROUP BY 1
+)
+SELECT doc_id, n_bigrams, sum_prob_micro,
+       sum_prob_micro // n_bigrams AS mean_prob_micro
+FROM scored
+"""
+
+
 QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "pagerank_co_engagement": pagerank_co_engagement,
@@ -822,6 +927,7 @@ QUERIES = {
     "audience_overlap_jaccard": audience_overlap_jaccard,
     "embedding_gram_matrix": embedding_gram_matrix,
     "lm_bigram_coverage": lm_bigram_coverage,
+    "lm_quality_probability": lm_quality_probability,
 }
 
 ORACLE = {
@@ -832,4 +938,5 @@ ORACLE = {
     "audience_overlap_jaccard": _OVERLAP_SQL,
     "embedding_gram_matrix": _GRAM_SQL,
     "lm_bigram_coverage": _LM_SQL,
+    "lm_quality_probability": _LM_PROB_SQL,
 }

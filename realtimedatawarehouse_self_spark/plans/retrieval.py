@@ -541,12 +541,112 @@ JOIN sizes sb ON i.src_b = sb.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction: the top-K most characteristic
+# terms of every document (vs. `vocab_topk`, which profiles the CORPUS).
+# This is the classic doc-tagging / index-summarization op a training-data
+# pipeline uses for topic routing and per-doc metadata enrichment.
+#
+# idf is the UNLOGGED odds N/df in integer micro-units
+# (idf_micro = N * 1e6 div df) — the same documented deviation as BM25's
+# odds-ratio idf above and for the same reason: per-TERM ranking within a
+# document is unchanged (log is monotone and tf scales each term
+# independently only across docs with the same tf... strictly, ranking by
+# tf * N/df and tf * ln(N/df) can order two terms differently when their
+# tf differ; this engine defines its score as the odds form and the oracle
+# computes the identical form, so cross-engine comparison is exact and the
+# semantics are honest rather than float-fuzzy).
+#
+# Scale shape: one tokenize+explode scan; tf via (doc, lang, term)
+# hash-agg with map-side combine (shuffle #1); df via a window over the
+# ALREADY-AGGREGATED tf frame keyed (lang, term) (shuffle #2 — vocab-sized
+# input, not corpus-sized); per-lang N is #langs rows -> broadcast; top-K
+# per doc via row_number over the per-doc partition (shuffle #3, bounded
+# by per-doc vocab). No corpus-sized frame is shuffled more than once.
+# ---------------------------------------------------------------------------
+TFIDF_TOPK = 3
+IDF_SCALE = 1_000_000
+
+
+def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    terms = docs.select("doc_id", "lang", F.explode("tok_arr").alias("term"))
+    tf = terms.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # df over the aggregated tf frame: each (doc, term) appears exactly
+    # once post-agg, so COUNT(*) over (lang, term) IS the document
+    # frequency — no second corpus scan, no distinct.
+    tfdf = tf.withColumn(
+        "df",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "term"))
+        .cast("bigint"),
+    )
+    n_docs = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    scored = (
+        tfdf.join(F.broadcast(n_docs), "lang")
+        .withColumn("idf_micro", F.expr(f"n_docs * {IDF_SCALE} div df"))
+        .withColumn("score", F.expr("tf * idf_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= TFIDF_TOPK)
+        .select("doc_id", "kw_rank", "term", "tf", "df", "score")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+terms AS (
+    SELECT doc_id, lang, t[i] AS term
+    FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+tf AS (
+    SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+    FROM terms GROUP BY 1, 2, 3
+),
+tfdf AS (
+    SELECT *, CAST(count(*) OVER (PARTITION BY lang, term) AS BIGINT) AS df
+    FROM tf
+),
+nd AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, t.df,
+           t.tf * (n.n_docs * {IDF_SCALE} // t.df) AS score
+    FROM tfdf t JOIN nd n ON t.lang = n.lang
+)
+SELECT doc_id,
+       CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER)
+           AS kw_rank,
+       term, tf, df, score
+FROM scored
+QUALIFY kw_rank <= {TFIDF_TOPK}
+"""
+
+
 QUERIES = {
     "bm25_doc_search": bm25_doc_search,
     "source_span_overlap": source_span_overlap,
     "bpe_pair_counts": bpe_pair_counts,
     "collocation_pmi": collocation_pmi,
     "span_dedup_stats": span_dedup_stats,
+    "tfidf_doc_keywords": tfidf_doc_keywords,
 }
 
 ORACLE = {
@@ -555,4 +655,5 @@ ORACLE = {
     "bpe_pair_counts": _BPE_SQL,
     "collocation_pmi": _PMI_SQL,
     "span_dedup_stats": _SPAN_SQL,
+    "tfidf_doc_keywords": _TFIDF_SQL,
 }

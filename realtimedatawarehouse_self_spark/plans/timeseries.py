@@ -524,6 +524,113 @@ LEFT JOIN wau ON s.rd = wau.rd
 """
 
 
+# ---------------------------------------------------------------------------
+# EWMA-smoothed daily anomaly detection — the sequential-state complement
+# of `anomaly_zscore_daily` (whose z-score is a GLOBAL per-type statistic):
+# an exponentially weighted moving average tracks the LOCAL level, so a
+# step change flags once and the baseline re-adapts, where a global
+# z-score keeps flagging forever after a regime shift.
+#
+#   ewma_0 = x_0 * 1e6;  ewma_t = (3 * ewma_{t-1} + x_t * 1e6) div 4
+#   anomaly_t (t>0): |x_t * 1e6 - ewma_{t-1}| * 2 > ewma_{t-1}
+#   (i.e. the day's count deviates >50% from yesterday's smoothed level)
+#
+# alpha = 1/4 as exact integer arithmetic (floor division) so both engines
+# produce bit-identical state at every step — the fold is written once in
+# Spark (`aggregate` over the day-sorted array) and once in DuckDB (a
+# recursive CTE over the day index), both evaluating the identical
+# recurrence.
+#
+# Scale shape: the ONLY per-key sequential object is the per-event-type
+# array of DAILY aggregates — bounded by the calendar (≤ ~36.5k elements
+# per type even for a century of data), not by corpus size, so
+# collect_list is safe at any SF. The corpus-sized work (the daily count)
+# is one combine-backed hash-agg; the fold itself runs on #types rows.
+# An EWMA is inherently a left fold (each state depends on the previous),
+# so a window function cannot express it (no closed form under floor
+# division) — the array fold IS the declarative form, and it unrolls
+# inside codegen with zero Python. ct * 1e6 stays in int64 up to
+# 9.2e12 events per (type, day) — beyond any real daily volume.
+# ---------------------------------------------------------------------------
+_EWMA_FOLD = """
+aggregate(
+  xs,
+  struct(cast(-1 as bigint) as prev,
+         cast(array() as array<struct<d:timestamp,ct:bigint,ewma:bigint,prev:bigint>>) as acc),
+  (s, x) -> struct(
+    CASE WHEN s.prev < 0 THEN x.ct * 1000000
+         ELSE (3 * s.prev + x.ct * 1000000) div 4 END,
+    array_append(s.acc, struct(
+      x.d AS d,
+      cast(x.ct as bigint) AS ct,
+      CASE WHEN s.prev < 0 THEN x.ct * 1000000
+           ELSE (3 * s.prev + x.ct * 1000000) div 4 END AS ewma,
+      CASE WHEN s.prev < 0 THEN cast(0 as bigint) ELSE s.prev END
+          AS prev))),
+  s -> s.acc
+)
+"""
+
+
+def ewma_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "ct"))).alias("xs")
+    )
+    rows = series.select(
+        "event_type", F.posexplode(F.expr(_EWMA_FOLD)).alias("i", "r")
+    )
+    return rows.select(
+        "event_type",
+        F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+        F.col("r.ct").alias("ct"),
+        F.col("r.ewma").alias("ewma_micro"),
+        F.expr(
+            "CASE WHEN i = 0 THEN cast(0 as bigint) "
+            "ELSE r.ct * 1000000 - r.prev END"
+        ).alias("deviation_micro"),
+        F.expr(
+            "cast(CASE WHEN i > 0 AND abs(r.ct * 1000000 - r.prev) * 2 "
+            "> r.prev THEN 1 ELSE 0 END as bigint)"
+        ).alias("is_anomaly"),
+    )
+
+
+_EWMA_SQL = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, date_trunc('day', ts) AS dy,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+rn AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY event_type ORDER BY dy) AS BIGINT) AS i
+    FROM daily
+),
+e AS (
+    SELECT event_type, dy, ct, i,
+           ct * 1000000 AS ewma, CAST(0 AS BIGINT) AS prev
+    FROM rn WHERE i = 1
+    UNION ALL
+    SELECT r.event_type, r.dy, r.ct, r.i,
+           (3 * e.ewma + r.ct * 1000000) // 4, e.ewma
+    FROM rn r JOIN e ON r.event_type = e.event_type AND r.i = e.i + 1
+)
+SELECT event_type,
+       strftime(dy, '%Y-%m-%d') AS day,
+       ct,
+       ewma AS ewma_micro,
+       CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+            ELSE ct * 1000000 - prev END AS deviation_micro,
+       CAST(CASE WHEN i > 1 AND abs(ct * 1000000 - prev) * 2 > prev
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM e
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "scd2_user_value": scd2_user_value,
@@ -532,6 +639,7 @@ QUERIES = {
     "user_retention_cohorts": user_retention_cohorts,
     "incremental_hourly_rollup": incremental_hourly_rollup,
     "active_users_rolling": active_users_rolling,
+    "ewma_anomaly_daily": ewma_anomaly_daily,
 }
 
 ORACLE = {
@@ -542,4 +650,5 @@ ORACLE = {
     "user_retention_cohorts": _RETENTION_SQL,
     "incremental_hourly_rollup": _INCREMENTAL_SQL,
     "active_users_rolling": _ACTIVE_USERS_SQL,
+    "ewma_anomaly_daily": _EWMA_SQL,
 }
