@@ -110,23 +110,26 @@ _VERIFY_FIRST = [
     "collocation_pmi",
     "baselog_stream_split",
     "stratified_sample_corpus",
-    "dws06_cart_add_uu_window",
     "approx_daily_users",
     "dim_config_routing",
     "streaming_incremental_rollup",
     "streaming_join_view_purchase",
     "streaming_abandoned_views",
-    # -- r5 rebalance: the 3 new-query slots at the head displaced
+    "streaming_ewma_daily",
+    # -- r5 rebalance: the 4 new-query slots at the head displaced
     # dwd_trade_order_detail (streaming twin streaming_join_view_purchase
     # keeps the same join machinery in the head; batch pytest parity twin
-    # green every session), tpch_q11 (scan-bound, r1 driver-proven) and
+    # green every session), tpch_q11 (scan-bound, r1 driver-proven),
     # dedup_ngram_jaccard (r1/r2 driver-proven, bench-measured every
     # round, same df-capped posting + exact-verify family as
     # dedup_containment and dedup_jaccard_prefix_filter still in the
-    # head) --
+    # head) and dws06_cart_add_uu_window (r1 driver-proven; its UU-dedup
+    # machinery is covered every session by the T5 stateful pytest cases
+    # and its own sf0.001 parity twin) --
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
+    "dws06_cart_add_uu_window",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
     # twins green every session. Demoted this round to make room for the
     # 16 late-r4 additions fronted above: dedup_exact/dedup_simhash,

@@ -502,6 +502,107 @@ def _incr_stream_sql() -> str:
     return _INCREMENTAL_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming EWMA over daily counts: the keyed-CUSTOM-state driver row
+# (T-family `applyInPandasWithState` executed as a real multi-micro-batch
+# streaming job, not just pytest-asserted). Source files are day-grouped
+# with strictly increasing mtimes, so `maxFilesPerTrigger=1` under
+# availableNow delivers the stream in day order — the sequential-state
+# contract an EWMA needs — and the per-key smoothed level carries across
+# micro-batches in the state store. The recurrence is the batch operator's
+# exact integer arithmetic, so the oracle is ewma_anomaly_daily's
+# recursive CTE verbatim: the driver row proves the STREAMING execution
+# (state carry, batch boundaries, Arrow round-trip) produces the
+# bit-identical answer.
+# ---------------------------------------------------------------------------
+EWMA_DAYS_PER_BATCH = 7
+
+
+def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from realtimedatawarehouse_self_spark.streaming.stateful import ewma_daily
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-ewma-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+        os.makedirs(src)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        days = [r[0] for r in events.select("day").distinct().collect()]
+        days.sort()
+        if not days:
+            # empty source: no files to stream — emit the typed empty frame
+            return spark.createDataFrame(
+                [],
+                "event_type string, day string, ct bigint, "
+                "ewma_micro bigint, deviation_micro bigint, "
+                "is_anomaly bigint",
+            )
+        groups = [
+            days[i : i + EWMA_DAYS_PER_BATCH]
+            for i in range(0, len(days), EWMA_DAYS_PER_BATCH)
+        ]
+        t0 = _time.time()
+        for i, grp in enumerate(groups):
+            part = os.path.join(src, f"g{i:04d}")
+            events.filter(F.col("day").isin(grp)).coalesce(1).write.parquet(
+                part
+            )
+            # FileStreamSource orders files by modification time: stamp
+            # each day-group strictly later than the previous one so the
+            # fold sees days in order.
+            for fname in os.listdir(part):
+                os.utime(
+                    os.path.join(part, fname), (t0 + i * 10, t0 + i * 10)
+                )
+        schema = events.schema
+        q = (
+            ewma_daily(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*"))
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sunk = spark.read.parquet(out)
+        return sunk.select(
+            "event_type",
+            "day",
+            "ct",
+            F.col("ewma").alias("ewma_micro"),
+            F.expr(
+                "CASE WHEN prev = 0 THEN cast(0 as bigint) "
+                "ELSE ct * 1000000 - prev END"
+            ).alias("deviation_micro"),
+            F.expr(
+                "cast(CASE WHEN prev > 0 AND abs(ct * 1000000 - prev) * 2 "
+                "> prev THEN 1 ELSE 0 END as bigint)"
+            ).alias("is_anomaly"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _ewma_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.timeseries import _EWMA_SQL
+
+    return _EWMA_SQL
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_uv_daily": streaming_uv_daily,
@@ -509,6 +610,7 @@ QUERIES = {
     "streaming_join_view_purchase": streaming_join_view_purchase,
     "streaming_abandoned_views": streaming_abandoned_views,
     "streaming_incremental_rollup": streaming_incremental_rollup,
+    "streaming_ewma_daily": streaming_ewma_daily,
 }
 
 ORACLE = {
@@ -518,4 +620,5 @@ ORACLE = {
     "streaming_join_view_purchase": _JOIN_STREAM_SQL,
     "streaming_abandoned_views": _ABANDON_STREAM_SQL,
     "streaming_incremental_rollup": _incr_stream_sql(),
+    "streaming_ewma_daily": _ewma_stream_sql(),
 }

@@ -256,3 +256,59 @@ def running_balance(events: DataFrame, key: str = "uid") -> DataFrame:
     return events.groupBy(key).applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def ewma_daily(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Per-key integer EWMA over daily event counts — the keyed-state
+    streaming twin of ``plans/timeseries.ewma_anomaly_daily`` (alpha=1/4,
+    floor division; identical recurrence, so the outputs are bit-equal).
+
+    Input rows carry (key, day) — one row per EVENT; each micro-batch's
+    rows are counted per day in pandas, the days are folded IN ORDER, and
+    the last smoothed level carries across micro-batches as the single
+    bigint state value. ``prev`` is 0 on each key's very first day (a real
+    previous level can never be 0: every observed day has ct >= 1, so
+    ewma >= alpha * 1e6 > 0) — downstream deviation/anomaly expressions
+    key off that marker exactly like the batch operator's ``i = 0``.
+
+    Contract: days must arrive in non-decreasing order across micro-batches
+    (the sequential-state contract any EWMA consumer needs; the streaming
+    twin harness writes day-grouped source files with increasing mtimes).
+    Scale note: counting inside the pandas fn is the test-harness shape —
+    at corpus scale the daily counts would be pre-aggregated (foreachBatch
+    or the batch operator) and only the per-(key, day) count rows would
+    flow through the fold; state stays O(1) per key either way.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("day", StringType()),
+            StructField("ct", LongType()),
+            StructField("ewma", LongType()),
+            StructField("prev", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("ewma", LongType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        prev = state.get[0] if state.exists else -1
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        counts = pdf.groupby("day").size().sort_index()
+        rows = []
+        for day, ct in counts.items():
+            x = int(ct) * 1_000_000
+            ewma = x if prev < 0 else (3 * prev + x) // 4
+            rows.append(
+                (key_tuple[0], day, int(ct), ewma, 0 if prev < 0 else prev)
+            )
+            prev = ewma
+        state.update((prev,))
+        yield pd.DataFrame(
+            rows, columns=[key, "day", "ct", "ewma", "prev"]
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )
