@@ -44,6 +44,9 @@ QUERIES = [
     "event_type_markov_transitions",
     "triangle_count_co_engagement",  # degree-orientation must not leak into answer
     "dedup_jaccard_prefix_filter",   # prefix selection must stay lossless
+    "tfidf_doc_keywords",            # top-K tie-break must be total-order
+    "lm_quality_probability",        # broadcast-LM join + floored mean
+    "ewma_anomaly_daily",            # array_sort fold: day key must be total
 ]
 
 PERTURBED = {

@@ -87,6 +87,9 @@ def test_hostile_session_timezone_overridden(spark, duck):
             "abandoned_view_rate",
             "triangle_count_co_engagement",
             "user_churn_labels",
+            # r5: day-truncated EWMA series — a zone shift would move
+            # events across day boundaries and change every count
+            "ewma_anomaly_daily",
         ):
             got = e.queries()[name](spark, SF)
             assert (
