@@ -162,6 +162,8 @@ HEADLINE = [
     "tfidf_doc_keywords",
     "lm_quality_probability",
     "ewma_anomaly_daily",
+    "rfm_user_features",
+    "subsample_mean_variance",
 ]
 
 

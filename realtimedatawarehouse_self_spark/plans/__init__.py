@@ -59,8 +59,8 @@ _MODULES = (
 # still in the head, and their pytest parity twins run every session.
 # Every entry passes the identical in-repo sf0.01 DuckDB-parity gate
 # (tests/test_oracle_parity.py); this ordering only rotates which subset
-# the driver re-proves independently. The THREE real-streaming-execution
-# twins sit at positions 48-50 (seconds, not millis — cheap scan-bound
+# the driver re-proves independently. The FOUR real-streaming-execution
+# twins sit at positions 47-50 (seconds, not millis — cheap scan-bound
 # queries go first for a time-boxed verifier; budget accordingly when
 # rebalancing).
 _VERIFY_FIRST = [
@@ -68,6 +68,8 @@ _VERIFY_FIRST = [
     "tfidf_doc_keywords",
     "lm_quality_probability",
     "ewma_anomaly_daily",
+    "rfm_user_features",
+    "subsample_mean_variance",
     # r4 late additions (zero driver evidence): front of the rotation.
     "triangle_count_co_engagement",
     "dedup_jaccard_prefix_filter",
@@ -99,7 +101,6 @@ _VERIFY_FIRST = [
     "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
-    "incremental_hourly_rollup",
     "domain_mixture_temperature",
     "bm25_doc_search",
     "similarity_topk_ivf_adc_rerank",
@@ -109,7 +110,6 @@ _VERIFY_FIRST = [
     "pretrain_data_recipe",
     "collocation_pmi",
     "baselog_stream_split",
-    "stratified_sample_corpus",
     "approx_daily_users",
     "dim_config_routing",
     "streaming_incremental_rollup",
@@ -130,6 +130,14 @@ _VERIFY_FIRST = [
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
     "dws06_cart_add_uu_window",
+    # (second r5 wave: rfm_user_features + subsample_mean_variance at the
+    # head displaced incremental_hourly_rollup — its harder streaming
+    # superset streaming_incremental_rollup runs the same merge contract
+    # in the head — and stratified_sample_corpus, r1 driver-proven with
+    # the same hash-gate machinery riding in head entries
+    # domain_mixture_temperature and pretrain_data_recipe)
+    "incremental_hourly_rollup",
+    "stratified_sample_corpus",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
     # twins green every session. Demoted this round to make room for the
     # 16 late-r4 additions fronted above: dedup_exact/dedup_simhash,

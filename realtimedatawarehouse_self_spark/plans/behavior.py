@@ -595,6 +595,86 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) feature generation — the classic
+# per-user feature block a churn/LTV model trains on, completing the
+# behavioral-feature family (`user_ltv_segments` buckets one dimension;
+# this emits the full three-score profile per user).
+#
+# Recency is whole days from the user's last purchase to the corpus' last
+# purchase (DATE subtraction, identical in both engines); frequency and
+# monetary are exact counts/cents from one user-keyed combine. Scores are
+# quintiles via ntile over a TOTAL order (metric, then user_id), so the
+# assignment is deterministic; r_score orders recency DESC so 5 = most
+# recent, matching the marketing convention for all three scores.
+#
+# Scale note: the three global ntile windows are single-reducer sorts —
+# the exact-truth definition this engine oracle-checks. At 100 TB the
+# quintile BOUNDARIES would come from `plan_range_partitions`-style
+# equi-depth planning (or approx_percentile) and the scores from a
+# broadcast range lookup; the per-user aggregate underneath is unchanged.
+# ---------------------------------------------------------------------------
+RFM_BUCKETS = 5
+
+
+def rfm_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ref = p.agg(F.max(F.col("ts").cast("date")).alias("ref_day"))
+    per_user = p.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("f_ct"),
+        F.sum(money_cents("value")).alias("m_cents"),
+    )
+    feats = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff("ref_day", "last_day").cast("bigint").alias("r_days"),
+        "f_ct",
+        "m_cents",
+    )
+    r_w = Window.orderBy(F.col("r_days").desc(), "user_id")
+    f_w = Window.orderBy("f_ct", "user_id")
+    m_w = Window.orderBy("m_cents", "user_id")
+    return feats.select(
+        "user_id",
+        "r_days",
+        "f_ct",
+        "m_cents",
+        F.ntile(RFM_BUCKETS).over(r_w).alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(f_w).alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(m_w).alias("m_score"),
+    )
+
+
+_RFM_SQL = f"""
+WITH p AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM p),
+per_user AS (
+    SELECT user_id,
+           max(CAST(ts AS DATE)) AS last_day,
+           CAST(count(*) AS BIGINT) AS f_ct,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS m_cents
+    FROM p GROUP BY 1
+),
+feats AS (
+    SELECT user_id,
+           CAST(ref.ref_day - last_day AS BIGINT) AS r_days,
+           f_ct, m_cents
+    FROM per_user CROSS JOIN ref
+)
+SELECT user_id, r_days, f_ct, m_cents,
+       CAST(ntile({RFM_BUCKETS})
+            OVER (ORDER BY r_days DESC, user_id) AS INTEGER) AS r_score,
+       CAST(ntile({RFM_BUCKETS})
+            OVER (ORDER BY f_ct, user_id) AS INTEGER) AS f_score,
+       CAST(ntile({RFM_BUCKETS})
+            OVER (ORDER BY m_cents, user_id) AS INTEGER) AS m_score
+FROM feats
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "abandoned_view_rate": abandoned_view_rate,
@@ -604,6 +684,7 @@ QUERIES = {
     "fifo_credit_matching": fifo_credit_matching,
     "event_type_markov_transitions": event_type_markov_transitions,
     "winsorized_value_stats": winsorized_value_stats,
+    "rfm_user_features": rfm_user_features,
 }
 
 ORACLE = {
@@ -615,4 +696,5 @@ ORACLE = {
     "fifo_credit_matching": _FIFO_SQL,
     "event_type_markov_transitions": _MARKOV_SQL,
     "winsorized_value_stats": _WINSOR_SQL,
+    "rfm_user_features": _RFM_SQL,
 }

@@ -181,12 +181,146 @@ FROM counts c, tot t
 """
 
 
+# ---------------------------------------------------------------------------
+# Subsample-based uncertainty for the per-type mean value — "how sure is
+# the metric?" quantified WITHOUT any nondeterministic RNG: B deterministic
+# half-subsamples (membership = md5(b:event_id) bucket < 50%, the same
+# cross-engine hash idiom as `stratified_sample_corpus`), each yielding an
+# exact floored mean in cents; the spread of those B means IS the
+# uncertainty estimate (half-sampling/subsampling in the Politis–Romano
+# sense — Var(full-sample mean) ≈ var(half-sample means) / 2 for n/2
+# subsamples; the raw integer variance numerator is emitted and the
+# calibration note lives here, not in floats).
+#
+# Everything is exact integer arithmetic: per-subsample means are floored
+# cents; the variance numerator is B_eff * Σm² − (Σm)² over those bigint
+# means (m ~ 1e4 cents, B = 16 → Σm² ~ 1e9, far inside int64), so the
+# whole result is bit-stable across engines and partitionings.
+#
+# Scale shape: ONE scan — the B-way replication is an in-row explode
+# (sequence 0..B-1) followed by the hash gate, and map-side combine
+# collapses everything to (types × B) rows before the only shuffle. The
+# alternative (B separate jobs) would scan the fact table B times. B and
+# the gate are compile-time constants mirrored into the oracle.
+# ---------------------------------------------------------------------------
+SUBSAMPLE_B = 16
+SUBSAMPLE_HALF_BP = 5000
+
+
+def subsample_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import money_cents
+
+    apply_runtime_confs(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    full = ev.groupBy("event_type").agg(
+        F.sum(money_cents("value")).alias("s_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    reps = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SUBSAMPLE_B - 1))
+        ).alias("b"),
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(10000)
+    )
+    sub = (
+        reps.filter(gate < SUBSAMPLE_HALF_BP)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(money_cents("value")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select("event_type", F.expr("s div n").alias("m"))
+    )
+    spread = sub.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_eff"),
+        F.min("m").alias("submean_min_cents"),
+        F.max("m").alias("submean_max_cents"),
+        F.sum("m").alias("sum_m"),
+        F.sum(F.expr("m * m")).alias("sum_m2"),
+    )
+    return (
+        spread.join(F.broadcast(full), "event_type")
+        .select(
+            "event_type",
+            "b_eff",
+            F.expr("s_all div n_all").alias("full_mean_cents"),
+            "submean_min_cents",
+            "submean_max_cents",
+            F.expr("b_eff * sum_m2 - sum_m * sum_m").alias("var_num"),
+        )
+    )
+
+
+_SUBSAMPLE_SQL = f"""
+WITH ev AS (
+    SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+be AS (
+    SELECT event_type,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s_all,
+           CAST(count(*) AS BIGINT) AS n_all
+    FROM ev GROUP BY 1
+),
+sub AS (
+    SELECT event_type, b,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS m
+    FROM ev, UNNEST(range(0, {SUBSAMPLE_B})) AS u(b)
+    WHERE (TRY_CAST('0x' || substr(md5(
+               CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)
+           ), 1, 15) AS BIGINT) % 10000) < {SUBSAMPLE_HALF_BP}
+    GROUP BY 1, 2
+),
+spread AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS b_eff,
+           min(m) AS submean_min_cents,
+           max(m) AS submean_max_cents,
+           CAST(sum(m) AS BIGINT) AS sum_m,
+           CAST(sum(m * m) AS BIGINT) AS sum_m2
+    FROM sub GROUP BY 1
+)
+SELECT s.event_type, s.b_eff,
+       f.s_all // f.n_all AS full_mean_cents,
+       s.submean_min_cents, s.submean_max_cents,
+       s.b_eff * s.sum_m2 - s.sum_m * s.sum_m AS var_num
+FROM spread s JOIN be f ON s.event_type = f.event_type
+"""
+
+
 QUERIES = {
     "embedding_centroid_drift": embedding_centroid_drift,
     "distribution_shift_chi2": distribution_shift_chi2,
+    "subsample_mean_variance": subsample_mean_variance,
 }
 
 ORACLE = {
     "embedding_centroid_drift": _CENTROID_SQL,
     "distribution_shift_chi2": _CHI2_SQL,
+    "subsample_mean_variance": _SUBSAMPLE_SQL,
 }
