@@ -164,6 +164,8 @@ HEADLINE = [
     "ewma_anomaly_daily",
     "rfm_user_features",
     "subsample_mean_variance",
+    "dedup_survivorship",
+    "quantile_normalize_values",
 ]
 
 

@@ -70,6 +70,8 @@ _VERIFY_FIRST = [
     "ewma_anomaly_daily",
     "rfm_user_features",
     "subsample_mean_variance",
+    "dedup_survivorship",
+    "quantile_normalize_values",
     # r4 late additions (zero driver evidence): front of the rotation.
     "triangle_count_co_engagement",
     "dedup_jaccard_prefix_filter",
@@ -93,9 +95,7 @@ _VERIFY_FIRST = [
     "running_balance_floor",
     "attribution_last_touch",
     "source_span_overlap",
-    "user_ltv_segments",
     "event_type_markov_transitions",
-    "winsorized_value_stats",
     "similarity_topk_pq_adc",
     "fifo_credit_matching",
     "bpe_pair_counts",
@@ -138,6 +138,14 @@ _VERIFY_FIRST = [
     # domain_mixture_temperature and pretrain_data_recipe)
     "incremental_hourly_rollup",
     "stratified_sample_corpus",
+    # (third r5 wave: dedup_survivorship + quantile_normalize_values at
+    # the head displaced user_ltv_segments — rfm_user_features in the
+    # head is a superset of its purchase-combine + total-order ntile
+    # machinery — and winsorized_value_stats, whose exact-rank percentile
+    # pattern rides in head entries value_quantile_sketch and
+    # quantile_normalize_values)
+    "user_ltv_segments",
+    "winsorized_value_stats",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
     # twins green every session. Demoted this round to make room for the
     # 16 late-r4 additions fronted above: dedup_exact/dedup_simhash,

@@ -675,6 +675,63 @@ FROM feats
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-type quantile normalization — the feature-preprocessing transform
+# that maps each value to its within-type percentile position in integer
+# micro-units: pct_micro = (rank - 1) * 1e6 div (n - 1), rank = ANSI
+# rank() over cents (ties share a rank, so the output is a pure function
+# of the VALUE, not of row order — deterministic under any partitioning).
+#
+# Scale doctrine: same as `winsorized_value_stats` — the per-type window
+# sort is the exact-truth definition this engine oracle-checks; at 100 TB
+# the swap is approx-percentile boundary tables + a broadcast range
+# lookup, with the per-row transform unchanged.
+# ---------------------------------------------------------------------------
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", money_cents("value").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    return ev.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    ).select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.expr(
+            "CASE WHEN n > 1 THEN (rnk - 1) * 1000000 div (n - 1) "
+            "ELSE cast(0 as bigint) END"
+        ).alias("pct_micro"),
+    )
+
+
+_QNORM_SQL = """
+WITH ev AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, event_id, cents,
+           CAST(rank() OVER (PARTITION BY event_type ORDER BY cents)
+                AS BIGINT) AS rnk,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM ev
+)
+SELECT event_type, event_id, cents,
+       CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+            ELSE CAST(0 AS BIGINT) END AS pct_micro
+FROM ranked
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "abandoned_view_rate": abandoned_view_rate,
@@ -685,6 +742,7 @@ QUERIES = {
     "event_type_markov_transitions": event_type_markov_transitions,
     "winsorized_value_stats": winsorized_value_stats,
     "rfm_user_features": rfm_user_features,
+    "quantile_normalize_values": quantile_normalize_values,
 }
 
 ORACLE = {
@@ -697,4 +755,5 @@ ORACLE = {
     "event_type_markov_transitions": _MARKOV_SQL,
     "winsorized_value_stats": _WINSOR_SQL,
     "rfm_user_features": _RFM_SQL,
+    "quantile_normalize_values": _QNORM_SQL,
 }

@@ -1729,6 +1729,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Survivorship election — the ACTIONABLE end of the dedup family: given
+# the near-dup clusters, choose ONE canonical document per cluster and
+# emit the keep/drop decision for every clustered doc. Real pipelines
+# stop at "these docs are near-dups" far too often; the deliverable a
+# curation run needs is the drop list.
+#
+# Survivor rule: longest document wins (n_chars DESC), doc_id breaks
+# ties — deterministic, total-order, and the standard keep-the-fullest-
+# version heuristic (a swap to any other scoring column is the same
+# one-line window change). One window over the cluster assignment frame
+# (clusters are tiny — bounded by component size), so the whole op adds
+# a single shuffle on cluster_id after the label propagation.
+# ---------------------------------------------------------------------------
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    labeled = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.when(F.row_number().over(w) == 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_survivor"),
+        F.first("doc_id").over(w).alias("survivor_doc_id"),
+    )
+
+
+def _dedup_survivorship_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+{_minhash_tail_cte()},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+clusters AS (
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY 1
+)
+SELECT c.doc_id, c.cluster_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN row_number() OVER (
+                PARTITION BY c.cluster_id
+                ORDER BY d.n_chars DESC, c.doc_id) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_survivor,
+       first_value(c.doc_id) OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, c.doc_id) AS survivor_doc_id
+FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+"""
+
+
 def _dedup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_SHINGLE_CTE},
@@ -2366,6 +2433,7 @@ QUERIES = {
     "stratified_sample_corpus": stratified_sample_corpus,
     "corpus_split_assign": corpus_split_assign,
     "dedup_clusters": dedup_clusters,
+    "dedup_survivorship": dedup_survivorship,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -2402,6 +2470,7 @@ ORACLE = {
     "stratified_sample_corpus": _stratified_sample_sql(),
     "corpus_split_assign": _corpus_split_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_survivorship": _dedup_survivorship_sql(),
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,

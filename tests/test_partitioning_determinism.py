@@ -47,6 +47,9 @@ QUERIES = [
     "tfidf_doc_keywords",            # top-K tie-break must be total-order
     "lm_quality_probability",        # broadcast-LM join + floored mean
     "ewma_anomaly_daily",            # array_sort fold: day key must be total
+    "subsample_mean_variance",       # hash-gated membership, never RNG
+    "dedup_survivorship",            # label propagation + survivor election
+    "quantile_normalize_values",     # ANSI rank: ties must share position
 ]
 
 PERTURBED = {
