@@ -198,3 +198,63 @@ def test_lindley_reflection_identity_matches_loop(spark, deltas):
         bal = max(0, bal + d)
         ref.append(bal)
     assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    cts=st.lists(st.integers(1, 10_000), min_size=1, max_size=30),
+)
+def test_ewma_fold_matches_loop(spark, cts):
+    """The unrolled `aggregate` fold in ewma_anomaly_daily must equal the
+    literal sequential loop (alpha=1/4 floor arithmetic) on any series."""
+    from realtimedatawarehouse_self_spark.plans.timeseries import _EWMA_FOLD
+
+    days = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), c)
+        for i, c in enumerate(cts)
+    ]
+    df = spark.createDataFrame([(days,)], "xs array<struct<d:timestamp,ct:bigint>>")
+    rows = (
+        df.selectExpr(f"inline({_EWMA_FOLD})")
+        .orderBy("d")
+        .collect()
+    )
+    prev = -1
+    for r, c in zip(rows, cts):
+        x = c * 1_000_000
+        ewma = x if prev < 0 else (3 * prev + x) // 4
+        assert r.ct == c
+        assert r.ewma == ewma
+        assert r.prev == (0 if prev < 0 else prev)
+        prev = ewma
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(st.integers(-500, 500), min_size=1, max_size=40),
+)
+def test_quantile_normalize_matches_python(spark, cents):
+    """pct_micro must equal the pure-Python ANSI-rank percentile (ties
+    share the rank of their first member) for any value multiset."""
+    data = [(i, c) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(data, "event_id long, cents long")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cents")
+    got = {
+        r.event_id: r.p
+        for r in df.select(
+            "event_id",
+            F.expr(
+                f"CASE WHEN {len(cents)} > 1 THEN "
+                f"(rank() OVER (ORDER BY cents) - 1) * 1000000 "
+                f"div ({len(cents)} - 1) ELSE cast(0 as bigint) END"
+            ).alias("p"),
+        ).collect()
+    }
+    n = len(cents)
+    s = sorted(cents)
+    for i, c in enumerate(cents):
+        rank = s.index(c) + 1  # ANSI rank: 1 + count of strictly smaller
+        ref = 0 if n == 1 else (rank - 1) * 1_000_000 // (n - 1)
+        assert got[i] == ref, (i, c)
