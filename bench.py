@@ -166,6 +166,7 @@ HEADLINE = [
     "subsample_mean_variance",
     "dedup_survivorship",
     "quantile_normalize_values",
+    "multimodal_audio_windows",
 ]
 
 

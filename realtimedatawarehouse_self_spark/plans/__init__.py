@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "subsample_mean_variance",
     "dedup_survivorship",
     "quantile_normalize_values",
+    "multimodal_audio_windows",
     # r4 late additions (zero driver evidence): front of the rotation.
     "triangle_count_co_engagement",
     "dedup_jaccard_prefix_filter",
@@ -98,7 +99,6 @@ _VERIFY_FIRST = [
     "event_type_markov_transitions",
     "similarity_topk_pq_adc",
     "fifo_credit_matching",
-    "bpe_pair_counts",
     "span_dedup_stats",
     "user_retention_cohorts",
     "domain_mixture_temperature",
@@ -146,6 +146,11 @@ _VERIFY_FIRST = [
     # quantile_normalize_values)
     "user_ltv_segments",
     "winsorized_value_stats",
+    # (fourth r5 wave: multimodal_audio_windows at the head displaced
+    # bpe_pair_counts — head sibling collocation_pmi consumes the same
+    # _adjacent_pairs source and ranks it with strictly more machinery;
+    # bpe stays bench-measured with a parity twin every session)
+    "bpe_pair_counts",
     # -- below the driver's ~50-query budget: demoted, with pytest parity
     # twins green every session. Demoted this round to make room for the
     # 16 late-r4 additions fronted above: dedup_exact/dedup_simhash,

@@ -120,14 +120,53 @@ FROM frames
 """
 
 
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shape Python path: 256-byte PCM window segmentation with
+    exact per-window energy (sum of byte values) via mapInPandas
+    (functions/multimodal.py::audio_energy_windows). Payloads are ASCII
+    text bytes, so the DuckDB oracle recomputes the identical energies
+    with ord() over character slices — the Arrow plumbing AND the
+    numeric reduction are both verified, not just row counts."""
+    from realtimedatawarehouse_self_spark.functions.multimodal import (
+        attach_payload,
+        audio_energy_windows,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return audio_energy_windows(attach_payload(docs))
+
+
+_AUDIO_WINDOWS_SQL = """
+WITH d AS (
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+    FROM documents WHERE length(text) > 0
+),
+wins AS (
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS win_idx,
+           substr(text, CAST(u.i * 256 + 1 AS BIGINT), 256) AS w
+    FROM d, UNNEST(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, win_idx,
+       CAST(length(w) AS BIGINT) AS n_win_bytes,
+       CAST(list_sum(list_transform(range(1, length(w) + 1),
+                                    i -> ord(substr(w, i, 1))))
+            AS BIGINT) AS energy
+FROM wins
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "keyword_page_view_udf": keyword_page_view_udf,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_windows": multimodal_audio_windows,
 }
 
 ORACLE = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "keyword_page_view_udf": _KEYWORD_UDF_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
+    "multimodal_audio_windows": _AUDIO_WINDOWS_SQL,
 }
