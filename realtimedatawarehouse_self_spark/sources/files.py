@@ -143,3 +143,15 @@ def read_csv(
         return F.from_csv(value, with_corrupt.simpleString(), opts)
 
     return _parse_split(lines, user, parser)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC export (S-family breadth: the second columnar format
+    warehouses exchange besides parquet — Spark's reader supports the
+    same predicate pushdown and column pruning, pinned in
+    tests/test_layout_and_plans.py)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

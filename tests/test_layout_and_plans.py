@@ -400,3 +400,33 @@ def test_range_partition_planner_equi_depth(spark, sf):
         assert b1 < b2 and lo1 <= hi1 and hi1 < lo2
     for _, _, _, ct, _ in rows:
         assert ct <= n // RANGE_BUCKETS + max_key
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    """ORC ingest parity with parquet: values round-trip exactly, filters
+    reach the ORC scan (PushedFilters) and projection prunes the read
+    schema to the selected columns."""
+    from realtimedatawarehouse_self_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 7 AS k", "cast(id * 2 as double) AS v",
+        "concat('row', id) AS s"
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert sorted(back.columns) == ["id", "k", "s", "v"]
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(i * 2 for i in range(1000))
+
+    probe = back.filter(F.col("k") == 3).select("id", "v")
+    plan = _plan(probe)
+    assert "PushedFilters" in plan and "k" in plan
+    assert "ReadSchema" in plan
+    # the pruned schema must not carry the unused string column
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "s:" not in read_schema.replace(" ", "")
