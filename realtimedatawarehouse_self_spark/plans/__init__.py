@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "dedup_survivorship",
     "quantile_normalize_values",
     "multimodal_audio_windows",
+    "dedup_clusters_star",
     # r4 late additions (zero driver evidence): front of the rotation.
     "triangle_count_co_engagement",
     "dedup_jaccard_prefix_filter",
@@ -109,7 +110,6 @@ _VERIFY_FIRST = [
     "active_users_rolling",
     "pretrain_data_recipe",
     "collocation_pmi",
-    "baselog_stream_split",
     "approx_daily_users",
     "dim_config_routing",
     "streaming_incremental_rollup",
@@ -146,6 +146,11 @@ _VERIFY_FIRST = [
     # quantile_normalize_values)
     "user_ltv_segments",
     "winsorized_value_stats",
+    # (fifth r5 wave: dedup_clusters_star at the head displaced
+    # baselog_stream_split — r2 driver-proven, and the P13 stream-split
+    # machinery runs as a REAL streaming pipeline in
+    # tests/test_streaming.py every session)
+    "baselog_stream_split",
     # (fourth r5 wave: multimodal_audio_windows at the head displaced
     # bpe_pair_counts — head sibling collocation_pmi consumes the same
     # _adjacent_pairs source and ranks it with strictly more machinery;

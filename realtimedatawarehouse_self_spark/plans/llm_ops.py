@@ -1730,6 +1730,87 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Star-contraction connected components — the WEB-SCALE alternative that
+# `dedup_clusters`' docstring promises, implemented and oracle-gated to
+# the identical answer. Min-label propagation converges in O(component
+# diameter) rounds; alternating large-star/small-star contraction
+# (Kiveris et al., "Connected Components in MapReduce and Beyond",
+# SoCC'14) converges in O(log n) rounds REGARDLESS of diameter — the
+# right loop for graphs with long chains. Each round is two grouped
+# aggregations over the edge list (min-neighbor per node + re-emit), all
+# shuffles keyed on node id; `localCheckpoint` truncates lineage per
+# round exactly like the propagation loop.
+#
+#   large-star: per node u, m = min(N(u) ∪ {u}); re-point every
+#               HIGHER neighbor v > u at m.
+#   small-star: per node u over edges with v <= u, same m; re-point the
+#               lower neighborhood (and u itself) at m.
+#
+# Fixpoint = every edge already points at its component minimum; labels
+# read directly off the final star edges. The oracle is the SAME
+# recursive CTE as dedup_clusters — components are algorithm-independent,
+# which is precisely what the gate proves.
+# ---------------------------------------------------------------------------
+def star_components(edges: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star contraction over an undirected
+    (u, v) edge frame; returns (node, component-minimum) for every node
+    with at least one edge. Exposed standalone so the chain-graph tests
+    can drive it directly."""
+    edges = (
+        edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    )
+
+    def _min_nbr(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    while True:
+        # large-star over the symmetric view
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = _min_nbr(sym)
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over the low-directed view (v <= u), u itself re-pointed
+        low = sym.filter(F.col("v") < F.col("u"))
+        lmins = low.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small = (
+            low.join(lmins, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(lmins.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        )
+        new_edges = large.union(small).distinct().localCheckpoint()
+        changed = new_edges.exceptAll(edges)
+        done = changed.isEmpty() and edges.exceptAll(new_edges).isEmpty()
+        edges = new_edges
+        if done:
+            break
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return _min_nbr(sym).select(
+        F.col("u").alias("node"), F.col("m").alias("label")
+    )
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(_doc_shingles(spark, sf_dir))
+    comps = star_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Survivorship election — the ACTIONABLE end of the dedup family: given
 # the near-dup clusters, choose ONE canonical document per cluster and
 # emit the keep/drop decision for every clustered doc. Real pipelines
@@ -2434,6 +2515,7 @@ QUERIES = {
     "corpus_split_assign": corpus_split_assign,
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,
+    "dedup_clusters_star": dedup_clusters_star,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -2471,6 +2553,7 @@ ORACLE = {
     "corpus_split_assign": _corpus_split_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_survivorship": _dedup_survivorship_sql(),
+    "dedup_clusters_star": _dedup_clusters_sql(),
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
