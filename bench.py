@@ -167,6 +167,7 @@ HEADLINE = [
     "dedup_survivorship",
     "quantile_normalize_values",
     "multimodal_audio_windows",
+    "dedup_clusters_star",
 ]
 
 
