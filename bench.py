@@ -168,6 +168,8 @@ HEADLINE = [
     "quantile_normalize_values",
     "multimodal_audio_windows",
     "dedup_clusters_star",
+    "market_basket_lift",
+    "dedup_token_yield",
 ]
 
 

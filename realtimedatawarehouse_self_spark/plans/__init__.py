@@ -74,6 +74,8 @@ _VERIFY_FIRST = [
     "quantile_normalize_values",
     "multimodal_audio_windows",
     "dedup_clusters_star",
+    "market_basket_lift",
+    "dedup_token_yield",
     # r4 late additions (zero driver evidence): front of the rotation.
     "triangle_count_co_engagement",
     "dedup_jaccard_prefix_filter",
@@ -89,10 +91,8 @@ _VERIFY_FIRST = [
     "heavy_hitter_users",
     "audience_overlap_jaccard",
     "embedding_gram_matrix",
-    "lm_bigram_coverage",
     "snapshot_diff_user_state",
     "dedup_incoming_batch",
-    "value_quantile_sketch",
     "pagerank_co_engagement",
     "running_balance_floor",
     "attribution_last_touch",
@@ -146,6 +146,14 @@ _VERIFY_FIRST = [
     # quantile_normalize_values)
     "user_ltv_segments",
     "winsorized_value_stats",
+    # (sixth r5 wave: market_basket_lift + dedup_token_yield at the head
+    # displaced lm_bigram_coverage — head entry lm_quality_probability is
+    # its strict probability-weighted upgrade over the same pair pipeline
+    # — and value_quantile_sketch, whose percentile machinery rides in
+    # head entry quantile_normalize_values with pytest twins every
+    # session)
+    "lm_bigram_coverage",
+    "value_quantile_sketch",
     # (fifth r5 wave: dedup_clusters_star at the head displaced
     # baselog_stream_split — r2 driver-proven, and the P13 stream-split
     # machinery runs as a REAL streaming pipeline in

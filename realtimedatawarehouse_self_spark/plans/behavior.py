@@ -732,6 +732,105 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# Market-basket association over event-type baskets — classic
+# co-occurrence rules at warehouse scale: a basket is one (user, day),
+# items are the distinct event types it contains, and each type pair gets
+# support and LIFT = N·P(a,b) / (P(a)·P(b)) in exact integer micro-units.
+#
+# Scale shape (same bounded-pair doctrine as audience_overlap_jaccard):
+# per-basket item sets come from ONE distinct + collect_set (bounded by
+# the type domain T), pairs explode in-row to ≤ T(T−1)/2 rows per basket,
+# and the only corpus-sized shuffles are the basket distinct and the pair
+# combine. Per-item counts (T rows) and the basket total broadcast. The
+# lift numerator N · pair_ct · 1e6 is computed in DECIMAL(38,0)/HUGEINT —
+# at 100 TB, N ~ 1e12 would wrap int64 — then floored back to bigint.
+# ---------------------------------------------------------------------------
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import (
+        ordered_pair_structs,
+    )
+
+    b = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("d"),
+            "event_type",
+        )
+        .distinct()
+    )
+    baskets = b.groupBy("user_id", "d").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    n_baskets = baskets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    item_ct = b.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(ordered_pair_structs("items", "item_a", "item_b")).alias("p")
+        )
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_ct"))
+    )
+    ca = item_ct.select(F.col("item").alias("item_a"), F.col("ct").alias("ct_a"))
+    cb = item_ct.select(F.col("item").alias("item_b"), F.col("ct").alias("ct_b"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_ct",
+            "ct_a",
+            "ct_b",
+            F.col("n").alias("n_baskets"),
+            F.expr("pair_ct * 1000000 div n").alias("support_micro"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * pair_ct * 1000000)"
+                " div (CAST(ct_a AS DECIMAL(38,0)) * ct_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
+_BASKET_SQL = """
+WITH b AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type
+    FROM events
+),
+n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT user_id, d FROM b)
+),
+item_ct AS (
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS ct
+    FROM b GROUP BY 1
+),
+pairs AS (
+    SELECT a.event_type AS item_a, c.event_type AS item_b,
+           CAST(count(*) AS BIGINT) AS pair_ct
+    FROM b a JOIN b c
+      ON a.user_id = c.user_id AND a.d = c.d
+     AND a.event_type < c.event_type
+    GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.pair_ct, ca.ct AS ct_a, cb.ct AS ct_b,
+       n.n AS n_baskets,
+       p.pair_ct * 1000000 // n.n AS support_micro,
+       CAST((CAST(n.n AS HUGEINT) * p.pair_ct * 1000000)
+            // (CAST(ca.ct AS HUGEINT) * cb.ct) AS BIGINT) AS lift_micro
+FROM pairs p
+JOIN item_ct ca ON p.item_a = ca.item
+JOIN item_ct cb ON p.item_b = cb.item
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "abandoned_view_rate": abandoned_view_rate,
@@ -743,6 +842,7 @@ QUERIES = {
     "winsorized_value_stats": winsorized_value_stats,
     "rfm_user_features": rfm_user_features,
     "quantile_normalize_values": quantile_normalize_values,
+    "market_basket_lift": market_basket_lift,
 }
 
 ORACLE = {
@@ -756,4 +856,5 @@ ORACLE = {
     "winsorized_value_stats": _WINSOR_SQL,
     "rfm_user_features": _RFM_SQL,
     "quantile_normalize_values": _QNORM_SQL,
+    "market_basket_lift": _BASKET_SQL,
 }

@@ -1730,6 +1730,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token yield after dedup — the pretraining-budget metric the whole dedup
+# family exists to move: per language, how many tokens survive when every
+# near-dup component keeps only its survivor? A curation run quotes this
+# number ("X% effective yield") before committing a mixture; computing it
+# IS the composition survivorship → filter → token count, executed as one
+# plan so the stage boundary cannot drift from the election logic.
+# ---------------------------------------------------------------------------
+def dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    surv = dedup_survivorship(spark, sf_dir).select("doc_id", "is_survivor")
+    joined = docs.join(surv, "doc_id", "left").withColumn(
+        "kept", F.coalesce("is_survivor", F.lit(1)).cast("bigint")
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum("kept").alias("n_docs_kept"),
+        F.sum(F.expr("kept * n_tok")).alias("tokens_kept"),
+        F.expr("sum(kept * n_tok) * 1000000 div sum(n_tok)").alias(
+            "yield_micro"
+        ),
+    )
+
+
+def _dedup_token_yield_sql() -> str:
+    return f"""
+WITH RECURSIVE {_survivorship_cte()},
+surv AS (
+    SELECT c.doc_id,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY c.cluster_id
+                    ORDER BY d.n_chars DESC, c.doc_id) = 1
+                THEN 1 ELSE 0 END AS is_survivor
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+),
+toks AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tok
+    FROM documents
+),
+joined AS (
+    SELECT t.lang, t.n_tok,
+           CAST(coalesce(s.is_survivor, 1) AS BIGINT) AS kept
+    FROM toks t LEFT JOIN surv s ON t.doc_id = s.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+       CAST(sum(kept * n_tok) AS BIGINT) AS tokens_kept,
+       CAST(sum(kept * n_tok) AS BIGINT) * 1000000
+           // CAST(sum(n_tok) AS BIGINT) AS yield_micro
+FROM joined
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Star-contraction connected components — the WEB-SCALE alternative that
 # `dedup_clusters`' docstring promises, implemented and oracle-gated to
 # the identical answer. Min-label propagation converges in O(component
@@ -1843,9 +1904,10 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_survivorship_sql() -> str:
-    return f"""
-WITH RECURSIVE {_SHINGLE_CTE},
+def _survivorship_cte() -> str:
+    """The WITH-body computing near-dup clusters (shared by the
+    survivorship and token-yield oracles)."""
+    return f"""{_SHINGLE_CTE},
 {_minhash_tail_cte()},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1863,7 +1925,12 @@ reach(node, label) AS (
 clusters AS (
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY 1
-)
+)"""
+
+
+def _dedup_survivorship_sql() -> str:
+    return f"""
+WITH RECURSIVE {_survivorship_cte()}
 SELECT c.doc_id, c.cluster_id,
        CAST(d.n_chars AS BIGINT) AS n_chars,
        CAST(CASE WHEN row_number() OVER (
@@ -2516,6 +2583,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,
     "dedup_clusters_star": dedup_clusters_star,
+    "dedup_token_yield": dedup_token_yield,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -2554,6 +2622,7 @@ ORACLE = {
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_survivorship": _dedup_survivorship_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
+    "dedup_token_yield": _dedup_token_yield_sql(),
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
