@@ -50,6 +50,10 @@ QUERIES = [
     "subsample_mean_variance",       # hash-gated membership, never RNG
     "dedup_survivorship",            # label propagation + survivor election
     "quantile_normalize_values",     # ANSI rank: ties must share position
+    "dedup_clusters_star",           # contraction order must not leak
+    "market_basket_lift",            # decimal lift arithmetic
+    "dedup_token_yield",             # election + aggregation composition
+    "multimodal_audio_windows",      # Arrow batch boundaries must not leak
 ]
 
 PERTURBED = {
