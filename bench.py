@@ -170,6 +170,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "market_basket_lift",
     "dedup_token_yield",
+    "decayed_user_score",
 ]
 
 

@@ -116,6 +116,10 @@ _VERIFY_FIRST = [
     "streaming_join_view_purchase",
     "streaming_abandoned_views",
     "streaming_ewma_daily",
+    # -- budget line. decayed_user_score (late r5) queues FIRST for the
+    # r6 rotation: the head already holds only zero-evidence entries, so
+    # displacing one would just trade which new operator goes unproven --
+    "decayed_user_score",
     # -- r5 rebalance: the 4 new-query slots at the head displaced
     # dwd_trade_order_detail (streaming twin streaming_join_view_purchase
     # keeps the same join machinery in the head; batch pytest parity twin

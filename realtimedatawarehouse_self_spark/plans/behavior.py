@@ -831,6 +831,72 @@ CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-decayed engagement score — the recency-weighted feature ranking
+# models consume, with the decay EXACT by construction: weight halves
+# every DECAY_HALF_LIFE_D days via integer right-shift-style division
+# (cents div 2^k, k = age_days div half_life), so the score is pure
+# bigint arithmetic — no exp()/pow() floats to drift across engines.
+# k is capped at 62 (beyond that the contribution is provably 0 in
+# int64), which also bounds the power-of-two literal. One user-keyed
+# combine; the reference day broadcasts.
+# ---------------------------------------------------------------------------
+DECAY_HALF_LIFE_D = 7
+
+
+def decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            money_cents("value").alias("cents"),
+        )
+    )
+    ref = ev.agg(F.max("d").alias("ref_day"))
+    scored = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr(
+            f"least(cast(62 as bigint), "
+            f"cast(datediff(ref_day, d) as bigint) div {DECAY_HALF_LIFE_D})"
+        ).alias("k"),
+        "cents",
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").alias("raw_cents"),
+        # shiftright, not div: arithmetic shift FLOORS for negative cents
+        # on both engines, where div would truncate toward zero on Spark
+        # and floor on DuckDB (refund-sign robustness).
+        F.sum(F.expr("shiftright(cents, cast(k as int))"))
+        .alias("decayed_cents"),
+    )
+
+
+_DECAY_SQL = f"""
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+ref AS (SELECT max(d) AS ref_day FROM ev),
+scored AS (
+    SELECT user_id,
+           least(CAST(62 AS BIGINT),
+                 CAST(ref.ref_day - d AS BIGINT) // {DECAY_HALF_LIFE_D}) AS k,
+           cents
+    FROM ev CROSS JOIN ref
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(sum(cents >> CAST(k AS INTEGER)) AS BIGINT) AS decayed_cents
+FROM scored
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "abandoned_view_rate": abandoned_view_rate,
@@ -843,6 +909,7 @@ QUERIES = {
     "rfm_user_features": rfm_user_features,
     "quantile_normalize_values": quantile_normalize_values,
     "market_basket_lift": market_basket_lift,
+    "decayed_user_score": decayed_user_score,
 }
 
 ORACLE = {
@@ -857,4 +924,5 @@ ORACLE = {
     "rfm_user_features": _RFM_SQL,
     "quantile_normalize_values": _QNORM_SQL,
     "market_basket_lift": _BASKET_SQL,
+    "decayed_user_score": _DECAY_SQL,
 }
