@@ -631,9 +631,19 @@ def rfm_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_ct",
         "m_cents",
     )
-    r_w = Window.orderBy(F.col("r_days").desc(), "user_id")
-    f_w = Window.orderBy("f_ct", "user_id")
-    m_w = Window.orderBy("m_cents", "user_id")
+    # NULL positions pinned explicitly: Spark defaults NULLS FIRST on ASC
+    # while DuckDB defaults NULLS LAST — a NULL user_id (or an all-NULL
+    # m_cents) would land in different quintiles (caught by the NULL
+    # fixture suite).
+    r_w = Window.orderBy(
+        F.col("r_days").desc_nulls_last(), F.col("user_id").asc_nulls_first()
+    )
+    f_w = Window.orderBy(
+        F.col("f_ct").asc_nulls_first(), F.col("user_id").asc_nulls_first()
+    )
+    m_w = Window.orderBy(
+        F.col("m_cents").asc_nulls_first(), F.col("user_id").asc_nulls_first()
+    )
     return feats.select(
         "user_id",
         "r_days",
@@ -666,11 +676,14 @@ feats AS (
 )
 SELECT user_id, r_days, f_ct, m_cents,
        CAST(ntile({RFM_BUCKETS})
-            OVER (ORDER BY r_days DESC, user_id) AS INTEGER) AS r_score,
+            OVER (ORDER BY r_days DESC NULLS LAST,
+                  user_id NULLS FIRST) AS INTEGER) AS r_score,
        CAST(ntile({RFM_BUCKETS})
-            OVER (ORDER BY f_ct, user_id) AS INTEGER) AS f_score,
+            OVER (ORDER BY f_ct NULLS FIRST,
+                  user_id NULLS FIRST) AS INTEGER) AS f_score,
        CAST(ntile({RFM_BUCKETS})
-            OVER (ORDER BY m_cents, user_id) AS INTEGER) AS m_score
+            OVER (ORDER BY m_cents NULLS FIRST,
+                  user_id NULLS FIRST) AS INTEGER) AS m_score
 FROM feats
 """
 

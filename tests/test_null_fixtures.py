@@ -85,6 +85,14 @@ def null_duck(null_sf_dir):
         "user_event_diversity",
         "user_churn_labels",
         "plan_range_partitions",
+        # r5: NULL value rows through the hash-gated subsample means, the
+        # decay shift, the rank-percentile transform, and the RFM cents
+        # sum (a purchase group whose values are partly NULL)
+        "subsample_mean_variance",
+        "decayed_user_score",
+        "quantile_normalize_values",
+        "rfm_user_features",
+        "ewma_anomaly_daily",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
