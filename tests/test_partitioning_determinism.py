@@ -54,6 +54,7 @@ QUERIES = [
     "market_basket_lift",            # decimal lift arithmetic
     "dedup_token_yield",             # election + aggregation composition
     "multimodal_audio_windows",      # Arrow batch boundaries must not leak
+    "decayed_user_score",            # shift-decay arithmetic
 ]
 
 PERTURBED = {
