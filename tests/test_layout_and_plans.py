@@ -121,6 +121,9 @@ PYTHON_PATH_QUERIES = {
     # MapInPandas node holds k counters per partition and emits candidate
     # ids only; the exact recount that determines the ANSWER is JVM-side.
     "heavy_hitter_users",
+    # r5: the audio sibling of the frame-sample shape — intentionally
+    # Arrow-batched (plans/python_path.py)
+    "multimodal_audio_windows",
 }
 
 
