@@ -171,6 +171,8 @@ HEADLINE = [
     "market_basket_lift",
     "dedup_token_yield",
     "decayed_user_score",
+    "minhash_estimate_error",
+    "lang_confusion_matrix",
 ]
 
 

@@ -120,6 +120,8 @@ _VERIFY_FIRST = [
     # r6 rotation: the head already holds only zero-evidence entries, so
     # displacing one would just trade which new operator goes unproven --
     "decayed_user_score",
+    "minhash_estimate_error",
+    "lang_confusion_matrix",
     # -- r5 rebalance: the 4 new-query slots at the head displaced
     # dwd_trade_order_detail (streaming twin streaming_join_view_purchase
     # keeps the same join machinery in the head; batch pytest parity twin

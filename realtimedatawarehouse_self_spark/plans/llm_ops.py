@@ -1730,6 +1730,144 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Minhash estimator calibration — sketch-vs-exact for the dedup family's
+# OWN sketch (the value_quantile_sketch doctrine applied to minhash):
+# for every LSH candidate pair, the signature-agreement estimate
+# (matching components / NUM_HASHES) next to the TRUE Jaccard from the
+# full shingle sets, plus the signed error. This is how a curation run
+# validates its banding threshold before trusting it at corpus scale —
+# and it makes the estimator's variance measurable, not assumed.
+# Everything rides frames that already exist in the LSH pipeline: one
+# signature aggregate (doc-sized, 12 ints) joined twice, and the shared
+# exact verify pruned to candidates.
+# ---------------------------------------------------------------------------
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).persist()
+    minh = (
+        sh.select("doc_id", _shingle_hash())
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
+    )
+    cand = _band_pairs(minh)
+    sa = minh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = minh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    match_sum = None
+    for i in range(NUM_HASHES):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        match_sum = t if match_sum is None else match_sum + t
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", match_sum.cast("bigint").alias("est_matches"))
+    )
+    exact = _exact_pair_verify(cand, sh).withColumn(
+        "union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct")
+    )
+    return est.join(exact.select("doc_a", "doc_b", "inter_ct", "union_ct"),
+                    ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_matches",
+        F.expr(f"est_matches * 1000000 div {NUM_HASHES}").alias("est_micro"),
+        "inter_ct",
+        "union_ct",
+        F.expr("inter_ct * 1000000 div union_ct").alias("exact_micro"),
+        F.expr(
+            f"est_matches * 1000000 div {NUM_HASHES}"
+            " - inter_ct * 1000000 div union_ct"
+        ).alias("err_micro"),
+    )
+
+
+def _minhash_estimate_error_sql() -> str:
+    match_terms = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+{_minhash_tail_cte()},
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST({match_terms} AS BIGINT) AS est_matches
+    FROM pairs p
+    JOIN minh a ON a.doc_id = p.doc_a
+    JOIN minh b ON b.doc_id = p.doc_b
+),
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter_ct
+    FROM pairs c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.est_matches,
+       e.est_matches * 1000000 // {NUM_HASHES} AS est_micro,
+       i.inter_ct,
+       sa.n_sh + sb.n_sh - i.inter_ct AS union_ct,
+       i.inter_ct * 1000000 // (sa.n_sh + sb.n_sh - i.inter_ct)
+           AS exact_micro,
+       e.est_matches * 1000000 // {NUM_HASHES}
+           - i.inter_ct * 1000000 // (sa.n_sh + sb.n_sh - i.inter_ct)
+           AS err_micro
+FROM est e
+JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the label-noise audit over the corpus'
+# own metadata: aggregate lang_id_ngram's per-document predictions into
+# (true, predicted) cells with per-true-language shares. The artifact a
+# curation run inspects before trusting either the labels or the
+# classifier; one tiny combine over the per-doc scoring frame.
+# ---------------------------------------------------------------------------
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = lang_id_ngram(spark, sf_dir).select("true_lang", "pred_lang")
+    cells = per_doc.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n_docs").alias("row_total")
+    )
+    return cells.join(F.broadcast(totals), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        "row_total",
+        F.expr("n_docs * 1000000 div row_total").alias("share_micro"),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH per_doc AS ({_lang_id_sql()}),
+cells AS (
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM per_doc GROUP BY 1, 2
+),
+totals AS (
+    SELECT true_lang, CAST(sum(n_docs) AS BIGINT) AS row_total
+    FROM cells GROUP BY 1
+)
+SELECT c.true_lang, c.pred_lang, c.n_docs, t.row_total,
+       c.n_docs * 1000000 // t.row_total AS share_micro
+FROM cells c JOIN totals t ON c.true_lang = t.true_lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Token yield after dedup — the pretraining-budget metric the whole dedup
 # family exists to move: per language, how many tokens survive when every
 # near-dup component keeps only its survivor? A curation run quotes this
@@ -2584,6 +2722,8 @@ QUERIES = {
     "dedup_survivorship": dedup_survivorship,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_token_yield": dedup_token_yield,
+    "minhash_estimate_error": minhash_estimate_error,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -2623,6 +2763,8 @@ ORACLE = {
     "dedup_survivorship": _dedup_survivorship_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_token_yield": _dedup_token_yield_sql(),
+    "minhash_estimate_error": _minhash_estimate_error_sql(),
+    "lang_confusion_matrix": _lang_confusion_sql(),
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
