@@ -173,6 +173,7 @@ HEADLINE = [
     "decayed_user_score",
     "minhash_estimate_error",
     "lang_confusion_matrix",
+    "lsh_recall_audit",
 ]
 
 

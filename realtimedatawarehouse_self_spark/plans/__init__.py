@@ -122,6 +122,7 @@ _VERIFY_FIRST = [
     "decayed_user_score",
     "minhash_estimate_error",
     "lang_confusion_matrix",
+    "lsh_recall_audit",
     # -- r5 rebalance: the 4 new-query slots at the head displaced
     # dwd_trade_order_detail (streaming twin streaming_join_view_purchase
     # keeps the same join machinery in the head; batch pytest parity twin

@@ -1827,6 +1827,80 @@ JOIN sizes sb ON sb.doc_id = e.doc_b
 
 
 # ---------------------------------------------------------------------------
+# LSH recall audit — the companion to `minhash_estimate_error`: where
+# that operator calibrates the ESTIMATOR per pair, this one measures the
+# CANDIDATE GENERATOR against ground truth. Truth = the lossless
+# prefix-filter exact similarity join (J >= 1/2, provably equal to the
+# unfiltered exact join); candidates = the minhash band pairs. Recall =
+# hit/truth in micro-units — the number a curation run checks before
+# trusting LSH banding to not silently drop near-dups at corpus scale.
+# Vacuously 1.0 on an empty truth set (both engines agree by the same
+# CASE). All three inputs are frames the dedup family already builds.
+# ---------------------------------------------------------------------------
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_jaccard_prefix_filter(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    cand = _minhash_pairs(_doc_shingles(spark, sf_dir))
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    h = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN cast(1000000 as bigint) "
+                "ELSE n_hit * 1000000 div n_true END"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+{_minhash_tail_cte()},
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter_ct
+    FROM sh a JOIN sh b
+      ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs),
+h AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_hit
+    FROM truth x
+    WHERE EXISTS (
+        SELECT 1 FROM pairs p
+        WHERE p.doc_a = x.doc_a AND p.doc_b = x.doc_b
+    )
+)
+SELECT t.n_true, c.n_candidates, h.n_hit,
+       CASE WHEN t.n_true = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE h.n_hit * 1000000 // t.n_true END AS recall_micro
+FROM t, c, h
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language-ID confusion matrix — the label-noise audit over the corpus'
 # own metadata: aggregate lang_id_ngram's per-document predictions into
 # (true, predicted) cells with per-true-language shares. The artifact a
@@ -2724,6 +2798,7 @@ QUERIES = {
     "dedup_token_yield": dedup_token_yield,
     "minhash_estimate_error": minhash_estimate_error,
     "lang_confusion_matrix": lang_confusion_matrix,
+    "lsh_recall_audit": lsh_recall_audit,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -2765,6 +2840,7 @@ ORACLE = {
     "dedup_token_yield": _dedup_token_yield_sql(),
     "minhash_estimate_error": _minhash_estimate_error_sql(),
     "lang_confusion_matrix": _lang_confusion_sql(),
+    "lsh_recall_audit": _lsh_recall_sql(),
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
