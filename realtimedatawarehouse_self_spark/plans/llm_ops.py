@@ -215,8 +215,10 @@ WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
 JACCARD_T_NUM, JACCARD_T_DEN = 1, 2  # Jaccard >= 1/2, matching the capped op
 
 
-def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).persist()
+def _prefix_filter_true_pairs(sh: DataFrame) -> DataFrame:
+    """The lossless exact-similarity-join core of
+    `dedup_jaccard_prefix_filter`, over an already-persisted shingle
+    frame (shared with `lsh_recall_audit`, whose truth set this is)."""
     ranked = (
         sh.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "sh"))
@@ -238,6 +240,11 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(2 * F.col("inter_ct") >= F.col("union_ct"))
         .select("doc_a", "doc_b", "inter_ct", "union_ct")
     )
+
+
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).persist()
+    return _prefix_filter_true_pairs(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -1838,10 +1845,12 @@ JOIN sizes sb ON sb.doc_id = e.doc_b
 # CASE). All three inputs are frames the dedup family already builds.
 # ---------------------------------------------------------------------------
 def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = dedup_jaccard_prefix_filter(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    )
-    cand = _minhash_pairs(_doc_shingles(spark, sf_dir))
+    # ONE persisted shingle frame feeds both the truth join and the
+    # minhash candidates — without the share, the tokenize+explode
+    # pipeline (the single most expensive stage) would run twice.
+    sh = _doc_shingles(spark, sf_dir).persist()
+    truth = _prefix_filter_true_pairs(sh).select("doc_a", "doc_b")
+    cand = _minhash_pairs(sh)
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
     c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     h = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
