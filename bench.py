@@ -173,6 +173,7 @@ HEADLINE = [
     "decayed_user_score",
     "minhash_estimate_error",
     "lang_confusion_matrix",
+    "doc_lexical_diversity",
     # lsh_recall_audit is deliberately NOT benched: it recomposes two
     # pipelines already in this list (prefix-filter exact join + minhash
     # banding), so benching it would double-count their cost in the total

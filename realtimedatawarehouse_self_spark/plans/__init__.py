@@ -123,6 +123,7 @@ _VERIFY_FIRST = [
     "minhash_estimate_error",
     "lang_confusion_matrix",
     "lsh_recall_audit",
+    "doc_lexical_diversity",
     # -- r5 rebalance: the 4 new-query slots at the head displaced
     # dwd_trade_order_detail (streaming twin streaming_join_view_purchase
     # keeps the same join machinery in the head; batch pytest parity twin

@@ -1834,6 +1834,65 @@ JOIN sizes sb ON sb.doc_id = e.doc_b
 
 
 # ---------------------------------------------------------------------------
+# Per-document lexical diversity — Gini impurity over the token
+# distribution (1 − Σ(c/n)² in integer micro-units via cross-
+# multiplication, the same log-free diversity form as
+# `user_event_diversity`): the continuous complement of
+# `repetition_filter`'s hard top-token thresholds — templated/looping
+# text scores low, varied prose scores high, no floats anywhere.
+# Two combines ((doc, term) then doc), both map-side-combined.
+# sum_sq * 1e6 stays inside int64 up to ~3e6 tokens per document.
+# ---------------------------------------------------------------------------
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    counts = (
+        docs.select("doc_id", F.explode("tok_arr").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.expr(
+                "1000000 - (sum_sq * 1000000) div (n_tokens * n_tokens)"
+            ).alias("gini_micro"),
+        )
+    )
+
+
+_LEX_DIVERSITY_SQL = """
+WITH terms AS (
+    SELECT doc_id, t.term
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), UNNEST(toks) AS t(term)
+),
+counts AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+    FROM terms GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       1000000 - (CAST(sum(c * c) AS BIGINT) * 1000000)
+           // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+           AS gini_micro
+FROM counts
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # LSH recall audit — the companion to `minhash_estimate_error`: where
 # that operator calibrates the ESTIMATOR per pair, this one measures the
 # CANDIDATE GENERATOR against ground truth. Truth = the lossless
@@ -2808,6 +2867,7 @@ QUERIES = {
     "minhash_estimate_error": minhash_estimate_error,
     "lang_confusion_matrix": lang_confusion_matrix,
     "lsh_recall_audit": lsh_recall_audit,
+    "doc_lexical_diversity": doc_lexical_diversity,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -2850,6 +2910,7 @@ ORACLE = {
     "minhash_estimate_error": _minhash_estimate_error_sql(),
     "lang_confusion_matrix": _lang_confusion_sql(),
     "lsh_recall_audit": _lsh_recall_sql(),
+    "doc_lexical_diversity": _LEX_DIVERSITY_SQL,
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
