@@ -764,8 +764,17 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_pair_structs,
     )
 
+    # NULL-keyed baskets are excluded EXPLICITLY on both engines: a
+    # basket needs an identity and a day, and leaving NULL keys in would
+    # diverge anyway (Spark's groupBy keeps a NULL group while the
+    # oracle's equi-self-join can never match NULL = NULL).
     b = (
         _events(spark, sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select(
             "user_id",
             F.date_trunc("day", "ts").alias("d"),
@@ -815,6 +824,8 @@ _BASKET_SQL = """
 WITH b AS (
     SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type
     FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL
 ),
 n AS (
     SELECT CAST(count(*) AS BIGINT) AS n
@@ -880,8 +891,11 @@ def decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("cents").alias("raw_cents"),
         # shiftright, not div: arithmetic shift FLOORS for negative cents
-        # on both engines, where div would truncate toward zero on Spark
-        # and floor on DuckDB (refund-sign robustness).
+        # identically on both engines (verified: -5 >> 1 = -3 on each).
+        # div / DuckDB's // would ALSO agree cross-engine (both truncate
+        # toward zero; verified -7 // 2 = -3 in DuckDB) — floor is chosen
+        # because it is the decay convention that never rounds a debt
+        # toward zero faster than an asset.
         F.sum(F.expr("shiftright(cents, cast(k as int))"))
         .alias("decayed_cents"),
     )

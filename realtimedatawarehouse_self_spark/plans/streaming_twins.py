@@ -530,11 +530,20 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = tempfile.mkdtemp(prefix="rtdw-ewma-")
         src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
         os.makedirs(src)
-        events = load_table(spark, sf_dir, "events").select(
-            "event_type",
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                "day"
-            ),
+        # Same non-NULL contract as the batch twin (the shared oracle
+        # filters identically); persist the 2-column projection so the
+        # per-group staging writes below re-filter this tiny frame
+        # instead of rescanning the events parquet once per group.
+        events = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+            .select(
+                "event_type",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+            )
+            .persist()
         )
         days = [r[0] for r in events.select("day").distinct().collect()]
         days.sort()

@@ -573,7 +573,14 @@ aggregate(
 
 
 def ewma_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # Non-NULL key/timestamp contract, explicit on BOTH engines (and in
+    # the streaming twin): a daily series for an unknown day or type is
+    # meaningless, and NULL keys would silently diverge — the oracle's
+    # recursive self-join can never match NULL = NULL, truncating a
+    # NULL-typed series to its first day while Spark's groupBy kept it.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
@@ -603,7 +610,9 @@ _EWMA_SQL = """
 WITH RECURSIVE daily AS (
     SELECT event_type, date_trunc('day', ts) AS dy,
            CAST(count(*) AS BIGINT) AS ct
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
 ),
 rn AS (
     SELECT *, CAST(row_number() OVER (

@@ -93,6 +93,9 @@ def null_duck(null_sf_dir):
         "quantile_normalize_values",
         "rfm_user_features",
         "ewma_anomaly_daily",
+        # r5 review: NULL user_id baskets must be excluded identically on
+        # both engines (the oracle's equi-self-join can never match them)
+        "market_basket_lift",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

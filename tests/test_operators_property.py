@@ -238,9 +238,6 @@ def test_quantile_normalize_matches_python(spark, cents):
     share the rank of their first member) for any value multiset."""
     data = [(i, c) for i, c in enumerate(cents)]
     df = spark.createDataFrame(data, "event_id long, cents long")
-    from pyspark.sql import Window
-
-    w = Window.orderBy("cents")
     got = {
         r.event_id: r.p
         for r in df.select(
