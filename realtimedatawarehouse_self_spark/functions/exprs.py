@@ -52,6 +52,37 @@ def sql_cents_amount(expr: str) -> str:
     return f"CAST({expr} AS DOUBLE) / 100.0"
 
 
+INT64_MAX = (1 << 63) - 1
+INT64_MIN = -(1 << 63)
+
+
+def checked_bigint(col, name: str) -> Column:
+    """Cast a wide (DECIMAL/internal) value to BIGINT, RAISING on overflow.
+
+    The engine keeps wide-integer arithmetic internal and emits int64 at the
+    output boundary (the driver's value-hash renders DECIMAL/HUGEINT
+    differently from BIGINT even for equal values — the r5 hash-red class).
+    Non-ANSI Spark would silently NULL an overflowing decimal->bigint cast;
+    this helper turns that into a loud failure so a 100 TB run can never
+    ship a wrapped/NULLed metric. The DuckDB oracle side gets the same
+    guard for free: HUGEINT->BIGINT casts error on overflow.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    in_range = (c >= F.lit(INT64_MIN)) & (c <= F.lit(INT64_MAX))
+    return (
+        F.when(in_range, c.cast("bigint"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"int64 overflow at output boundary '{name}': "),
+                    c.cast("string"),
+                )
+            ).cast("bigint")
+        )
+        .alias(name)
+    )
+
+
 def window_bounds(window_col: str = "w") -> list[Column]:
     """Stamp window start/end as `stt`/`edt` strings.
 

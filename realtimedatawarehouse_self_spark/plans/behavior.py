@@ -318,7 +318,8 @@ debits AS (
     FROM ev WHERE event_type = 'purchase'
 )
 SELECT c.user_id, c.c_event AS credit_event, d.d_event AS debit_event,
-       least(c.c_hi, d.d_hi) - greatest(c.c_lo, d.d_lo) AS matched_cents
+       CAST(least(c.c_hi, d.d_hi) - greatest(c.c_lo, d.d_lo) AS BIGINT)
+           AS matched_cents
 FROM credits c JOIN debits d
   ON c.user_id = d.user_id
  AND c.c_lo < d.d_hi AND d.d_lo < c.c_hi
@@ -543,11 +544,16 @@ labeled AS (
 )
 SELECT cohort_day,
        CAST(count(*) AS BIGINT) AS n_users,
-       sum(churned) AS churned_ct,
-       sum(churned) * 1000000 // count(*) AS churn_micro
+       CAST(sum(churned) AS BIGINT) AS churned_ct,
+       CAST(sum(churned) * 1000000 // count(*) AS BIGINT) AS churn_micro
 FROM labeled
 GROUP BY 1
 """
+# NOTE (r6): every oracle's FINAL SELECT casts sums / integer-divisions to
+# BIGINT explicitly. DuckDB types un-cast sum(BIGINT) (and // on it) as
+# HUGEINT, which the driver's value-hash renders differently from BIGINT
+# even when the values are identical — the root cause of all 9 r5
+# hash-reds. tests/test_output_type_contract.py enforces this repo-wide.
 
 
 # ---------------------------------------------------------------------------
@@ -587,9 +593,10 @@ WITH counts AS (
     FROM events GROUP BY 1, 2
 )
 SELECT user_id,
-       sum(c) AS n_events,
+       CAST(sum(c) AS BIGINT) AS n_events,
        CAST(count(*) AS BIGINT) AS n_types,
-       1000000 - (sum(c * c) * 1000000) // (sum(c) * sum(c)) AS gini_micro
+       CAST(1000000 - (sum(c * c) * 1000000) // (sum(c) * sum(c))
+            AS BIGINT) AS gini_micro
 FROM counts
 GROUP BY 1
 """

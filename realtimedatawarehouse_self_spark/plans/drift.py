@@ -22,7 +22,10 @@ questions:
   ``(c_a*n_b − c_b*n_a)² / (n_a*n_b*(c_a+c_b))`` — no expected-count
   fractions, so the statistic is an exact integer micro-unit division.
   Counts are DECIMAL(38,0)/HUGEINT before squaring: the numerator is
-  (rows²)² and wraps int64 past ~55k rows per cohort.
+  (rows²)² and wraps int64 past ~55k rows per cohort. The wide arithmetic
+  is INTERNAL only — the output boundary is a checked BIGINT cast on both
+  sides (the contribution itself is <= total_rows * 1e6), because the
+  driver's value-hash renders DECIMAL/HUGEINT differently from BIGINT.
 
 Cohorts are deterministic: vec_id parity for embeddings (the table has no
 timestamp; parity is stable, shuffle-independent, and splits ~50/50),
@@ -34,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtimedatawarehouse_self_spark.functions.exprs import checked_bigint
 from realtimedatawarehouse_self_spark.plans.mining import EMB_DIM, Q_SCALE
 from realtimedatawarehouse_self_spark.session import apply_runtime_confs
 from realtimedatawarehouse_self_spark.sources.tables import load_table
@@ -101,7 +105,11 @@ cent AS (SELECT label, dim, cohort, s // n AS m, n FROM sums)
 SELECT a.label,
        min(a.n) AS n_a,
        min(b.n) AS n_b,
-       sum((a.m - b.m) * (a.m - b.m)) AS drift_sq_micro2
+       -- CAST: un-cast sum(BIGINT) is HUGEINT in DuckDB and the driver
+       -- hash renders it differently from BIGINT (r5 hash-red class).
+       -- Bound: |m| <= Q_SCALE (unit-range dims), diff^2 <= 4e12, summed
+       -- over EMB_DIM dims -- orders of magnitude inside int64.
+       CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS drift_sq_micro2
 FROM cent a
 JOIN cent b ON a.label = b.label AND a.dim = b.dim
 WHERE a.cohort = 0 AND b.cohort = 1
@@ -151,9 +159,16 @@ def distribution_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "c_a",
             "c_b",
-            F.expr(
-                "CAST((num_root * num_root * 1000000) div den AS DECIMAL(38,0))"
-            ).alias("chi2_contrib_micro"),
+            # Wide arithmetic stays internal; the OUTPUT boundary is int64
+            # (driver renders DECIMAL differently from BIGINT — r5 hash-red
+            # class). The contribution is bounded by total_rows * 1e6
+            # (chi2 contribution <= n), i.e. int64-safe until ~9e12 input
+            # rows; checked_bigint raises loudly rather than wrap/NULL past
+            # that.
+            checked_bigint(
+                F.expr("(num_root * num_root * 1000000) div den"),
+                "chi2_contrib_micro",
+            ),
         )
     )
 
@@ -172,11 +187,14 @@ counts AS (
 ),
 tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM counts)
 SELECT c.event_type, c.c_a, c.c_b,
+       -- HUGEINT internally; BIGINT at the boundary (driver hash renders
+       -- HUGEINT/DECIMAL differently from BIGINT). DuckDB's HUGEINT->BIGINT
+       -- cast errors on overflow, mirroring checked_bigint on the Spark side.
        CAST(((CAST(c.c_a AS HUGEINT) * t.n_b - CAST(c.c_b AS HUGEINT) * t.n_a)
              * (CAST(c.c_a AS HUGEINT) * t.n_b - CAST(c.c_b AS HUGEINT) * t.n_a)
              * 1000000)
             // (CAST(t.n_a AS HUGEINT) * t.n_b * (c.c_a + c.c_b))
-           AS DECIMAL(38,0)) AS chi2_contrib_micro
+           AS BIGINT) AS chi2_contrib_micro
 FROM counts c, tot t
 """
 

@@ -520,7 +520,9 @@ bucketed AS (
 SELECT bucket_id,
        min(user_id) AS lo_key,
        max(user_id) AS hi_key,
-       sum(key_ct) AS row_ct,
+       -- CAST: un-cast sum(BIGINT) is HUGEINT in DuckDB; the driver hash
+       -- renders it differently from BIGINT (r5 hash-red class).
+       CAST(sum(key_ct) AS BIGINT) AS row_ct,
        CAST(count(*) AS BIGINT) AS key_ct
 FROM bucketed
 GROUP BY 1

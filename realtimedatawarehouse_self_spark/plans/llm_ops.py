@@ -1977,9 +1977,13 @@ FROM t, c, h
 # ---------------------------------------------------------------------------
 def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = lang_id_ngram(spark, sf_dir).select("true_lang", "pred_lang")
+    # Persist the tiny (langs x langs) aggregate: it feeds BOTH the join
+    # side and the `totals` reduce below — without it the expensive
+    # per-document marker-scoring scan inside lang_id_ngram executes twice
+    # (same shared-frame idiom as lm_quality_probability / lsh_recall_audit).
     cells = per_doc.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).persist()
     totals = cells.groupBy("true_lang").agg(
         F.sum("n_docs").alias("row_total")
     )

@@ -278,9 +278,18 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.col("dot"),
+            # Output boundary: STRING-encoded wide integers on BOTH sides.
+            # The driver's value-hash renders DECIMAL/HUGEINT differently
+            # from BIGINT (r5 hash-red class), and clamping to int64 is NOT
+            # scale-safe here: cov_num ~ n^2 * 1e12 micro^2 units overflows
+            # int64 at only ~23k embedding rows (measured 6.8e16 at sf0.1's
+            # 2k rows). decimal(38,0) -> string is plain digits (scale-0
+            # BigDecimal never uses exponent notation), identical to
+            # DuckDB's HUGEINT -> VARCHAR.
+            F.col("dot").cast("string").alias("dot"),
             (F.col("n_rows") * F.col("dot") - F.col("s_i") * F.col("s_j"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("cov_num"),
         )
     )
@@ -313,8 +322,8 @@ sums AS (
 ),
 n AS (SELECT CAST(count(*) AS HUGEINT) AS n_rows FROM q)
 SELECT d.i, d.j,
-       CAST(d.dot AS DECIMAL(38,0)) AS dot,
-       CAST(n.n_rows * d.dot - si.s * sj.s AS DECIMAL(38,0)) AS cov_num
+       CAST(d.dot AS VARCHAR) AS dot,
+       CAST(n.n_rows * d.dot - si.s * sj.s AS VARCHAR) AS cov_num
 FROM dots d
 JOIN sums si ON d.i = si.i
 JOIN sums sj ON d.j = sj.i
@@ -474,10 +483,15 @@ def pagerank_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql() -> str:
+    # CAST each iteration's r to BIGINT: un-cast sum/`//` chains are HUGEINT
+    # in DuckDB, which the driver hash renders differently from BIGINT
+    # (r5 hash-red class). Rank mass only shrinks from 1e6/node, so the
+    # value itself always fits int64 (module header bound).
     iter_cte = """
 r{next} AS (
     SELECT e.dst AS user_id,
-           150000 + (85 * sum(r{cur}.r * e.w // e.deg)) // 100 AS r
+           CAST(150000 + (85 * sum(r{cur}.r * e.w // e.deg)) // 100
+                AS BIGINT) AS r
     FROM edges e JOIN r{cur} ON e.src = r{cur}.user_id
     GROUP BY 1
 )"""
@@ -508,7 +522,7 @@ edges_raw AS (
     UNION ALL
     SELECT ub AS src, ua AS dst, w FROM pairs
 ),
-deg AS (SELECT src, sum(w) AS deg FROM edges_raw GROUP BY 1),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges_raw GROUP BY 1),
 edges AS (
     SELECT e.src, e.dst, e.w, d.deg
     FROM edges_raw e JOIN deg d ON e.src = d.src

@@ -588,10 +588,30 @@ def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+    # int64 headroom (ADVICE r5): score = tf * idf_micro with idf_micro up
+    # to n_docs * 1e6 (df = 1), so the product exceeds int64 once
+    # tf * n_docs > 9.2e12 — reachable at true corpus scale. Non-ANSI Spark
+    # would silently wrap; the in-row guard below raises instead (one
+    # bigint division, whole-stage-codegen-safe: for idf_micro >= 1,
+    # tf <= INT64_MAX div idf_micro  <=>  tf * idf_micro <= INT64_MAX).
+    # The DuckDB oracle needs no twin — its BIGINT multiply errors on
+    # overflow natively. Output stays BIGINT per the output-type contract
+    # (tests/test_output_type_contract.py).
+    from realtimedatawarehouse_self_spark.functions.exprs import INT64_MAX
+
     scored = (
         tfdf.join(F.broadcast(n_docs), "lang")
         .withColumn("idf_micro", F.expr(f"n_docs * {IDF_SCALE} div df"))
-        .withColumn("score", F.expr("tf * idf_micro"))
+        .withColumn(
+            "score",
+            F.expr(
+                f"CASE WHEN tf <= {INT64_MAX} div idf_micro"
+                f" THEN tf * idf_micro"
+                f" ELSE raise_error(concat('int64 overflow at output"
+                f" boundary score: tf=', tf, ' idf_micro=', idf_micro))"
+                f" END"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term")

@@ -466,8 +466,11 @@ b AS (
     FROM s
 )
 SELECT user_id,
-       max(CASE WHEN rn = 1 THEN balance_cents END) AS final_balance_cents,
-       -least(0, min(s)) AS clamped_cents
+       -- CAST: the window sum upstream is HUGEINT in DuckDB and the driver
+       -- hash renders it differently from BIGINT (r5 hash-red class).
+       CAST(max(CASE WHEN rn = 1 THEN balance_cents END) AS BIGINT)
+           AS final_balance_cents,
+       CAST(-least(0, min(s)) AS BIGINT) AS clamped_cents
 FROM (
     SELECT *, row_number() OVER (PARTITION BY user_id
                                  ORDER BY ts DESC, event_id DESC) AS rn

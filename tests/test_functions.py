@@ -126,3 +126,33 @@ def test_tokenize_udf_cjk_fallback(spark):
     # Deterministic fallback shape (engine-pinned, independent of jieba).
     assert _cjk_fallback("今天天气真好") == ["今天", "天天", "天气", "气真", "真好"]
     assert _cjk_fallback("abc中文def") == ["abc", "中文", "def"]
+
+
+def test_checked_bigint_passes_in_range_and_raises_on_overflow(spark):
+    """The int64 output-boundary guard (VERDICT r5 #5): wide-decimal values
+    inside int64 cast through unchanged; an out-of-range value RAISES loudly
+    instead of Spark's non-ANSI silent NULL (which would ship a wrapped /
+    nulled metric at extreme scale). Mirrors DuckDB, where HUGEINT->BIGINT
+    casts error on overflow."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException  # noqa: F401  (doc only)
+
+    from realtimedatawarehouse_self_spark.functions.exprs import (
+        INT64_MAX,
+        checked_bigint,
+    )
+
+    ok = spark.createDataFrame(
+        [(str(INT64_MAX),), (str(-(1 << 63)),), ("0",)], "v string"
+    ).select(checked_bigint(F.col("v").cast("decimal(38,0)"), "out"))
+    vals = sorted(r.out for r in ok.collect())
+    assert vals == [-(1 << 63), 0, INT64_MAX]
+    assert dict(ok.dtypes)["out"] == "bigint"
+
+    bad = spark.createDataFrame(
+        [(str(INT64_MAX + 1),)], "v string"
+    ).select(checked_bigint(F.col("v").cast("decimal(38,0)"), "out"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="int64 overflow.*'out'"):
+        bad.collect()
