@@ -174,6 +174,11 @@ HEADLINE = [
     "minhash_estimate_error",
     "lang_confusion_matrix",
     "doc_lexical_diversity",
+    "split_leakage_audit",
+    "ngram_novelty_rate",
+    "window_funnel_depth",
+    "user_day_bitmap_retention",
+    "seasonal_baseline_residual",
     # lsh_recall_audit is deliberately NOT benched: it recomposes two
     # pipelines already in this list (prefix-filter exact join + minhash
     # banding), so benching it would double-count their cost in the total

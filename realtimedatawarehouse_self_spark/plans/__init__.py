@@ -60,10 +60,19 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-47  the stalest r1-only-proven names (none has independent driver
+#   21-25  the five r6-new operators (split_leakage_audit,
+#          ngram_novelty_rate, window_funnel_depth,
+#          user_day_bitmap_retention, seasonal_baseline_residual) —
+#          zero driver evidence by definition.
+#   26-47  the stalest r1-only-proven names (none has independent driver
 #          evidence since round 1): the four r5-displaced entries first,
 #          then the dedup/similarity/TPC-H bodies whose machinery is NOT
-#          subsumed by a current head sibling.
+#          subsumed by a current head sibling. (The r6-new block displaced
+#          similarity_topk_bruteforce, top_users_by_event_type, and TPC-H
+#          q2/q8/q4 to the tail front: each is scan-bound or subsumed by a
+#          harder sibling still in the head — q21 carries the
+#          double-EXISTS machinery, the ADC/PQ entries subsume
+#          brute-force ranking.)
 #   48-50  the three real-streaming siblings last proven in r2
 #          (VERDICT r5 #6) — expensive (seconds each), so they sit at the
 #          budget edge exactly like the r5 streaming twins did.
@@ -95,6 +104,11 @@ _VERIFY_FIRST = [
     "fifo_credit_matching",
     "pagerank_co_engagement",
     "embedding_gram_matrix",
+    "split_leakage_audit",
+    "ngram_novelty_rate",
+    "window_funnel_depth",
+    "user_day_bitmap_retention",
+    "seasonal_baseline_residual",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
@@ -117,14 +131,14 @@ _VERIFY_FIRST = [
     "tpch_q7_nation_trade",
     "dwd_cart_add",
     "tpch_q20_dominant_supplier",
-    "tpch_q4_late_orders",
-    "tpch_q8_market_share",
-    "tpch_q2_min_cost_supplier",
-    "top_users_by_event_type",
-    "similarity_topk_bruteforce",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "similarity_topk_bruteforce",
+    "top_users_by_event_type",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q4_late_orders",
     "baselog_stream_split",
     "corpus_split_assign",
     "doc_fingerprint",

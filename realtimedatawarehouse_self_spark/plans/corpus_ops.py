@@ -663,6 +663,179 @@ SELECT '04_mixture_sample', CAST(count(*) AS BIGINT),
 """
 
 
+# ---------------------------------------------------------------------------
+# Split-leakage audit — decontamination applied to the engine's OWN
+# splitter: what fraction of each val/test document's distinct shingles
+# also occurs in the TRAIN split? Train/test contamination through
+# near-duplicate text is the classic silent eval-inflation bug; a split
+# is only trustworthy after this number is known (the same
+# audit-your-own-artifact doctrine as `lsh_recall_audit` auditing the
+# dedup family's sketch). Split membership reuses corpus_split_assign's
+# exact salted-hash rule, so the audit can never drift from the splitter.
+#
+# Scale shape: shingles of train docs collapse to a DISTINCT (lang, sh)
+# set — vocabulary-bounded, orders below corpus size, hence the broadcast
+# (drop the hint past broadcast size and AQE shuffles both sides on the
+# (lang, sh) key; the held-out side is the small one by construction).
+# Output is 2 rows (val, test): exactly the go/no-go dashboard a
+# training run reads before trusting its eval numbers.
+# ---------------------------------------------------------------------------
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        TRAIN_BP,
+        VAL_BP,
+        _hash_bp,
+    )
+
+    sh = _doc_shingles(spark, sf_dir)
+    bp = _hash_bp(F.col("doc_id"), salt="split:")
+    tagged = sh.withColumn(
+        "split",
+        F.when(bp < TRAIN_BP, "train")
+        .when(bp < VAL_BP, "val")
+        .otherwise("test"),
+    )
+    train_sh = (
+        tagged.filter(F.col("split") == "train")
+        .select("lang", "sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    held = tagged.filter(F.col("split") != "train")
+    per_doc = (
+        held.join(F.broadcast(train_sh), ["lang", "sh"], "left")
+        .groupBy("split", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hit_ct"),
+        )
+    )
+    return per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sh").cast("bigint").alias("n_shingles"),
+        F.sum("hit_ct").cast("bigint").alias("leaked_shingles"),
+        F.sum(
+            F.when(
+                F.lit(CONTAM_PCT_DEN) * F.col("hit_ct")
+                >= F.lit(CONTAM_PCT_NUM) * F.col("n_sh"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaked_docs"),
+        F.expr("CAST(sum(hit_ct) * 1000000 div sum(n_sh) AS BIGINT)").alias(
+            "leak_micro"
+        ),
+    )
+
+
+def _split_leakage_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        TRAIN_BP,
+        VAL_BP,
+        _sql_hash_bp,
+    )
+
+    bp = _sql_hash_bp("doc_id", salt="split:")
+    return f"""
+WITH {_SHINGLE_CTE},
+tagged AS (
+    SELECT doc_id, lang, sh,
+           CASE WHEN {bp} < {TRAIN_BP} THEN 'train'
+                WHEN {bp} < {VAL_BP} THEN 'val'
+                ELSE 'test' END AS split
+    FROM sh
+),
+train_sh AS (
+    SELECT DISTINCT lang, sh FROM tagged WHERE split = 'train'
+),
+per_doc AS (
+    SELECT h.split, h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(count(t.sh) AS BIGINT) AS hit_ct
+    FROM tagged h
+    LEFT JOIN train_sh t ON h.lang = t.lang AND h.sh = t.sh
+    WHERE h.split <> 'train'
+    GROUP BY 1, 2
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       CAST(sum(hit_ct) AS BIGINT) AS leaked_shingles,
+       CAST(sum(CASE WHEN {CONTAM_PCT_DEN} * hit_ct
+                          >= {CONTAM_PCT_NUM} * n_sh
+                     THEN 1 ELSE 0 END) AS BIGINT) AS leaked_docs,
+       CAST(sum(hit_ct) * 1000000 // sum(n_sh) AS BIGINT) AS leak_micro
+FROM per_doc
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty rate — the corpus-growth diversity curve: for each doc
+# (in doc_id ingestion order), the fraction of its distinct shingles that
+# NO earlier doc contains. A crawl pipeline tracks this to decide when a
+# source is exhausted (novelty decays toward 0 as snapshots repeat); it is
+# the longitudinal complement of pairwise dedup.
+#
+# One pass: min(doc_id) per (lang, shingle) via the same combine the
+# dedup family uses, then novel = (first_doc = doc_id). No self-join, no
+# window over the corpus — the shingle frame shuffles ONCE on its natural
+# key. Day-bucketed output (doc_id ranges as cohorts of DOC_COHORT docs)
+# keeps the result dashboard-sized at any corpus scale.
+# ---------------------------------------------------------------------------
+DOC_COHORT = 100  # docs per novelty cohort bucket
+
+
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    first = sh.groupBy("lang", "sh").agg(F.min("doc_id").alias("first_doc"))
+    flagged = sh.join(first, ["lang", "sh"]).select(
+        "doc_id",
+        (F.col("first_doc") == F.col("doc_id")).cast("bigint").alias("novel"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+        F.sum("novel").cast("bigint").alias("novel_ct"),
+    )
+    return (
+        per_doc.groupBy(
+            F.expr(f"doc_id div {DOC_COHORT}").cast("bigint").alias("cohort")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("novel_ct").cast("bigint").alias("novel_shingles"),
+            F.expr(
+                "CAST(sum(novel_ct) * 1000000 div sum(n_sh) AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH {_SHINGLE_CTE},
+first AS (
+    SELECT lang, sh, min(doc_id) AS first_doc FROM sh GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_ct
+    FROM sh s JOIN first f ON s.lang = f.lang AND s.sh = f.sh
+    GROUP BY 1
+)
+SELECT CAST(doc_id // {DOC_COHORT} AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       CAST(sum(novel_ct) AS BIGINT) AS novel_shingles,
+       CAST(sum(novel_ct) * 1000000 // sum(n_sh) AS BIGINT) AS novelty_micro
+FROM per_doc
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
@@ -672,9 +845,13 @@ QUERIES = {
     "lang_mix_rebalance": lang_mix_rebalance,
     "domain_mixture_temperature": domain_mixture_temperature,
     "pretrain_data_recipe": pretrain_data_recipe,
+    "split_leakage_audit": split_leakage_audit,
+    "ngram_novelty_rate": ngram_novelty_rate,
 }
 
 ORACLE = {
+    "split_leakage_audit": _split_leakage_sql(),
+    "ngram_novelty_rate": _NOVELTY_SQL,
     "decontaminate_ngram_overlap": _DECONTAM_SQL,
     "repetition_filter": _REPETITION_SQL,
     "pii_scrub_stats": _PII_SQL,

@@ -703,6 +703,12 @@ FROM deg d LEFT JOIN tpu t ON t.id = d.id
 # ---------------------------------------------------------------------------
 KCORE_K = 3
 KCORE_ROUNDS = 3
+# Edge-count threshold for collapsing the persisted edge list into few
+# partitions before the round chain. Below it, the frame fits a handful of
+# tasks and per-round scheduling overhead dominates (the local[32] case);
+# above it (cluster scale), keep the shuffle layout and let AQE size the
+# partitions — a billion-edge list must never be forced through 8 tasks.
+KCORE_SMALL_EDGELIST = 1_000_000
 
 
 def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,13 +724,17 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.ua", "p.ub")
         .distinct()
-        # the edge list is orders of magnitude smaller than the fact scan
-        # (bounded by bucket count x CAP^2/2); collapsing partitions before
-        # the 3x(2 semi-joins + combine) round chain removes ~6 rounds of
-        # 64-task scheduling overhead on a frame that fits in one task
-        .coalesce(8)
         .persist()
     )
+    # The edge list is orders of magnitude smaller than the fact scan
+    # (bounded by bucket count x CAP^2/2). The count() materializes the
+    # persist the first round would have paid anyway; when the MEASURED
+    # count is small, collapsing partitions before the
+    # 3x(2 semi-joins + combine) round chain removes ~6 rounds of
+    # per-task scheduling overhead on a frame that fits in one task.
+    # At cluster scale the branch simply doesn't fire.
+    if und.count() <= KCORE_SMALL_EDGELIST:
+        und = und.coalesce(8)
     edges = und.select(
         F.col("ua").alias("src"), F.col("ub").alias("dst")
     ).unionAll(und.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))

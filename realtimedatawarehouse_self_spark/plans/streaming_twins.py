@@ -41,6 +41,20 @@ from realtimedatawarehouse_self_spark.session import apply_runtime_confs
 from realtimedatawarehouse_self_spark.sources.tables import load_table
 
 FLUSH_TYPE = "__flush__"
+STREAM_TIMEOUT_S = 300
+
+
+def _await_or_raise(q, timeout_s: int = STREAM_TIMEOUT_S) -> None:
+    """awaitTermination with the return value CHECKED (ADVICE r5): a False
+    return means the availableNow query is still running — proceeding
+    would read a partially-written sink and silently return a truncated
+    result. Stop the straggler and fail loudly instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming twin did not finish within {timeout_s}s; "
+            f"refusing to read a partially-written sink"
+        )
 
 
 def _run_stream(
@@ -101,7 +115,7 @@ def _run_stream(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_or_raise(q)
 
         trigger()  # data batch (watermark unset: nothing late-dropped)
         flush = spark.createDataFrame(
@@ -483,7 +497,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
         return spark.read.parquet(store).select(
             F.date_format("h", TS_FMT).alias("hour_ts"),
             "event_type",
@@ -526,6 +540,7 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    events = None
     try:
         base = tempfile.mkdtemp(prefix="rtdw-ewma-")
         src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
@@ -586,7 +601,7 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
         sunk = spark.read.parquet(out)
         return sunk.select(
             "event_type",
@@ -603,6 +618,11 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     finally:
+        # The persisted staging projection has served its per-group writes
+        # by the time the streaming job runs; without this it would occupy
+        # executor cache for the rest of the session/bench run (ADVICE r5).
+        if events is not None:
+            events.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 

@@ -640,8 +640,93 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonal baseline + residual — the hour-of-day seasonality decomposition
+# the anomaly family was missing: `anomaly_zscore_daily` and
+# `ewma_anomaly_daily` trend the DAILY series, so a traffic pattern that
+# is merely "3am is always quiet" trips them; this op learns the per-
+# (event_type, hour-of-day) baseline over all observed days and emits each
+# (type, day, hour) cell's residual against it. A monitoring stack alerts
+# on residual_micro, not raw counts.
+#
+# Exact integer form: baseline_micro = (total count for the (type, hod)
+# slot) * 1e6 div n_days, where n_days is the GLOBAL distinct-day count —
+# so days where a slot was silent correctly drag its baseline down
+# (omitting them would bias the baseline up and mask dead-hour anomalies).
+# residual_micro = ct * 1e6 - baseline_micro.
+#
+# Scale: one combine to (type, day, hod) cells; the baseline reduce runs
+# over CELLS (types x 24 x days — dashboard-sized), never the fact table;
+# the 1-row day count broadcasts. Everything map-side-partial, zero
+# Python.
+# ---------------------------------------------------------------------------
+def seasonal_baseline_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    cells = ev.groupBy("event_type", "d", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    n_days = ev.agg(F.countDistinct("d").alias("n_days"))
+    baseline = (
+        cells.groupBy("event_type", "hod")
+        .agg(F.sum("ct").alias("slot_total"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "event_type",
+            "hod",
+            F.expr("CAST(slot_total * 1000000 div n_days AS BIGINT)").alias(
+                "baseline_micro"
+            ),
+        )
+    )
+    return cells.join(baseline, ["event_type", "hod"]).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "hod",
+        "ct",
+        "baseline_micro",
+        F.expr("CAST(ct * 1000000 - baseline_micro AS BIGINT)").alias(
+            "residual_micro"
+        ),
+    )
+
+
+_SEASONAL_SQL = """
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hod
+    FROM events
+),
+cells AS (
+    SELECT event_type, d, hod, CAST(count(*) AS BIGINT) AS ct
+    FROM ev GROUP BY 1, 2, 3
+),
+nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM ev),
+baseline AS (
+    SELECT event_type, hod,
+           CAST(sum(ct) * 1000000 // max(nd.n_days) AS BIGINT)
+               AS baseline_micro
+    FROM cells CROSS JOIN nd
+    GROUP BY 1, 2
+)
+SELECT c.event_type,
+       strftime(c.d, '%Y-%m-%d') AS day,
+       c.hod,
+       c.ct,
+       b.baseline_micro,
+       CAST(c.ct * 1000000 - b.baseline_micro AS BIGINT) AS residual_micro
+FROM cells c
+JOIN baseline b ON c.event_type = b.event_type AND c.hod = b.hod
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
+    "seasonal_baseline_residual": seasonal_baseline_residual,
     "scd2_user_value": scd2_user_value,
     "column_profile": column_profile,
     "gap_fill_locf": gap_fill_locf,
@@ -653,6 +738,7 @@ QUERIES = {
 
 ORACLE = {
     "hierarchical_time_rollup": _HIER_SQL,
+    "seasonal_baseline_residual": _SEASONAL_SQL,
     "scd2_user_value": _SCD2_SQL,
     "column_profile": _PROFILE_SQL,
     "gap_fill_locf": _GAP_FILL_SQL,
