@@ -179,6 +179,13 @@ HEADLINE = [
     "window_funnel_depth",
     "user_day_bitmap_retention",
     "seasonal_baseline_residual",
+    "change_point_cusum",
+    "embedding_norm_profile",
+    "contamination_longest_match",
+    # ivf_recall_audit is deliberately NOT benched, same rule as
+    # lsh_recall_audit: it recomposes three pipelines already in this list
+    # (brute-force, IVF, multi-probe top-k), so benching it would
+    # double-count their cost. It stays oracle-gated in queries().
     # lsh_recall_audit is deliberately NOT benched: it recomposes two
     # pipelines already in this list (prefix-filter exact join + minhash
     # banding), so benching it would double-count their cost in the total

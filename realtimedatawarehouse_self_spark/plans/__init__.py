@@ -48,7 +48,7 @@ _MODULES = (
 
 # The external driver verifies queries in registry order and stops at a
 # budget (every round so far recorded exactly the first ~50). r6 rotation:
-# _VERIFY_FIRST is now a FULL ordering of the registry (all 154 names), so
+# _VERIFY_FIRST is now a FULL ordering of the registry (every name), so
 # the rotation invariant (every query lacking driver evidence since the
 # last record must appear here) holds structurally, and only the ORDER
 # needs curating each round. Head-of-rotation design for r6:
@@ -60,11 +60,16 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-25  the five r6-new operators (split_leakage_audit,
+#   21-29  the nine r6-new operators (split_leakage_audit,
 #          ngram_novelty_rate, window_funnel_depth,
-#          user_day_bitmap_retention, seasonal_baseline_residual) —
-#          zero driver evidence by definition.
-#   26-47  the stalest r1-only-proven names (none has independent driver
+#          user_day_bitmap_retention, seasonal_baseline_residual,
+#          ivf_recall_audit, change_point_cusum,
+#          embedding_norm_profile, contamination_longest_match) —
+#          zero driver evidence by definition. (Second wave displaced
+#          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
+#          r1 driver-proven, bench-measured every round; q21 keeps the
+#          double-EXISTS machinery in the head.)
+#   30-47  the stalest r1-only-proven names (none has independent driver
 #          evidence since round 1): the four r5-displaced entries first,
 #          then the dedup/similarity/TPC-H bodies whose machinery is NOT
 #          subsumed by a current head sibling. (The r6-new block displaced
@@ -109,6 +114,10 @@ _VERIFY_FIRST = [
     "window_funnel_depth",
     "user_day_bitmap_retention",
     "seasonal_baseline_residual",
+    "ivf_recall_audit",
+    "change_point_cusum",
+    "embedding_norm_profile",
+    "contamination_longest_match",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
@@ -123,17 +132,17 @@ _VERIFY_FIRST = [
     "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
     "keyword_page_view",
-    "vocab_topk",
-    "tpch_q1_pricing_summary",
     "dedup_exact",
-    "tpch_q19_branch_revenue",
     "dedup_simhash",
     "tpch_q7_nation_trade",
     "dwd_cart_add",
-    "tpch_q20_dominant_supplier",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "vocab_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q19_branch_revenue",
+    "tpch_q20_dominant_supplier",
     "similarity_topk_bruteforce",
     "top_users_by_event_type",
     "tpch_q2_min_cost_supplier",

@@ -664,6 +664,108 @@ SELECT '04_mixture_sample', CAST(count(*) AS BIGINT),
 
 
 # ---------------------------------------------------------------------------
+# Longest contaminated run — decontaminate_ngram_overlap's big sibling:
+# the FRACTION of eval-hit shingles misses the difference between many
+# scattered common trigrams (benign) and one long verbatim eval passage
+# (fatal); eval-suite decontamination rules key on the longest CONTIGUOUS
+# match. Positional shingles (posexplode, not the distinct frame) feed the
+# same broadcast eval join, then the classic islands trick — consecutive
+# hit positions share (pos − row_number) — turns longest-run into one
+# window + one combine. Per-doc output; longest_run is in shingles
+# (token span = run + SHINGLE_N − 1).
+#
+# Scale: the eval shingle set is broadcast exactly as decontaminate's; the
+# islands window partitions by doc_id (per-doc shingle counts are
+# document-length-bounded), so state is flat at any corpus size.
+# ---------------------------------------------------------------------------
+def contamination_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import word_shingles
+
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    psh = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(word_shingles(F.col("tok_arr"))).alias("i", "sh"),
+    )
+    eval_sh = (
+        psh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("lang", "sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = psh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    flagged = corpus.join(F.broadcast(eval_sh), ["lang", "sh"], "left")
+    totals = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hit_ct"),
+    )
+    hits = flagged.filter(F.col("hit") == 1)
+    wrn = Window.partitionBy("doc_id").orderBy("i")
+    runs = (
+        hits.withColumn("grp", F.col("i") - F.row_number().over(wrn))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("longest_run"))
+    )
+    return totals.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        "hit_ct",
+        F.coalesce("longest_run", F.lit(0)).cast("bigint").alias(
+            "longest_run"
+        ),
+    )
+
+
+_LONGEST_MATCH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+psh AS (
+    SELECT doc_id, lang, CAST(i AS BIGINT) AS i,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM tok, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+eval_sh AS (
+    SELECT DISTINCT lang, sh FROM psh WHERE doc_id % {EVAL_MOD} = 0
+),
+flagged AS (
+    SELECT c.doc_id, c.i,
+           CASE WHEN e.sh IS NULL THEN 0 ELSE 1 END AS hit
+    FROM psh c
+    LEFT JOIN eval_sh e ON c.lang = e.lang AND c.sh = e.sh
+    WHERE c.doc_id % {EVAL_MOD} <> 0
+),
+totals AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(sum(hit) AS BIGINT) AS hit_ct
+    FROM flagged GROUP BY 1
+),
+runs AS (
+    SELECT doc_id, CAST(max(run_len) AS BIGINT) AS longest_run
+    FROM (
+        SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+        FROM (
+            SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS grp
+            FROM flagged WHERE hit = 1
+        )
+        GROUP BY 1, 2
+    )
+    GROUP BY 1
+)
+SELECT t.doc_id, t.n_sh, t.hit_ct,
+       CAST(coalesce(r.longest_run, 0) AS BIGINT) AS longest_run
+FROM totals t LEFT JOIN runs r ON t.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Split-leakage audit — decontamination applied to the engine's OWN
 # splitter: what fraction of each val/test document's distinct shingles
 # also occurs in the TRAIN split? Train/test contamination through
@@ -846,11 +948,13 @@ QUERIES = {
     "domain_mixture_temperature": domain_mixture_temperature,
     "pretrain_data_recipe": pretrain_data_recipe,
     "split_leakage_audit": split_leakage_audit,
+    "contamination_longest_match": contamination_longest_match,
     "ngram_novelty_rate": ngram_novelty_rate,
 }
 
 ORACLE = {
     "split_leakage_audit": _split_leakage_sql(),
+    "contamination_longest_match": _LONGEST_MATCH_SQL,
     "ngram_novelty_rate": _NOVELTY_SQL,
     "decontaminate_ngram_overlap": _DECONTAM_SQL,
     "repetition_filter": _REPETITION_SQL,

@@ -1969,6 +1969,95 @@ FROM t, c, h
 
 
 # ---------------------------------------------------------------------------
+# IVF recall audit — lsh_recall_audit's doctrine applied to the ANN family:
+# before trusting the IVF index at scale, measure its top-3 against the
+# brute-force truth on the SAME query sample, for both the single-probe
+# and multi-probe variants. Per-query rows (not one global number) so the
+# dashboard shows WHICH queries the cell boundary hurt — the artifact that
+# decides whether to raise PROBES or K. Overlap is counted on integer ids
+# via left-semi joins; float scores never reach the output, so the audit
+# is exactly as deterministic as the three audited queries themselves
+# (each oracle-gated on its own).
+#
+# Scale: the brute-force truth side is the expensive leg BY DESIGN — the
+# audit runs on the NUM_QUERY_VECS sample, not the corpus, exactly how a
+# production recall check samples queries. Candidates ride the already-
+# bounded IVF probe plans.
+# ---------------------------------------------------------------------------
+AUDIT_TOPK = 3
+
+
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = similarity_topk_bruteforce(spark, sf_dir).filter(
+        F.col("rnk") <= AUDIT_TOPK
+    ).select("query_id", "neighbor_id")
+    ivf = similarity_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    mp = similarity_topk_ivf_multiprobe(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf_hits = (
+        truth.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ivf_hits"))
+    )
+    mp_hits = (
+        truth.join(mp, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mp_hits"))
+    )
+    base = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    return (
+        base.join(ivf_hits, "query_id", "left")
+        .join(mp_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("ivf_hits", F.lit(0)).cast("bigint").alias("ivf_hits"),
+            F.coalesce("mp_hits", F.lit(0)).cast("bigint").alias("mp_hits"),
+            F.expr(
+                "CAST(coalesce(ivf_hits, 0) * 1000000 div n_truth AS BIGINT)"
+            ).alias("ivf_recall_micro"),
+            F.expr(
+                "CAST(coalesce(mp_hits, 0) * 1000000 div n_truth AS BIGINT)"
+            ).alias("mp_recall_micro"),
+        )
+    )
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+WITH truth AS (
+    SELECT query_id, neighbor_id
+    FROM ({_SIM_TOPK_SQL}) WHERE rnk <= {AUDIT_TOPK}
+),
+ivf AS (SELECT query_id, neighbor_id FROM ({_IVF_SQL})),
+mp AS (SELECT query_id, neighbor_id FROM ({_MULTIPROBE_SQL})),
+base AS (
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM ivf i
+                    WHERE i.query_id = t.query_id
+                      AND i.neighbor_id = t.neighbor_id)
+               THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+           CAST(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM mp m
+                    WHERE m.query_id = t.query_id
+                      AND m.neighbor_id = t.neighbor_id)
+               THEN 1 ELSE 0 END) AS BIGINT) AS mp_hits
+    FROM truth t
+    GROUP BY 1
+)
+SELECT query_id, n_truth, ivf_hits, mp_hits,
+       CAST(ivf_hits * 1000000 // n_truth AS BIGINT) AS ivf_recall_micro,
+       CAST(mp_hits * 1000000 // n_truth AS BIGINT) AS mp_recall_micro
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language-ID confusion matrix — the label-noise audit over the corpus'
 # own metadata: aggregate lang_id_ngram's per-document predictions into
 # (true, predicted) cells with per-true-language shares. The artifact a
@@ -2871,6 +2960,7 @@ QUERIES = {
     "minhash_estimate_error": minhash_estimate_error,
     "lang_confusion_matrix": lang_confusion_matrix,
     "lsh_recall_audit": lsh_recall_audit,
+    "ivf_recall_audit": ivf_recall_audit,
     "doc_lexical_diversity": doc_lexical_diversity,
     "doc_chunking": doc_chunking,
     "kmeans_ivf_train": kmeans_ivf_train,
@@ -2914,6 +3004,7 @@ ORACLE = {
     "minhash_estimate_error": _minhash_estimate_error_sql(),
     "lang_confusion_matrix": _lang_confusion_sql(),
     "lsh_recall_audit": _lsh_recall_sql(),
+    "ivf_recall_audit": _ivf_recall_sql(),
     "doc_lexical_diversity": _LEX_DIVERSITY_SQL,
     "doc_chunking": _DOC_CHUNKING_SQL,
     "kmeans_ivf_train": _kmeans_sql(),

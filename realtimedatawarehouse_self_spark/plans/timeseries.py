@@ -724,9 +724,134 @@ JOIN baseline b ON c.event_type = b.event_type AND c.hod = b.hod
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily series — the PERSISTENT-
+# level-shift detector completing the anomaly triad: zscore flags single
+# outlier days, EWMA flags deviation from the smoothed level, CUSUM
+# accumulates small sustained drifts that neither trips (the Page 1954
+# scheme every metrics platform ships).
+#
+# The recursion C_t = max(0, C_{t-1} + delta_t) is the same non-associative
+# fold as running_balance_floor, and the same reflection identity
+# C_t = S_t - min(0, min_{j<=t} S_j) turns it into two stacked window
+# functions over one per-type sort — no stateful loop, no Python. Both
+# one-sided statistics (upward + downward) ride the SAME sort; all
+# arithmetic is exact integer micro-units (delta = ct*1e6 − mean − slack,
+# mean over the type's observed days).
+#
+# Scale: the fold input is (types × days) rows regardless of event volume
+# — the daily combine absorbs everything; identical shape to
+# ewma_anomaly_daily but with zero recursion even in the oracle.
+# ---------------------------------------------------------------------------
+CUSUM_SLACK_DEN = 4   # allowance k = mean/4 (in micro-units)
+CUSUM_ALARM_NUM = 2   # alarm when either statistic exceeds 2x mean
+
+
+def change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(ct) * 1000000 div count(*) AS BIGINT)").alias(
+            "mean_micro"
+        )
+    )
+    base = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "ct",
+        "mean_micro",
+        F.expr(
+            f"ct * 1000000 - mean_micro - mean_micro div {CUSUM_SLACK_DEN}"
+        ).alias("d_up"),
+        F.expr(
+            f"mean_micro - mean_micro div {CUSUM_SLACK_DEN} - ct * 1000000"
+        ).alias("d_dn"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = base.withColumn("s_up", F.sum("d_up").over(w)).withColumn(
+        "s_dn", F.sum("d_dn").over(w)
+    )
+    c = s.withColumn(
+        "cusum_up_micro",
+        F.col("s_up") - F.least(F.lit(0), F.min("s_up").over(w)),
+    ).withColumn(
+        "cusum_dn_micro",
+        F.col("s_dn") - F.least(F.lit(0), F.min("s_dn").over(w)),
+    )
+    return c.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "ct",
+        F.col("cusum_up_micro").cast("bigint").alias("cusum_up_micro"),
+        F.col("cusum_dn_micro").cast("bigint").alias("cusum_dn_micro"),
+        F.expr(
+            f"CAST(CASE WHEN cusum_up_micro > {CUSUM_ALARM_NUM} * mean_micro"
+            f" OR cusum_dn_micro > {CUSUM_ALARM_NUM} * mean_micro"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("alarm"),
+    )
+
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           CAST(sum(ct) * 1000000 // count(*) AS BIGINT) AS mean_micro
+    FROM daily GROUP BY 1
+),
+base AS (
+    SELECT d.event_type, d.d, d.ct, s.mean_micro,
+           d.ct * 1000000 - s.mean_micro
+               - s.mean_micro // {CUSUM_SLACK_DEN} AS d_up,
+           s.mean_micro - s.mean_micro // {CUSUM_SLACK_DEN}
+               - d.ct * 1000000 AS d_dn
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+),
+sums AS (
+    SELECT *,
+           sum(d_up) OVER w AS s_up,
+           sum(d_dn) OVER w AS s_dn
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS UNBOUNDED PRECEDING)
+),
+cus AS (
+    SELECT *,
+           s_up - least(0, min(s_up) OVER w) AS cusum_up_micro,
+           s_dn - least(0, min(s_dn) OVER w) AS cusum_dn_micro
+    FROM sums
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       ct,
+       CAST(cusum_up_micro AS BIGINT) AS cusum_up_micro,
+       CAST(cusum_dn_micro AS BIGINT) AS cusum_dn_micro,
+       CAST(CASE WHEN cusum_up_micro > {CUSUM_ALARM_NUM} * mean_micro
+                  OR cusum_dn_micro > {CUSUM_ALARM_NUM} * mean_micro
+            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM cus
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "seasonal_baseline_residual": seasonal_baseline_residual,
+    "change_point_cusum": change_point_cusum,
     "scd2_user_value": scd2_user_value,
     "column_profile": column_profile,
     "gap_fill_locf": gap_fill_locf,
@@ -739,6 +864,7 @@ QUERIES = {
 ORACLE = {
     "hierarchical_time_rollup": _HIER_SQL,
     "seasonal_baseline_residual": _SEASONAL_SQL,
+    "change_point_cusum": _CUSUM_SQL,
     "scd2_user_value": _SCD2_SQL,
     "column_profile": _PROFILE_SQL,
     "gap_fill_locf": _GAP_FILL_SQL,
