@@ -182,6 +182,10 @@ HEADLINE = [
     "change_point_cusum",
     "embedding_norm_profile",
     "contamination_longest_match",
+    "props_json_profile",
+    # cross_source_dup_matrix is NOT benched (double-count rule): its cost
+    # is the dedup_jaccard_prefix_filter truth pipeline already in this
+    # list plus two provenance joins. It stays oracle-gated in queries().
     # ivf_recall_audit is deliberately NOT benched, same rule as
     # lsh_recall_audit: it recomposes three pipelines already in this list
     # (brute-force, IVF, multi-probe top-k), so benching it would

@@ -60,17 +60,21 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-29  the nine r6-new operators (split_leakage_audit,
+#   21-31  the eleven r6-new operators (split_leakage_audit,
 #          ngram_novelty_rate, window_funnel_depth,
 #          user_day_bitmap_retention, seasonal_baseline_residual,
 #          ivf_recall_audit, change_point_cusum,
-#          embedding_norm_profile, contamination_longest_match) —
+#          embedding_norm_profile, contamination_longest_match,
+#          cross_source_dup_matrix, props_json_profile) —
 #          zero driver evidence by definition. (Second wave displaced
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   30-47  the stalest r1-only-proven names (none has independent driver
-#          evidence since round 1): the four r5-displaced entries first,
+#   32-47  the stalest r1-only-proven names (none has independent driver
+#          evidence since round 1; third wave displaced keyword_page_view
+#          — harder UDF sibling r3-green — and dedup_exact, a trivial
+#          scan-agg bench-measured every round): the four r5-displaced
+#          entries first,
 #          then the dedup/similarity/TPC-H bodies whose machinery is NOT
 #          subsumed by a current head sibling. (The r6-new block displaced
 #          similarity_topk_bruteforce, top_users_by_event_type, and TPC-H
@@ -118,6 +122,8 @@ _VERIFY_FIRST = [
     "change_point_cusum",
     "embedding_norm_profile",
     "contamination_longest_match",
+    "cross_source_dup_matrix",
+    "props_json_profile",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
@@ -131,14 +137,14 @@ _VERIFY_FIRST = [
     "corpus_clean_pipeline",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
-    "keyword_page_view",
-    "dedup_exact",
     "dedup_simhash",
     "tpch_q7_nation_trade",
     "dwd_cart_add",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "keyword_page_view",
+    "dedup_exact",
     "vocab_topk",
     "tpch_q1_pricing_summary",
     "tpch_q19_branch_revenue",

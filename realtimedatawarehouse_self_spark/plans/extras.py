@@ -558,8 +558,69 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) column profiling — `column_profile` for the
+# schemaless column: per (event_type, key-shape) cell, how many rows carry
+# which JSON keys, does the payload parse, and the numeric profile of the
+# known field. The artifact schema inference / contract enforcement reads
+# before promoting a JSON blob to typed columns (the reference parses this
+# exact column with a fail-open dead-letter split,
+# ``R/app/BaseLogApp.java:61-76``; profiling is the batch complement that
+# says how often the fail path would fire).
+#
+# Scale: pure per-row JSON expressions (JVM codegen, no Python) + one
+# combine keyed by (type, shape) — shape cardinality is contract-bounded,
+# so the output is dashboard-sized at any volume.
+# ---------------------------------------------------------------------------
+def props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    shaped = ev.select(
+        "event_type",
+        F.when(F.col("props").isNull(), F.lit("<null>"))
+        .when(F.expr("get_json_object(props, '$') IS NULL"), F.lit("<invalid>"))
+        .otherwise(
+            F.coalesce(
+                F.concat_ws(",", F.expr("json_object_keys(props)")),
+                F.lit("<invalid>"),
+            )
+        )
+        .alias("key_shape"),
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+    )
+    return shaped.groupBy("event_type", "key_shape").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("k").cast("bigint").alias("k_present"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+    )
+
+
+_PROPS_PROFILE_SQL = """
+WITH shaped AS (
+    SELECT event_type,
+           CASE WHEN props IS NULL THEN '<null>'
+                WHEN json_valid(props) THEN
+                    coalesce(array_to_string(json_keys(props), ','),
+                             '<invalid>')
+                ELSE '<invalid>' END AS key_shape,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type, key_shape,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS k_present,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(k) AS BIGINT) AS k_sum
+FROM shaped
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "props_json_profile": props_json_profile,
     "plan_range_partitions": plan_range_partitions,
     "set_operations_users": set_operations_users,
     "rollup_event_counts": rollup_event_counts,
@@ -574,6 +635,7 @@ QUERIES = {
 
 ORACLE = {
     "skewed_salted_revenue": _SKEWED_SALTED_SQL,
+    "props_json_profile": _PROPS_PROFILE_SQL,
     "tpch_q5_local_supplier": _Q5_SQL,
     "plan_range_partitions": _RANGE_PLAN_SQL,
     "set_operations_users": _SET_OPS_SQL,

@@ -418,6 +418,86 @@ WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
 
 
 # ---------------------------------------------------------------------------
+# Cross-source duplication matrix — provenance analysis over the near-dup
+# pair set: WHICH sources duplicate WHICH (mirror sites, syndication,
+# scraper overlap). A curation run reads this before deciding source
+# weights: a source whose docs are 80% contained in another is a mirror,
+# not new data. Pairs are the prefix-filter family's exact Jaccard >= 1/2
+# truth set (lossless, already audited); each pair maps to an unordered
+# (source_lo, source_hi) cell.
+#
+# Scale: the pair set is a sliver of the corpus (PPJoin candidate bound),
+# so the two provenance joins put PAIRS on the build side — AQE broadcasts
+# them against the 2-column doc scan; the matrix itself is
+# |sources|^2-bounded. share_micro normalizes by total pairs (1-row
+# broadcast).
+# ---------------------------------------------------------------------------
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    sh = _doc_shingles(spark, sf_dir).persist()
+    pairs = _prefix_filter_true_pairs(sh).select("doc_a", "doc_b")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    tagged = pairs.join(a, "doc_a").join(b, "doc_b").select(
+        F.least("src_a", "src_b").alias("source_lo"),
+        F.greatest("src_a", "src_b").alias("source_hi"),
+    )
+    m = tagged.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_ct")
+    )
+    tot = m.agg(F.sum("pair_ct").cast("bigint").alias("total_pairs"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "source_lo",
+        "source_hi",
+        "pair_ct",
+        F.expr("CAST(pair_ct * 1000000 div total_pairs AS BIGINT)").alias(
+            "share_micro"
+        ),
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter_ct
+    FROM sh a JOIN sh b
+      ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
+),
+tagged AS (
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi
+    FROM truth t
+    JOIN documents da ON t.doc_a = da.doc_id
+    JOIN documents db ON t.doc_b = db.doc_id
+),
+m AS (
+    SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS pair_ct
+    FROM tagged GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(pair_ct) AS BIGINT) AS total_pairs FROM m)
+SELECT m.source_lo, m.source_hi, m.pair_ct,
+       CAST(m.pair_ct * 1000000 // t.total_pairs AS BIGINT) AS share_micro
+FROM m, tot t
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH candidate pairs. Hash family: ONE 60-bit md5 per shingle,
 # then NUM_HASHES Carter-Wegman universal hashes h_i = (a_i*h0 + b_i) mod P
 # (P = 2^31-1, so a_i*h0 < 2^62 never overflows 64-bit signed on either
@@ -2935,6 +3015,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -2976,6 +3057,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_jaccard_prefix_filter": _JACCARD_PREFIX_SQL,
+    "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
