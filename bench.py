@@ -183,6 +183,9 @@ HEADLINE = [
     "embedding_norm_profile",
     "contamination_longest_match",
     "props_json_profile",
+    "eval_slice_sample_exact",
+    # minhash_band_tuning is NOT benched (double-count rule): its cost is
+    # the minhash signature + prefix-filter truth pipelines already here.
     # cross_source_dup_matrix is NOT benched (double-count rule): its cost
     # is the dedup_jaccard_prefix_filter truth pipeline already in this
     # list plus two provenance joins. It stays oracle-gated in queries().

@@ -60,17 +60,21 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-31  the eleven r6-new operators (split_leakage_audit,
+#   21-33  the thirteen r6-new operators (split_leakage_audit,
 #          ngram_novelty_rate, window_funnel_depth,
 #          user_day_bitmap_retention, seasonal_baseline_residual,
 #          ivf_recall_audit, change_point_cusum,
 #          embedding_norm_profile, contamination_longest_match,
-#          cross_source_dup_matrix, props_json_profile) —
+#          cross_source_dup_matrix, props_json_profile,
+#          minhash_band_tuning, eval_slice_sample_exact) —
+#          (fourth wave displaced dedup_minhash_lsh: its bands are
+#          now audited by minhash_band_tuning IN the head, and its
+#          production composition dedup_lsh_verified was r3-green) —
 #          zero driver evidence by definition. (Second wave displaced
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   32-47  the stalest r1-only-proven names (none has independent driver
+#   34-47  the stalest r1-only-proven names (none has independent driver
 #          evidence since round 1; third wave displaced keyword_page_view
 #          — harder UDF sibling r3-green — and dedup_exact, a trivial
 #          scan-agg bench-measured every round): the four r5-displaced
@@ -124,6 +128,8 @@ _VERIFY_FIRST = [
     "contamination_longest_match",
     "cross_source_dup_matrix",
     "props_json_profile",
+    "minhash_band_tuning",
+    "eval_slice_sample_exact",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
@@ -133,16 +139,16 @@ _VERIFY_FIRST = [
     "tpch_q21_waiting_supplier",
     "similarity_topk_lsh_bucketed",
     "similarity_topk_ivf",
-    "dedup_minhash_lsh",
     "corpus_clean_pipeline",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
     "dedup_simhash",
-    "tpch_q7_nation_trade",
     "dwd_cart_add",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "dedup_minhash_lsh",
+    "tpch_q7_nation_trade",
     "keyword_page_view",
     "dedup_exact",
     "vocab_topk",

@@ -587,6 +587,176 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(_doc_shingles(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# MinHash band tuning — the full S-curve audit: sweep every banding of the
+# NUM_HASHES=12 signature (12×1, 6×2, 4×3, 3×4, 2×6, 1×12) and measure
+# candidates / precision / recall against the exact Jaccard >= 1/2 truth
+# in ONE query. lsh_recall_audit checks the SHIPPED config; this is the
+# artifact that picks it — the (b, r) knob trades candidate volume
+# (cost) against recall, and at 100 TB that choice is made from exactly
+# this table on a sample, not from the textbook 1-(1-s^r)^b formula.
+#
+# Scale: the signature frame is computed ONCE (persisted; one md5 per
+# shingle, the family's dominant cost) and every config re-bands the SAME
+# 13-column frame — band explode + self-join per config over doc-count
+# rows, not corpus rows. Truth is the audited lossless prefix-filter set,
+# also computed once.
+# ---------------------------------------------------------------------------
+BAND_CONFIGS = (1, 2, 3, 4, 6, 12)  # rows per band; bands = 12 // r
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).persist()
+    truth = _prefix_filter_true_pairs(sh).select("doc_a", "doc_b").persist()
+    minh = (
+        sh.select("doc_id", _shingle_hash())
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
+        .persist()
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    out = None
+    for r in BAND_CONFIGS:
+        nb = NUM_HASHES // r
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ":", *[f"h{b * r + i}" for i in range(r)]
+                ).alias("sig"),
+            )
+            for b in range(nb)
+        ]
+        bands = minh.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+        ).select("doc_id", "bs.band_id", "bs.sig")
+        a, b_ = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        h = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        row = (
+            c.crossJoin(h)
+            .crossJoin(F.broadcast(t))
+            .select(
+                F.lit(r).cast("bigint").alias("band_rows"),
+                F.lit(nb).cast("bigint").alias("n_bands"),
+                "n_candidates",
+                "n_hits",
+                "n_true",
+                F.expr(
+                    "CAST(CASE WHEN n_candidates = 0 THEN 1000000"
+                    " ELSE n_hits * 1000000 div n_candidates END AS BIGINT)"
+                ).alias("precision_micro"),
+                F.expr(
+                    "CAST(CASE WHEN n_true = 0 THEN 1000000"
+                    " ELSE n_hits * 1000000 div n_true END AS BIGINT)"
+                ).alias("recall_micro"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _band_tuning_sql() -> str:
+    mins = ",\n           ".join(
+        f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    selects = []
+    for r in BAND_CONFIGS:
+        nb = NUM_HASHES // r
+        band_selects = []
+        for b in range(nb):
+            cols = " || ':' || ".join(
+                f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {b} AS band_id, {cols} AS sig FROM minh"
+            )
+        bands = "\n        UNION ALL\n        ".join(band_selects)
+        selects.append(f"""
+SELECT CAST({r} AS BIGINT) AS band_rows,
+       CAST({nb} AS BIGINT) AS n_bands,
+       c.n_candidates, h.n_hits, t.n_true,
+       CAST(CASE WHEN c.n_candidates = 0 THEN 1000000
+            ELSE h.n_hits * 1000000 // c.n_candidates END AS BIGINT)
+           AS precision_micro,
+       CAST(CASE WHEN t.n_true = 0 THEN 1000000
+            ELSE h.n_hits * 1000000 // t.n_true END AS BIGINT)
+           AS recall_micro
+FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates
+    FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({bands}) a
+        JOIN ({bands}) b
+          ON a.band_id = b.band_id AND a.sig = b.sig
+         AND a.doc_id < b.doc_id
+    )
+) c, (
+    SELECT CAST(count(*) AS BIGINT) AS n_hits
+    FROM truth x
+    WHERE EXISTS (
+        SELECT 1 FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ({bands}) a
+            JOIN ({bands}) b
+              ON a.band_id = b.band_id AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+        ) p
+        WHERE p.doc_a = x.doc_a AND p.doc_b = x.doc_b
+    )
+) h, t""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+h0s AS (
+    SELECT doc_id,
+           TRY_CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+               % {_MINHASH_P} AS h0
+    FROM sh
+),
+minh AS (
+    SELECT doc_id,
+           {mins}
+    FROM h0s GROUP BY doc_id
+),
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter_ct
+    FROM sh a JOIN sh b
+      ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 2 * inter_ct >= sa.n_sh + sb.n_sh - inter_ct
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)
+{union}
+"""
+
+
 def _minhash_tail_cte() -> str:
     """CTE chain from a shingle relation ``sh(doc_id, sh)`` to candidate
     ``pairs(doc_a, doc_b)`` — shared by the standalone LSH query and the
@@ -2479,6 +2649,63 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-size held-out slice — the fixed-K companion of the Bernoulli
+# samplers: an eval set must have EXACTLY K docs per language (benchmarks
+# are fixed-size), not a rate that wobbles with corpus growth. Selection
+# is the top-K by salted-hash rank — deterministic sampling WITHOUT
+# replacement, reproducible from the table alone, decorrelated from the
+# split/sample hashes by its own salt.
+#
+# Scale: rank <= K over a hash ordering compiles to Spark's
+# WindowGroupLimit (per-partition top-K then merge — never a full
+# per-language sort); the hash itself is one md5 per row fused into the
+# scan.
+# ---------------------------------------------------------------------------
+EVAL_SLICE_K = 20
+
+
+def eval_slice_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    rank_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("evalslice:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy(rank_key.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= EVAL_SLICE_K)
+        .select(
+            "lang",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+            "doc_id",
+            F.size("tok_arr").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_EVAL_SLICE_SQL = f"""
+WITH ranked AS (
+    SELECT lang, doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY TRY_CAST('0x' || substr(
+                   md5('evalslice:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) ASC, doc_id) AS sample_rank
+    FROM documents
+)
+SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_tokens
+FROM ranked WHERE sample_rank <= {EVAL_SLICE_K}
+"""
+
+
 def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
     bp = _hash_bp(F.col("doc_id"), salt="split:")
@@ -3016,6 +3243,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
     "cross_source_dup_matrix": cross_source_dup_matrix,
+    "minhash_band_tuning": minhash_band_tuning,
     "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -3034,6 +3262,7 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "stratified_sample_corpus": stratified_sample_corpus,
     "corpus_split_assign": corpus_split_assign,
+    "eval_slice_sample_exact": eval_slice_sample_exact,
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,
     "dedup_clusters_star": dedup_clusters_star,
@@ -3058,6 +3287,7 @@ ORACLE = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_jaccard_prefix_filter": _JACCARD_PREFIX_SQL,
     "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
+    "minhash_band_tuning": _band_tuning_sql(),
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
@@ -3079,6 +3309,7 @@ ORACLE = {
     "corpus_clean_pipeline": _corpus_clean_sql(),
     "stratified_sample_corpus": _stratified_sample_sql(),
     "corpus_split_assign": _corpus_split_sql(),
+    "eval_slice_sample_exact": _EVAL_SLICE_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_survivorship": _dedup_survivorship_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
