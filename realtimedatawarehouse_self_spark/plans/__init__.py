@@ -86,9 +86,13 @@ _MODULES = (
 #          harder sibling still in the head — q21 carries the
 #          double-EXISTS machinery, the ADC/PQ entries subsume
 #          brute-force ranking.)
-#   48-50  the three real-streaming siblings last proven in r2
-#          (VERDICT r5 #6) — expensive (seconds each), so they sit at the
-#          budget edge exactly like the r5 streaming twins did.
+#   48-50  real-streaming entries at the budget edge (expensive —
+#          seconds each): the NEW streaming_cusum_daily (zero evidence;
+#          keyed custom state via the direct Lindley recurrence, proving
+#          the reflection identity across micro-batches) plus the two
+#          stalest r2-proven siblings streaming_pv_hourly and
+#          streaming_uv_daily (VERDICT r5 #6); streaming_session_windows
+#          queues at 51 for the next budget increment.
 #
 # Tail: remaining names ordered stalest-first (r1-proven, then r3, then
 # r5) — if the driver's budget ever grows, it automatically reaches the
@@ -144,6 +148,7 @@ _VERIFY_FIRST = [
     "tpch_q9_product_profit",
     "dedup_simhash",
     "dwd_cart_add",
+    "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",

@@ -632,6 +632,109 @@ def _ewma_stream_sql() -> str:
     return _EWMA_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming CUSUM over daily counts — the second keyed-CUSTOM-state driver
+# row: the change_point_cusum recurrence executed as a real multi-micro-
+# batch `applyInPandasWithState` job. The batch operator is the Lindley
+# REFLECTION (two stacked windows); the streaming state form is the direct
+# max(0, prev + delta) fold — the driver row therefore proves the
+# reflection identity holds bit-for-bit across the streaming execution,
+# with the (c_up, c_dn) pair carrying across micro-batches in the state
+# store. Baseline mean rides in statically (stream-static join at staging
+# time), exactly how a production CUSUM takes its reference-period
+# baseline. Same day-grouped-file / mtime-ordered harness as
+# streaming_ewma_daily.
+# ---------------------------------------------------------------------------
+def streaming_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from realtimedatawarehouse_self_spark.streaming.stateful import cusum_daily
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    events = None
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-cusum-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+        os.makedirs(src)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+            .select(
+                "event_type",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+            )
+        )
+        # Reference-period baseline, computed ONCE batch-side and joined
+        # statically (mirrors the batch operator's stats CTE exactly).
+        daily = ev.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ct")
+        )
+        stats = daily.groupBy("event_type").agg(
+            F.expr("CAST(sum(ct) * 1000000 div count(*) AS BIGINT)").alias(
+                "mean_micro"
+            )
+        )
+        events = ev.join(F.broadcast(stats), "event_type").persist()
+        days = sorted(r[0] for r in events.select("day").distinct().collect())
+        if not days:
+            return spark.createDataFrame(
+                [],
+                "event_type string, day string, ct bigint, "
+                "cusum_up_micro bigint, cusum_dn_micro bigint, alarm bigint",
+            )
+        groups = [
+            days[i : i + EWMA_DAYS_PER_BATCH]
+            for i in range(0, len(days), EWMA_DAYS_PER_BATCH)
+        ]
+        t0 = _time.time()
+        for i, grp in enumerate(groups):
+            part = os.path.join(src, f"g{i:04d}")
+            events.filter(F.col("day").isin(grp)).coalesce(1).write.parquet(
+                part
+            )
+            for fname in os.listdir(part):
+                os.utime(
+                    os.path.join(part, fname), (t0 + i * 10, t0 + i * 10)
+                )
+        schema = events.schema
+        q = (
+            cusum_daily(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*"))
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        return spark.read.parquet(out).select(
+            "event_type",
+            "day",
+            "ct",
+            "cusum_up_micro",
+            "cusum_dn_micro",
+            "alarm",
+        )
+    finally:
+        if events is not None:
+            events.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _cusum_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.timeseries import _CUSUM_SQL
+
+    return _CUSUM_SQL
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_uv_daily": streaming_uv_daily,
@@ -640,6 +743,7 @@ QUERIES = {
     "streaming_abandoned_views": streaming_abandoned_views,
     "streaming_incremental_rollup": streaming_incremental_rollup,
     "streaming_ewma_daily": streaming_ewma_daily,
+    "streaming_cusum_daily": streaming_cusum_daily,
 }
 
 ORACLE = {
@@ -650,4 +754,5 @@ ORACLE = {
     "streaming_abandoned_views": _ABANDON_STREAM_SQL,
     "streaming_incremental_rollup": _incr_stream_sql(),
     "streaming_ewma_daily": _ewma_stream_sql(),
+    "streaming_cusum_daily": _cusum_stream_sql(),
 }

@@ -312,3 +312,63 @@ def ewma_daily(events: DataFrame, key: str = "event_type") -> DataFrame:
     return events.groupBy(key).applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def cusum_daily(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Per-key integer CUSUM over daily event counts — the keyed-state
+    streaming twin of ``plans/timeseries.change_point_cusum``.
+
+    The batch operator computes C_t via the Lindley reflection
+    (S_t − min(0, min_{j<=t} S_j), two stacked windows); the streaming
+    state form is the DIRECT recurrence C_t = max(0, C_{t-1} + d_t) —
+    equal by the reflection identity, in exact integers, so the driver
+    row proves the streaming execution (state carry across micro-batches,
+    Arrow round trip) bit-matches the declarative batch oracle.
+
+    Input rows carry (key, day, mean_micro) — one row per EVENT, with the
+    per-key baseline mean joined on statically (a production CUSUM's
+    baseline comes from a reference period the same way). State is the
+    (c_up, c_dn) pair of bigints; days fold in order within and across
+    micro-batches (same sequential-state contract and day-grouped-file
+    harness as ewma_daily).
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("day", StringType()),
+            StructField("ct", LongType()),
+            StructField("cusum_up_micro", LongType()),
+            StructField("cusum_dn_micro", LongType()),
+            StructField("alarm", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("c_up", LongType()), StructField("c_dn", LongType())]
+    )
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        c_up, c_dn = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        mean = int(pdf["mean_micro"].iloc[0])
+        slack = mean // 4  # CUSUM_SLACK_DEN twin (floor; mean > 0)
+        counts = pdf.groupby("day").size().sort_index()
+        rows = []
+        for day, ct in counts.items():
+            x = int(ct) * 1_000_000
+            c_up = max(0, c_up + (x - mean - slack))
+            c_dn = max(0, c_dn + (mean - slack - x))
+            alarm = 1 if (c_up > 2 * mean or c_dn > 2 * mean) else 0
+            rows.append((key_tuple[0], day, int(ct), c_up, c_dn, alarm))
+        state.update((c_up, c_dn))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                key, "day", "ct", "cusum_up_micro", "cusum_dn_micro", "alarm",
+            ],
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )
