@@ -55,6 +55,18 @@ QUERIES = [
     "dedup_token_yield",             # election + aggregation composition
     "multimodal_audio_windows",      # Arrow batch boundaries must not leak
     "decayed_user_score",            # shift-decay arithmetic
+    # round-6 additions
+    "window_funnel_depth",           # chained running-max anchors: per-user
+    #                                  sort order must be total (ts, event_id)
+    "user_day_bitmap_retention",     # bit_or over partitioned combine
+    "change_point_cusum",            # stacked Lindley windows per type
+    "minhash_band_tuning",           # candidate SETS may vary per partition
+    #                                  boundary; counts must not
+    "ngram_novelty_rate",            # min(doc_id) combine over shingles
+    "eval_slice_sample_exact",       # WindowGroupLimit top-K: hash-rank
+    #                                  tie-break must be total-order
+    "cross_source_dup_matrix",       # pair set + provenance joins
+    "embedding_norm_profile",        # in-row fold + permille division
 ]
 
 PERTURBED = {
