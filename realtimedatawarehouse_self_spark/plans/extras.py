@@ -576,12 +576,18 @@ def props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", "props")
     shaped = ev.select(
         "event_type",
+        # '<empty>' sentinel for '{}': an empty key set renders '' via
+        # Spark's concat_ws but NULL via DuckDB's array_to_string — the
+        # nullif+coalesce collapses both to one cross-engine value
+        # (caught by the NULL-fixture suite, whose props are all '{}').
         F.when(F.col("props").isNull(), F.lit("<null>"))
         .when(F.expr("get_json_object(props, '$') IS NULL"), F.lit("<invalid>"))
         .otherwise(
             F.coalesce(
-                F.concat_ws(",", F.expr("json_object_keys(props)")),
-                F.lit("<invalid>"),
+                F.expr(
+                    "nullif(concat_ws(',', json_object_keys(props)), '')"
+                ),
+                F.lit("<empty>"),
             )
         )
         .alias("key_shape"),
@@ -599,12 +605,21 @@ def props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_PROFILE_SQL = """
 WITH shaped AS (
     SELECT event_type,
+           -- the inner CASE nulls the ARGUMENT for malformed rows:
+           -- DuckDB's vectorized execution evaluates json_keys /
+           -- json_extract_string eagerly across CASE branches, so a
+           -- branch guard alone still errors on '{not json'
            CASE WHEN props IS NULL THEN '<null>'
                 WHEN json_valid(props) THEN
-                    coalesce(array_to_string(json_keys(props), ','),
-                             '<invalid>')
+                    coalesce(nullif(array_to_string(json_keys(
+                                CASE WHEN json_valid(props) THEN props END),
+                                ','),
+                                    ''),
+                             '<empty>')
                 ELSE '<invalid>' END AS key_shape,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, '$.k')
+               AS BIGINT) AS k
     FROM events
 )
 SELECT event_type, key_shape,

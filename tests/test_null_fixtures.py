@@ -48,7 +48,12 @@ def null_sf_dir(tmp_path_factory):
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows]),
             "value": pa.array([r[4] for r in rows], pa.float64()),
-            "props": pa.array(["{}"] * len(rows)),
+            # props hazards for the JSON profiler: mostly-empty objects,
+            # one NULL, one malformed, one valid typed payload — the
+            # '<null>'/'<invalid>'/'<empty>'/keyed shapes all appear
+            "props": pa.array(
+                [None, "{not json", '{"k": 5}'] + ["{}"] * (len(rows) - 3)
+            ),
         }
     )
     pq.write_table(table, os.path.join(str(d), "events.parquet"))
@@ -96,6 +101,17 @@ def null_duck(null_sf_dir):
         # r5 review: NULL user_id baskets must be excluded identically on
         # both engines (the oracle's equi-self-join can never match them)
         "market_basket_lift",
+        # r6: NULL user_id through the funnel's NULL-keyed window
+        # partition (a NULL-user view+purchase pair must fold in the SAME
+        # partition on both engines), the bitmap's (user, day) distinct,
+        # the CUSUM per-type fold over a group with NULL values, the
+        # seasonality baseline, and the JSON profiler's '<null>'/'{}'
+        # shape buckets
+        "window_funnel_depth",
+        "user_day_bitmap_retention",
+        "change_point_cusum",
+        "seasonal_baseline_residual",
+        "props_json_profile",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
