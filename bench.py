@@ -186,6 +186,8 @@ HEADLINE = [
     "eval_slice_sample_exact",
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
+    # dedup_cluster_quality likewise recomposes minhash pairs + exact
+    # verify + label propagation (dedup_clusters), all already benched.
     # cross_source_dup_matrix is NOT benched (double-count rule): its cost
     # is the dedup_jaccard_prefix_filter truth pipeline already in this
     # list plus two provenance joins. It stays oracle-gated in queries().

@@ -60,13 +60,14 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-33  the thirteen r6-new operators (split_leakage_audit,
+#   21-34  the fourteen batch r6-new operators (split_leakage_audit,
 #          ngram_novelty_rate, window_funnel_depth,
 #          user_day_bitmap_retention, seasonal_baseline_residual,
 #          ivf_recall_audit, change_point_cusum,
 #          embedding_norm_profile, contamination_longest_match,
 #          cross_source_dup_matrix, props_json_profile,
-#          minhash_band_tuning, eval_slice_sample_exact) —
+#          minhash_band_tuning, eval_slice_sample_exact,
+#          dedup_cluster_quality) —
 #          (fourth wave displaced dedup_minhash_lsh: its bands are
 #          now audited by minhash_band_tuning IN the head, and its
 #          production composition dedup_lsh_verified was r3-green) —
@@ -74,7 +75,9 @@ _MODULES = (
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   34-47  the stalest r1-only-proven names (none has independent driver
+#   35-47  the stalest r1-only-proven names (fifth wave displaced
+#          dwd_cart_add: its P4/P5/J3 machinery rides in head entry
+#          dwd_trade_order_detail) (none has independent driver
 #          evidence since round 1; third wave displaced keyword_page_view
 #          — harder UDF sibling r3-green — and dedup_exact, a trivial
 #          scan-agg bench-measured every round): the four r5-displaced
@@ -134,6 +137,7 @@ _VERIFY_FIRST = [
     "props_json_profile",
     "minhash_band_tuning",
     "eval_slice_sample_exact",
+    "dedup_cluster_quality",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
@@ -147,11 +151,11 @@ _VERIFY_FIRST = [
     "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
     "dedup_simhash",
-    "dwd_cart_add",
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "dwd_cart_add",
     "dedup_minhash_lsh",
     "tpch_q7_nation_trade",
     "keyword_page_view",

@@ -1950,7 +1950,15 @@ WHERE len(t) > 0
 # min per node — exact, because label propagation is order-independent.
 # ---------------------------------------------------------------------------
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _minhash_pairs(_doc_shingles(spark, sf_dir))
+    return _propagate_labels(_minhash_pairs(_doc_shingles(spark, sf_dir)))
+
+
+def _propagate_labels(pairs: DataFrame) -> DataFrame:
+    """Candidate pairs -> (doc_id, cluster_id) via min-label propagation.
+
+    The single components implementation behind `dedup_clusters` and
+    `dedup_cluster_quality` (so the audit can never measure a different
+    clustering than the one shipped)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -1984,6 +1992,115 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality audit — the transitive-closure safety check: components
+# are built from CANDIDATE edges, so one borderline pair can chain two
+# tight near-dup groups into a single cluster and survivorship then drops
+# real data. Per multi-doc cluster this emits the TRUE-Jaccard profile of
+# its edges (min/max) and the edge density vs the complete graph — a
+# tight cluster has high min-Jaccard and density ~1e6; a chained cluster
+# shows a low min-Jaccard edge and sparse density, telling curation to
+# raise the band threshold or verify before closure. Uses THE SAME
+# `_propagate_labels` and `_exact_pair_verify` implementations the dedup
+# family ships, so the audit measures the actual pipeline, not a replica.
+#
+# Scale: edges are the LSH candidate sliver; verify is pruned to candidate
+# docs (the `_exact_pair_verify` contract); cluster stats are one combine
+# over edges + one over memberships.
+# ---------------------------------------------------------------------------
+def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).persist()
+    pairs = _minhash_pairs(sh).persist()
+    ver = _exact_pair_verify(pairs, sh).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "inter_ct * 1000000 div (n_a + n_b - inter_ct)"
+        ).alias("j_micro"),
+    )
+    comp = _propagate_labels(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).filter(F.col("n_docs") >= 2)
+    edge_stats = (
+        ver.join(
+            comp.select(F.col("doc_id").alias("doc_a"), "cluster_id"),
+            "doc_a",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.min("j_micro").cast("bigint").alias("min_j_micro"),
+            F.max("j_micro").cast("bigint").alias("max_j_micro"),
+        )
+    )
+    return sizes.join(edge_stats, "cluster_id").select(
+        "cluster_id",
+        "n_docs",
+        "n_edges",
+        "min_j_micro",
+        "max_j_micro",
+        F.expr(
+            "CAST(n_edges * 2000000 div (n_docs * (n_docs - 1)) AS BIGINT)"
+        ).alias("density_micro"),
+    )
+
+
+def _cluster_quality_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+{_minhash_tail_cte()},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+comp AS (
+    SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+),
+szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT p.doc_a, p.doc_b, CAST(count(b.sh) AS BIGINT) AS inter_ct
+    FROM pairs p
+    LEFT JOIN sh a ON a.doc_id = p.doc_a
+    LEFT JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+    GROUP BY 1, 2
+),
+ver AS (
+    SELECT i.doc_a, i.doc_b,
+           i.inter_ct * 1000000 // (sa.n_sh + sb.n_sh - i.inter_ct)
+               AS j_micro
+    FROM inter i
+    JOIN szs sa ON sa.doc_id = i.doc_a
+    JOIN szs sb ON sb.doc_id = i.doc_b
+),
+sizes AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM comp GROUP BY 1 HAVING count(*) >= 2
+),
+edge_stats AS (
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(min(v.j_micro) AS BIGINT) AS min_j_micro,
+           CAST(max(v.j_micro) AS BIGINT) AS max_j_micro
+    FROM ver v JOIN comp c ON v.doc_a = c.doc_id
+    GROUP BY 1
+)
+SELECT s.cluster_id, s.n_docs, e.n_edges, e.min_j_micro, e.max_j_micro,
+       CAST(e.n_edges * 2000000 // (s.n_docs * (s.n_docs - 1)) AS BIGINT)
+           AS density_micro
+FROM sizes s JOIN edge_stats e ON s.cluster_id = e.cluster_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3264,6 +3381,7 @@ QUERIES = {
     "corpus_split_assign": corpus_split_assign,
     "eval_slice_sample_exact": eval_slice_sample_exact,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_quality": dedup_cluster_quality,
     "dedup_survivorship": dedup_survivorship,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_token_yield": dedup_token_yield,
@@ -3311,6 +3429,7 @@ ORACLE = {
     "corpus_split_assign": _corpus_split_sql(),
     "eval_slice_sample_exact": _EVAL_SLICE_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_cluster_quality": _cluster_quality_sql(),
     "dedup_survivorship": _dedup_survivorship_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_token_yield": _dedup_token_yield_sql(),
