@@ -184,6 +184,7 @@ HEADLINE = [
     "contamination_longest_match",
     "props_json_profile",
     "eval_slice_sample_exact",
+    "order_reconciliation_audit",
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
     # dedup_cluster_quality likewise recomposes minhash pairs + exact

@@ -60,14 +60,18 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-34  the fourteen batch r6-new operators (split_leakage_audit,
+#   21-35  the fifteen batch r6-new operators (split_leakage_audit,
 #          ngram_novelty_rate, window_funnel_depth,
 #          user_day_bitmap_retention, seasonal_baseline_residual,
 #          ivf_recall_audit, change_point_cusum,
 #          embedding_norm_profile, contamination_longest_match,
 #          cross_source_dup_matrix, props_json_profile,
 #          minhash_band_tuning, eval_slice_sample_exact,
-#          dedup_cluster_quality) —
+#          dedup_cluster_quality, order_reconciliation_audit) —
+#          (sixth wave displaced similarity_topk_lsh_bucketed:
+#          harder siblings similarity_topk_ivf AND ivf_recall_audit
+#          both ride in the head; bucketed variant is
+#          bench-measured every round) —
 #          (fourth wave displaced dedup_minhash_lsh: its bands are
 #          now audited by minhash_band_tuning IN the head, and its
 #          production composition dedup_lsh_verified was r3-green) —
@@ -75,7 +79,7 @@ _MODULES = (
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   35-47  the stalest r1-only-proven names (fifth wave displaced
+#   36-47  the stalest r1-only-proven names (fifth wave displaced
 #          dwd_cart_add: its P4/P5/J3 machinery rides in head entry
 #          dwd_trade_order_detail) (none has independent driver
 #          evidence since round 1; third wave displaced keyword_page_view
@@ -138,6 +142,7 @@ _VERIFY_FIRST = [
     "minhash_band_tuning",
     "eval_slice_sample_exact",
     "dedup_cluster_quality",
+    "order_reconciliation_audit",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
@@ -145,7 +150,6 @@ _VERIFY_FIRST = [
     "dws09_trade_sku_order_window",
     "dedup_edit_distance",
     "tpch_q21_waiting_supplier",
-    "similarity_topk_lsh_bucketed",
     "similarity_topk_ivf",
     "corpus_clean_pipeline",
     "tpch_q3_shipping_priority",
@@ -155,6 +159,7 @@ _VERIFY_FIRST = [
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "similarity_topk_lsh_bucketed",
     "dwd_cart_add",
     "dedup_minhash_lsh",
     "tpch_q7_nation_trade",

