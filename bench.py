@@ -185,6 +185,7 @@ HEADLINE = [
     "props_json_profile",
     "eval_slice_sample_exact",
     "order_reconciliation_audit",
+    "conversion_lag_profile",
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
     # dedup_cluster_quality likewise recomposes minhash pairs + exact

@@ -60,14 +60,15 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-35  the fifteen batch r6-new operators (split_leakage_audit,
+#   21-36  the sixteen batch r6-new operators (split_leakage_audit,
 #          ngram_novelty_rate, window_funnel_depth,
 #          user_day_bitmap_retention, seasonal_baseline_residual,
 #          ivf_recall_audit, change_point_cusum,
 #          embedding_norm_profile, contamination_longest_match,
 #          cross_source_dup_matrix, props_json_profile,
 #          minhash_band_tuning, eval_slice_sample_exact,
-#          dedup_cluster_quality, order_reconciliation_audit) —
+#          dedup_cluster_quality, order_reconciliation_audit,
+#          conversion_lag_profile) —
 #          (sixth wave displaced similarity_topk_lsh_bucketed:
 #          harder siblings similarity_topk_ivf AND ivf_recall_audit
 #          both ride in the head; bucketed variant is
@@ -79,7 +80,9 @@ _MODULES = (
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   36-47  the stalest r1-only-proven names (fifth wave displaced
+#   37-47  the stalest r1-only-proven names (seventh wave displaced
+#          tpch_q9: plain multi-join shape, r1 driver-proven,
+#          bench-measured every round; q3 keeps the join family) (fifth wave displaced
 #          dwd_cart_add: its P4/P5/J3 machinery rides in head entry
 #          dwd_trade_order_detail) (none has independent driver
 #          evidence since round 1; third wave displaced keyword_page_view
@@ -143,6 +146,7 @@ _VERIFY_FIRST = [
     "eval_slice_sample_exact",
     "dedup_cluster_quality",
     "order_reconciliation_audit",
+    "conversion_lag_profile",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
@@ -153,12 +157,12 @@ _VERIFY_FIRST = [
     "similarity_topk_ivf",
     "corpus_clean_pipeline",
     "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
     "dedup_simhash",
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "tpch_q9_product_profit",
     "similarity_topk_lsh_bucketed",
     "dwd_cart_add",
     "dedup_minhash_lsh",

@@ -1126,8 +1126,149 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Conversion-lag profile — the measurement that JUSTIFIES the funnel
+# window constant: distribution of each user's first-view -> first-
+# subsequent-purchase lag, with conversion shares at the candidate window
+# widths (30 min / FUNNEL_WINDOW_MIN / 24 h) and exact discrete lag
+# percentiles. FUNNEL_WINDOW_MIN = 480 was picked from exactly this
+# table; the doctrine is that tuned constants stay auditable from the
+# data, not folklore (same spirit as minhash_band_tuning choosing the
+# banding).
+#
+# One combine for first views, one min-reduce over the user-keyed
+# purchase join, discrete percentiles via row_number over the
+# (lag, user_id) total order — single-row output.
+# ---------------------------------------------------------------------------
+def conversion_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    # Time bound in the JOIN condition, not a post-filter: a viewer whose
+    # purchases all PRECEDE the first view must survive as a non-converted
+    # row (a post-join filter would drop every one of their rows and
+    # silently shrink n_viewers).
+    conv = (
+        first_view.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(min(CAST(p_ts AS LONG) - CAST(v_ts AS LONG)) div 60"
+                " AS BIGINT)"
+            ).alias("lag_min")
+        )
+    )
+    ranked = conv.filter(F.col("lag_min").isNotNull()).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("lag_min", "user_id")),
+    )
+    n_conv = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+    pcts = (
+        ranked.crossJoin(F.broadcast(n_conv))
+        .select(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("CAST(ceil(n_converted * 0.5) AS BIGINT)"),
+                    F.col("lag_min"),
+                )
+            ).alias("p50_lag_min"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("CAST(ceil(n_converted * 0.9) AS BIGINT)"),
+                    F.col("lag_min"),
+                )
+            ).alias("p90_lag_min"),
+            F.sum(F.when(F.col("lag_min") <= 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv_30m"),
+            F.sum(
+                F.when(F.col("lag_min") <= FUNNEL_WINDOW_MIN, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv_funnel_window"),
+            F.sum(F.when(F.col("lag_min") <= 1440, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv_24h"),
+        )
+    )
+    totals = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+        F.sum(F.when(F.col("lag_min").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    return totals.crossJoin(F.broadcast(pcts)).select(
+        "n_viewers",
+        "n_converted",
+        "conv_30m",
+        "conv_funnel_window",
+        "conv_24h",
+        F.col("p50_lag_min").cast("bigint").alias("p50_lag_min"),
+        F.col("p90_lag_min").cast("bigint").alias("p90_lag_min"),
+    )
+
+
+_CONV_LAG_SQL = f"""
+WITH first_view AS (
+    SELECT user_id, min(ts) AS v_ts FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+    SELECT f.user_id,
+           CAST(min(date_diff('second', f.v_ts, p.ts)) // 60 AS BIGINT)
+               AS lag_min
+    FROM first_view f
+    LEFT JOIN events p
+      ON p.user_id = f.user_id AND p.event_type = 'purchase'
+     AND p.ts > f.v_ts
+    GROUP BY 1
+),
+ranked AS (
+    SELECT lag_min,
+           row_number() OVER (ORDER BY lag_min, user_id) AS rn
+    FROM conv WHERE lag_min IS NOT NULL
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_converted FROM ranked),
+pcts AS (
+    SELECT
+        CAST(max(CASE WHEN r.rn = CAST(ceil(nc.n_converted * 0.5) AS BIGINT)
+                 THEN r.lag_min END) AS BIGINT) AS p50_lag_min,
+        CAST(max(CASE WHEN r.rn = CAST(ceil(nc.n_converted * 0.9) AS BIGINT)
+                 THEN r.lag_min END) AS BIGINT) AS p90_lag_min,
+        CAST(sum(CASE WHEN r.lag_min <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+            AS conv_30m,
+        CAST(sum(CASE WHEN r.lag_min <= {FUNNEL_WINDOW_MIN} THEN 1 ELSE 0 END)
+             AS BIGINT) AS conv_funnel_window,
+        CAST(sum(CASE WHEN r.lag_min <= 1440 THEN 1 ELSE 0 END) AS BIGINT)
+            AS conv_24h
+    FROM ranked r CROSS JOIN nc
+),
+totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+           CAST(sum(CASE WHEN lag_min IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM conv
+)
+SELECT t.n_viewers, t.n_converted, p.conv_30m, p.conv_funnel_window,
+       p.conv_24h, p.p50_lag_min, p.p90_lag_min
+FROM totals t CROSS JOIN pcts p
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
+    "conversion_lag_profile": conversion_lag_profile,
     "abandoned_view_rate": abandoned_view_rate,
     "user_journey_paths": user_journey_paths,
     "user_churn_labels": user_churn_labels,
@@ -1145,6 +1286,7 @@ QUERIES = {
 
 ORACLE = {
     "window_funnel_depth": _FUNNEL_DEPTH_SQL,
+    "conversion_lag_profile": _CONV_LAG_SQL,
     "user_day_bitmap_retention": _BITMAP_RETENTION_SQL,
     "user_ltv_segments": _LTV_SQL,
     "abandoned_view_rate": _ABANDON_SQL,
