@@ -136,3 +136,70 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l.join(r, [on, "__salt"]).drop("__salt")
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    window_expr: str,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key max funnel depth for an ordered step sequence within a
+    time window anchored at the FIRST step (ClickHouse ``windowFunnel``
+    semantics) — the generalized N-step form of
+    ``plans/behavior.py::window_funnel_depth``.
+
+    ZERO-join construction: one per-key sort carries a chained
+    running-max "anchor" per completed prefix — ``anchor_k`` is the
+    latest step-1 timestamp that has steps 2..k completed strictly
+    before the current row, all inside ``window_expr`` of the anchor.
+    Maximizing the anchor is exact, not greedy-approximate: for a fixed
+    row, any admissible step chain implies the maximal anchor admits one
+    too (a later qualifying anchor only extends the deadline).
+
+    Returns (key_col, depth) with depth in [0, len(steps)].
+    Scale: ONE shuffle on ``key_col``; every step adds a window frame
+    over the SAME sort; per-key state is the row count, which is
+    human-bounded for behavioral streams.
+    """
+    assert len(steps) >= 1
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        key_col, type_col, ts_col, *[c for c in order_cols if c != ts_col]
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    horizon = F.expr(window_expr)
+    # anchor_1 = latest step-1 ts strictly before this row
+    cur = ev.withColumn(
+        "__a1",
+        F.max(F.when(F.col(type_col) == steps[0], F.col(ts_col))).over(w),
+    )
+    depth = F.when(F.col(type_col) == steps[0], 1).otherwise(0)
+    prev_anchor = "__a1"
+    for k, step in enumerate(steps[1:], start=2):
+        # rows of step k that complete the prefix: carry the anchor forward
+        carry = f"__c{k}"
+        cur = cur.withColumn(
+            carry,
+            F.when(
+                (F.col(type_col) == step)
+                & F.col(prev_anchor).isNotNull()
+                & (F.col(ts_col) <= F.col(prev_anchor) + horizon),
+                F.col(prev_anchor),
+            ),
+        )
+        depth = F.when(F.col(carry).isNotNull(), k).otherwise(depth)
+        if k < len(steps):
+            nxt = f"__a{k}"
+            cur = cur.withColumn(nxt, F.max(carry).over(w))
+            prev_anchor = nxt
+    per_key = cur.groupBy(key_col).agg(
+        F.max(depth).cast("bigint").alias("depth")
+    )
+    return per_key

@@ -123,3 +123,76 @@ def test_plan_range_partitions_approx_path_invariants(spark, monkeypatch):
     # ranges are ordered and non-overlapping -> a router can binary-search
     for a, b in zip(rows, rows[1:]):
         assert a.hi_key < b.lo_key
+
+
+def test_window_funnel_operator_matches_registry_query(spark):
+    """The generalized N-step window_funnel operator, instantiated with the
+    registry query's 3 steps and window, must produce the identical depth
+    histogram (the library form is what a user calls; equivalence pins it
+    to the oracle-gated specialization)."""
+    from realtimedatawarehouse_self_spark.operators.relational import (
+        window_funnel,
+    )
+    from realtimedatawarehouse_self_spark.plans import behavior
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = (
+        window_funnel(
+            ev,
+            ["view", "click", "purchase"],
+            f"INTERVAL {behavior.FUNNEL_WINDOW_MIN} MINUTES",
+        )
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    want = behavior.window_funnel_depth(spark, SF_SMOKE)
+    g = {r.depth: r.n_users for r in got.collect()}
+    w = {r.depth: r.n_users for r in want.collect()}
+    assert g == w, (g, w)
+
+
+def test_window_funnel_four_steps_hand_checked(spark):
+    """4-step funnel on a hand-computed fixture: exercises the generalized
+    anchor-carry chain beyond the registry query's 3 steps, including the
+    maximal-anchor case (a LATER step-1 event rescuing a chain that the
+    first anchor's window would have expired)."""
+    import datetime as dt
+
+    from realtimedatawarehouse_self_spark.operators.relational import (
+        window_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(i, minutes, user, typ):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ)
+
+    rows = [
+        # user 1: clean a->b->c->d inside 60m of the anchor -> depth 4
+        row(1, 0, 1, "a"), row(2, 10, 1, "b"),
+        row(3, 20, 1, "c"), row(4, 30, 1, "d"),
+        # user 2: d arrives OUTSIDE the 60m window -> depth 3
+        row(5, 0, 2, "a"), row(6, 10, 2, "b"),
+        row(7, 20, 2, "c"), row(8, 90, 2, "d"),
+        # user 3: late re-anchor — first a's window expires, but a second
+        # a at 50m re-anchors and b/c/d complete inside ITS window
+        row(9, 0, 3, "a"), row(10, 50, 3, "a"),
+        row(11, 60, 3, "b"), row(12, 70, 3, "c"), row(13, 100, 3, "d"),
+        # user 4: steps out of order (b before any a) -> depth 1 (the a)
+        row(14, 0, 4, "b"), row(15, 10, 4, "a"),
+        # user 5: only later steps, never an a -> depth 0
+        row(16, 0, 5, "c"), row(17, 5, 5, "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            df, ["a", "b", "c", "d"], "INTERVAL 60 MINUTES"
+        ).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 4, 4: 1, 5: 0}, got
