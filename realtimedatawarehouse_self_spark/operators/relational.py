@@ -203,3 +203,37 @@ def window_funnel(
         F.max(depth).cast("bigint").alias("depth")
     )
     return per_key
+
+
+def clamped_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+    out_col: str = "clamped_sum",
+) -> DataFrame:
+    """Floored-at-zero running sum C_t = max(0, C_{t-1} + delta_t) — the
+    Lindley recursion, declaratively.
+
+    The recurrence is prefix-dependent and NOT associative, so it looks
+    like a stateful per-row loop; the reflection identity
+    ``C_t = S_t - min(0, min_{j<=t} S_j)`` turns it into two stacked
+    window functions over one per-key sort (one shuffle, zero Python).
+    This is the shared core of ``running_balance_floor`` (wallet floors)
+    and ``change_point_cusum`` (both one-sided CUSUM statistics), each
+    oracle-gated; the streaming twin folds the DIRECT recurrence in keyed
+    state and the driver row proves the identity bit-for-bit
+    (``streaming_cusum_daily``).
+
+    Appends ``out_col`` (same row grain as the input; exact integer if
+    ``delta_col`` is integral).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = F.sum(delta_col).over(w)
+    return df.withColumn("__s", s).withColumn(
+        out_col, F.col("__s") - F.least(F.lit(0), F.min("__s").over(w))
+    ).drop("__s")

@@ -196,3 +196,31 @@ def test_window_funnel_four_steps_hand_checked(spark):
         ).collect()
     }
     assert got == {1: 4, 2: 3, 3: 4, 4: 1, 5: 0}, got
+
+
+def test_clamped_running_sum_matches_imperative_fold(spark):
+    """The Lindley reflection operator must equal the direct imperative
+    max(0, prev + delta) fold on a fixture with sign flips, a long
+    negative run (deep clamp), and interleaved keys."""
+    from realtimedatawarehouse_self_spark.operators.relational import (
+        clamped_running_sum,
+    )
+
+    rows = []
+    data = {
+        "a": [5, -3, -9, 4, -1, 10, -20, 2],
+        "b": [-7, 3, 3, -1, -1, -1, -1, 6],
+    }
+    for k, deltas in data.items():
+        for i, d in enumerate(deltas):
+            rows.append((k, i, d))
+    df = spark.createDataFrame(rows, "k string, i long, d long")
+    got = {
+        (r.k, r.i): r.clamped_sum
+        for r in clamped_running_sum(df, ["k"], ["i"], "d").collect()
+    }
+    for k, deltas in data.items():
+        c = 0
+        for i, d in enumerate(deltas):
+            c = max(0, c + d)
+            assert got[(k, i)] == c, (k, i, got[(k, i)], c)
