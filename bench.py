@@ -222,6 +222,9 @@ SUMMARY_QUERIES = [
     "sessionize_events",
     "corpus_clean_pipeline",
     "multimodal_decode",
+    # r6 representatives: the zero-join funnel and a corpus audit
+    "window_funnel_depth",
+    "split_leakage_audit",
 ]
 
 

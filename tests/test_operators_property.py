@@ -292,3 +292,68 @@ def test_star_components_matches_union_find(spark, edges):
             parent[max(ru, rv)] = min(ru, rv)
     ref = {n: find(n) for n in parent}
     assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),                      # user
+            st.integers(0, 200),                    # minutes offset
+            st.sampled_from(["a", "b", "c", "x"]),  # type (x = noise)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    window_min=st.sampled_from([10, 60, 1000]),
+)
+def test_window_funnel_matches_python_reference(spark, rows, window_min):
+    """window_funnel vs a brute-force reference that tries EVERY admissible
+    (a, b, c) chain — validates the maximal-anchor construction on random
+    interleavings, duplicate timestamps, and noise events."""
+    from realtimedatawarehouse_self_spark.operators.relational import (
+        window_funnel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(minutes=m), u, t)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            df, ["a", "b", "c"], f"INTERVAL {window_min} MINUTES"
+        ).collect()
+    }
+
+    # reference: exhaustive chain search per user over the SAME total
+    # order (ts, event_id); step k must be strictly after step k-1 in row
+    # order and within window of the step-1 anchor
+    per_user = defaultdict(list)
+    for i, ts, u, t in data:
+        if t in ("a", "b", "c"):
+            per_user[u].append((ts, i, t))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        depth = 0
+        n = len(evs)
+        for ai in range(n):
+            if evs[ai][2] != "a":
+                continue
+            depth = max(depth, 1)
+            limit = evs[ai][0] + dt.timedelta(minutes=window_min)
+            for bi in range(ai + 1, n):
+                if evs[bi][2] != "b" or evs[bi][0] > limit:
+                    continue
+                depth = max(depth, 2)
+                for ci in range(bi + 1, n):
+                    if evs[ci][2] != "c" or evs[ci][0] > limit:
+                        continue
+                    depth = max(depth, 3)
+        want[u] = depth
+    assert got == want, (got, want)
