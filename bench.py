@@ -186,6 +186,7 @@ HEADLINE = [
     "eval_slice_sample_exact",
     "order_reconciliation_audit",
     "conversion_lag_profile",
+    "seasonal_naive_backtest",
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
     # dedup_cluster_quality likewise recomposes minhash pairs + exact

@@ -60,7 +60,7 @@ _MODULES = (
 #          final SELECTs now cast to BIGINT on both sides, gram emits
 #          string-encoded wide integers). user_churn_labels leads as the
 #          2-row canary.
-#   21-36  the sixteen batch r6-new operators (split_leakage_audit,
+#   21-37  the seventeen batch r6-new operators (split_leakage_audit,
 #          ngram_novelty_rate, window_funnel_depth,
 #          user_day_bitmap_retention, seasonal_baseline_residual,
 #          ivf_recall_audit, change_point_cusum,
@@ -68,7 +68,7 @@ _MODULES = (
 #          cross_source_dup_matrix, props_json_profile,
 #          minhash_band_tuning, eval_slice_sample_exact,
 #          dedup_cluster_quality, order_reconciliation_audit,
-#          conversion_lag_profile) —
+#          conversion_lag_profile, seasonal_naive_backtest) —
 #          (sixth wave displaced similarity_topk_lsh_bucketed:
 #          harder siblings similarity_topk_ivf AND ivf_recall_audit
 #          both ride in the head; bucketed variant is
@@ -80,7 +80,10 @@ _MODULES = (
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   37-47  the stalest r1-only-proven names (seventh wave displaced
+#   38-47  the stalest r1-only-proven names (eighth wave displaced
+#          dedup_edit_distance: r1/r2-proven banded algorithm,
+#          bench-measured, same exact-verify family as several
+#          head entries) (seventh wave displaced
 #          tpch_q9: plain multi-join shape, r1 driver-proven,
 #          bench-measured every round; q3 keeps the join family) (fifth wave displaced
 #          dwd_cart_add: its P4/P5/J3 machinery rides in head entry
@@ -147,12 +150,12 @@ _VERIFY_FIRST = [
     "dedup_cluster_quality",
     "order_reconciliation_audit",
     "conversion_lag_profile",
+    "seasonal_naive_backtest",
     "dwd_trade_order_detail",
     "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
     "dws06_cart_add_uu_window",
     "dws09_trade_sku_order_window",
-    "dedup_edit_distance",
     "tpch_q21_waiting_supplier",
     "similarity_topk_ivf",
     "corpus_clean_pipeline",
@@ -162,6 +165,7 @@ _VERIFY_FIRST = [
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "dedup_edit_distance",
     "tpch_q9_product_profit",
     "similarity_topk_lsh_bucketed",
     "dwd_cart_add",

@@ -848,10 +848,127 @@ FROM cus
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — the forecasting family's honest
+# baseline (every real forecasting pipeline — FlashP-style real-time
+# forecasting included — reports its model AGAINST this): predict each
+# (type, day) count with yesterday's count (lag-1) and with the same
+# weekday last week (lag-7), score both by MAE/bias over the whole
+# observed range, in exact integer micro-units. The lag-7-beats-lag-1
+# comparison IS the "does this series have weekly seasonality" decision,
+# made from data.
+#
+# Lags via exact date-key self-joins (not window lag, which would silently
+# treat a GAP day as "yesterday"); a missing predictor day drops that cell
+# from that predictor's score and is counted, so the two MAEs are honest
+# about coverage. All frames are (types × days) cells.
+# ---------------------------------------------------------------------------
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    ).persist()
+
+    def scored(lag_days: int, tag: str) -> DataFrame:
+        pred = daily.select(
+            "event_type",
+            F.date_add("d", lag_days).alias("d"),
+            F.col("ct").alias("pred"),
+        )
+        j = daily.join(pred, ["event_type", "d"], "left")
+        return j.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_days_{tag}"),
+            F.sum(F.when(F.col("pred").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_scored_{tag}"),
+            F.expr(
+                "CAST(CASE WHEN count(pred) = 0 THEN 0 ELSE"
+                " sum(CASE WHEN pred IS NOT NULL THEN abs(ct - pred) END)"
+                " * 1000000 div count(pred) END AS BIGINT)"
+            ).alias(f"mae_{tag}_micro"),
+            F.expr(
+                "CAST(CASE WHEN count(pred) = 0 THEN 0 ELSE"
+                " sum(CASE WHEN pred IS NOT NULL THEN ct - pred END)"
+                " * 1000000 div count(pred) END AS BIGINT)"
+            ).alias(f"bias_{tag}_micro"),
+        )
+
+    lag1 = scored(1, "lag1")
+    lag7 = scored(7, "lag7")
+    return (
+        lag1.join(lag7.drop("n_days_lag7"), "event_type")
+        .withColumnRenamed("n_days_lag1", "n_days")
+        .select(
+            "event_type",
+            "n_days",
+            "n_scored_lag1",
+            "mae_lag1_micro",
+            "bias_lag1_micro",
+            "n_scored_lag7",
+            "mae_lag7_micro",
+            "bias_lag7_micro",
+            F.when(
+                F.col("mae_lag7_micro") < F.col("mae_lag1_micro"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("weekly_seasonal"),
+        )
+    )
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+s1 AS (
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(p.ct) AS BIGINT) AS n_scored_lag1,
+           CAST(CASE WHEN count(p.ct) = 0 THEN 0 ELSE
+                sum(CASE WHEN p.ct IS NOT NULL THEN abs(a.ct - p.ct) END)
+                * 1000000 // count(p.ct) END AS BIGINT) AS mae_lag1_micro,
+           CAST(CASE WHEN count(p.ct) = 0 THEN 0 ELSE
+                sum(CASE WHEN p.ct IS NOT NULL THEN a.ct - p.ct END)
+                * 1000000 // count(p.ct) END AS BIGINT) AS bias_lag1_micro
+    FROM daily a
+    LEFT JOIN daily p
+      ON a.event_type = p.event_type AND p.d + 1 = a.d
+    GROUP BY 1
+),
+s7 AS (
+    SELECT a.event_type,
+           CAST(count(p.ct) AS BIGINT) AS n_scored_lag7,
+           CAST(CASE WHEN count(p.ct) = 0 THEN 0 ELSE
+                sum(CASE WHEN p.ct IS NOT NULL THEN abs(a.ct - p.ct) END)
+                * 1000000 // count(p.ct) END AS BIGINT) AS mae_lag7_micro,
+           CAST(CASE WHEN count(p.ct) = 0 THEN 0 ELSE
+                sum(CASE WHEN p.ct IS NOT NULL THEN a.ct - p.ct END)
+                * 1000000 // count(p.ct) END AS BIGINT) AS bias_lag7_micro
+    FROM daily a
+    LEFT JOIN daily p
+      ON a.event_type = p.event_type AND p.d + 7 = a.d
+    GROUP BY 1
+)
+SELECT s1.event_type, s1.n_days,
+       s1.n_scored_lag1, s1.mae_lag1_micro, s1.bias_lag1_micro,
+       s7.n_scored_lag7, s7.mae_lag7_micro, s7.bias_lag7_micro,
+       CAST(CASE WHEN s7.mae_lag7_micro < s1.mae_lag1_micro
+            THEN 1 ELSE 0 END AS BIGINT) AS weekly_seasonal
+FROM s1 JOIN s7 ON s1.event_type = s7.event_type
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "seasonal_baseline_residual": seasonal_baseline_residual,
     "change_point_cusum": change_point_cusum,
+    "seasonal_naive_backtest": seasonal_naive_backtest,
     "scd2_user_value": scd2_user_value,
     "column_profile": column_profile,
     "gap_fill_locf": gap_fill_locf,
@@ -865,6 +982,7 @@ ORACLE = {
     "hierarchical_time_rollup": _HIER_SQL,
     "seasonal_baseline_residual": _SEASONAL_SQL,
     "change_point_cusum": _CUSUM_SQL,
+    "seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
     "scd2_user_value": _SCD2_SQL,
     "column_profile": _PROFILE_SQL,
     "gap_fill_locf": _GAP_FILL_SQL,
