@@ -112,6 +112,11 @@ def null_duck(null_sf_dir):
         "change_point_cusum",
         "seasonal_baseline_residual",
         "props_json_profile",
+        # r6 late: NULL-user viewers must count as non-converted on both
+        # engines (NULL join keys never match), and the backtest's date-
+        # key self-joins must skip NULL-day groups identically
+        "conversion_lag_profile",
+        "seasonal_naive_backtest",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
