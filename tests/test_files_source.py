@@ -108,7 +108,7 @@ def test_stream_jsonl_matches_batch_split(spark, tmp_path):
             )
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(60), 'stream did not finish in 60s'
     got_clean = sorted(
         tuple(r) for r in spark.table("files_clean").collect()
     )

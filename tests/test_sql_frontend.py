@@ -58,7 +58,7 @@ def test_streaming_restart_is_idempotent(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     run()
     assert spark.read.parquet(out).count() == 5

@@ -62,7 +62,7 @@ def test_streaming_left_join_null_extends_after_watermark(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     run()
     got = {r.id: r for r in spark.read.parquet(out).collect()}

@@ -69,7 +69,7 @@ def _run_to_parquet(spark, df, out, checkpoint):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
     return spark.read.parquet(out)
 
 
@@ -144,7 +144,7 @@ def test_baselog_split_branches_and_dead_letter(spark, tmp_path):
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
     out_dir = str(tmp_path / "split")
     q = run_baselog_split(stream, out_dir, str(tmp_path / "cp_split"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
     assert spark.read.parquet(os.path.join(out_dir, "dwd_view")).count() == 4
     assert spark.read.parquet(os.path.join(out_dir, "dwd_click")).count() == 1
     assert spark.read.parquet(os.path.join(out_dir, "dead_letter")).count() == 1
@@ -169,7 +169,7 @@ def test_dim_routing_upserts_and_prunes(spark, tmp_path, stream_src):
     q = run_dim_routing(
         spark, stream, config_path, out_dir, str(tmp_path / "cp_dim")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     views = spark.read.parquet(os.path.join(out_dir, "dim_view"))
     assert views.count() == 4  # view events
@@ -191,7 +191,7 @@ def test_dim_routing_upserts_and_prunes(spark, tmp_path, stream_src):
     q2 = run_dim_routing(
         spark, stream, config_path, out_dir, str(tmp_path / "cp_dim")
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), 'stream did not finish in 120s'
     # only the post-rule purchase lands: the checkpoint already consumed the
     # earlier purchase event while no rule existed (reference semantics —
     # a rule added mid-stream applies to subsequent data)
@@ -227,7 +227,7 @@ def test_visitor_repair_state_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     # batch 1: m1 brand new on d1; m2 claims new=0 with no state (backfill)
     run_batch(
@@ -271,7 +271,7 @@ def test_daily_first_flag_matches_batch_twin(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
     got = spark.read.parquet(str(tmp_path / "fout"))
     assert got.filter("first_flag = 1").count() == 3  # u1 d1, u1 d2, u2 d1
     assert got.count() == 4
@@ -331,7 +331,7 @@ def test_stream_stream_join_with_time_bound(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
     rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "jout")).collect()}
     assert set(rows) == {"d1", "d2"}
     assert rows["d1"].user_id == "u1"
@@ -455,7 +455,7 @@ def test_dim_routing_per_rule_pk_and_extend(spark, tmp_path, stream_src):
     q = run_dim_routing(
         spark, stream, config_path, out_dir, str(tmp_path / "cp_dim_pk")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     # fixture has 4 view events over fewer distinct users: sink_pk=user_id
     # collapses them to one row per user (last-writer-wins MERGE).
@@ -500,7 +500,7 @@ def test_dim_routing_conflicting_sink_pk_refused(spark, tmp_path, stream_src):
         str(tmp_path / "cp_conflict"),
     )
     try:
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in 120s'
         raise AssertionError("expected the conflicting config to fail the batch")
     except Exception as exc:
         assert "conflicting routing rules" in str(exc)
@@ -537,7 +537,7 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
     got = spark.read.parquet(out)
     ids = sorted(r.event_id for r in got.collect())
     assert ids == [1, 2, 3]  # one survivor per key
@@ -748,7 +748,7 @@ def test_running_balance_stream_matches_batch_identity(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     b1 = [("u1", 1, 50), ("u1", 2, -80), ("u2", 1, -5)]
     b2 = [("u1", 3, 30), ("u2", 2, 10), ("u1", 4, -10)]

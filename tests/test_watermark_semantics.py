@@ -44,7 +44,7 @@ def test_late_rows_dropped_after_watermark(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     # batch 1: two events in minute 0
     spark.createDataFrame(
