@@ -187,6 +187,11 @@ HEADLINE = [
     "order_reconciliation_audit",
     "conversion_lag_profile",
     "seasonal_naive_backtest",
+    # continuation-wave r6 operators (each an independent pipeline —
+    # no overlap with any entry above beyond the shared events scan)
+    "gap_fill_interpolate",
+    "pareto_frontier_parts",
+    "user_value_trend_theilsen",
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
     # dedup_cluster_quality likewise recomposes minhash pairs + exact

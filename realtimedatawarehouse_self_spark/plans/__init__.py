@@ -80,7 +80,12 @@ _MODULES = (
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   38-47  the stalest r1-only-proven names (eighth wave displaced
+#   38-40  the continuation-wave r6 operators (gap_fill_interpolate,
+#          pareto_frontier_parts, user_value_trend_theilsen) — zero
+#          driver evidence by definition; they displaced tpch_q11, dws06
+#          and tpch_q3 to the tail front (scan-/join-bound, r1-proven,
+#          bench-measured every round).
+#   41-47  the stalest r1-only-proven names (eighth wave displaced
 #          dedup_edit_distance: r1/r2-proven banded algorithm,
 #          bench-measured, same exact-verify family as several
 #          head entries) (seventh wave displaced
@@ -151,20 +156,23 @@ _VERIFY_FIRST = [
     "order_reconciliation_audit",
     "conversion_lag_profile",
     "seasonal_naive_backtest",
+    "gap_fill_interpolate",
+    "pareto_frontier_parts",
+    "user_value_trend_theilsen",
     "dwd_trade_order_detail",
-    "tpch_q11_important_stock",
     "dedup_ngram_jaccard",
-    "dws06_cart_add_uu_window",
     "dws09_trade_sku_order_window",
     "tpch_q21_waiting_supplier",
     "similarity_topk_ivf",
     "corpus_clean_pipeline",
-    "tpch_q3_shipping_priority",
     "dedup_simhash",
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "tpch_q11_important_stock",
+    "dws06_cart_add_uu_window",
+    "tpch_q3_shipping_priority",
     "dedup_edit_distance",
     "tpch_q9_product_profit",
     "similarity_topk_lsh_bucketed",

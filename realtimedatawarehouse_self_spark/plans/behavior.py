@@ -1266,8 +1266,94 @@ FROM totals t CROSS JOIN pcts p
 """
 
 
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend per user: the LOWER MEDIAN of all pairwise
+# day-to-day spend slopes. The robust-statistics answer to "is this user's
+# spend trending up" — a single outlier day shifts an OLS slope
+# arbitrarily but moves the pairwise-slope median by at most one rank.
+#
+# Exactness: slope = floor((v2-v1) * 1e6 / (d2-d1)) micro-cents/day, the
+# floor of an EXACT double quotient (numerator ≤ 1e12, denominator ≤ 31 —
+# both exactly representable, so floor() agrees bit-for-bit across
+# engines). The median is the lower order statistic picked by row_number
+# over (slope, d1, d2) — deterministic, no interpolation, always an
+# actual pair's slope.
+#
+# Scale: the pair explode is per-user over OBSERVED DAYS, capped by the
+# calendar span (31 days → ≤ 465 pairs/user; a trailing-90-day window
+# bounds it at 4 005 at any horizon) — total work is linear in users with
+# a constant per-user factor, one user-keyed shuffle for the self-join +
+# one window sort over the bounded pair set.
+# ---------------------------------------------------------------------------
+def user_value_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(money_cents("value")).alias("v_c"))
+    )
+    a = daily.select(
+        "user_id", F.col("d").alias("d1"), F.col("v_c").alias("v1")
+    )
+    b = daily.select(
+        "user_id", F.col("d").alias("d2"), F.col("v_c").alias("v2")
+    )
+    pairs = a.join(b, "user_id").filter(F.col("d1") < F.col("d2"))
+    slopes = pairs.select(
+        "user_id",
+        "d1",
+        "d2",
+        F.floor(
+            (F.col("v2") - F.col("v1"))
+            * 1_000_000.0
+            / F.datediff("d2", "d1")
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+    w = Window.partitionBy("user_id").orderBy("slope_micro", "d1", "d2")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "user_id",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope_micro").alias("theilsen_slope_micro"),
+    )
+
+
+_THEILSEN_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_c
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+),
+slopes AS (
+    SELECT a.user_id, a.d AS d1, b.d AS d2,
+           CAST(floor((b.v_c - a.v_c) * 1000000.0 / (b.d - a.d))
+                AS BIGINT) AS slope_micro
+    FROM daily a JOIN daily b
+      ON a.user_id = b.user_id AND a.d < b.d
+),
+ranked AS (
+    SELECT user_id, slope_micro,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY slope_micro, d1, d2) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_pairs
+    FROM slopes
+)
+SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope_micro AS theilsen_slope_micro
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
+    "user_value_trend_theilsen": user_value_trend_theilsen,
     "conversion_lag_profile": conversion_lag_profile,
     "abandoned_view_rate": abandoned_view_rate,
     "user_journey_paths": user_journey_paths,
@@ -1286,6 +1372,7 @@ QUERIES = {
 
 ORACLE = {
     "window_funnel_depth": _FUNNEL_DEPTH_SQL,
+    "user_value_trend_theilsen": _THEILSEN_SQL,
     "conversion_lag_profile": _CONV_LAG_SQL,
     "user_day_bitmap_retention": _BITMAP_RETENTION_SQL,
     "user_ltv_segments": _LTV_SQL,

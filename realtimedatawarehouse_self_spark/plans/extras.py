@@ -633,8 +633,95 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) over part: the parts no other part beats on
+# BOTH price (lower-or-equal) and size (greater-or-equal, one strict) — the
+# "best value per capacity" query every catalog/procurement layer runs.
+#
+# The declarative trap is the textbook NOT EXISTS dominance test: a
+# quadratic self-join (the oracle states it that way on purpose — it is the
+# semantic definition, and DuckDB runs it fine at driver scale). The Spark
+# plan is the O(n log n) sweep instead: sorted by price, a part is
+# dominated iff some STRICTLY cheaper part already reached its size
+# (running max over a RANGE frame excluding price ties), or a SAME-priced
+# part strictly exceeds it (per-price-group max). The global sort only ever
+# sees frontier-PLAUSIBLE parts: a distributed prefilter first computes
+# per-price-bucket max sizes (one parallel combine; #buckets rows), takes
+# the running max over strictly-earlier buckets (window over the tiny
+# bucket frame), and broadcast-joins it back — any part some earlier
+# bucket already out-sized is dominated (earlier bucket ⇒ strictly
+# cheaper) and never reaches the sweep. Pruning is lossless for the
+# frontier AND for the sweep's dominance evidence: if a pruned part
+# dominated x, the even-cheaper part that pruned it dominates x too (same
+# bucket ⇒ same prefilter verdict on price ties). A random 2-D corpus
+# leaves O(log n) plausible parts, so the exact sweep is a driver-free
+# no-op at any scale. Price ties keep ALL co-equal parts (classic skyline
+# tie semantics).
+# ---------------------------------------------------------------------------
+PARETO_PRICE_BUCKET_C = 10_000  # 100-currency-unit prefilter grain
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        F.col("p_size").cast("bigint").alias("p_size"),
+        money_cents("p_retailprice").alias("price_c"),
+    ).withColumn("bkt", F.expr(f"price_c div {PARETO_PRICE_BUCKET_C}"))
+    bucket_max = part.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
+    w_prev = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_max = bucket_max.withColumn("prev_bmax", F.max("bmax").over(w_prev))
+    plausible = part.join(
+        F.broadcast(prev_max.select("bkt", "prev_bmax")), "bkt"
+    ).filter(
+        F.col("prev_bmax").isNull() | (F.col("prev_bmax") < F.col("p_size"))
+    )
+    w_cheaper = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tie = Window.partitionBy("price_c")
+    scored = plausible.withColumn(
+        "max_size_cheaper", F.max("p_size").over(w_cheaper)
+    ).withColumn("max_size_tie", F.max("p_size").over(w_tie))
+    frontier = scored.filter(
+        (
+            F.col("max_size_cheaper").isNull()
+            | (F.col("max_size_cheaper") < F.col("p_size"))
+        )
+        & (F.col("max_size_tie") <= F.col("p_size"))
+    )
+    return frontier.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        cents_amount("price_c").alias("price"),
+    )
+
+
+_PARETO_SQL = """
+WITH p AS (
+    SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+    FROM part
+)
+SELECT a.p_partkey, a.p_brand, a.p_type, a.p_size,
+       CAST(a.price_c AS DOUBLE) / 100.0 AS price
+FROM p a
+WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+      AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+)
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "pareto_frontier_parts": pareto_frontier_parts,
     "props_json_profile": props_json_profile,
     "plan_range_partitions": plan_range_partitions,
     "set_operations_users": set_operations_users,
@@ -652,6 +739,7 @@ ORACLE = {
     "skewed_salted_revenue": _SKEWED_SALTED_SQL,
     "props_json_profile": _PROPS_PROFILE_SQL,
     "tpch_q5_local_supplier": _Q5_SQL,
+    "pareto_frontier_parts": _PARETO_SQL,
     "plan_range_partitions": _RANGE_PLAN_SQL,
     "set_operations_users": _SET_OPS_SQL,
     "rollup_event_counts": _ROLLUP_SQL,

@@ -303,6 +303,118 @@ FROM filled
 
 
 # ---------------------------------------------------------------------------
+# Gap-fill by LINEAR INTERPOLATION — the LOCF sibling for metrics where a
+# flat carry-forward misstates a trend (billing meters, counters sampled
+# daily). Per event_type the daily count series is densified over the
+# observed [min_day, max_day] spine; a missing day gets
+#   prev + (next - prev) * (d - prev_d) / (next_d - prev_d)
+# in floored micro-units, where prev/next are the nearest OBSERVED
+# neighbors (IGNORE NULLS window scans, one each direction). Spine
+# endpoints are observed by construction (min/max come from the data), so
+# no extrapolation branch exists.
+#
+# Scale: the raw scan collapses to day grain FIRST (one combine-backed
+# aggregate); every window after that runs over (types × days) rows —
+# bounded by the calendar, not the fact table. The spine explode derives
+# from a per-type min/max aggregate (tiny). Division is integer `div`
+# (truncation identical in Spark and DuckDB, including negative deltas on
+# a falling series).
+# ---------------------------------------------------------------------------
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("ct").isNotNull(), F.col("d"))
+    neigh = (
+        dense.withColumn("prev_v", F.last("ct", ignorenulls=True).over(w_back))
+        .withColumn("prev_d", F.last(obs_d, ignorenulls=True).over(w_back))
+        .withColumn("next_v", F.first("ct", ignorenulls=True).over(w_fwd))
+        .withColumn("next_d", F.first(obs_d, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.expr(
+        "prev_v * 1000000 + ((next_v - prev_v) * 1000000"
+        " * datediff(d, prev_d)) div datediff(next_d, prev_d)"
+    )
+    return neigh.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("ct").isNotNull(), 1).otherwise(0)
+        .cast("bigint")
+        .alias("observed"),
+        F.when(F.col("ct").isNotNull(), F.col("ct") * 1_000_000)
+        .otherwise(interp)
+        .cast("bigint")
+        .alias("ct_interp_micro"),
+    )
+
+
+_GAP_INTERP_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type, CAST(u.d AS DATE) AS d
+    FROM (
+        SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+    ), UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+),
+dense AS (
+    SELECT s.event_type, s.d, dl.ct
+    FROM spine s LEFT JOIN daily dl
+      ON s.event_type = dl.event_type AND s.d = dl.d
+),
+neigh AS (
+    SELECT *,
+           last_value(ct IGNORE NULLS) OVER wb AS prev_v,
+           last_value(CASE WHEN ct IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wb AS prev_d,
+           first_value(ct IGNORE NULLS) OVER wf AS next_v,
+           first_value(CASE WHEN ct IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wf AS next_d
+    FROM dense
+    WINDOW wb AS (PARTITION BY event_type ORDER BY d
+                  ROWS UNBOUNDED PRECEDING),
+           wf AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS observed,
+       CAST(CASE WHEN ct IS NOT NULL THEN ct * 1000000
+                 ELSE prev_v * 1000000 + ((next_v - prev_v) * 1000000
+                      * (d - prev_d)) // (next_d - prev_d)
+            END AS BIGINT) AS ct_interp_micro
+FROM neigh
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: users grouped by first-activity day; per (cohort, day
 # offset 0..7) the count of users active again on that offset day. Shape:
 # (user, day) distinct -> one shuffle on user_id; the cohort join reuses the
@@ -972,6 +1084,7 @@ QUERIES = {
     "scd2_user_value": scd2_user_value,
     "column_profile": column_profile,
     "gap_fill_locf": gap_fill_locf,
+    "gap_fill_interpolate": gap_fill_interpolate,
     "user_retention_cohorts": user_retention_cohorts,
     "incremental_hourly_rollup": incremental_hourly_rollup,
     "active_users_rolling": active_users_rolling,
@@ -986,6 +1099,7 @@ ORACLE = {
     "scd2_user_value": _SCD2_SQL,
     "column_profile": _PROFILE_SQL,
     "gap_fill_locf": _GAP_FILL_SQL,
+    "gap_fill_interpolate": _GAP_INTERP_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
     "incremental_hourly_rollup": _INCREMENTAL_SQL,
     "active_users_rolling": _ACTIVE_USERS_SQL,
