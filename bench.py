@@ -192,6 +192,11 @@ HEADLINE = [
     "gap_fill_interpolate",
     "pareto_frontier_parts",
     "user_value_trend_theilsen",
+    # wave-2 continuation operators (independent pipelines: robust-MAD
+    # flags, the distance-2 wedge join, and the Morton-bucket layout agg)
+    "mad_anomaly_daily",
+    "link_prediction_common_neighbors",
+    "zorder_layout_audit",
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
     # dedup_cluster_quality likewise recomposes minhash pairs + exact

