@@ -438,7 +438,12 @@ PR_SCALE = 1_000_000
 
 
 def pagerank_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).select(
+    # NULL users can't be graph nodes; filtering BEFORE the aggregation
+    # (pushed to the scan) also keeps the bucket-size cap identical to the
+    # oracle's windowed count, which would otherwise count a NULL row
+    # (collect_set drops NULLs; count(*) does not — a one-off cap-boundary
+    # divergence the NULL fixture exists to forbid).
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
     )
     # Per-bucket user sets via one combine-backed aggregation (collect_set
@@ -501,7 +506,7 @@ r{next} AS (
     return f"""
 WITH b AS (
     SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 bn AS (
     SELECT event_type, h, user_id,
@@ -580,7 +585,10 @@ def _minute_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays; the residual tail risk (one agg buffer holding a
     many-million-user flash-minute array before the size filter drops it)
     is linear memory and bounded by instantaneous co-presence."""
-    ev = _events(spark, sf_dir).select(
+    # NOT NULL first (pushed to the scan): collect_set drops NULL users
+    # but the oracle's windowed bucket count would not, so an un-filtered
+    # NULL row could flip a bucket across the cap boundary on one side.
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
         "event_type", F.date_trunc("minute", "ts").alias("h"), "user_id"
     )
     buckets = ev.groupBy("event_type", "h").agg(
@@ -661,7 +669,7 @@ def triangle_count_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRIANGLE_SQL = f"""
 WITH b AS (
     SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 bn AS (
     SELECT event_type, h, user_id,
@@ -779,7 +787,7 @@ def link_prediction_common_neighbors(
 _LINKPRED_SQL = f"""
 WITH b AS (
     SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 bn AS (
     SELECT event_type, h, user_id,
@@ -851,20 +859,7 @@ KCORE_SMALL_EDGELIST = 1_000_000
 
 
 def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).select(
-        "event_type", F.date_trunc("minute", "ts").alias("h"), "user_id"
-    )
-    buckets = ev.groupBy("event_type", "h").agg(
-        F.array_sort(F.collect_set("user_id")).alias("us")
-    ).filter(F.size("us") <= BUCKET_CAP)
-    und = (
-        buckets.select(
-            F.explode(ordered_pair_structs("us", "ua", "ub")).alias("p")
-        )
-        .select("p.ua", "p.ub")
-        .distinct()
-        .persist()
-    )
+    und = _minute_edges(spark, sf_dir).persist()
     # The edge list is orders of magnitude smaller than the fact scan
     # (bounded by bucket count x CAP^2/2). The count() materializes the
     # persist the first round would have paid anyway; when the MEASURED
@@ -947,7 +942,7 @@ s{next} AS (
     return f"""
 WITH b AS (
     SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 bn AS (
     SELECT event_type, h, user_id,

@@ -117,6 +117,12 @@ def null_duck(null_sf_dir):
         # key self-joins must skip NULL-day groups identically
         "conversion_lag_profile",
         "seasonal_naive_backtest",
+        # r6 wave 2: the MAD median-rank pick over groups with NULL-user
+        # rows, and the co-engagement bucket size under NULL user_id
+        # (Spark's collect_set drops NULLs; the oracle must not count
+        # them toward the hub cap either)
+        "mad_anomaly_daily",
+        "link_prediction_common_neighbors",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

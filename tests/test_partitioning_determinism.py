@@ -67,6 +67,12 @@ QUERIES = [
     #                                  tie-break must be total-order
     "cross_source_dup_matrix",       # pair set + provenance joins
     "embedding_norm_profile",        # in-row fold + permille division
+    # round-6 wave-2 additions
+    "mad_anomaly_daily",             # lower-median rank pick: (ct, d)
+    #                                  tiebreak must be total-order
+    "link_prediction_common_neighbors",  # wedge aggregation + anti-join
+    "zorder_layout_audit",           # broadcast min/max must be exact,
+    #                                  shift/mask map a pure function
 ]
 
 PERTURBED = {
