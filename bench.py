@@ -197,6 +197,10 @@ HEADLINE = [
     "mad_anomaly_daily",
     "link_prediction_common_neighbors",
     "zorder_layout_audit",
+    # wave-3 surface/baseline operators (independent pipelines)
+    "ols_daily_trend",
+    "unpivot_revenue_components",
+    "array_function_surface",
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
     # dedup_cluster_quality likewise recomposes minhash pairs + exact

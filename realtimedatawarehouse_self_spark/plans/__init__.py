@@ -80,10 +80,16 @@ _MODULES = (
 #          vocab_topk, tpch q1/q19/q20 to the tail front — scan-bound,
 #          r1 driver-proven, bench-measured every round; q21 keeps the
 #          double-EXISTS machinery in the head.)
-#   38-43  the continuation-wave r6 operators (gap_fill_interpolate,
+#   38-46  the continuation-wave r6 operators (gap_fill_interpolate,
 #          pareto_frontier_parts, user_value_trend_theilsen,
 #          mad_anomaly_daily, link_prediction_common_neighbors,
-#          zorder_layout_audit) — zero driver evidence by definition;
+#          zorder_layout_audit, ols_daily_trend,
+#          unpivot_revenue_components, array_function_surface) — zero
+#          driver evidence by definition; the tenth wave additionally
+#          displaced dws09 and corpus_clean_pipeline to the tail front
+#          (both r1-proven, bench-measured every round; dws02 keeps the
+#          keyed-window family and the clean pipeline's stages all ride
+#          individually in the head or bench);
 #          they displaced tpch_q11, dws06, tpch_q3 (scan-/join-bound,
 #          r1-proven, bench-measured every round) and, in the ninth wave,
 #          dedup_ngram_jaccard / similarity_topk_ivf / dedup_simhash
@@ -168,10 +174,11 @@ _VERIFY_FIRST = [
     "mad_anomaly_daily",
     "link_prediction_common_neighbors",
     "zorder_layout_audit",
+    "ols_daily_trend",
+    "unpivot_revenue_components",
+    "array_function_surface",
     "dwd_trade_order_detail",
-    "dws09_trade_sku_order_window",
     "tpch_q21_waiting_supplier",
-    "corpus_clean_pipeline",
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
@@ -179,6 +186,8 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard",
     "similarity_topk_ivf",
     "dedup_simhash",
+    "dws09_trade_sku_order_window",
+    "corpus_clean_pipeline",
     "tpch_q11_important_stock",
     "dws06_cart_add_uu_window",
     "tpch_q3_shipping_priority",

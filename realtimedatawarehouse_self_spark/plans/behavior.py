@@ -1351,9 +1351,87 @@ FROM ranked WHERE rn = (n_pairs + 1) // 2
 """
 
 
+# ---------------------------------------------------------------------------
+# OLS slope per user over the same daily-spend frame as the Theil–Sen
+# estimator — the parametric baseline the robust slope is judged against
+# (exactly the pairing doctrine used for seasonal_naive_backtest: ship the
+# honest baseline next to the fancy estimator so a user can see when
+# robustness actually pays). Closed-form least squares in EXACT integer
+# sums — no mean-centering floats:
+#   slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)       emitted as
+#   slope_micro = (n·Σxy − Σx·Σy)·1e6 div (n·Σxx − Σx²)
+# with x = day offset from the user's own first active day. Bounds: within
+# a 31-day window, |n·Σxy| ≤ 31·31·31·1e7 ≈ 3e11 and the ×1e6 numerator
+# stays ≤ ~3e17 < int64 — headroom documented, not assumed. n ≥ 2 distinct
+# days ⇒ the denominator is strictly positive (x values distinct), so no
+# division guard is needed beyond the n_days filter; `div` truncates
+# toward zero identically in both engines for negative slopes.
+# Scale: one fact shuffle to (user, day), then a single combine-backed
+# per-user aggregation — no self-join, no window; the cheap O(n) sibling
+# of Theil–Sen's O(n²)-pairs exactness.
+# ---------------------------------------------------------------------------
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(money_cents("value")).alias("v_c"))
+    )
+    xy = daily.withColumn(
+        "x",
+        F.datediff(
+            "d", F.min("d").over(Window.partitionBy("user_id"))
+        ).cast("bigint"),
+    )
+    sums = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("v_c").alias("sy"),
+        F.sum(F.col("x") * F.col("v_c")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.filter(F.col("n_days") >= 2).select(
+        "user_id",
+        "n_days",
+        F.expr(
+            "(n_days * sxy - sx * sy) * 1000000"
+            " div (n_days * sxx - sx * sx)"
+        ).alias("ols_slope_micro"),
+    )
+
+
+_OLS_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_c
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+),
+xy AS (
+    SELECT user_id, v_c,
+           CAST(d - min(d) OVER (PARTITION BY user_id) AS BIGINT) AS x
+    FROM daily
+),
+sums AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(v_c) AS BIGINT) AS sy,
+           CAST(sum(x * v_c) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM xy GROUP BY 1
+)
+SELECT user_id, n_days,
+       CAST((n_days * sxy - sx * sy) * 1000000
+            // (n_days * sxx - sx * sx) AS BIGINT) AS ols_slope_micro
+FROM sums WHERE n_days >= 2
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "user_value_trend_theilsen": user_value_trend_theilsen,
+    "ols_daily_trend": ols_daily_trend,
     "conversion_lag_profile": conversion_lag_profile,
     "abandoned_view_rate": abandoned_view_rate,
     "user_journey_paths": user_journey_paths,
@@ -1373,6 +1451,7 @@ QUERIES = {
 ORACLE = {
     "window_funnel_depth": _FUNNEL_DEPTH_SQL,
     "user_value_trend_theilsen": _THEILSEN_SQL,
+    "ols_daily_trend": _OLS_SQL,
     "conversion_lag_profile": _CONV_LAG_SQL,
     "user_day_bitmap_retention": _BITMAP_RETENTION_SQL,
     "user_ltv_segments": _LTV_SQL,

@@ -835,6 +835,148 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt) — the inverse of `pivot_daily_event_matrix` and the one
+# first-class relational reshape the registry lacked: each lineitem row
+# melts into three (component, cents) rows — gross price, discount
+# amount, tax amount (TPC-H q1's money decomposition) — via the native
+# `DataFrame.unpivot` operator (Spark's UNPIVOT clause; no stack() expr,
+# no union of three scans), then one combine-backed reduce per
+# (l_returnflag, component).
+# Scale: ONE scan of the fact table (unpivot is a row-local expand, 3×
+# rows inside the same stage — no shuffle added), one 3×flags-cell
+# aggregation. The oracle spells the same melt as UNION ALL, the
+# engine-neutral form.
+# ---------------------------------------------------------------------------
+def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        money_cents(F.col("l_extendedprice")).alias("gross_c"),
+        money_cents(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "discount_c"
+        ),
+        money_cents(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.col("l_tax")
+        ).alias("tax_c"),
+    )
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["gross_c", "discount_c", "tax_c"],
+        variableColumnName="component",
+        valueColumnName="cents",
+    )
+    return melted.groupBy("l_returnflag", "component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("total_c"),
+    )
+
+
+_UNPIVOT_SQL = """
+WITH li AS (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS gross_c,
+           CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                AS BIGINT) AS discount_c,
+           CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100 + 0.5)
+                AS BIGINT) AS tax_c
+    FROM lineitem
+),
+melted AS (
+    SELECT l_returnflag, 'gross_c' AS component, gross_c AS cents FROM li
+    UNION ALL
+    SELECT l_returnflag, 'discount_c', discount_c FROM li
+    UNION ALL
+    SELECT l_returnflag, 'tax_c', tax_c FROM li
+)
+SELECT l_returnflag, component,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(cents) AS BIGINT) AS total_c
+FROM melted GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order-function surface — the lambda-expression companion
+# to core.py's scalar_function_surface: one row per embedding exercising
+# transform, aggregate (fold), filter, exists-style membership, zip_with,
+# slice, reverse, array_sort order statistics, array_max and
+# array_position — the full Spark HOF family a vector-bearing pipeline
+# leans on, all inside whole-stage codegen (HOFs are JVM lambdas, never
+# Python). Values are quantized to integer micro-units with the same
+# floor(CAST AS DOUBLE · 1e6) rule as the mining/drift family, so every
+# output is exact BIGINT. Bounds: |x| ≤ ~10 ⇒ |q| ≤ 1e7; the 8-term
+# zip_with dot ≤ 8e14; the 64-element fold sum ≤ 6.4e8 — all far inside
+# int64. One fan-out scan, zero shuffles, zero joins.
+# ---------------------------------------------------------------------------
+def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000000.0) AS BIGINT))"
+        ).alias("q"),
+        F.expr("size(filter(embedding, x -> x > 0))")
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.size("q").cast("bigint").alias("dim"),
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("sum_q"),
+        "n_pos",
+        F.expr("array_max(q)").alias("max_q"),
+        F.expr("array_min(q)").alias("min_q"),
+        F.expr(
+            "element_at(array_sort(q), CAST((size(q) + 1) div 2 AS INT))"
+        ).alias("med_q"),
+        F.expr(
+            "aggregate(zip_with(slice(q, 1, 8), reverse(slice(q, 1, 8)),"
+            " (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("revdot8"),
+        F.expr(
+            "CAST(size(filter(q, v -> abs(v) > 5000000)) > 0 AS INT)"
+        ).alias("has_big"),
+        F.expr("array_position(q, array_max(q))")
+        .cast("bigint")
+        .alias("pos_of_max"),
+    )
+
+
+_ARRAY_SURFACE_SQL = """
+WITH base AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS q,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(len(q) AS BIGINT) AS dim,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
+       n_pos,
+       CAST(list_aggregate(q, 'max') AS BIGINT) AS max_q,
+       CAST(list_aggregate(q, 'min') AS BIGINT) AS min_q,
+       CAST(list_sort(q)[(len(q) + 1) // 2] AS BIGINT) AS med_q,
+       CAST(q[1]*q[8] + q[2]*q[7] + q[3]*q[6] + q[4]*q[5]
+          + q[5]*q[4] + q[6]*q[3] + q[7]*q[2] + q[8]*q[1]
+            AS BIGINT) AS revdot8,
+       CAST(len(list_filter(q, v -> abs(v) > 5000000)) > 0 AS INTEGER)
+           AS has_big,
+       CAST(list_position(q, list_aggregate(q, 'max')) AS BIGINT)
+           AS pos_of_max
+FROM base
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "pareto_frontier_parts": pareto_frontier_parts,
@@ -850,6 +992,8 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "skewed_salted_revenue": skewed_salted_revenue,
     "zorder_layout_audit": zorder_layout_audit,
+    "unpivot_revenue_components": unpivot_revenue_components,
+    "array_function_surface": array_function_surface,
 }
 
 ORACLE = {
@@ -867,4 +1011,6 @@ ORACLE = {
     "session_window_native": _SESSION_NATIVE_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
     "zorder_layout_audit": _zorder_audit_sql(),
+    "unpivot_revenue_components": _UNPIVOT_SQL,
+    "array_function_surface": _ARRAY_SURFACE_SQL,
 }

@@ -123,6 +123,9 @@ def null_duck(null_sf_dir):
         # them toward the hub cap either)
         "mad_anomaly_daily",
         "link_prediction_common_neighbors",
+        # r6 wave 3: OLS sums over groups whose cents are partly or fully
+        # NULL (sum-of-NULL and x*NULL must collapse identically)
+        "ols_daily_trend",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

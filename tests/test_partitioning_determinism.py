@@ -73,6 +73,11 @@ QUERIES = [
     "link_prediction_common_neighbors",  # wedge aggregation + anti-join
     "zorder_layout_audit",           # broadcast min/max must be exact,
     #                                  shift/mask map a pure function
+    # round-6 wave-3 additions
+    "ols_daily_trend",               # closed-form integer sums under
+    #                                  partial-agg reordering
+    "array_function_surface",        # HOF fold order inside one row must
+    #                                  not depend on batch boundaries
 ]
 
 PERTURBED = {
