@@ -201,6 +201,10 @@ HEADLINE = [
     "ols_daily_trend",
     "unpivot_revenue_components",
     "array_function_surface",
+    "window_rank_surface",
+    # reachable_users_bfs is NOT benched (double-count rule): its cost is
+    # the minute-grain edge list already benched via triangle/kcore plus
+    # a traversal over frames magnitudes smaller. It stays oracle-gated.
     # minhash_band_tuning is NOT benched (double-count rule): its cost is
     # the minhash signature + prefix-filter truth pipelines already here.
     # dedup_cluster_quality likewise recomposes minhash pairs + exact

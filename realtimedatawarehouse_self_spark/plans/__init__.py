@@ -84,12 +84,17 @@ _MODULES = (
 #          pareto_frontier_parts, user_value_trend_theilsen,
 #          mad_anomaly_daily, link_prediction_common_neighbors,
 #          zorder_layout_audit, ols_daily_trend,
-#          unpivot_revenue_components, array_function_surface) — zero
+#          unpivot_revenue_components, array_function_surface,
+#          window_rank_surface, reachable_users_bfs) — zero
 #          driver evidence by definition; the tenth wave additionally
 #          displaced dws09 and corpus_clean_pipeline to the tail front
 #          (both r1-proven, bench-measured every round; dws02 keeps the
 #          keyed-window family and the clean pipeline's stages all ride
-#          individually in the head or bench);
+#          individually in the head or bench), and the eleventh wave
+#          displaced dwd_trade_order_detail and tpch_q21 (r1-proven,
+#          bench-measured; the lookup-join machinery also rides in
+#          dim_config_routing's broadcast path and the anti-join family
+#          in semi_anti/abandoned entries);
 #          they displaced tpch_q11, dws06, tpch_q3 (scan-/join-bound,
 #          r1-proven, bench-measured every round) and, in the ninth wave,
 #          dedup_ngram_jaccard / similarity_topk_ivf / dedup_simhash
@@ -177,8 +182,8 @@ _VERIFY_FIRST = [
     "ols_daily_trend",
     "unpivot_revenue_components",
     "array_function_surface",
-    "dwd_trade_order_detail",
-    "tpch_q21_waiting_supplier",
+    "window_rank_surface",
+    "reachable_users_bfs",
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
@@ -186,6 +191,8 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard",
     "similarity_topk_ivf",
     "dedup_simhash",
+    "dwd_trade_order_detail",
+    "tpch_q21_waiting_supplier",
     "dws09_trade_sku_order_window",
     "corpus_clean_pipeline",
     "tpch_q11_important_stock",

@@ -512,6 +512,112 @@ WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 # ---------------------------------------------------------------------------
+# Window RANKING surface — the ranking-family companion to
+# `window_frames_running_spend` (frames) and core.py's
+# scalar_function_surface (scalars): rank, dense_rank, percent_rank,
+# cume_dist, ntile, lead/lag and nth/first/last_value in ONE query over
+# the per-type daily-count frame, exercising the tie semantics that
+# distinguish them (the value windows order by ct ALONE, so tied days
+# genuinely share rank / split dense_rank; the navigation windows order by
+# the total (ct, d) key, the only way lead/ntile are deterministic).
+# Cross-engine exactness: percent_rank/cume_dist are emitted BOTH as the
+# native doubles — a single correctly-rounded IEEE division of small
+# integers, bit-identical across engines — and as integer micro twins
+# ((rank−1)·1e6 div (n−1); cume·1e6 div n) per the doctrine; cume_dist's
+# micro twin is an explicit RANGE-frame count so ties are included on
+# both sides. Scale: one fact shuffle to (type, day); every window runs
+# over the (types × days) calendar frame — thousands of rows at any
+# corpus size.
+# ---------------------------------------------------------------------------
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    wv = Window.partitionBy("event_type").orderBy("ct")
+    wrange = wv.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("event_type").orderBy("ct", "d")
+    wfull = wt.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "ct",
+        F.rank().over(wv).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wv).cast("bigint").alias("drnk"),
+        F.percent_rank().over(wv).alias("pct_rank"),
+        F.cume_dist().over(wv).alias("cume"),
+        F.count(F.lit(1)).over(wrange).cast("bigint").alias("cume_ct"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.ntile(4).over(wt).cast("bigint").alias("quartile"),
+        F.lag("ct", 1, -1).over(wt).cast("bigint").alias("prev_ct"),
+        F.lead("ct", 1, -1).over(wt).cast("bigint").alias("next_ct"),
+        F.nth_value("ct", 2).over(wfull).cast("bigint").alias("second_ct"),
+        F.first("ct").over(wfull).cast("bigint").alias("min_ct"),
+        F.last("ct").over(wfull).cast("bigint").alias("max_ct"),
+    )
+    return ranked.select(
+        "event_type",
+        "day",
+        "ct",
+        "rnk",
+        "drnk",
+        "pct_rank",
+        "cume",
+        F.expr("(rnk - 1) * 1000000 div nullif(n - 1, 0)").alias(
+            "pct_rank_micro"
+        ),
+        F.expr("cume_ct * 1000000 div n").alias("cume_micro"),
+        "quartile",
+        "prev_ct",
+        "next_ct",
+        "second_ct",
+        "min_ct",
+        "max_ct",
+    )
+
+
+_RANK_SURFACE_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, ct,
+           CAST(rank() OVER wv AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+           percent_rank() OVER wv AS pct_rank,
+           cume_dist() OVER wv AS cume,
+           CAST(count(*) OVER wrange AS BIGINT) AS cume_ct,
+           CAST(count(*) OVER wp AS BIGINT) AS n,
+           CAST(ntile(4) OVER wt AS BIGINT) AS quartile,
+           CAST(lag(ct, 1, -1) OVER wt AS BIGINT) AS prev_ct,
+           CAST(lead(ct, 1, -1) OVER wt AS BIGINT) AS next_ct,
+           CAST(nth_value(ct, 2) OVER wfull AS BIGINT) AS second_ct,
+           CAST(first_value(ct) OVER wfull AS BIGINT) AS min_ct,
+           CAST(last_value(ct) OVER wfull AS BIGINT) AS max_ct
+    FROM daily
+    WINDOW wv AS (PARTITION BY event_type ORDER BY ct),
+           wrange AS (PARTITION BY event_type ORDER BY ct
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wp AS (PARTITION BY event_type),
+           wt AS (PARTITION BY event_type ORDER BY ct, d),
+           wfull AS (PARTITION BY event_type ORDER BY ct, d
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day, ct, rnk, drnk, pct_rank, cume,
+       (rnk - 1) * 1000000 // nullif(n - 1, 0) AS pct_rank_micro,
+       cume_ct * 1000000 // n AS cume_micro,
+       quartile, prev_ct, next_ct, second_ct, min_ct, max_ct
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # Data-quality constraint audit: the expectation-suite job every warehouse
 # runs before publishing a load — one row per declared constraint with its
 # violation count. Constraint classes covered: referential integrity
@@ -840,6 +946,7 @@ QUERIES = {
     "cube_part_stats": cube_part_stats,
     "grouping_sets_events": grouping_sets_events,
     "window_frames_running_spend": window_frames_running_spend,
+    "window_rank_surface": window_rank_surface,
     "funnel_conversion": funnel_conversion,
 }
 
@@ -857,5 +964,6 @@ ORACLE = {
     "cube_part_stats": _CUBE_SQL,
     "grouping_sets_events": _GROUPING_SETS_SQL,
     "window_frames_running_spend": _WINDOW_FRAMES_SQL,
+    "window_rank_surface": _RANK_SURFACE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
 }

@@ -833,7 +833,103 @@ WHERE NOT EXISTS (
 
 
 # ---------------------------------------------------------------------------
-# k-core peeling (fixed rounds) over the minute-grain co-engagement graph
+# Bounded-hop BFS reachability over the minute-grain co-engagement graph:
+# every user within BFS_HOPS hops of the hub seed (the max-degree node,
+# ties to the larger id — picked by one 1-row struct-max aggregate, never
+# a driver-side sort), with the exact hop distance. The "blast radius"
+# primitive — who is touched if the hub's content is contaminated —
+# completing the graph family's traversal axis (components = unbounded
+# reachability; this = distance-bounded with per-node depth).
+#
+# Scale: the classic distributed BFS — each round is ONE join of the
+# (persisted) adjacency list against the current frontier, and the
+# frontier/visited sets are magnitudes below the edge list, so the probe
+# broadcasts (same escape hatch as kcore: at a scale where a frontier
+# outgrows broadcast, drop the hint and AQE shuffles it). A fixed hop
+# count unrolls to one declarative DAG; the oracle is a recursive CTE
+# whose UNION dedups (id, dist) pairs, so both sides compute min-distance
+# BFS, bounded by nodes × (BFS_HOPS+1) rows regardless of path count.
+# ---------------------------------------------------------------------------
+BFS_HOPS = 3
+
+
+def reachable_users_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _minute_edges(spark, sf_dir).persist()
+    deg = (
+        und.select(F.col("ua").alias("id"))
+        .unionAll(und.select(F.col("ub").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    adj = und.select(F.col("ua").alias("u"), F.col("ub").alias("z")).unionAll(
+        und.select(F.col("ub").alias("u"), F.col("ua").alias("z"))
+    )
+    # empty graph ⇒ the struct-max aggregate still emits one NULL row
+    # (the oracle's LIMIT 1 emits none) — drop it so both sides agree
+    seed = (
+        deg.agg(F.max(F.struct("deg", "id")).alias("s"))
+        .select(F.col("s.id").alias("user_id"))
+        .filter(F.col("user_id").isNotNull())
+    )
+    visited = seed.withColumn("dist", F.lit(0).cast("bigint")).persist()
+    frontier = seed
+    for hop in range(1, BFS_HOPS + 1):
+        nxt = (
+            adj.join(
+                F.broadcast(frontier.select(F.col("user_id").alias("u"))),
+                "u",
+            )
+            .select(F.col("z").alias("user_id"))
+            .distinct()
+            .join(visited.select("user_id"), "user_id", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("bigint"))
+        )
+        # each round reads `visited` twice (anti-join + union) and the
+        # next round reads it again — persist keeps the DAG linear in
+        # hops, the BFS analogue of kcore persisting per-round survivors
+        visited = visited.unionAll(nxt).persist()
+        frontier = nxt
+    return visited
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE b AS (
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+bn AS (
+    SELECT event_type, h, user_id,
+           count(*) OVER (PARTITION BY event_type, h) AS bucket_n
+    FROM b
+),
+bc AS (SELECT * FROM bn WHERE bucket_n <= {BUCKET_CAP}),
+und AS (
+    SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+    FROM bc a JOIN bc c
+      ON a.event_type = c.event_type AND a.h = c.h
+     AND a.user_id < c.user_id
+),
+deg AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT ua AS id FROM und UNION ALL SELECT ub AS id FROM und)
+    GROUP BY 1
+),
+adj AS (
+    SELECT ua AS u, ub AS z FROM und
+    UNION ALL
+    SELECT ub AS u, ua AS z FROM und
+),
+seed AS (SELECT id FROM deg ORDER BY deg DESC, id DESC LIMIT 1),
+walk(user_id, dist) AS (
+    SELECT id, CAST(0 AS BIGINT) FROM seed
+    UNION
+    SELECT a.z, CAST(w.dist + 1 AS BIGINT)
+    FROM walk w JOIN adj a ON a.u = w.user_id
+    WHERE w.dist < {BFS_HOPS}
+)
+SELECT user_id, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY 1
+"""
 # — completes the graph family: components (dedup_clusters), rank
 # (pagerank), local density (triangles), cohesive subgraphs (this).
 #
@@ -1082,6 +1178,7 @@ QUERIES = {
     "pagerank_co_engagement": pagerank_co_engagement,
     "triangle_count_co_engagement": triangle_count_co_engagement,
     "link_prediction_common_neighbors": link_prediction_common_neighbors,
+    "reachable_users_bfs": reachable_users_bfs,
     "kcore_peeling_rounds": kcore_peeling_rounds,
     "audience_overlap_jaccard": audience_overlap_jaccard,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -1094,6 +1191,7 @@ ORACLE = {
     "pagerank_co_engagement": _pagerank_sql(),
     "triangle_count_co_engagement": _TRIANGLE_SQL,
     "link_prediction_common_neighbors": _LINKPRED_SQL,
+    "reachable_users_bfs": _BFS_SQL,
     "kcore_peeling_rounds": _kcore_sql(),
     "audience_overlap_jaccard": _OVERLAP_SQL,
     "embedding_gram_matrix": _GRAM_SQL,

@@ -126,6 +126,10 @@ def null_duck(null_sf_dir):
         # r6 wave 3: OLS sums over groups whose cents are partly or fully
         # NULL (sum-of-NULL and x*NULL must collapse identically)
         "ols_daily_trend",
+        # r6 wave 4: ranking ties + lead/lag defaults over the fixture's
+        # tiny per-type groups (n = 1 partitions exercise the
+        # percent_rank-micro NULL guard)
+        "window_rank_surface",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

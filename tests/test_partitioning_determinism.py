@@ -78,6 +78,11 @@ QUERIES = [
     #                                  partial-agg reordering
     "array_function_surface",        # HOF fold order inside one row must
     #                                  not depend on batch boundaries
+    # round-6 wave-4 additions
+    "window_rank_surface",           # rank-tie semantics + ntile need the
+    #                                  documented total orders
+    "reachable_users_bfs",           # broadcast-frontier BFS must give
+    #                                  identical distances any partitioning
 ]
 
 PERTURBED = {
