@@ -121,13 +121,14 @@ _MODULES = (
 #          harder sibling still in the head — q21 carries the
 #          double-EXISTS machinery, the ADC/PQ entries subsume
 #          brute-force ranking.)
-#   48-50  real-streaming entries at the budget edge (expensive —
-#          seconds each): the NEW streaming_cusum_daily (zero evidence;
-#          keyed custom state via the direct Lindley recurrence, proving
-#          the reflection identity across micro-batches) plus the two
-#          stalest r2-proven siblings streaming_pv_hourly and
-#          streaming_uv_daily (VERDICT r5 #6); streaming_session_windows
-#          queues at 51 for the next budget increment.
+#   47-50  real-streaming entries at the budget edge (expensive —
+#          seconds each): the NEW streaming_reconcile_full_outer (zero
+#          evidence; the only two-sided-eviction join twin) and
+#          streaming_cusum_daily (zero evidence; keyed custom state via
+#          the direct Lindley recurrence), plus the stalest r2-proven
+#          siblings streaming_pv_hourly and streaming_uv_daily
+#          (VERDICT r5 #6); streaming_session_windows queues just past
+#          the edge for the next budget increment.
 #
 # Tail: remaining names ordered stalest-first (r1-proven, then r3, then
 # r5) — if the driver's budget ever grows, it automatically reaches the
@@ -184,6 +185,7 @@ _VERIFY_FIRST = [
     "array_function_surface",
     "window_rank_surface",
     "reachable_users_bfs",
+    "streaming_reconcile_full_outer",
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",

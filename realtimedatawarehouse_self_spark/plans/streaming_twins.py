@@ -735,6 +735,98 @@ def _cusum_stream_sql() -> str:
     return _CUSUM_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming stream-stream FULL-outer join — the one join mode the twin
+# family lacked (J1 inner, J2 left; the reference has no two-sided
+# variant at all). One pass emits the complete attribution
+# reconciliation: matched (view, purchase-within-horizon) pairs, views
+# nobody converted ('view_only' — the J2 answer), AND purchases with no
+# preceding view ('purchase_only' — the direct-traffic leg a left join
+# silently drops). Both null-extension directions ride state EVICTION:
+# a side's unmatched row surfaces only when the OTHER side's watermark
+# passes its horizon, so this twin exercises two-sided eviction timing —
+# hence double_flush (eviction uses the batch-START watermark) and
+# REAL-typed sentinels (Catalyst pushes the type filter below the
+# EventTimeWatermark node; see _run_stream's flush_types docstring).
+# Sentinels share one timestamp and p_ts > v_ts is strict, so they match
+# nothing and exit as user -1 null-extended rows, dropped by the filter.
+# ---------------------------------------------------------------------------
+def streaming_reconcile_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        views = (
+            stream.select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+                "event_type",
+            )
+            .withWatermark("v_ts", "2 seconds")
+            .filter(F.col("event_type") == "view")
+            .drop("event_type")
+        )
+        purchases = (
+            stream.select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+                "event_type",
+            )
+            .withWatermark("p_ts", "2 seconds")
+            .filter(F.col("event_type") == "purchase")
+            .drop("event_type")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr(f"interval {JOIN_HORIZON_S} seconds")
+            ),
+            "fullOuter",
+        )
+        return joined.select(
+            F.coalesce("v_user", "p_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.when(F.col("view_id").isNull(), F.lit("purchase_only"))
+            .when(F.col("purchase_id").isNull(), F.lit("view_only"))
+            .otherwise(F.lit("matched"))
+            .alias("match_kind"),
+        )
+
+    return _run_stream(
+        spark, sf_dir, build, flush_filter=F.col("user_id") >= 0,
+        double_flush=True, flush_types=("view", "purchase"),
+    )
+
+
+_FULL_OUTER_STREAM_SQL = f"""
+WITH v AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN v.event_id IS NULL THEN 'purchase_only'
+            WHEN p.event_id IS NULL THEN 'view_only'
+            ELSE 'matched' END AS match_kind
+FROM v FULL JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL {JOIN_HORIZON_S} SECONDS
+"""
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_uv_daily": streaming_uv_daily,
@@ -744,6 +836,7 @@ QUERIES = {
     "streaming_incremental_rollup": streaming_incremental_rollup,
     "streaming_ewma_daily": streaming_ewma_daily,
     "streaming_cusum_daily": streaming_cusum_daily,
+    "streaming_reconcile_full_outer": streaming_reconcile_full_outer,
 }
 
 ORACLE = {
@@ -755,4 +848,5 @@ ORACLE = {
     "streaming_incremental_rollup": _incr_stream_sql(),
     "streaming_ewma_daily": _ewma_stream_sql(),
     "streaming_cusum_daily": _cusum_stream_sql(),
+    "streaming_reconcile_full_outer": _FULL_OUTER_STREAM_SQL,
 }
