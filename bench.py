@@ -202,6 +202,8 @@ HEADLINE = [
     "unpivot_revenue_components",
     "array_function_surface",
     "window_rank_surface",
+    "holt_linear_forecast",
+    "revenue_concentration_hhi",
     # reachable_users_bfs is NOT benched (double-count rule): its cost is
     # the minute-grain edge list already benched via triangle/kcore plus
     # a traversal over frames magnitudes smaller. It stays oracle-gated.

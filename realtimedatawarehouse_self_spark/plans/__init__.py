@@ -189,6 +189,8 @@ _VERIFY_FIRST = [
     "streaming_cusum_daily",
     "streaming_pv_hourly",
     "streaming_uv_daily",
+    "holt_linear_forecast",
+    "revenue_concentration_hhi",
     "streaming_session_windows",
     "dedup_ngram_jaccard",
     "similarity_topk_ivf",

@@ -1428,10 +1428,96 @@ FROM sums WHERE n_days >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Daily revenue concentration (Herfindahl–Hirschman index) — the
+# marketplace-health audit: how concentrated is each day's purchase
+# revenue across users? HHI = Σ share², with shares in exact floored
+# micro-units (share_micro = v_c·1e6 div total_c), so
+# HHI ∈ [~1e12/n, 1e12] is pure int64 arithmetic: Σ share_micro ≤ 1e6 ⇒
+# Σ share_micro² ≤ 1e12, and the effective-participant transform
+# 1e12·1e6 div HHI tops out at 1e18 — inside int64, bounds stated not
+# assumed. nullif guards the zero-revenue day on BOTH sides (DuckDB's
+# integer `//` ERRORS on zero where Spark's div returns NULL — an
+# engine-divergence class, not just a wrong answer).
+# Scale: one fact shuffle to (day, user); the per-day totals frame is
+# calendar-sized and broadcasts back; the HHI reduce runs over the
+# (day, user) frame with map-side combine. No window over the fact table.
+# ---------------------------------------------------------------------------
+def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    ud = (
+        ev.groupBy(F.to_date("ts").alias("d"), "user_id")
+        .agg(F.sum(money_cents("value")).alias("v_c"))
+        .filter(F.col("v_c").isNotNull())
+    )
+    tot = ud.groupBy("d").agg(
+        F.sum("v_c").alias("total_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    shares = ud.join(F.broadcast(tot), "d").select(
+        "d",
+        "total_c",
+        "n_users",
+        F.expr("v_c * 1000000 div nullif(total_c, 0)").alias("share_micro"),
+    )
+    return shares.groupBy("d").agg(
+        F.min("n_users").alias("n_users"),
+        F.min("total_c").alias("total_c"),
+        F.sum(F.expr("share_micro * share_micro")).cast("bigint").alias(
+            "hhi"
+        ),
+        F.max("share_micro").alias("top_share_micro"),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_users",
+        "total_c",
+        "hhi",
+        "top_share_micro",
+        F.expr(
+            "1000000000000 * 1000000 div nullif(hhi, 0)"
+        ).alias("eff_n_micro"),
+    )
+
+
+_HHI_SQL = """
+WITH ud AS (
+    SELECT CAST(ts AS DATE) AS d, user_id,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_c
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    GROUP BY 1, 2
+    HAVING sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) IS NOT NULL
+),
+tot AS (
+    SELECT d, CAST(sum(v_c) AS BIGINT) AS total_c,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ud GROUP BY 1
+),
+shares AS (
+    SELECT u.d, t.total_c, t.n_users,
+           u.v_c * 1000000 // nullif(t.total_c, 0) AS share_micro
+    FROM ud u JOIN tot t ON u.d = t.d
+),
+agg AS (
+    SELECT d, min(n_users) AS n_users, min(total_c) AS total_c,
+           CAST(sum(share_micro * share_micro) AS BIGINT) AS hhi,
+           CAST(max(share_micro) AS BIGINT) AS top_share_micro
+    FROM shares GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       n_users, total_c, hhi, top_share_micro,
+       1000000000000 * 1000000 // nullif(hhi, 0) AS eff_n_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "user_ltv_segments": user_ltv_segments,
     "user_value_trend_theilsen": user_value_trend_theilsen,
     "ols_daily_trend": ols_daily_trend,
+    "revenue_concentration_hhi": revenue_concentration_hhi,
     "conversion_lag_profile": conversion_lag_profile,
     "abandoned_view_rate": abandoned_view_rate,
     "user_journey_paths": user_journey_paths,
@@ -1452,6 +1538,7 @@ ORACLE = {
     "window_funnel_depth": _FUNNEL_DEPTH_SQL,
     "user_value_trend_theilsen": _THEILSEN_SQL,
     "ols_daily_trend": _OLS_SQL,
+    "revenue_concentration_hhi": _HHI_SQL,
     "conversion_lag_profile": _CONV_LAG_SQL,
     "user_day_bitmap_retention": _BITMAP_RETENTION_SQL,
     "user_ltv_segments": _LTV_SQL,

@@ -753,6 +753,129 @@ FROM e
 
 
 # ---------------------------------------------------------------------------
+# Holt's linear (double-exponential) smoothing — the trend-aware member
+# completing the sequential-state forecasting family (EWMA tracks level
+# only, so a steady ramp lags forever; CUSUM detects shifts; the seasonal
+# naive backtest is the honest baseline; Holt tracks level AND trend and
+# emits the one-step-ahead forecast each day was judged against):
+#
+#   level_0 = x_0·1e6;  trend_0 = 0
+#   forecast_t = level_{t-1} + trend_{t-1}                 (made at t-1)
+#   level_t = (x_t·1e6 + 3·(level_{t-1} + trend_{t-1})) div 4   (α = 1/4)
+#   trend_t = ((level_t − level_{t-1}) + 3·trend_{t-1}) div 4   (β = 1/4)
+#
+# Exact integer floor arithmetic throughout — `div` truncates toward zero
+# identically in both engines, including the NEGATIVE trend deltas a
+# declining series produces (the property EWMA never exercises: its state
+# is a convex combination of non-negative counts). Same fold-vs-recursion
+# duality as EWMA: Spark evaluates the recurrence as an `aggregate` fold
+# over the day-sorted array (a left fold has no closed form under floor
+# division, so the array fold IS the declarative form — codegen, zero
+# Python); DuckDB unrolls the identical recurrence as a recursive CTE.
+# Scale: the per-key sequential object is the calendar-bounded daily
+# array (≤ ~36.5k elements/century); the corpus-sized work is one
+# combine-backed daily count. int64 headroom: |level|,|trend| ≤ ~max
+# daily ct·1e6 — wraps only past 9.2e12 events/day.
+# ---------------------------------------------------------------------------
+_HOLT_NEW_LV = "(x.ct * 1000000 + 3 * (s.lv + s.tr)) div 4"
+_HOLT_NEW_TR = f"((({_HOLT_NEW_LV}) - s.lv) + 3 * s.tr) div 4"
+_HOLT_FOLD = f"""
+aggregate(
+  xs,
+  struct(cast(false as boolean) as started,
+         cast(0 as bigint) as lv,
+         cast(0 as bigint) as tr,
+         cast(array() as array<struct<
+             d:timestamp,ct:bigint,level:bigint,trend:bigint,
+             forecast:bigint>>) as acc),
+  (s, x) -> struct(
+    true,
+    CASE WHEN NOT s.started THEN x.ct * 1000000
+         ELSE {_HOLT_NEW_LV} END,
+    CASE WHEN NOT s.started THEN cast(0 as bigint)
+         ELSE {_HOLT_NEW_TR} END,
+    array_append(s.acc, struct(
+      x.d AS d,
+      cast(x.ct as bigint) AS ct,
+      CASE WHEN NOT s.started THEN x.ct * 1000000
+           ELSE {_HOLT_NEW_LV} END AS level,
+      CASE WHEN NOT s.started THEN cast(0 as bigint)
+           ELSE {_HOLT_NEW_TR} END AS trend,
+      CASE WHEN NOT s.started THEN cast(0 as bigint)
+           ELSE s.lv + s.tr END AS forecast))),
+  s -> s.acc
+)
+"""
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same non-NULL key/timestamp contract as ewma_anomaly_daily (the
+    # oracle's recursive self-join can never match NULL = NULL)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "ct"))).alias("xs")
+    )
+    rows = series.select(
+        "event_type", F.posexplode(F.expr(_HOLT_FOLD)).alias("i", "r")
+    )
+    return rows.select(
+        "event_type",
+        F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+        F.col("r.ct").alias("ct"),
+        F.col("r.level").alias("level_micro"),
+        F.col("r.trend").alias("trend_micro"),
+        F.col("r.forecast").alias("forecast_micro"),
+        F.expr(
+            "CASE WHEN i = 0 THEN cast(0 as bigint) "
+            "ELSE r.ct * 1000000 - r.forecast END"
+        ).alias("residual_micro"),
+    )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, date_trunc('day', ts) AS dy,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+rn AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY event_type ORDER BY dy) AS BIGINT) AS i
+    FROM daily
+),
+h AS (
+    SELECT event_type, dy, ct, i,
+           ct * 1000000 AS lv, CAST(0 AS BIGINT) AS tr,
+           CAST(0 AS BIGINT) AS forecast
+    FROM rn WHERE i = 1
+    UNION ALL
+    SELECT r.event_type, r.dy, r.ct, r.i,
+           (r.ct * 1000000 + 3 * (h.lv + h.tr)) // 4,
+           ((((r.ct * 1000000 + 3 * (h.lv + h.tr)) // 4) - h.lv)
+            + 3 * h.tr) // 4,
+           h.lv + h.tr
+    FROM rn r JOIN h ON r.event_type = h.event_type AND r.i = h.i + 1
+)
+SELECT event_type,
+       strftime(dy, '%Y-%m-%d') AS day,
+       ct,
+       lv AS level_micro,
+       tr AS trend_micro,
+       forecast AS forecast_micro,
+       CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+            ELSE ct * 1000000 - forecast END AS residual_micro
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # Seasonal baseline + residual — the hour-of-day seasonality decomposition
 # the anomaly family was missing: `anomaly_zscore_daily` and
 # `ewma_anomaly_daily` trend the DAILY series, so a traffic pattern that
@@ -1089,6 +1212,7 @@ QUERIES = {
     "incremental_hourly_rollup": incremental_hourly_rollup,
     "active_users_rolling": active_users_rolling,
     "ewma_anomaly_daily": ewma_anomaly_daily,
+    "holt_linear_forecast": holt_linear_forecast,
 }
 
 ORACLE = {
@@ -1104,4 +1228,5 @@ ORACLE = {
     "incremental_hourly_rollup": _INCREMENTAL_SQL,
     "active_users_rolling": _ACTIVE_USERS_SQL,
     "ewma_anomaly_daily": _EWMA_SQL,
+    "holt_linear_forecast": _HOLT_SQL,
 }

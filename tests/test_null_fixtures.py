@@ -130,6 +130,10 @@ def null_duck(null_sf_dir):
         # tiny per-type groups (n = 1 partitions exercise the
         # percent_rank-micro NULL guard)
         "window_rank_surface",
+        # r6 wave 6: the Holt fold's non-NULL contract and the HHI's
+        # NULL-user / NULL-value purchase exclusions
+        "holt_linear_forecast",
+        "revenue_concentration_hhi",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

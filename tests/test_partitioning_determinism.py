@@ -83,6 +83,11 @@ QUERIES = [
     #                                  documented total orders
     "reachable_users_bfs",           # broadcast-frontier BFS must give
     #                                  identical distances any partitioning
+    # round-6 wave-6 additions
+    "holt_linear_forecast",          # two-state fold: day sort must be
+    #                                  total, negative div truncation exact
+    "revenue_concentration_hhi",     # floored shares under partial-agg
+    #                                  reordering
 ]
 
 PERTURBED = {
