@@ -433,3 +433,67 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
     # the pruned schema must not carry the unused string column
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "s:" not in read_schema.replace(" ", "")
+
+
+# ---- round-6 plan-shape pins (PLANS.md wave 2-6 tables) ----
+
+def test_array_surface_zero_exchange(spark, sf):
+    """The HOF surface is a pure per-row map: a hash/range Exchange in the
+    plan means a shuffle crept into what must stay scan-parallel work.
+    (The single allowed Exchange is load_table's deliberate round-robin
+    fan-out of the one-file source across cores — data-volume-preserving
+    repartition, not a keyed shuffle.)"""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["array_function_surface"](spark, sf))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert _distinct_scans(plan) == 1
+
+
+def test_unpivot_single_scan_expand(spark, sf):
+    """Native UNPIVOT must stay a row-local Expand fused with ONE scan —
+    the degenerate alternative (a UNION of three scans) reads the fact
+    table three times."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["unpivot_revenue_components"](spark, sf))
+    assert _distinct_scans(plan) == 1
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_zorder_audit_broadcast_range_only(spark, sf):
+    """The min/max frame is ONE row: it must broadcast (nested-loop against
+    a 1-row build side), never shuffle-join; and the scan must prune to
+    the two audited key columns."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["zorder_layout_audit"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all(
+        "l_orderkey" in ln and "l_comment" not in ln for ln in read_schemas
+    )
+
+
+def test_mad_windows_ride_one_fact_shuffle(spark, sf):
+    """Both exact-median passes run over the tiny daily frame — the fact
+    table must be scanned once and shuffled once (to (type, day)); the
+    median/MAD frames come back as broadcasts."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["mad_anomaly_daily"](spark, sf))
+    assert "SortMergeJoin" not in plan  # med/mad joins are broadcasts
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # column pruning: the events scan needs only (ts, event_type)
+    assert all("value" not in ln and "props" not in ln for ln in read_schemas)
+
+
+def test_linkpred_wedge_join_no_cartesian(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["link_prediction_common_neighbors"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # wedge join is keyed on z
