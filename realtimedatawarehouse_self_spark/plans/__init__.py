@@ -19,6 +19,7 @@ from realtimedatawarehouse_self_spark.plans import (
     corpus_ops,
     drift,
     extras,
+    featurize,
     llm_ops,
     mining,
     python_path,
@@ -41,6 +42,7 @@ _MODULES = (
     mining,
     state_ops,
     drift,
+    featurize,
     streaming_twins,
     timeseries,
     python_path,
@@ -185,6 +187,9 @@ _VERIFY_FIRST = [
     "array_function_surface",
     "window_rank_surface",
     "reachable_users_bfs",
+    "feature_hashing_counts",
+    "target_encoding_oof",
+    "autocorrelation_daily_lags",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",
     "streaming_pv_hourly",

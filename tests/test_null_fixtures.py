@@ -134,6 +134,13 @@ def null_duck(null_sf_dir):
         # NULL-user / NULL-value purchase exclusions
         "holt_linear_forecast",
         "revenue_concentration_hhi",
+        # r6 wave 7: target encoding's NULL-user exclusion and NULL-cents
+        # sums (a fold whose target values are partly NULL must shrink
+        # toward the same prior on both engines), and the ACF daily counts
+        # over a fixture where NULL-user rows still count toward the
+        # series (count(*), not count(user))
+        "target_encoding_oof",
+        "autocorrelation_daily_lags",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
