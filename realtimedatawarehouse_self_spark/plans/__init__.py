@@ -190,6 +190,8 @@ _VERIFY_FIRST = [
     "feature_hashing_counts",
     "target_encoding_oof",
     "autocorrelation_daily_lags",
+    "bucketed_join_colocation",
+    "degree_distribution_histogram",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",
     "streaming_pv_hourly",

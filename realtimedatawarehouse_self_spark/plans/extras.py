@@ -15,6 +15,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -977,8 +980,91 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# Bucketed-table co-located join: the shuffle-free fact-dim join for sides
+# too big to broadcast (the prompt-level 100 TB pattern: bucket both tables
+# by the join key ONCE at write time, then every subsequent join on that key
+# reads co-located buckets and never exchanges).
+#
+# The layout step writes both sides `bucketBy(N, key).sortBy(key)` with an
+# explicit repartition(N, key) first, so each bucket is exactly one file and
+# the read preserves both distribution AND sort order — the join plans as a
+# SortMergeJoin with zero Exchange and zero Sort under it (pinned in
+# tests/test_layout_and_plans.py). At cluster scale the write is the
+# one-time ETL cost; the read-side saving is a full fact-table shuffle per
+# downstream join.
+# ---------------------------------------------------------------------------
+COLO_BUCKETS = 8
+
+
+def bucketed_join_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cust = _t(spark, sf_dir, "customer")
+    # Layout step (idempotent, overwrite): one file per bucket on each side.
+    # stable per-sf_dir table names (Python's hash() is salted per process,
+    # which would leak one orphan table pair per run into the warehouse)
+    suffix = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16)
+    ev_tbl, cust_tbl = f"colo_events_{suffix}", f"colo_customer_{suffix}"
+    # A managed table's files outlive the in-memory catalog across sessions;
+    # a fresh session then refuses to create over the orphaned location.
+    # Drop both halves (catalog entry AND location) through the Hadoop FS
+    # API so the cleanup works against a remote warehouse too.
+    # Explicit repo-anchored locations (external tables): the warehouse
+    # conf follows the caller's cwd, which a host process may set anywhere.
+    wh = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "spark-warehouse")
+    jvm, hconf = spark._jvm, spark._jsc.hadoopConfiguration()
+    locs = {t: os.path.join(wh, t) for t in (ev_tbl, cust_tbl)}
+    for t, loc in locs.items():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        p = jvm.org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(hconf).delete(p, True)
+    (
+        ev.select("event_id", "user_id", money_cents("value").alias("v_c"))
+        .repartition(COLO_BUCKETS, "user_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", locs[ev_tbl])
+        .bucketBy(COLO_BUCKETS, "user_id")
+        .sortBy("user_id")
+        .saveAsTable(ev_tbl)
+    )
+    (
+        cust.select("c_custkey", "c_mktsegment")
+        .repartition(COLO_BUCKETS, "c_custkey")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", locs[cust_tbl])
+        .bucketBy(COLO_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(cust_tbl)
+    )
+    fact = spark.table(ev_tbl)
+    dim = spark.table(cust_tbl).hint("merge")  # forbid broadcast: the demo
+    # IS the exchange-free SMJ (broadcast would also be exchange-ful).
+    joined = fact.join(dim, fact.user_id == dim.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("event_ct"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        cents_amount(F.sum("v_c")).alias("total_value"),
+    )
+
+
+_COLO_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS event_ct,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.user_id IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "bucketed_join_colocation": bucketed_join_colocation,
     "pareto_frontier_parts": pareto_frontier_parts,
     "props_json_profile": props_json_profile,
     "plan_range_partitions": plan_range_partitions,
@@ -998,6 +1084,7 @@ QUERIES = {
 
 ORACLE = {
     "skewed_salted_revenue": _SKEWED_SALTED_SQL,
+    "bucketed_join_colocation": _COLO_SQL,
     "props_json_profile": _PROPS_PROFILE_SQL,
     "tpch_q5_local_supplier": _Q5_SQL,
     "pareto_frontier_parts": _PARETO_SQL,

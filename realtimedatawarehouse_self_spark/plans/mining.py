@@ -1173,8 +1173,64 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-engagement graph — the first thing to look
+# at before trusting ANY of the graph family above: pagerank/k-core/triangle
+# costs are all driven by the degree tail, and the hub cap's effect is
+# directly visible here (no degree can exceed what capped buckets admit).
+# Shape: the shared edge frame, one union-all degree count, one combine-
+# backed histogram on tiny (deg) keys — strictly cheaper than any consumer.
+# ---------------------------------------------------------------------------
+def degree_distribution_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    und = _minute_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("ua").alias("id"))
+        .unionAll(und.select(F.col("ub").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("user_ct"),
+        F.min("id").cast("bigint").alias("min_user"),
+        F.max("id").cast("bigint").alias("max_user"),
+    )
+
+
+_DEGREE_HIST_SQL = f"""
+WITH b AS (
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+bn AS (
+    SELECT event_type, h, user_id,
+           count(*) OVER (PARTITION BY event_type, h) AS bucket_n
+    FROM b
+),
+bc AS (SELECT * FROM bn WHERE bucket_n <= {BUCKET_CAP}),
+und AS (
+    SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+    FROM bc a JOIN bc c
+      ON a.event_type = c.event_type AND a.h = c.h
+     AND a.user_id < c.user_id
+),
+deg AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT ua AS id FROM und UNION ALL SELECT ub AS id FROM und)
+    GROUP BY 1
+)
+SELECT deg,
+       CAST(count(*) AS BIGINT) AS user_ct,
+       CAST(min(id) AS BIGINT) AS min_user,
+       CAST(max(id) AS BIGINT) AS max_user
+FROM deg GROUP BY 1
+"""
+
+
 QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
+    "degree_distribution_histogram": degree_distribution_histogram,
     "pagerank_co_engagement": pagerank_co_engagement,
     "triangle_count_co_engagement": triangle_count_co_engagement,
     "link_prediction_common_neighbors": link_prediction_common_neighbors,
@@ -1188,6 +1244,7 @@ QUERIES = {
 
 ORACLE = {
     "heavy_hitter_users": _HH_SQL,
+    "degree_distribution_histogram": _DEGREE_HIST_SQL,
     "pagerank_co_engagement": _pagerank_sql(),
     "triangle_count_co_engagement": _TRIANGLE_SQL,
     "link_prediction_common_neighbors": _LINKPRED_SQL,

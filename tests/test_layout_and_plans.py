@@ -497,3 +497,26 @@ def test_linkpred_wedge_join_no_cartesian(spark, sf):
     plan = _plan(e.queries()["link_prediction_common_neighbors"](spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan  # wedge join is keyed on z
+
+
+def test_bucketed_join_colocation_no_prejoin_exchange(spark, sf):
+    """The whole point of the bucketed layout: both scans read co-located
+    buckets (`Bucketed: true`, all buckets selected) and the SortMergeJoin
+    consumes them with ZERO Exchange underneath — the only shuffle in the
+    plan is the post-join groupBy. An Exchange feeding the join would mean
+    the bucketing metadata was lost and the 100 TB saving with it."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bucketed_join_colocation"](spark, sf))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # the detail section lists each Exchange node once: exactly one, and it
+    # must be the aggregate's ENSURE_REQUIREMENTS shuffle on c_mktsegment,
+    # never a join-input shuffle on the bucket key
+    ex_ids = re.findall(r"^\((\d+)\) Exchange", plan, re.M)
+    assert len(ex_ids) == 1, plan
+    detail = plan.split(f"({ex_ids[0]}) Exchange", 1)[1]
+    assert "c_mktsegment" in detail.splitlines()[2]
