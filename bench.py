@@ -204,6 +204,19 @@ HEADLINE = [
     "window_rank_surface",
     "holt_linear_forecast",
     "revenue_concentration_hhi",
+    # wave-7 featurization + layout operators (independent pipelines:
+    # hashing-trick token map, the out-of-fold encoding's fact aggregate,
+    # the daily-frame ACF lag joins, and the bucketed co-located join —
+    # note the bucketed number times the exchange-free JOIN read; the
+    # one-time layout write runs eagerly at plan-build (untimed), which is
+    # exactly its production amortization)
+    "feature_hashing_counts",
+    "target_encoding_oof",
+    "autocorrelation_daily_lags",
+    "bucketed_join_colocation",
+    # degree_distribution_histogram is NOT benched (double-count rule):
+    # its cost is the capped minute-grain edge frame already benched via
+    # triangle/kcore plus one tiny histogram. It stays oracle-gated.
     # reachable_users_bfs is NOT benched (double-count rule): its cost is
     # the minute-grain edge list already benched via triangle/kcore plus
     # a traversal over frames magnitudes smaller. It stays oracle-gated.
