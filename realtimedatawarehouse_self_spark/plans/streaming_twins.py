@@ -827,8 +827,151 @@ FROM v FULL JOIN p
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming per-type heavy hitters — the keyed-SKETCH-state driver row: a
+# Misra-Gries counter table (O(cap) per key, never O(users)) carried across
+# micro-batches in the state store, flushed by a typed sentinel, then
+# EXACT-verified batch-side (the two-pass production pattern: the sketch
+# bounds state; the recount makes the answer independent of batch
+# boundaries and sketch decrements). The oracle is the exact per-type
+# heavy-hitter SQL — so the driver row proves the sketch's candidate
+# guarantee (no heavy user lost across state carry) end to end.
+# ---------------------------------------------------------------------------
+HH_TYPE_DEN = 125  # heavy = >= 1/125 of the TYPE's events (mining.HH_DEN twin)
+
+
+def streaming_topk_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        topk_hitters,
+    )
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    events = None
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-topk-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+        os.makedirs(src)
+        events = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+            .select(
+                "event_type",
+                "user_id",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+            )
+            .persist()
+        )
+        days = sorted(
+            r[0] for r in events.select("day").distinct().collect() if r[0]
+        )
+        if not days:
+            return spark.createDataFrame(
+                [],
+                "event_type string, user_id bigint, event_ct bigint, "
+                "share_micro bigint",
+            )
+        groups = [
+            days[i : i + EWMA_DAYS_PER_BATCH]
+            for i in range(0, len(days), EWMA_DAYS_PER_BATCH)
+        ]
+        t0 = _time.time()
+        for i, grp in enumerate(groups):
+            part = os.path.join(src, f"g{i:04d}")
+            events.filter(F.col("day").isin(grp)).select(
+                "event_type", "user_id", F.lit(0).cast("int").alias("flush")
+            ).coalesce(1).write.parquet(part)
+            for fname in os.listdir(part):
+                os.utime(
+                    os.path.join(part, fname), (t0 + i * 10, t0 + i * 10)
+                )
+        # typed sentinel: one flush row per key, stamped strictly last so
+        # every key's counters flush only after all data batches folded in
+        sent = os.path.join(src, "zz_flush")
+        events.select("event_type").distinct().select(
+            "event_type",
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit(1).cast("int").alias("flush"),
+        ).coalesce(1).write.parquet(sent)
+        for fname in os.listdir(sent):
+            os.utime(
+                os.path.join(sent, fname),
+                (t0 + len(groups) * 10, t0 + len(groups) * 10),
+            )
+        schema = "event_type string, user_id bigint, flush int"
+        q = (
+            topk_hitters(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*")),
+                cap=HH_TYPE_DEN,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        candidates = (
+            spark.read.parquet(out)
+            .select("event_type", "user_id")
+            .distinct()
+        )
+        # exact recount over candidates only (two-pass confirm): per-type
+        # totals broadcast, threshold filter — output independent of the
+        # sketch's decrements and of how days were grouped into batches
+        per_type = events.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_type")
+        )
+        exact = (
+            events.join(candidates, ["event_type", "user_id"], "left_semi")
+            .groupBy("event_type", "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("event_ct"))
+            .join(F.broadcast(per_type), "event_type")
+            .filter(F.col("event_ct") * HH_TYPE_DEN >= F.col("n_type"))
+        )
+        return exact.select(
+            "event_type",
+            "user_id",
+            "event_ct",
+            F.expr("event_ct * 1000000 div n_type").alias("share_micro"),
+        )
+    finally:
+        if events is not None:
+            events.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+_TOPK_STREAM_SQL = f"""
+WITH ev AS (
+    SELECT event_type, user_id FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+tot AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+    FROM ev GROUP BY 1
+),
+cnt AS (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS event_ct
+    FROM ev GROUP BY 1, 2
+)
+SELECT c.event_type, c.user_id, c.event_ct,
+       c.event_ct * 1000000 // t.n_type AS share_micro
+FROM cnt c JOIN tot t USING (event_type)
+WHERE c.event_ct * {HH_TYPE_DEN} >= t.n_type
+"""
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
+    "streaming_topk_hitters": streaming_topk_hitters,
     "streaming_uv_daily": streaming_uv_daily,
     "streaming_session_windows": streaming_session_windows,
     "streaming_join_view_purchase": streaming_join_view_purchase,
@@ -841,6 +984,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_pv_hourly": _PV_SQL,
+    "streaming_topk_hitters": _TOPK_STREAM_SQL,
     "streaming_uv_daily": _UV_SQL,
     "streaming_session_windows": _session_stream_sql(),
     "streaming_join_view_purchase": _JOIN_STREAM_SQL,

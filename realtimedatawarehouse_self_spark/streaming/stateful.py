@@ -32,6 +32,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     StringType,
     StructField,
@@ -368,6 +369,88 @@ def cusum_daily(events: DataFrame, key: str = "event_type") -> DataFrame:
                 key, "day", "ct", "cusum_up_micro", "cusum_dn_micro", "alarm",
             ],
         )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def topk_hitters(
+    events: DataFrame, key: str = "event_type", cap: int = 125
+) -> DataFrame:
+    """Per-key Misra-Gries heavy-hitter sketch with state carried across
+    micro-batches — the keyed-SKETCH-state streaming twin of
+    ``plans/mining.heavy_hitter_users`` (same vectorized fold as its
+    ``_mg_candidates``, same MG 1982 guarantee).
+
+    Because the state carries across micro-batches, this is a single
+    sequential MG per key: any user with per-key frequency >= n_key/cap
+    survives into the flush (undercount bound n_key/(cap+1) — no
+    pigeonhole-over-partitions argument needed). The caller exact-verifies
+    candidates batch-side, so the emitted heavy-hitter set is EXACT and
+    independent of batch boundaries; the sketch only bounds state:
+    O(cap) counters per key, never |users|.
+
+    Input rows: (key, user_id, flush). Data rows have flush=0; the
+    harness's final sentinel file carries one flush=1 row per key (no
+    watermark/filter in the stream graph, so the W5 sentinel-pushdown trap
+    does not apply). On flush the key emits its counter table and drops
+    its state.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("user_id", LongType()),
+            StructField("approx_ct", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("users", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        users, counts = state.get if state.exists else ([], [])
+        counters = pd.Series(
+            list(counts or []), index=list(users or []), dtype="int64"
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        flush = bool((pdf["flush"] == 1).any())
+        data = pdf[pdf["flush"] == 0]
+        if len(data):
+            counters = counters.add(
+                data["user_id"].value_counts(), fill_value=0
+            ).astype("int64")
+            if len(counters) > cap:
+                cut = counters.nsmallest(len(counters) - cap).iloc[-1]
+                counters = counters[counters > cut] - cut
+        if flush:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(counters),
+                    "user_id": counters.index.astype("int64"),
+                    "approx_ct": counters.to_numpy(dtype="int64"),
+                }
+            )
+        else:
+            state.update(
+                (
+                    [int(u) for u in counters.index],
+                    [int(c) for c in counters.to_numpy()],
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    key: pd.Series([], dtype="str"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "approx_ct": pd.Series([], dtype="int64"),
+                }
+            )
 
     return events.groupBy(key).applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"

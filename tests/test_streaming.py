@@ -777,3 +777,94 @@ def test_running_balance_stream_matches_batch_identity(spark, tmp_path):
     assert got == want
     assert got[("u1", 2)] == 0  # clamp fired inside batch 1
     assert got[("u1", 3)] == 30  # carried state is the clamped value
+
+
+def test_topk_hitters_sketch_state_bounded_and_candidate_complete(
+    spark, tmp_path
+):
+    """The MG processor's two contracts, checked on a stream whose user
+    domain EXCEEDS the counter capacity:
+    - candidate completeness: every user with frequency >= n/cap survives
+      the cross-batch fold into the flush (the guarantee the batch-side
+      exact recount builds on);
+    - bounded state: the flushed counter table is <= cap rows (state is
+      O(cap) per key, never O(users))."""
+    import pandas as pd
+
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        topk_hitters,
+    )
+
+    cap = 10
+    # 60 distinct light users (1 event each) + 2 heavy users (30 each):
+    # heavies are >= 120/10 = 12 events, lights can never collide up to cap
+    rows = []
+    for u in range(60):
+        rows.append(("click", u, 0))
+    for u in (1000, 1001):
+        rows.extend([("click", u, 0)] * 30)
+    src = tmp_path / "src"
+    src.mkdir()
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = _time.time()
+    # three data files (forced micro-batch boundaries) + sentinel last
+    chunks = [rows[0:40], rows[40:80], rows[80:]]
+    for i, chunk in enumerate(chunks):
+        p = src / f"g{i}"
+        p.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array([r[0] for r in chunk]),
+                    "user_id": pa.array(
+                        [r[1] for r in chunk], pa.int64()
+                    ),
+                    "flush": pa.array([r[2] for r in chunk], pa.int32()),
+                }
+            ),
+            str(p / "part.parquet"),
+        )
+        (p / "part.parquet").touch()
+        import os as _os
+
+        _os.utime(p / "part.parquet", (t0 + i * 10, t0 + i * 10))
+    sent = src / "zz"
+    sent.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["click"]),
+                "user_id": pa.array([-1], pa.int64()),
+                "flush": pa.array([1], pa.int32()),
+            }
+        ),
+        str(sent / "part.parquet"),
+    )
+    import os as _os
+
+    _os.utime(sent / "part.parquet", (t0 + 100, t0 + 100))
+
+    out, cp = tmp_path / "out", tmp_path / "cp"
+    q = (
+        topk_hitters(
+            spark.readStream.schema("event_type string, user_id bigint, flush int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            cap=cap,
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    flushed = spark.read.parquet(str(out)).toPandas()
+    assert len(flushed) <= cap  # bounded state
+    survivors = set(flushed["user_id"])
+    assert {1000, 1001} <= survivors  # completeness for freq >= n/cap
