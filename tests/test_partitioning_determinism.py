@@ -88,6 +88,17 @@ QUERIES = [
     #                                  total, negative div truncation exact
     "revenue_concentration_hhi",     # floored shares under partial-agg
     #                                  reordering
+    # round-6 wave-7 additions
+    "feature_hashing_counts",        # md5 bucket/sign a pure row map;
+    #                                  combine reordering must not drift
+    "target_encoding_oof",           # fold-excluded rationals under
+    #                                  partial-agg reordering
+    "autocorrelation_daily_lags",    # DECIMAL(38,0) product sums must be
+    #                                  associative under any partitioning
+    "bucketed_join_colocation",      # bucketed write + co-located join
+    #                                  must not leak bucket boundaries
+    "degree_distribution_histogram", # capped-bucket edge set identical
+    #                                  under perturbed physical plans
 ]
 
 PERTURBED = {
