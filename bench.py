@@ -214,6 +214,7 @@ HEADLINE = [
     "target_encoding_oof",
     "autocorrelation_daily_lags",
     "bucketed_join_colocation",
+    "interval_coverage_sweep",
     # degree_distribution_histogram is NOT benched (double-count rule):
     # its cost is the capped minute-grain edge frame already benched via
     # triangle/kcore plus one tiny histogram. It stays oracle-gated.

@@ -192,6 +192,7 @@ _VERIFY_FIRST = [
     "autocorrelation_daily_lags",
     "bucketed_join_colocation",
     "degree_distribution_histogram",
+    "interval_coverage_sweep",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1062,9 +1062,108 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Sweep-line interval algebra: union coverage + peak concurrency of
+# half-open activity intervals [ts, ts + HORIZON) per event type — the
+# capacity-planning primitive (how much wall-clock is covered, how many
+# intervals overlap at peak). Classic marker sweep, fully declarative:
+# explode each interval into (+1, -1) markers, one cumulative sum over
+# (type)-ordered markers, segment lengths via lead().
+#
+# Determinism at tied timestamps (the sweep's classic trap): markers sort
+# by (t, delta) so ends (-1) precede starts (+1) at equal t — adjacent
+# half-open intervals neither overlap nor gap. Among ties with EQUAL delta
+# the row order is arbitrary, but every partial sum over identical deltas
+# is the same multiset, tie rows have zero-length segments, and the last
+# tie row's running sum is order-independent — so union seconds and max
+# concurrency are deterministic under any partitioning (pinned in the
+# determinism suite).
+# Scale: one shuffle to (type)-ordered markers (2 rows per event); all
+# aggregation after is combine-backed on (type, day) keys. A per-type
+# global sort is the honest cost of exact sweep concurrency; at 100 TB,
+# shard the sweep by (type, day) after splitting intervals at midnight if
+# a single type's marker stream outgrows one partition's sort.
+# ---------------------------------------------------------------------------
+SWEEP_HORIZON_MIN = 30
+
+
+def interval_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        F.expr(f"ts + INTERVAL {SWEEP_HORIZON_MIN} MINUTES").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    marks = starts.unionAll(ends)
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    segs = marks.select(
+        "event_type",
+        "t",
+        "delta",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("active"),
+        F.lead("t").over(w).alias("nt"),
+    )
+    return (
+        segs.withColumn(
+            "seg_micros",
+            F.expr(
+                "CASE WHEN nt IS NULL THEN CAST(0 AS BIGINT) "
+                "ELSE unix_micros(nt) - unix_micros(t) END"
+            ),
+        )
+        .groupBy("event_type", F.col("t").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CASE WHEN delta = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_starts"),
+            F.sum(
+                F.expr("CASE WHEN active > 0 THEN seg_micros ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("union_micros"),
+            F.max("active").cast("bigint").alias("max_concurrent"),
+        )
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )
+
+
+_SWEEP_SQL = f"""
+WITH marks AS (
+    SELECT event_type, ts AS t, 1 AS delta
+    FROM events WHERE ts IS NOT NULL
+    UNION ALL
+    SELECT event_type, ts + INTERVAL {SWEEP_HORIZON_MIN} MINUTE, -1
+    FROM events WHERE ts IS NOT NULL
+),
+segs AS (
+    SELECT event_type, t, delta,
+           sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                            ROWS UNBOUNDED PRECEDING) AS active,
+           lead(t) OVER (PARTITION BY event_type ORDER BY t, delta) AS nt
+    FROM marks
+)
+SELECT event_type,
+       strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_starts,
+       CAST(sum(CASE WHEN active > 0 AND nt IS NOT NULL
+                THEN date_diff('microsecond', t, nt) ELSE 0 END) AS BIGINT)
+           AS union_micros,
+       CAST(max(active) AS BIGINT) AS max_concurrent
+FROM segs
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "bucketed_join_colocation": bucketed_join_colocation,
+    "interval_coverage_sweep": interval_coverage_sweep,
     "pareto_frontier_parts": pareto_frontier_parts,
     "props_json_profile": props_json_profile,
     "plan_range_partitions": plan_range_partitions,
@@ -1085,6 +1184,7 @@ QUERIES = {
 ORACLE = {
     "skewed_salted_revenue": _SKEWED_SALTED_SQL,
     "bucketed_join_colocation": _COLO_SQL,
+    "interval_coverage_sweep": _SWEEP_SQL,
     "props_json_profile": _PROPS_PROFILE_SQL,
     "tpch_q5_local_supplier": _Q5_SQL,
     "pareto_frontier_parts": _PARETO_SQL,

@@ -141,6 +141,10 @@ def null_duck(null_sf_dir):
         # series (count(*), not count(user))
         "target_encoding_oof",
         "autocorrelation_daily_lags",
+        # sweep: NULL user/value rows still open intervals (only ts drives
+        # the sweep), and the all-NULL-value 'error' group must sweep
+        # identically on both engines
+        "interval_coverage_sweep",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

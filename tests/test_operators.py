@@ -224,3 +224,58 @@ def test_clamped_running_sum_matches_imperative_fold(spark):
         for i, d in enumerate(deltas):
             c = max(0, c + d)
             assert got[(k, i)] == c, (k, i, got[(k, i)], c)
+
+
+def test_interval_sweep_hand_checked(spark, tmp_path):
+    """Analytic fixed points for the sweep: two overlapping intervals merge
+    into one covered span with peak concurrency 2; an exactly-adjacent
+    half-open pair ([a,a+H) then [a+H, ...)) neither overlaps nor gaps; a
+    disjoint interval stands alone."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtimedatawarehouse_self_spark.plans.extras import (
+        SWEEP_HORIZON_MIN,
+        interval_coverage_sweep,
+    )
+
+    H = SWEEP_HORIZON_MIN * 60 * 1_000_000  # micros
+    base = dt.datetime(2024, 5, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # 'a': starts at 0 and +10min (overlap), then exactly at +H
+        #      (adjacent, half-open) -> union = H + 10min + H, peak 2
+        (0, base, 1, "a", 1.0),
+        (1, base + 10 * m, 2, "a", 1.0),
+        (2, base + SWEEP_HORIZON_MIN * m + 10 * m, 3, "a", 1.0),
+        # 'b': two disjoint intervals -> union = 2H, peak 1
+        (3, base, 1, "b", 1.0),
+        (4, base + 2 * SWEEP_HORIZON_MIN * m, 2, "b", 1.0),
+    ]
+    d = tmp_path / "sweep"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    out = {
+        (r["event_type"], r["day"]): (
+            r["n_starts"], r["union_micros"], r["max_concurrent"]
+        )
+        for r in interval_coverage_sweep(spark, str(d)).collect()
+    }
+    ten_min = 10 * 60 * 1_000_000
+    assert out[("a", "2024-05-01")] == (3, 2 * H + ten_min, 2)
+    assert out[("b", "2024-05-01")] == (2, 2 * H, 1)

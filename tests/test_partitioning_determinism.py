@@ -99,6 +99,9 @@ QUERIES = [
     #                                  must not leak bucket boundaries
     "degree_distribution_histogram", # capped-bucket edge set identical
     #                                  under perturbed physical plans
+    "interval_coverage_sweep",       # tied-marker sweep: partial sums over
+    #                                  identical deltas must be a stable
+    #                                  multiset under any row order
 ]
 
 PERTURBED = {
