@@ -520,3 +520,39 @@ def test_bucketed_join_colocation_no_prejoin_exchange(spark, sf):
     assert len(ex_ids) == 1, plan
     detail = plan.split(f"({ex_ids[0]}) Exchange", 1)[1]
     assert "c_mktsegment" in detail.splitlines()[2]
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a filter on the DIM side must prune the date-partitioned fact
+    scan at RUNTIME (`dynamicpruningexpression` inside PartitionFilters) —
+    the mechanism that lets a 100 TB date-partitioned fact skip partitions
+    based on a dim predicate Catalyst cannot resolve statically."""
+    import datetime as dt
+
+    from realtimedatawarehouse_self_spark.sources.layout import (
+        read_partitioned,
+        write_date_partitioned,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 5)), float(i)) for i in range(50)
+    ]
+    fact = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    path = str(tmp_path / "fact_dpp")
+    write_date_partitioned(fact, path)
+
+    dim = spark.createDataFrame(
+        [("2024-01-0" + str(d), "keep" if d <= 2 else "drop")
+         for d in range(1, 6)],
+        "dt string, tag string",
+    )
+    joined = (
+        read_partitioned(spark, path)
+        .join(dim.filter(F.col("tag") == "keep"), "dt")
+        .groupBy("dt")
+        .count()
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {str(r["dt"]): r["count"] for r in joined.collect()}
+    assert set(got) == {"2024-01-01", "2024-01-02"}
