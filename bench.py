@@ -215,6 +215,7 @@ HEADLINE = [
     "autocorrelation_daily_lags",
     "bucketed_join_colocation",
     "interval_coverage_sweep",
+    "trimmed_mean_value_udaf",
     # degree_distribution_histogram is NOT benched (double-count rule):
     # its cost is the capped minute-grain edge frame already benched via
     # triangle/kcore plus one tiny histogram. It stays oracle-gated.

@@ -193,6 +193,7 @@ _VERIFY_FIRST = [
     "bucketed_join_colocation",
     "degree_distribution_histogram",
     "interval_coverage_sweep",
+    "trimmed_mean_value_udaf",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

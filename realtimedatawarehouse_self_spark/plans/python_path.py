@@ -157,8 +157,94 @@ FROM wins
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped-agg pandas UDAF — the one Arrow execution shape the Python
+# surface did not yet exercise (scalar pandas UDF: tokenizer; grouped-map:
+# stateful processors; mapInPandas: multimodal). Exact interquartile
+# (trimmed) mean of purchase cents per type: a whole-group statistic that
+# built-ins cannot express in one aggregate (percentile_approx is a
+# sketch; the exact form needs the group's sorted values at once).
+# Determinism under value ties: the trim keeps ranks t+1..n-t of the
+# SORTED cents; tied boundary values are interchangeable, so the kept
+# MULTISET — hence the sum — is order-independent.
+# Scale: one shuffle to (event_type); each group's values stream into one
+# Arrow batch — per-group memory is the honest cost of an exact holistic
+# aggregate (same class as exact median); int64 bound documented inline.
+# ---------------------------------------------------------------------------
+def trimmed_mean_value_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (resolves the stringified hints)
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    apply_runtime_confs(spark)
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies the hints, so signature inference cannot see pd.Series
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_micro(v):
+        s = v.dropna().sort_values().to_numpy()
+        n = len(s)
+        if n == 0:
+            return None
+        t = n // 4
+        kept = s[t : n - t]
+        # Python-int arithmetic: kept.sum() (cents) fits int64 to ~9e16
+        # cents; the *1e6 rescale would not — promote before multiplying.
+        return int(kept.sum()) * 1_000_000 // len(kept)
+
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def n_nonnull(v):
+        return int(v.notna().sum())
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        ).alias("v_c"),
+    )
+    return ev.groupBy("event_type").agg(
+        n_nonnull("v_c").alias("n_values"),
+        trimmed_mean_micro("v_c").alias("trimmed_mean_micro"),
+    )
+
+
+_TRIMMED_MEAN_SQL = """
+WITH v AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+    FROM events WHERE value IS NOT NULL
+),
+r AS (
+    SELECT event_type, v_c,
+           row_number() OVER (PARTITION BY event_type ORDER BY v_c) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+),
+agg AS (
+    SELECT event_type, n,
+           sum(CASE WHEN rn > n // 4 AND rn <= n - n // 4
+                    THEN v_c END) AS kept_sum
+    FROM r GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_values,
+       CAST(a.kept_sum * 1000000 // (a.n - 2 * (a.n // 4)) AS BIGINT)
+           AS trimmed_mean_micro
+FROM agg a
+UNION ALL
+-- groups whose values are ALL NULL still appear on the Spark side (one
+-- groupBy row with n=0); NOT EXISTS + IS NOT DISTINCT FROM keeps the
+-- check NULL-key-safe (NOT IN would collapse under a NULL key)
+SELECT DISTINCT e.event_type, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+FROM events e
+WHERE NOT EXISTS (
+    SELECT 1 FROM v
+    WHERE v.event_type IS NOT DISTINCT FROM e.event_type
+)
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "trimmed_mean_value_udaf": trimmed_mean_value_udaf,
     "keyword_page_view_udf": keyword_page_view_udf,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_windows": multimodal_audio_windows,
@@ -166,6 +252,7 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "trimmed_mean_value_udaf": _TRIMMED_MEAN_SQL,
     "keyword_page_view_udf": _KEYWORD_UDF_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "multimodal_audio_windows": _AUDIO_WINDOWS_SQL,

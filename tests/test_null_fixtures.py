@@ -145,6 +145,10 @@ def null_duck(null_sf_dir):
         # the sweep), and the all-NULL-value 'error' group must sweep
         # identically on both engines
         "interval_coverage_sweep",
+        # grouped-agg UDAF: the all-NULL 'error' group must surface as
+        # (n=0, NULL) through the Arrow aggregate AND the oracle's
+        # NOT EXISTS branch; mostly-NULL groups trim on non-NULLs only
+        "trimmed_mean_value_udaf",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -102,6 +102,9 @@ QUERIES = [
     "interval_coverage_sweep",       # tied-marker sweep: partial sums over
     #                                  identical deltas must be a stable
     #                                  multiset under any row order
+    "trimmed_mean_value_udaf",       # holistic Arrow aggregate: trim-kept
+    #                                  multiset invariant under tie order
+    #                                  and Arrow batch boundaries
 ]
 
 PERTURBED = {
