@@ -194,6 +194,7 @@ _VERIFY_FIRST = [
     "degree_distribution_histogram",
     "interval_coverage_sweep",
     "trimmed_mean_value_udaf",
+    "attribution_linear_apportion",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

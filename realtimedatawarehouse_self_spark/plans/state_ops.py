@@ -554,10 +554,138 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear (equal-split) attribution with LARGEST-REMAINDER apportionment —
+# the exact-integer budget split: each purchase's cents divide equally
+# across the user's touches (view/click) in the 7-day lookback, with the
+# remainder cents going one each to the EARLIEST touches. Conservation law
+# (sum of credited cents == sum of purchase cents) holds exactly and is
+# pinned in pytest; no floating-point shares anywhere.
+# Floor-division parity: Spark `div` truncates toward zero while DuckDB
+# `//` floors, so both sides derive base/rem from an explicitly
+# non-negative remainder (rem = ((v % n) + n) % n; base = (v - rem)/n) —
+# identical for negative amounts too (refunds).
+# Scale: the purchases×touches join is equi-keyed on user with a bounded
+# time-range predicate (per-purchase fan-out capped by 7 days of touches);
+# the per-purchase window runs over that bounded join, and the final
+# combine is on tiny (day, channel) keys.
+# ---------------------------------------------------------------------------
+APPORTION_LOOKBACK_DAYS = 7
+
+
+def attribution_linear_apportion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        money_cents("value").alias("v_c"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts")
+            - F.expr(f"interval {APPORTION_LOOKBACK_DAYS} days")
+        ),
+        "left",
+    )
+    wp = Window.partitionBy("p_id")
+    wr = wp.orderBy("t_ts", "t_id")
+    shared = (
+        j.withColumn("n", F.count("t_id").over(wp))
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "rem", F.expr("CASE WHEN n > 0 THEN ((v_c % n) + n) % n END")
+        )
+        .withColumn(
+            "share_c",
+            F.expr(
+                "CASE WHEN n = 0 THEN v_c "
+                "ELSE (v_c - rem) div n"
+                " + CASE WHEN rn <= rem THEN 1 ELSE 0 END END"
+            ),
+        )
+    )
+    return (
+        shared.select(
+            F.date_format(
+                F.coalesce(F.col("t_ts"), F.col("p_ts")).cast("date"),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.coalesce(F.col("t_channel"), F.lit("direct")).alias("channel"),
+            "share_c",
+        )
+        .groupBy("day", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.sum("share_c").cast("bigint").alias("credited_cents"),
+        )
+    )
+
+
+_APPORTION_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE user_id IS NOT NULL
+),
+p AS (
+    SELECT user_id AS pu, event_id AS p_id, ts AS p_ts, cents AS v_c
+    FROM ev WHERE event_type = 'purchase' AND cents IS NOT NULL
+),
+t AS (
+    SELECT user_id AS tu, event_id AS t_id, ts AS t_ts,
+           event_type AS t_channel
+    FROM ev WHERE event_type IN ('view', 'click')
+),
+j AS (
+    SELECT p.*, t.t_id, t.t_ts, t.t_channel
+    FROM p LEFT JOIN t
+      ON p.pu = t.tu
+     AND t.t_ts < p.p_ts
+     AND t.t_ts >= p.p_ts - INTERVAL {APPORTION_LOOKBACK_DAYS} DAY
+),
+shared AS (
+    SELECT *,
+           count(t_id) OVER (PARTITION BY p_id) AS n,
+           row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn
+    FROM j
+),
+alloc AS (
+    SELECT *,
+           CASE WHEN n > 0 THEN ((v_c % n) + n) % n END AS rem
+    FROM shared
+)
+SELECT strftime(CAST(coalesce(t_ts, p_ts) AS DATE), '%Y-%m-%d') AS day,
+       coalesce(t_channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(CASE WHEN n = 0 THEN v_c
+                ELSE (v_c - rem) // n
+                     + CASE WHEN rn <= rem THEN 1 ELSE 0 END END)
+            AS BIGINT) AS credited_cents
+FROM alloc
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "snapshot_diff_user_state": snapshot_diff_user_state,
     "running_balance_floor": running_balance_floor,
     "attribution_last_touch": attribution_last_touch,
+    "attribution_linear_apportion": attribution_linear_apportion,
     "dedup_incoming_batch": dedup_incoming_batch,
     "value_quantile_sketch": value_quantile_sketch,
 }
@@ -566,6 +694,7 @@ ORACLE = {
     "snapshot_diff_user_state": _SNAP_SQL,
     "running_balance_floor": _BALANCE_SQL,
     "attribution_last_touch": _ATTR_SQL,
+    "attribution_linear_apportion": _APPORTION_SQL,
     "dedup_incoming_batch": _incoming_sql(),
     "value_quantile_sketch": _QUANTILE_SQL,
 }

@@ -149,6 +149,9 @@ def null_duck(null_sf_dir):
         # (n=0, NULL) through the Arrow aggregate AND the oracle's
         # NOT EXISTS branch; mostly-NULL groups trim on non-NULLs only
         "trimmed_mean_value_udaf",
+        # apportionment: NULL-value purchases drop out entirely, NULL-user
+        # rows join to nothing, and remainder cents split identically
+        "attribution_linear_apportion",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -105,6 +105,9 @@ QUERIES = [
     "trimmed_mean_value_udaf",       # holistic Arrow aggregate: trim-kept
     #                                  multiset invariant under tie order
     #                                  and Arrow batch boundaries
+    "attribution_linear_apportion",  # remainder assignment needs the
+    #                                  (t_ts, t_id) total order; day-level
+    #                                  sums must survive repartitioning
 ]
 
 PERTURBED = {

