@@ -279,3 +279,45 @@ def test_interval_sweep_hand_checked(spark, tmp_path):
     ten_min = 10 * 60 * 1_000_000
     assert out[("a", "2024-05-01")] == (3, 2 * H + ten_min, 2)
     assert out[("b", "2024-05-01")] == (2, 2 * H, 1)
+
+
+def test_interval_sweep_midnight_split(spark, tmp_path):
+    """An interval opened at 23:50 must credit 10 min of coverage to its
+    own day and 20 min to the NEXT day (midnight split), with the start
+    counted once (n_starts belongs to the opening day) and the next day
+    carrying the overnight active count into its sweep."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtimedatawarehouse_self_spark.plans.extras import (
+        interval_coverage_sweep,
+    )
+
+    rows = [(0, dt.datetime(2024, 5, 1, 23, 50, 0), 1, "x", 1.0)]
+    d = tmp_path / "mid"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    out = {
+        (r["event_type"], r["day"]): (
+            r["n_starts"], r["union_micros"], r["max_concurrent"]
+        )
+        for r in interval_coverage_sweep(spark, str(d)).collect()
+    }
+    mi = 60 * 1_000_000
+    assert out[("x", "2024-05-01")] == (1, 10 * mi, 1)
+    assert out[("x", "2024-05-02")] == (0, 20 * mi, 1)
