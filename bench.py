@@ -217,6 +217,7 @@ HEADLINE = [
     "interval_coverage_sweep",
     "trimmed_mean_value_udaf",
     "attribution_linear_apportion",
+    "topk_churn_daily",
     # degree_distribution_histogram is NOT benched (double-count rule):
     # its cost is the capped minute-grain edge frame already benched via
     # triangle/kcore plus one tiny histogram. It stays oracle-gated.

@@ -195,6 +195,7 @@ _VERIFY_FIRST = [
     "interval_coverage_sweep",
     "trimmed_mean_value_udaf",
     "attribution_linear_apportion",
+    "topk_churn_daily",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

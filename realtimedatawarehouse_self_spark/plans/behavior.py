@@ -1513,7 +1513,127 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Daily top-K membership churn — the leaderboard-stability monitor: how
+# much of each day's top-K user set carried over from the previous day
+# (Jaccard in micro), how many entered, how many left. The rank-flux
+# signal behind "did the heavy-user population shift overnight".
+# Determinism: top-K picked by (ct DESC, user_id ASC) — a total order, so
+# the K-set is unique under ties. Scale: one fact shuffle to (day, user);
+# WindowGroupLimit prunes each day's ranking to K rows BEFORE the
+# consecutive-day self-join, which then runs on ~K rows per day.
+# ---------------------------------------------------------------------------
+TOPK_CHURN_K = 10
+
+
+def topk_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    wr = Window.partitionBy("day").orderBy(
+        F.desc("ct"), F.asc("user_id")
+    )
+    topk = daily.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= TOPK_CHURN_K
+    )
+    cur = topk.select("day", "user_id")
+    prev = topk.select(
+        F.expr("date_format(date_add(CAST(day AS DATE), 1), 'yyyy-MM-dd')")
+        .alias("day"),
+        F.col("user_id").alias("prev_user"),
+    )
+    # full outer on (day, user): rows present both sides = carried over
+    j = cur.join(
+        prev,
+        (cur.day == prev.day) & (cur.user_id == prev.prev_user),
+        "full_outer",
+    ).select(
+        F.coalesce(cur.day, prev.day).alias("day"),
+        cur.user_id.alias("cu"),
+        prev.prev_user.alias("pu"),
+    )
+    agg = j.groupBy("day").agg(
+        F.sum(
+            F.expr("CASE WHEN cu IS NOT NULL AND pu IS NOT NULL"
+                   " THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_carried"),
+        F.sum(
+            F.expr("CASE WHEN cu IS NOT NULL AND pu IS NULL"
+                   " THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_entered"),
+        F.sum(
+            F.expr("CASE WHEN cu IS NULL AND pu IS NOT NULL"
+                   " THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_exited"),
+    )
+    # only days that HAVE a current top-k (drop the phantom day after the
+    # last data day, which the prev-shift manufactures)
+    have_cur = cur.select("day").distinct()
+    return agg.join(have_cur, "day").select(
+        "day",
+        "n_carried",
+        "n_entered",
+        "n_exited",
+        F.expr(
+            "n_carried * 1000000 div (n_carried + n_entered + n_exited)"
+        ).alias("jaccard_micro"),
+    )
+
+
+_TOPK_CHURN_SQL = f"""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
+),
+topk AS (
+    SELECT day, user_id FROM (
+        SELECT day, user_id,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ct DESC, user_id ASC) AS rn
+        FROM daily
+    ) WHERE rn <= {TOPK_CHURN_K}
+),
+prev AS (
+    SELECT strftime(CAST(day AS DATE) + 1, '%Y-%m-%d') AS day,
+           user_id AS prev_user
+    FROM topk
+),
+j AS (
+    SELECT coalesce(c.day, p.day) AS day, c.user_id AS cu, p.prev_user AS pu
+    FROM topk c FULL JOIN prev p
+      ON c.day = p.day AND c.user_id = p.prev_user
+),
+agg AS (
+    SELECT day,
+           CAST(sum(CASE WHEN cu IS NOT NULL AND pu IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+           CAST(sum(CASE WHEN cu IS NOT NULL AND pu IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_entered,
+           CAST(sum(CASE WHEN cu IS NULL AND pu IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exited
+    FROM j GROUP BY 1
+)
+SELECT a.day, a.n_carried, a.n_entered, a.n_exited,
+       CAST(a.n_carried * 1000000
+            // (a.n_carried + a.n_entered + a.n_exited) AS BIGINT)
+           AS jaccard_micro
+FROM agg a
+WHERE a.day IN (SELECT DISTINCT day FROM topk)
+"""
+
+
 QUERIES = {
+    "topk_churn_daily": topk_churn_daily,
     "user_ltv_segments": user_ltv_segments,
     "user_value_trend_theilsen": user_value_trend_theilsen,
     "ols_daily_trend": ols_daily_trend,
@@ -1535,6 +1655,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "topk_churn_daily": _TOPK_CHURN_SQL,
     "window_funnel_depth": _FUNNEL_DEPTH_SQL,
     "user_value_trend_theilsen": _THEILSEN_SQL,
     "ols_daily_trend": _OLS_SQL,

@@ -152,6 +152,9 @@ def null_duck(null_sf_dir):
         # apportionment: NULL-value purchases drop out entirely, NULL-user
         # rows join to nothing, and remainder cents split identically
         "attribution_linear_apportion",
+        # churn: NULL users excluded from every day's leaderboard on both
+        # engines; tiny per-day sets exercise the full-outer day shift
+        "topk_churn_daily",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

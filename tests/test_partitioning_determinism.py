@@ -108,6 +108,8 @@ QUERIES = [
     "attribution_linear_apportion",  # remainder assignment needs the
     #                                  (t_ts, t_id) total order; day-level
     #                                  sums must survive repartitioning
+    "topk_churn_daily",              # top-K membership under count ties
+    #                                  needs the (ct, user) total order
 ]
 
 PERTURBED = {
