@@ -18,6 +18,7 @@ from realtimedatawarehouse_self_spark.plans import (
     core,
     corpus_ops,
     drift,
+    experiment,
     extras,
     featurize,
     llm_ops,
@@ -36,6 +37,7 @@ _MODULES = (
     tpch,
     llm_ops,
     corpus_ops,
+    experiment,
     extras,
     advanced,
     retrieval,
@@ -196,6 +198,11 @@ _VERIFY_FIRST = [
     "trimmed_mean_value_udaf",
     "attribution_linear_apportion",
     "topk_churn_daily",
+    # wave 8 (this session's newcomers — zero driver evidence by definition)
+    "ab_experiment_lift",
+    "cuped_variance_reduction",
+    "k_anonymity_audit",
+    "embedding_power_iteration",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1,0 +1,403 @@
+"""Experimentation / causal-readout operators: the analytics a warehouse
+runs AFTER the pipelines ship — online-experiment scorecards over the same
+event log the DWS layer aggregates (reference's event-log grain:
+`R/app/dws/Dws02_TrafficPageViewWindow.java:55-96`; the arm-hash idiom is
+the same deterministic md5 split `plans/featurize.py` uses for OOF folds).
+
+- `ab_experiment_lift` — per-metric A/B scorecard. Users are split into
+  two arms by a deterministic hash (no RNG — re-runs reproduce the split
+  bit-for-bit, the property an auditable experiment system needs); each
+  event_type's per-user daily-mean engagement is the metric; the readout
+  is per-arm sufficient stats + mean diff + a Welch z² statistic, all in
+  exact integer micro-units.
+- `cuped_variance_reduction` — CUPED (Deng et al., WSDM'13): use each
+  user's PRE-period metric as a control covariate for the post-period
+  readout. Emits theta (the regression coefficient cov/var), the realized
+  variance-reduction ratio (= corr² in micro), and the CUPED-adjusted
+  arm diff next to the raw diff.
+- `k_anonymity_audit` — privacy curation audit: equivalence-class sizes
+  over a quasi-identifier tuple, the k-anonymity histogram, and the
+  suppression cost (rows in classes below K) — what a release pipeline
+  checks before shipping an extract.
+
+Scale notes:
+- All three are ONE combine-backed aggregate over the fact scan to a
+  per-user (or per-class) frame, then windows/reduces over frames whose
+  size is bounded by |users| or |classes|, not |events|. The per-user
+  frame is the same shuffle grain every dws query already pays.
+- The z²/theta arithmetic products reach ~(S·n)² ≈ (1e13·1e9)² at a
+  1e9-user / 1e13-cent extreme — beyond DECIMAL(38,0). Headroom bound:
+  exact int arithmetic holds while sum_cents·n_users < 10^19 (int64) per
+  arm for the diff terms and (n·Q − S²)·n²·n < 10^38 for the variance
+  composition; beyond that a production run shards the readout per
+  experiment slice (the normal case — a scorecard is per-experiment, not
+  per-warehouse) or accepts float z². Same documented-deviation doctrine
+  as `featurize.py`'s cov² site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import money_cents
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _events(spark, sf_dir):
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic arm assignment: 60-bit md5 of the user id, mod 2.
+# The same hash family as featurize.target_encoding_oof's folds — one
+# engine-identical split primitive reused everywhere a row needs a
+# reproducible pseudo-random bucket.
+# ---------------------------------------------------------------------------
+_ARM_SPARK = (
+    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 2"
+)
+_ARM_DUCK = (
+    "TRY_CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 2"
+)
+
+MICRO = 1_000_000
+
+
+def ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B scorecard: treatment (arm 1) vs control (arm 0).
+
+    Metric = events per user (count over the full window). Exact pipeline:
+    fact scan -> per-(type, user) counts (ONE shuffle, map-side combine)
+    -> per-(type, arm) sufficient stats (tiny) -> conditional-aggregation
+    pivot to one row per event_type carrying both arms -> closed-form
+    Welch z² in integer micro-units:
+
+        z² = (m1-m0)² / (v1/n1 + v0/n0)
+           = (S1·n0 - S0·n1)²·(n1-1)·(n0-1)
+             / ((n1·Q1 - S1²)·n0²·(n0-1) + (n0·Q0 - S0²)·n1²·(n1-1))
+
+    (common denominators cleared; every term a product of int sums, so the
+    whole statistic is one exact rational — z2_micro is its floor·1e6.)
+    """
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy(
+        "event_type",
+        F.expr(_ARM_SPARK).alias("arm"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    arms = per_user.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    # Pivot the 2-row arm pair into one row per metric via conditional
+    # aggregation (no join: the frame is |types|·2 rows).
+    w = arms.groupBy("event_type").agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN n END")).alias("n0"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN s END")).alias("s0"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN q END")).alias("q0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN n END")).alias("n1"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN s END")).alias("s1"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN q END")).alias("q1"),
+    )
+    return w.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.col("n1").cast("bigint").alias("n_trt"),
+        F.expr(f"s0 * {MICRO} div nullif(n0, 0)").cast("bigint").alias("mean_ctrl_micro"),
+        F.expr(f"s1 * {MICRO} div nullif(n1, 0)").cast("bigint").alias("mean_trt_micro"),
+        # diff of exact per-arm means over the common denominator n1·n0;
+        # truncation toward zero is identical in Spark `div` / DuckDB `//`.
+        F.expr(f"(s1 * n0 - s0 * n1) * {MICRO} div nullif(CAST(n1 AS DECIMAL(38,0)) * n0, 0)")
+        .cast("bigint")
+        .alias("diff_micro"),
+        F.expr(
+            f"CAST((CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n1)"
+            f" * (CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n1)"
+            f" * (n1 - 1) * (n0 - 1) * {MICRO}"
+            f" div nullif("
+            f"(CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            f" * n0 * n0 * (n0 - 1)"
+            f" + (CAST(n0 AS DECIMAL(38,0)) * q0 - CAST(s0 AS DECIMAL(38,0)) * s0)"
+            f" * n1 * n1 * (n1 - 1), 0) AS BIGINT)"
+        ).alias("welch_z2_micro"),
+    )
+
+
+_AB_LIFT_SQL = f"""
+WITH per_user AS (
+    SELECT event_type,
+           {_ARM_DUCK} AS arm,
+           user_id,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+arms AS (
+    SELECT event_type, arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS q
+    FROM per_user GROUP BY 1, 2
+),
+piv AS (
+    SELECT event_type,
+           sum(CASE WHEN arm = 0 THEN n END) AS n0,
+           sum(CASE WHEN arm = 0 THEN s END) AS s0,
+           sum(CASE WHEN arm = 0 THEN q END) AS q0,
+           sum(CASE WHEN arm = 1 THEN n END) AS n1,
+           sum(CASE WHEN arm = 1 THEN s END) AS s1,
+           sum(CASE WHEN arm = 1 THEN q END) AS q1
+    FROM arms GROUP BY 1
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       CAST(n1 AS BIGINT) AS n_trt,
+       CAST(s0 * {MICRO} // nullif(n0, 0) AS BIGINT) AS mean_ctrl_micro,
+       CAST(s1 * {MICRO} // nullif(n1, 0) AS BIGINT) AS mean_trt_micro,
+       CAST((s1 * n0 - s0 * n1) * {MICRO}
+            // nullif(CAST(n1 AS HUGEINT) * n0, 0) AS BIGINT) AS diff_micro,
+       CAST((CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+            * (CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+            * (n1 - 1) * (n0 - 1) * {MICRO}
+            // nullif(
+                (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+                * n0 * n0 * (n0 - 1)
+                + (CAST(n0 AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * s0)
+                * n1 * n1 * (n1 - 1), 0) AS BIGINT) AS welch_z2_micro
+FROM piv
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUPED: pre-period covariate adjustment.
+#
+# The window splits at its midpoint: X = user's purchase cents in the PRE
+# half, Y = cents in the POST half. theta = cov(X,Y)/var(X) fitted on ALL
+# users (arm-blind — fitting theta per-arm would bias the estimator;
+# Deng et al. §3.2), then the readout compares arm means of the adjusted
+# metric Yadj = Y − theta·X (the meanX shift cancels in the arm diff).
+# Realized variance reduction = corr²(X,Y), emitted as micro.
+# ---------------------------------------------------------------------------
+CUPED_SPLIT = "2024-01-16"  # midpoint of the 30-day generator window
+
+
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type") == "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("ts") < F.lit(CUPED_SPLIT).cast("timestamp"),
+                money_cents("value"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("ts") >= F.lit(CUPED_SPLIT).cast("timestamp"),
+                money_cents("value"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("y"),
+    ).select(
+        F.expr(_ARM_SPARK).alias("arm"), "x", "y"
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).cast("bigint").alias("n0"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN x ELSE 0 END")).cast("bigint").alias("sx0"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN y ELSE 0 END")).cast("bigint").alias("sy0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).cast("bigint").alias("n1"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN x ELSE 0 END")).cast("bigint").alias("sx1"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN y ELSE 0 END")).cast("bigint").alias("sy1"),
+    )
+    # cov_num = n·Σxy − Σx·Σy ; var_num = n·Σxx − (Σx)² (same n² scale, so
+    # theta = cov_num/var_num exactly). Signed division truncates toward
+    # zero identically in both engines (timeseries.py:320 doctrine).
+    return stats.select(
+        "n",
+        F.expr(
+            f"CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * {MICRO}"
+            " div nullif(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)"
+            " AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+            " * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+            f" * {MICRO}"
+            " div nullif((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy), 0)"
+            " AS BIGINT)"
+        ).alias("var_reduction_micro"),
+        F.expr(
+            f"CAST((CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1)"
+            f" * {MICRO} div nullif(CAST(n1 AS DECIMAL(38,0)) * n0, 0) AS BIGINT)"
+        ).alias("raw_diff_micro_cents"),
+        # adjusted diff: diff(Y) − theta·diff(X), composed from the two
+        # already-floored micro diffs so both engines floor identically.
+        F.expr(
+            f"CAST((CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1) * {MICRO}"
+            f" div nullif(CAST(n1 AS DECIMAL(38,0)) * n0, 0)"
+            f" - ((CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * {MICRO}"
+            f" div nullif(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0) AS DECIMAL(38,0)))"
+            f" * CAST((CAST(sx1 AS DECIMAL(38,0)) * n0 - CAST(sx0 AS DECIMAL(38,0)) * n1) * {MICRO}"
+            f" div nullif(CAST(n1 AS DECIMAL(38,0)) * n0, 0) AS DECIMAL(38,0))) div {MICRO}"
+            f" AS BIGINT)"
+        ).alias("cuped_diff_micro_cents"),
+    )
+
+
+_CUPED_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    GROUP BY 1
+),
+armed AS (
+    SELECT {_ARM_DUCK} AS arm, x, y FROM per_user
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+           CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+           CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+    FROM armed
+)
+SELECT n,
+       CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * {MICRO}
+            // nullif(n * sxx - CAST(sx AS HUGEINT) * sx, 0)
+            AS BIGINT) AS theta_micro,
+       CAST((n * sxy - CAST(sx AS HUGEINT) * sy)
+            * (n * sxy - CAST(sx AS HUGEINT) * sy) * {MICRO}
+            // nullif((n * sxx - CAST(sx AS HUGEINT) * sx)
+                      * (n * syy - CAST(sy AS HUGEINT) * sy), 0)
+            AS BIGINT) AS var_reduction_micro,
+       CAST((CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1) * {MICRO}
+            // nullif(CAST(n1 AS HUGEINT) * n0, 0) AS BIGINT) AS raw_diff_micro_cents,
+       CAST(((CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1) * {MICRO}
+             // nullif(CAST(n1 AS HUGEINT) * n0, 0)
+             - ((n * sxy - CAST(sx AS HUGEINT) * sy) * {MICRO}
+                // nullif(n * sxx - CAST(sx AS HUGEINT) * sx, 0))
+               * ((CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1) * {MICRO}
+                  // nullif(CAST(n1 AS HUGEINT) * n0, 0)) // {MICRO})
+            AS BIGINT) AS cuped_diff_micro_cents
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit. Quasi-identifier = (event_type, day, coarse value
+# bucket): the tuple a "de-identified" event extract would still carry.
+# Classes below K are re-identification risk; the audit reports the class-
+# size histogram and the suppression cost of enforcing K.
+# ---------------------------------------------------------------------------
+K_ANON = 5  # histogram edges: 1, 2-4, 5-9, 10+ (bucket keys 1/2/5/10)
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    classes = ev.groupBy(
+        "event_type",
+        F.expr("CAST(ts AS DATE)").alias("d"),
+        F.expr("CAST(floor(value / 25) AS BIGINT)").alias("vb"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct("user_id").cast("bigint").alias("users_in_class"),
+    )
+    hist = classes.groupBy(
+        F.expr(
+            "CASE WHEN class_size = 1 THEN 1 WHEN class_size < 5 THEN 2"
+            " WHEN class_size < 10 THEN 5 ELSE 10 END"
+        )
+        .cast("bigint")
+        .alias("size_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("class_size") < K_ANON, F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("suppressed_rows"),
+        F.sum("users_in_class").cast("bigint").alias("user_slots"),
+    )
+    return hist.select(
+        "size_bucket",
+        "n_classes",
+        "n_rows",
+        "suppressed_rows",
+        "user_slots",
+        F.expr(
+            f"CAST(suppressed_rows * {MICRO}"
+            f" div sum(n_rows) OVER () AS BIGINT)"
+        ).alias("suppression_share_micro"),
+    )
+
+
+_K_ANON_SQL = f"""
+WITH classes AS (
+    SELECT event_type,
+           CAST(ts AS DATE) AS d,
+           CAST(floor(value / 25) AS BIGINT) AS vb,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users_in_class
+    FROM events GROUP BY 1, 2, 3
+),
+hist AS (
+    SELECT CAST(CASE WHEN class_size = 1 THEN 1 WHEN class_size < 5 THEN 2
+                WHEN class_size < 10 THEN 5 ELSE 10 END AS BIGINT)
+               AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN class_size < {K_ANON} THEN class_size
+                    ELSE 0 END) AS BIGINT) AS suppressed_rows,
+           CAST(sum(users_in_class) AS BIGINT) AS user_slots
+    FROM classes GROUP BY 1
+)
+SELECT size_bucket, n_classes, n_rows, suppressed_rows, user_slots,
+       CAST(suppressed_rows * {MICRO} // sum(n_rows) OVER ()
+            AS BIGINT) AS suppression_share_micro
+FROM hist
+"""
+
+
+QUERIES = {
+    "ab_experiment_lift": ab_experiment_lift,
+    "cuped_variance_reduction": cuped_variance_reduction,
+    "k_anonymity_audit": k_anonymity_audit,
+}
+
+ORACLE = {
+    "ab_experiment_lift": _AB_LIFT_SQL,
+    "cuped_variance_reduction": _CUPED_SQL,
+    "k_anonymity_audit": _K_ANON_SQL,
+}

@@ -332,6 +332,204 @@ CROSS JOIN n
 
 
 # ---------------------------------------------------------------------------
+# Top principal direction of the embedding Gram matrix by power iteration —
+# the building block behind PCA whitening / spectral outlier scoring of an
+# embedding corpus, in EXACT integer arithmetic so the oracle can gate it.
+#
+# Algorithm: w_0 = 1e6·ones(d); repeat POWER_ROUNDS times
+#     u = G·w ;  w = u·1e6 div max|u|      (max-abs normalization — unlike
+# L2 it needs no sqrt, so every iterate stays an exact integer vector; the
+# fixed point is the same dominant eigenvector, scaled so max|w| = 1e6).
+# Convergence is |λ2/λ1|^t like any power method; 3 rounds from the ones
+# vector is the documented default for a top-1 direction sanity profile
+# (the iterate count is a constant in the SQL mirror, so both engines run
+# the identical unrolled computation).
+#
+# Scale shape: the ONLY data-sized work is the Gram build (one scan + one
+# d(d+1)/2-explode combine — the same shape embedding_gram_matrix pins);
+# every iteration is a join of the 4,096-row G against a d-row vector —
+# broadcast, constant cost, INDEPENDENT of corpus size. At 100 TB the
+# iterations are free; the scan dominates, exactly once.
+#
+# Integer headroom: |G| <= n·(1e6·|x|max)² ≈ n·1e11 (|x| < 0.5); u accum
+# in DECIMAL(38,0): d·|G|·1e6 <= 64·1e11·n·1e6 ≈ n·6.4e18 — inside 38
+# digits for any n < 1e19. `div` truncates toward zero identically in
+# both engines (timeseries.py:320), so negative components round the same.
+# ---------------------------------------------------------------------------
+POWER_ROUNDS = 3
+W_SCALE = 1_000_000
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram build, then single-row HOF iterations.
+
+    The ONLY data-sized stage is the Gram build (one scan + the triangle
+    explode-combine). The d×d matrix (64 KB at d=64) then collapses to ONE
+    row — ordered rows of ordered cells — and the three iterations run as
+    `zip_with`/`aggregate` matvec EXPRESSIONS over that row: constant
+    work, zero join/shuffle stages per iterate beyond the one-row plan
+    barriers noted below. (The first cut iterated with per-round
+    broadcast joins; the 2^rounds duplicated-subtree plan cost ~4.6 s of
+    pure task-scheduling at sf0.1 — the HOF form runs the identical
+    arithmetic in a handful of one-row projections.)
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {Q_SCALE}.0) AS BIGINT))"
+        ).alias("q")
+    )
+    cells = q.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {EMB_DIM}), "
+                f"i -> transform(sequence(i, {EMB_DIM}), "
+                f"j -> struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+                f"CAST(q[i-1] AS DECIMAL(38,0)) * q[j-1] AS prod))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.prod")
+    tri = cells.groupBy("i", "j").agg(
+        F.sum(F.col("prod").cast("decimal(38,0)")).cast("decimal(38,0)").alias("g")
+    )
+    full = tri.unionAll(
+        tri.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    # Row-major pack: per-i sorted cell array, then one sorted row-of-rows.
+    rows = full.groupBy("i").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, g))), c -> c.g)").alias(
+            "grow"
+        )
+    )
+    mat = rows.agg(
+        F.expr("transform(array_sort(collect_list(struct(i, grow))), r -> r.grow)").alias(
+            "m"
+        )
+    )
+    dec0 = "CAST(0 AS DECIMAL(38,0))"
+    matvec = (
+        "transform(m, row -> aggregate(zip_with(row, w, (a, b) -> a * b), "
+        f"{dec0}, (acc, x) -> CAST(acc + x AS DECIMAL(38,0))))"
+    )
+    df = mat.withColumn(
+        "w",
+        F.expr(f"array_repeat(CAST({W_SCALE} AS DECIMAL(38,0)), {EMB_DIM})"),
+    )
+    for _ in range(POWER_ROUNDS):
+        # The trailing select+coalesce(1) is a PLAN BARRIER, not a layout
+        # choice (the frame is already one row): each round's w references
+        # u twice (value + mx), so without a barrier CollapseProject
+        # inlines u per reference and the expression tree grows ~2× per
+        # round — at 3 rounds the interpreted HOF evaluator re-derives the
+        # whole chain exponentially (observed: minutes of BigDecimal eval
+        # for one row). The Repartition node pins each round's result to
+        # an attribute, keeping the tree linear in POWER_ROUNDS.
+        df = (
+            df.withColumn("u", F.expr(matvec))
+            .withColumn("mx", F.expr("array_max(transform(u, x -> abs(x)))"))
+            .withColumn(
+                "w",
+                F.expr(
+                    f"transform(u, x -> CAST(x * {W_SCALE}"
+                    f" div nullif(mx, 0) AS DECIMAL(38,0)))"
+                ),
+            )
+            .select("m", "w")
+            .coalesce(1)
+        )
+    # Rayleigh quotient at the final iterate: λ = wᵀGw / wᵀw.
+    df = (
+        df.withColumn("ufin", F.expr(matvec))
+        .withColumn(
+            "num",
+            F.expr(
+                f"aggregate(zip_with(w, ufin, (a, b) -> a * b), {dec0}, "
+                "(acc, x) -> CAST(acc + x AS DECIMAL(38,0)))"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                f"aggregate(zip_with(w, w, (a, b) -> a * b), {dec0}, "
+                "(acc, x) -> CAST(acc + x AS DECIMAL(38,0)))"
+            ),
+        )
+        .withColumn("lambda_q", F.expr("CAST(num div nullif(den, 0) AS BIGINT)"))
+        .select("w", "lambda_q")
+        .coalesce(1)
+    )
+    # posexplode_OUTER on purpose: plain posexplode makes the optimizer
+    # infer a `size(w) > 0` Filter and push it through every barrier with
+    # the full nested-HOF chain substituted into the predicate — the
+    # exponential tree comes back as one interpreted Filter (found via
+    # jstack: GeneratedClass$SpecificPredicate over the whole iterate
+    # chain). w is never null/empty, so OUTER is semantically identical.
+    return df.select(
+        F.posexplode_outer("w").alias("pos", "wv"), "lambda_q"
+    ).select(
+        F.expr("CAST(pos + 1 AS BIGINT)").alias("dim_id"),
+        F.col("wv").cast("bigint").alias("eigvec_scaled"),
+        "lambda_q",
+    )
+
+
+def _power_iter_sql() -> str:
+    rounds = []
+    prev = "w0"
+    for t in range(1, POWER_ROUNDS + 1):
+        rounds.append(
+            f"u{t} AS (SELECT g.i, CAST(sum(g.g * w.w) AS HUGEINT) AS u"
+            f" FROM g JOIN {prev} w ON w.i = g.j GROUP BY 1),\n"
+            f"m{t} AS (SELECT max(abs(u)) AS m FROM u{t}),\n"
+            f"w{t} AS (SELECT i, CAST(u * {W_SCALE}"
+            f" // nullif((SELECT m FROM m{t}), 0) AS HUGEINT) AS w"
+            f" FROM u{t})"
+        )
+        prev = f"w{t}"
+    return f"""
+WITH q AS (
+    SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {Q_SCALE}.0) AS BIGINT))
+           AS q
+    FROM embeddings
+),
+tri AS (
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+           CAST(sum(CAST(q.q[a.i] AS HUGEINT) * q.q[b.j]) AS HUGEINT) AS g
+    FROM q,
+         UNNEST(range(1, {EMB_DIM} + 1)) AS a(i),
+         UNNEST(range(1, {EMB_DIM} + 1)) AS b(j)
+    WHERE a.i <= b.j
+    GROUP BY 1, 2
+),
+g AS (
+    SELECT i, j, g FROM tri
+    UNION ALL
+    SELECT j AS i, i AS j, g FROM tri WHERE i < j
+),
+w0 AS (SELECT DISTINCT i, CAST({W_SCALE} AS HUGEINT) AS w FROM g),
+{','.join(rounds)},
+ufin AS (
+    SELECT g.i, CAST(sum(g.g * w.w) AS HUGEINT) AS u
+    FROM g JOIN {prev} w ON w.i = g.j GROUP BY 1
+),
+ray AS (
+    SELECT CAST(sum(w.w * u.u)
+                // nullif(sum(w.w * w.w), 0) AS BIGINT) AS lambda_q
+    FROM {prev} w JOIN ufin u ON u.i = w.i
+)
+SELECT CAST(w.i AS BIGINT) AS dim_id,
+       CAST(w.w AS BIGINT) AS eigvec_scaled,
+       ray.lambda_q
+FROM {prev} w CROSS JOIN ray
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM coverage: per-document fraction of adjacent bigrams that the
 # corpus has seen >= LM_MIN_CT times.
 # ---------------------------------------------------------------------------
@@ -1238,6 +1436,7 @@ QUERIES = {
     "kcore_peeling_rounds": kcore_peeling_rounds,
     "audience_overlap_jaccard": audience_overlap_jaccard,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_power_iteration": embedding_power_iteration,
     "lm_bigram_coverage": lm_bigram_coverage,
     "lm_quality_probability": lm_quality_probability,
 }
@@ -1252,6 +1451,7 @@ ORACLE = {
     "kcore_peeling_rounds": _kcore_sql(),
     "audience_overlap_jaccard": _OVERLAP_SQL,
     "embedding_gram_matrix": _GRAM_SQL,
+    "embedding_power_iteration": _power_iter_sql(),
     "lm_bigram_coverage": _LM_SQL,
     "lm_quality_probability": _LM_PROB_SQL,
 }

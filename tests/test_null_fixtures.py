@@ -155,6 +155,15 @@ def null_duck(null_sf_dir):
         # churn: NULL users excluded from every day's leaderboard on both
         # engines; tiny per-day sets exercise the full-outer day shift
         "topk_churn_daily",
+        # r6 wave 8: the arm hash must exclude NULL users identically
+        # (md5(NULL) is NULL → both engines drop the row pre-split), and
+        # CUPED's per-user cents sums over partly-NULL purchase values
+        # must floor to the same covariate on both engines
+        "ab_experiment_lift",
+        "cuped_variance_reduction",
+        # k-anonymity: NULL value rows form their own vb=NULL classes and
+        # NULL users must not count toward users_in_class on either side
+        "k_anonymity_audit",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -110,6 +110,14 @@ QUERIES = [
     #                                  sums must survive repartitioning
     "topk_churn_daily",              # top-K membership under count ties
     #                                  needs the (ct, user) total order
+    # round-6 wave-8 additions
+    "ab_experiment_lift",            # md5 arm split a pure row map; Welch
+    #                                  z² rationals under partial-agg
+    #                                  reordering
+    "cuped_variance_reduction",      # signed theta/adjusted-diff division
+    #                                  truncation exact under any plan
+    "embedding_power_iteration",     # unrolled iterate: DECIMAL G·w sums
+    #                                  associative under any partitioning
 ]
 
 PERTURBED = {
