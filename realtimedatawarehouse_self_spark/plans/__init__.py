@@ -203,6 +203,7 @@ _VERIFY_FIRST = [
     "cuped_variance_reduction",
     "k_anonymity_audit",
     "embedding_power_iteration",
+    "streaming_dedup_incoming",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

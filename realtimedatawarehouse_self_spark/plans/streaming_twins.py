@@ -969,6 +969,186 @@ WHERE c.event_ct * {HH_TYPE_DEN} >= t.n_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Ingest-time near-dup screening as a REAL stream — the streaming twin of
+# `state_ops.dedup_incoming_batch` (same oracle SQL): raw incoming
+# documents arrive in micro-batches; each foreachBatch shingles + minhashes
+# ONLY its batch, probes the pre-built static corpus band index
+# (stream-static join — the production pattern for screening an ingest
+# stream against a large indexed corpus), exact-verifies candidates via
+# shingle intersection, and appends the screening decisions to the sink.
+#
+# Scale notes: per-batch work is linear in BATCH size (the batch bands
+# probe the corpus index; the corpus never self-joins), and corpus-side
+# state is the band index — exactly what a 100 TB ingest pipeline keeps
+# hot. Each incoming doc arrives in exactly one micro-batch, so the
+# union of per-batch outputs is the batch answer with no cross-batch
+# reconciliation needed.
+# ---------------------------------------------------------------------------
+DEDUP_STREAM_GROUPS = 3
+
+
+def streaming_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import (
+        tokens,
+        word_shingles,
+    )
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        _minhash_aggs,
+        _shingle_hash,
+        signature_bands,
+    )
+    from realtimedatawarehouse_self_spark.plans.state_ops import INCOMING_MOD
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    corpus = None
+    corpus_bands = None
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-sdedup-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+
+        def per_doc_stats(d: DataFrame) -> DataFrame:
+            sh = (
+                d.withColumn("tok_arr", tokens("text"))
+                .select(
+                    "doc_id",
+                    "lang",
+                    F.explode(word_shingles(F.col("tok_arr"))).alias("sh"),
+                )
+                .distinct()
+            )
+            return (
+                sh.select("doc_id", "lang", "sh", _shingle_hash())
+                .groupBy("doc_id")
+                .agg(
+                    F.first("lang").alias("lang"),
+                    F.count(F.lit(1)).alias("n_sh"),
+                    F.collect_list("sh").alias("sh_arr"),
+                    *_minhash_aggs(),
+                )
+            )
+
+        # The static side, built once and kept hot across micro-batches:
+        # the band index (probe target) and the shingle arrays (verify).
+        corpus = per_doc_stats(
+            docs.filter(F.col("doc_id") % INCOMING_MOD != 0)
+        ).persist()
+        corpus_bands = signature_bands(corpus).persist()
+        corpus_bands.count()  # materialize before the stream starts
+        corpus_side = corpus.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("lang").alias("lang_b"),
+            F.col("n_sh").alias("n_b"),
+            F.col("sh_arr").alias("arr_b"),
+        )
+
+        # Incoming raw docs land as one file per micro-batch, mtime-ordered
+        # (maxFilesPerTrigger=1 under availableNow — the day-file feeder
+        # idiom shared by the rollup/ewma twins).
+        inc = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
+        import time as _time
+
+        t0 = _time.time()
+        for i in range(DEDUP_STREAM_GROUPS):
+            part = os.path.join(src, f"g{i:04d}")
+            inc.filter(
+                (F.col("doc_id") / INCOMING_MOD) % DEDUP_STREAM_GROUPS == i
+            ).coalesce(1).write.parquet(part)
+            for fname in os.listdir(part):
+                os.utime(os.path.join(part, fname), (t0 + i * 10, t0 + i * 10))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            b = per_doc_stats(batch_df)
+            bb = signature_bands(b)
+            cand = (
+                bb.alias("a")
+                .join(
+                    corpus_bands.alias("b"),
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.sig") == F.col("b.sig")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("new_doc"),
+                    F.col("b.doc_id").alias("corpus_doc"),
+                )
+                .distinct()
+            )
+            res = (
+                cand.join(
+                    b.select(
+                        F.col("doc_id").alias("new_doc"),
+                        F.col("lang").alias("lang_a"),
+                        F.col("n_sh").alias("n_a"),
+                        F.col("sh_arr").alias("arr_a"),
+                    ),
+                    "new_doc",
+                )
+                .join(corpus_side, "corpus_doc")
+                .filter(F.col("lang_a") == F.col("lang_b"))
+                .withColumn(
+                    "inter_ct",
+                    F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
+                )
+                .withColumn(
+                    "union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct")
+                )
+                .select(
+                    "new_doc",
+                    "corpus_doc",
+                    "inter_ct",
+                    F.col("union_ct").cast("bigint").alias("union_ct"),
+                    (2 * F.col("inter_ct") >= F.col("union_ct")).alias(
+                        "is_dup"
+                    ),
+                )
+            )
+            res.write.mode("append").parquet(out)
+
+        q = (
+            spark.readStream.schema("doc_id bigint, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        if not os.path.isdir(out) or not any(
+            f.endswith(".parquet") for f in os.listdir(out)
+        ):
+            return spark.createDataFrame(
+                [],
+                "new_doc bigint, corpus_doc bigint, inter_ct bigint, "
+                "union_ct bigint, is_dup boolean",
+            )
+        return spark.read.parquet(out).select(
+            "new_doc", "corpus_doc", "inter_ct", "union_ct", "is_dup"
+        )
+    finally:
+        if corpus_bands is not None:
+            corpus_bands.unpersist()
+        if corpus is not None:
+            corpus.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _incoming_stream_sql() -> str:
+    """Same truth as the batch screen: the stream partitions the incoming
+    set across micro-batches without changing any pair decision."""
+    from realtimedatawarehouse_self_spark.plans.state_ops import (
+        _incoming_sql,
+    )
+
+    return _incoming_sql()
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_topk_hitters": streaming_topk_hitters,
@@ -980,6 +1160,7 @@ QUERIES = {
     "streaming_ewma_daily": streaming_ewma_daily,
     "streaming_cusum_daily": streaming_cusum_daily,
     "streaming_reconcile_full_outer": streaming_reconcile_full_outer,
+    "streaming_dedup_incoming": streaming_dedup_incoming,
 }
 
 ORACLE = {
@@ -993,4 +1174,5 @@ ORACLE = {
     "streaming_ewma_daily": _ewma_stream_sql(),
     "streaming_cusum_daily": _cusum_stream_sql(),
     "streaming_reconcile_full_outer": _FULL_OUTER_STREAM_SQL,
+    "streaming_dedup_incoming": _incoming_stream_sql(),
 }
