@@ -218,6 +218,17 @@ HEADLINE = [
     "trimmed_mean_value_udaf",
     "attribution_linear_apportion",
     "topk_churn_daily",
+    # wave-8 experimentation / privacy / spectral operators (independent
+    # pipelines: per-user arm stats, the CUPED covariate split, the
+    # QI-class aggregate, and the Gram scan feeding the HOF iterations)
+    "ab_experiment_lift",
+    "cuped_variance_reduction",
+    "k_anonymity_audit",
+    "embedding_power_iteration",
+    # streaming_dedup_incoming is NOT benched (streaming-twin rule: the
+    # per-batch screen recomposes the minhash/band/verify pipelines that
+    # dedup_incoming_batch already times, plus harness file-feed overhead
+    # that measures the test rig, not the operator).
     # degree_distribution_histogram is NOT benched (double-count rule):
     # its cost is the capped minute-grain edge frame already benched via
     # triangle/kcore plus one tiny histogram. It stays oracle-gated.

@@ -233,13 +233,20 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)"
             " AS BIGINT)"
         ).alias("theta_micro"),
+        # corr² as the PRODUCT of the two floored regression slopes
+        # (cov/varX)·(cov/varY), each scaled 1e3 — NOT cov²·1e6/(varX·varY):
+        # cov² overflows 38 digits at the 100× stress scale, while by
+        # Cauchy-Schwarz each slope factor is bounded by 1e3·√(varY/varX)
+        # and their product by 1e6, independent of data volume. cov is
+        # negative on both factors or neither, so the product stays ≥ 0;
+        # toward-zero truncation composes identically in both engines.
         F.expr(
-            "CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
-            " * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
-            f" * {MICRO}"
-            " div nullif((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
-            " * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy), 0)"
-            " AS BIGINT)"
+            "CAST(CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000"
+            " div nullif(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)"
+            " AS DECIMAL(38,0))"
+            " * CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000"
+            " div nullif(n * syy - CAST(sy AS DECIMAL(38,0)) * sy, 0)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("var_reduction_micro"),
         F.expr(
             f"CAST((CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1)"
@@ -294,10 +301,10 @@ SELECT n,
        CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * {MICRO}
             // nullif(n * sxx - CAST(sx AS HUGEINT) * sx, 0)
             AS BIGINT) AS theta_micro,
-       CAST((n * sxy - CAST(sx AS HUGEINT) * sy)
-            * (n * sxy - CAST(sx AS HUGEINT) * sy) * {MICRO}
-            // nullif((n * sxx - CAST(sx AS HUGEINT) * sx)
-                      * (n * syy - CAST(sy AS HUGEINT) * sy), 0)
+       CAST(((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+             // nullif(n * sxx - CAST(sx AS HUGEINT) * sx, 0))
+            * ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+               // nullif(n * syy - CAST(sy AS HUGEINT) * sy, 0))
             AS BIGINT) AS var_reduction_micro,
        CAST((CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1) * {MICRO}
             // nullif(CAST(n1 AS HUGEINT) * n0, 0) AS BIGINT) AS raw_diff_micro_cents,
