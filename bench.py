@@ -225,6 +225,8 @@ HEADLINE = [
     "cuped_variance_reduction",
     "k_anonymity_audit",
     "embedding_power_iteration",
+    "diff_in_diff",
+    "survival_hazard_daily",
     # streaming_dedup_incoming is NOT benched (streaming-twin rule: the
     # per-batch screen recomposes the minhash/band/verify pipelines that
     # dedup_incoming_batch already times, plus harness file-feed overhead

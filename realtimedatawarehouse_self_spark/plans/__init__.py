@@ -204,6 +204,8 @@ _VERIFY_FIRST = [
     "k_anonymity_audit",
     "embedding_power_iteration",
     "streaming_dedup_incoming",
+    "diff_in_diff",
+    "survival_hazard_daily",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -397,14 +397,235 @@ FROM hist
 """
 
 
+# ---------------------------------------------------------------------------
+# Difference-in-differences: the quasi-experimental readout when there is
+# no randomized assignment — two groups (the deterministic arm hash
+# stands in for exposed/unexposed), two periods (the CUPED midpoint),
+# same user panel in both periods. DiD = (T_post − T_pre) − (C_post −
+# C_pre) over per-group user-mean purchase cents; each cell mean is
+# floored to micro FIRST and the differences composed from the floored
+# cells, so both engines round identically at every step.
+# ---------------------------------------------------------------------------
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+    )
+    rows = ev.select(
+        F.expr(_ARM_SPARK).alias("grp"),
+        F.col("user_id"),
+        F.when(
+            F.col("ts") < F.lit(CUPED_SPLIT).cast("timestamp"), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+        money_cents("value").alias("cents"),
+    )
+    # Panel denominators: users per GROUP (fixed across periods — the
+    # panel-data convention), via one distinct-user aggregate.
+    users = rows.groupBy("grp").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    cells = rows.groupBy("grp", "period").agg(
+        F.sum("cents").cast("bigint").alias("s")
+    )
+    piv = (
+        cells.join(users, "grp")
+        .groupBy()
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN grp = 1 AND period = 1"
+                    f" THEN s * {MICRO} div n_users END"
+                )
+            ).alias("m_t_post"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN grp = 1 AND period = 0"
+                    f" THEN s * {MICRO} div n_users END"
+                )
+            ).alias("m_t_pre"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN grp = 0 AND period = 1"
+                    f" THEN s * {MICRO} div n_users END"
+                )
+            ).alias("m_c_post"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN grp = 0 AND period = 0"
+                    f" THEN s * {MICRO} div n_users END"
+                )
+            ).alias("m_c_pre"),
+        )
+    )
+    return piv.select(
+        F.col("m_t_pre").cast("bigint").alias("mean_trt_pre_micro"),
+        F.col("m_t_post").cast("bigint").alias("mean_trt_post_micro"),
+        F.col("m_c_pre").cast("bigint").alias("mean_ctrl_pre_micro"),
+        F.col("m_c_post").cast("bigint").alias("mean_ctrl_post_micro"),
+        F.expr("CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)").alias(
+            "did_micro"
+        ),
+    )
+
+
+_DID_SQL = f"""
+WITH rows_p AS (
+    SELECT {_ARM_DUCK} AS grp,
+           user_id,
+           CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}' THEN 0 ELSE 1 END
+               AS period,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type = 'purchase'
+      AND value IS NOT NULL
+),
+users AS (
+    SELECT grp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM rows_p GROUP BY 1
+),
+cells AS (
+    SELECT grp, period, CAST(sum(cents) AS BIGINT) AS s
+    FROM rows_p GROUP BY 1, 2
+),
+piv AS (
+    SELECT
+        sum(CASE WHEN c.grp = 1 AND c.period = 1
+            THEN c.s * {MICRO} // u.n_users END) AS m_t_post,
+        sum(CASE WHEN c.grp = 1 AND c.period = 0
+            THEN c.s * {MICRO} // u.n_users END) AS m_t_pre,
+        sum(CASE WHEN c.grp = 0 AND c.period = 1
+            THEN c.s * {MICRO} // u.n_users END) AS m_c_post,
+        sum(CASE WHEN c.grp = 0 AND c.period = 0
+            THEN c.s * {MICRO} // u.n_users END) AS m_c_pre
+    FROM cells c JOIN users u ON c.grp = u.grp
+)
+SELECT CAST(m_t_pre AS BIGINT) AS mean_trt_pre_micro,
+       CAST(m_t_post AS BIGINT) AS mean_trt_post_micro,
+       CAST(m_c_pre AS BIGINT) AS mean_ctrl_pre_micro,
+       CAST(m_c_post AS BIGINT) AS mean_ctrl_post_micro,
+       CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)
+           AS did_micro
+FROM piv
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discrete-time survival (the Kaplan-Meier grain without the float
+# product): per lifetime-day k, the risk set, deaths, censored exits, and
+# the discrete hazard d_k·1e6 div n_k. Lifetime = days from a user's
+# first to last event; a user still active near the window's end (last
+# event within CHURN-style horizon of the corpus max) is CENSORED at its
+# observed lifetime — it leaves the risk set without being a death, the
+# distinction that makes this survival analysis rather than a histogram.
+# S(t) would be the running product of (1 − hazard) — deliberately NOT
+# emitted: a float product is order-fragile across engines; the hazard
+# sequence carries the same information exactly.
+# ---------------------------------------------------------------------------
+SURV_HORIZON_DAYS = 3
+
+
+def survival_hazard_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    bounds = ev.agg(F.max(F.expr("CAST(ts AS DATE)")).alias("max_d"))
+    users = ev.groupBy("user_id").agg(
+        F.min(F.expr("CAST(ts AS DATE)")).alias("first_d"),
+        F.max(F.expr("CAST(ts AS DATE)")).alias("last_d"),
+    )
+    per_user = users.crossJoin(F.broadcast(bounds)).select(
+        F.expr("datediff(last_d, first_d)").cast("bigint").alias("lifetime"),
+        F.expr(
+            f"datediff(max_d, last_d) < {SURV_HORIZON_DAYS}"
+        ).alias("censored"),
+    )
+    exits = per_user.groupBy("lifetime").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exits"),
+        F.sum(F.expr("CASE WHEN censored THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("deaths"),
+        F.sum(F.expr("CASE WHEN censored THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    w = Window.orderBy("lifetime").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.partitionBy()
+    return (
+        exits.withColumn("total", F.sum("n_exits").over(wt))
+        .withColumn(
+            "at_risk",
+            F.col("total") - F.coalesce(F.sum("n_exits").over(w), F.lit(0)),
+        )
+        .select(
+            "lifetime",
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            "deaths",
+            "n_censored",
+            F.expr(f"deaths * {MICRO} div at_risk")
+            .cast("bigint")
+            .alias("hazard_micro"),
+        )
+    )
+
+
+_SURV_SQL = f"""
+WITH bounds AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events
+                WHERE user_id IS NOT NULL),
+users AS (
+    SELECT user_id,
+           min(CAST(ts AS DATE)) AS first_d,
+           max(CAST(ts AS DATE)) AS last_d
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+per_user AS (
+    SELECT CAST(datediff('day', u.first_d, u.last_d) AS BIGINT) AS lifetime,
+           datediff('day', u.last_d, b.max_d) < {SURV_HORIZON_DAYS}
+               AS censored
+    FROM users u, bounds b
+),
+exits AS (
+    SELECT lifetime,
+           CAST(count(*) AS BIGINT) AS n_exits,
+           CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+               AS deaths,
+           CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_censored
+    FROM per_user GROUP BY 1
+)
+SELECT lifetime,
+       CAST(sum(n_exits) OVER ()
+            - coalesce(sum(n_exits) OVER (ORDER BY lifetime
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS at_risk,
+       deaths,
+       n_censored,
+       CAST(deaths * {MICRO}
+            // (sum(n_exits) OVER ()
+                - coalesce(sum(n_exits) OVER (ORDER BY lifetime
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+            AS BIGINT) AS hazard_micro
+FROM exits
+"""
+
+
 QUERIES = {
     "ab_experiment_lift": ab_experiment_lift,
     "cuped_variance_reduction": cuped_variance_reduction,
     "k_anonymity_audit": k_anonymity_audit,
+    "diff_in_diff": diff_in_diff,
+    "survival_hazard_daily": survival_hazard_daily,
 }
 
 ORACLE = {
     "ab_experiment_lift": _AB_LIFT_SQL,
     "cuped_variance_reduction": _CUPED_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
+    "diff_in_diff": _DID_SQL,
+    "survival_hazard_daily": _SURV_SQL,
 }

@@ -161,6 +161,10 @@ def null_duck(null_sf_dir):
         # must floor to the same covariate on both engines
         "ab_experiment_lift",
         "cuped_variance_reduction",
+        # DiD panel: NULL-value purchases drop from every cell on both
+        # engines; survival: NULL-user rows never enter the risk set
+        "diff_in_diff",
+        "survival_hazard_daily",
         # k-anonymity: NULL value rows form their own vb=NULL classes and
         # NULL users must not count toward users_in_class on either side
         "k_anonymity_audit",

@@ -118,6 +118,10 @@ QUERIES = [
     #                                  truncation exact under any plan
     "embedding_power_iteration",     # unrolled iterate: DECIMAL G·w sums
     #                                  associative under any partitioning
+    "diff_in_diff",                  # floored cell means composed after
+    #                                  the combine, never inside it
+    "survival_hazard_daily",         # risk-set window over the lifetime
+    #                                  total order
 ]
 
 PERTURBED = {
