@@ -26,6 +26,7 @@ from realtimedatawarehouse_self_spark.plans import (
     python_path,
     state_ops,
     retrieval,
+    sketches,
     streaming_twins,
     timeseries,
     tpch,
@@ -45,6 +46,7 @@ _MODULES = (
     state_ops,
     drift,
     featurize,
+    sketches,
     streaming_twins,
     timeseries,
     python_path,
@@ -206,6 +208,12 @@ _VERIFY_FIRST = [
     "streaming_dedup_incoming",
     "diff_in_diff",
     "survival_hazard_daily",
+    # wave 9 (mergeable sketches / index structures — zero driver evidence)
+    "kmv_distinct_daily",
+    "kmv_rolling_distinct",
+    "bloom_prefilter_audit",
+    "shuffle_skew_audit",
+    "phrase_search_positional",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1,0 +1,643 @@
+"""Mergeable-sketch and index-structure operators: the summaries a 100 TB
+deployment keeps INSTEAD of raw data, each audited against its own exact
+ground truth on the same scan.
+
+- `kmv_distinct_daily` — K-minimum-values distinct sketch (Bar-Yossef et
+  al., RANDOM'02; the theta-sketch core): per-day distinct users estimated
+  from the K smallest 60-bit hashes, next to the exact count and the error
+  in ppm. The per-day top-K compiles to WindowGroupLimit, which is exactly
+  the sketch's partial aggregate: each input partition contributes at most
+  K rows to the shuffle.
+- `kmv_rolling_distinct` — the MERGE property, the reason sketches win at
+  scale: 7-day rolling distinct users computed by unioning the seven daily
+  K-min sets and re-taking the K smallest (valid because the K smallest of
+  a union are contained in the union of per-set K smallest), vs the exact
+  rolling distinct. Production keeps only the daily sketches (K rows/day)
+  and answers any window by merging; the exact side here is the audit.
+- `bloom_prefilter_audit` — a deterministic Bloom filter (m bits, 4 md5
+  hash functions) built over the eval/benchmark shingle set and probed by
+  the corpus: measured false-positive rate and the fraction of the corpus
+  the pre-screen excuses from the expensive exact decontamination join.
+  This is the runtime-filter pattern (Spark's own InjectRuntimeFilter /
+  bloom_filter_agg) made explicit and auditable.
+- `shuffle_skew_audit` — per candidate shuffle key (user_id, event_type,
+  day): cardinality, max key frequency, top-1 share, hot-key count, and
+  the strategy verdict (broadcast / salt / plain hash) the engine's own
+  salted-join and broadcast paths key on. The planning artifact behind
+  `skewed_salted_revenue`.
+- `phrase_search_positional` — positional inverted index: token postings
+  with in-document positions, phrase queries answered by anchor alignment
+  (token at position p matching phrase slot j votes for anchor p-j; an
+  anchor with all slots voting is an occurrence). The exact-phrase
+  machinery BM25's bag-of-words ranking cannot express.
+
+Scale notes:
+- KMV: the only data-sized work is the distinct (day, h) combine; the
+  rank<=K filter is WindowGroupLimit (partial top-K before the final
+  per-day sort of at most K·partitions rows). Rolling merge touches K
+  rows per day per window — constant, never re-scans the fact table.
+- Bloom: the bit table is at most M_BITS rows, broadcast; the probe is
+  one broadcast join over the corpus scan. The audited payoff is
+  `excused_ppm`: at a realistic fill ratio the screen removes ~99.9% of
+  the corpus from the exact join's shuffle.
+- Skew audit: per-key frames are combine-backed aggregates; the per-key
+  frame is persisted and reduced twice (once for totals, once for the
+  hot-key count against the broadcast 1-row totals) — two passes over an
+  aggregate, zero passes over the fact table beyond the first.
+- Phrase search: the postings frame is pruned to QUERY tokens by a
+  broadcast join before anything shuffles — matched volume, not corpus
+  volume, reaches the anchor aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.plans.llm_ops import (
+    _SHINGLE_CTE,
+    _doc_shingles,
+    _docs,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+KMV_K = 8  # sketch size; estimation active even at sf0.001 (>=11 users/day)
+HASH_MOD = 1 << 60  # md5 60-bit hash domain, the repo-wide idiom
+
+EVAL_MOD = 97  # same eval-membership convention as corpus_ops.decontaminate
+M_BITS = 4096  # Bloom bit-array size
+K_HASH = 4  # Bloom hash functions
+
+SKEW_HOT_FACTOR = 10  # a key is hot if its rows exceed 10x the mean
+SKEW_BROADCAST_KEYS = 256  # dimension-sized domains: broadcast, never salt
+SKEW_SALT_TOP1_PPM = 50_000  # top key owning >5% of rows triggers salting
+
+PHRASES = (
+    "table part",
+    "data query",
+    "small query line",
+    "join part filter",
+)
+PHRASE_TOP_DOCS = 5
+
+
+def _t(spark, sf_dir, name):
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _h60(col):
+    """60-bit integer hash, identical on both engines."""
+    return F.expr(
+        f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+_H60_DUCK = "TRY_CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# KMV daily distinct. est = (K-1) * 2^60 / h_K when the sketch is full,
+# else the sketch holds every distinct hash and IS the exact count.
+# (K-1)*2^60 ~ 8e18·K overflows int64, so the numerator rides DECIMAL(38,0)
+# internally; the estimate itself is a count and fits BIGINT.
+# ---------------------------------------------------------------------------
+def _daily_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        ev.select(F.col("ts").cast("date").alias("d"), _h60("user_id").alias("h"))
+        .distinct()
+    )
+
+
+def _kmv_estimate(kth_col: str, n_col: str) -> F.Column:
+    return F.expr(
+        f"CAST(CASE WHEN {n_col} < {KMV_K} THEN {n_col}"
+        f" ELSE CAST({KMV_K - 1} AS DECIMAL(38,0)) * {HASH_MOD} div {kth_col}"
+        " END AS BIGINT)"
+    )
+
+
+def kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dh = _daily_hashes(spark, sf_dir)
+    w = Window.partitionBy("d").orderBy("h")
+    # rank<=K compiles to WindowGroupLimit: each scan partition forwards at
+    # most K rows per day — the sketch's partial aggregate, optimizer-made.
+    sketch = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("d")
+        .agg(
+            F.max("h").alias("h_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        )
+    )
+    exact = dh.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("exact_users"))
+    est = sketch.join(exact, "d").select(
+        "d",
+        "exact_users",
+        _kmv_estimate("h_k", "n_in").alias("kmv_users"),
+    )
+    # day rendered as a string: temporal top-level columns stringify
+    # differently between the engines under the driver's value-hash
+    # (the r3 divergence class) — same convention as anomaly_zscore_daily.
+    return est.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "exact_users",
+        "kmv_users",
+        F.expr(
+            "CAST(abs(kmv_users - exact_users) * 1000000 div exact_users"
+            " AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+_KMV_DAILY_SQL = f"""
+WITH dh AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           {_H60_DUCK.format(col="user_id")} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+    FROM dh
+),
+sketch AS (
+    SELECT d, max(h) AS h_k, CAST(count(*) AS BIGINT) AS n_in
+    FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+),
+exact AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS exact_users FROM dh GROUP BY 1
+),
+est AS (
+    SELECT s.d, e.exact_users,
+           CAST(CASE WHEN s.n_in < {KMV_K} THEN s.n_in
+                ELSE CAST({KMV_K - 1} AS HUGEINT) * {HASH_MOD} // s.h_k
+                END AS BIGINT) AS kmv_users
+    FROM sketch s JOIN exact e USING (d)
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, exact_users, kmv_users,
+       CAST(abs(kmv_users - exact_users) * 1000000 // exact_users AS BIGINT)
+           AS err_ppm
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV rolling merge: 7-day windows answered from the daily K-min sets.
+# Merge validity: the K smallest hashes of a union of sets are a subset of
+# the union of each set's K smallest — so merging sketches loses nothing.
+# Only windows fully inside the corpus date range are emitted (a partial
+# leading window would compare a 3-day union against a 3-day exact, true
+# but uninteresting).
+# ---------------------------------------------------------------------------
+ROLL_DAYS = 7
+
+
+def kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dh = _daily_hashes(spark, sf_dir).persist()
+    wd = Window.partitionBy("d").orderBy("h")
+    daily_sketch = (
+        dh.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= KMV_K)
+        .select("d", "h")
+    )
+    off = F.explode(F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))).alias("off")
+    # sketch path: merge = union the 7 daily K-sets, re-take the K smallest
+    merged = (
+        daily_sketch.select("d", "h", off)
+        .select(F.expr("date_add(d, off)").alias("w_end"), "h")
+        .distinct()
+    )
+    ww = Window.partitionBy("w_end").orderBy("h")
+    sk = (
+        merged.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("w_end")
+        .agg(
+            F.max("h").alias("h_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        )
+    )
+    # exact path (the audit): full rolling distinct from the daily frame
+    exact = (
+        dh.select("d", "h", off)
+        .select(F.expr("date_add(d, off)").alias("w_end"), "h")
+        .distinct()
+        .groupBy("w_end")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_users_7d"))
+    )
+    rng = dh.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )  # 1-row broadcast
+    out = (
+        sk.join(exact, "w_end")
+        .crossJoin(F.broadcast(rng))
+        .filter(
+            (F.col("w_end") >= F.expr(f"date_add(d_min, {ROLL_DAYS - 1})"))
+            & (F.col("w_end") <= F.col("d_max"))
+        )
+        .select(
+            "w_end",
+            "exact_users_7d",
+            _kmv_estimate("h_k", "n_in").alias("kmv_users_7d"),
+        )
+    )
+    return out.select(
+        F.date_format("w_end", "yyyy-MM-dd").alias("w_end"),
+        "exact_users_7d",
+        "kmv_users_7d",
+        F.expr(
+            "CAST(abs(kmv_users_7d - exact_users_7d) * 1000000"
+            " div exact_users_7d AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+_KMV_ROLLING_SQL = f"""
+WITH dh AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           {_H60_DUCK.format(col="user_id")} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+daily_sketch AS (
+    SELECT d, h FROM (
+        SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM dh
+    ) WHERE rn <= {KMV_K}
+),
+offs AS (SELECT unnest(range(0, {ROLL_DAYS})) AS off),
+merged AS (
+    SELECT DISTINCT s.d + CAST(o.off AS INT) AS w_end, s.h
+    FROM daily_sketch s CROSS JOIN offs o
+),
+sk AS (
+    SELECT w_end, max(h) AS h_k, CAST(count(*) AS BIGINT) AS n_in
+    FROM (
+        SELECT w_end, h,
+               row_number() OVER (PARTITION BY w_end ORDER BY h) AS rn
+        FROM merged
+    ) WHERE rn <= {KMV_K} GROUP BY 1
+),
+exact AS (
+    SELECT w_end, CAST(count(*) AS BIGINT) AS exact_users_7d
+    FROM (
+        SELECT DISTINCT d + CAST(o.off AS INT) AS w_end, h
+        FROM dh CROSS JOIN offs o
+    ) GROUP BY 1
+),
+rng AS (SELECT min(d) AS d_min, max(d) AS d_max FROM dh),
+est AS (
+    SELECT s.w_end, e.exact_users_7d,
+           CAST(CASE WHEN s.n_in < {KMV_K} THEN s.n_in
+                ELSE CAST({KMV_K - 1} AS HUGEINT) * {HASH_MOD} // s.h_k
+                END AS BIGINT) AS kmv_users_7d
+    FROM sk s JOIN exact e USING (w_end), rng
+    WHERE s.w_end >= rng.d_min + {ROLL_DAYS - 1} AND s.w_end <= rng.d_max
+)
+SELECT strftime(w_end, '%Y-%m-%d') AS w_end, exact_users_7d, kmv_users_7d,
+       CAST(abs(kmv_users_7d - exact_users_7d) * 1000000 // exact_users_7d
+            AS BIGINT) AS err_ppm
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-filter audit. Bits set by the eval shingle set; the corpus
+# probes. A shingle is a candidate only if all K_HASH positions are set —
+# candidates (true + false positives) proceed to the exact decontamination
+# join, everything else is excused. The audit measures the realized FPR
+# and the excused fraction; `fill_ppm` is the bit-density the theoretical
+# FPR (fill^k) keys on, so an operator can alarm when the filter is
+# over-full for its eval-set size.
+# ---------------------------------------------------------------------------
+def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("sh").distinct()
+    )
+    probe = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0).select("sh").distinct()
+    ).persist()
+    ks = F.explode(F.sequence(F.lit(1), F.lit(K_HASH))).alias("i")
+    pos_expr = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', sh)), 1, 15),"
+        f" 16, 10) AS BIGINT) % {M_BITS}"
+    )
+    bits = (
+        eval_sh.select("sh", ks)
+        .select(pos_expr.alias("pos"))
+        .distinct()
+        .withColumn("bit", F.lit(1))
+    )
+    probed = (
+        probe.select("sh", ks)
+        .select("sh", pos_expr.alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("sh")
+        .agg(F.coalesce(F.sum("bit"), F.lit(0)).alias("hits"))
+        .withColumn("bloom_hit", (F.col("hits") == K_HASH).cast("int"))
+    )
+    truth = probed.join(
+        F.broadcast(eval_sh.withColumn("is_eval", F.lit(1))), "sh", "left"
+    ).select(
+        "bloom_hit", F.coalesce(F.col("is_eval"), F.lit(0)).alias("is_eval")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    agg = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("probes"),
+        F.sum("bloom_hit").cast("bigint").alias("candidates"),
+        F.sum(F.expr("bloom_hit * is_eval")).cast("bigint").alias("true_pos"),
+        F.sum(F.expr("bloom_hit * (1 - is_eval)"))
+        .cast("bigint")
+        .alias("false_pos"),
+        F.sum(F.expr("(1 - bloom_hit) * is_eval"))
+        .cast("bigint")
+        .alias("false_neg"),
+        F.sum("is_eval").cast("bigint").alias("truth_pos"),
+    )
+    return agg.crossJoin(F.broadcast(n_bits)).select(
+        "probes",
+        "candidates",
+        "true_pos",
+        "false_pos",
+        "false_neg",  # MUST be 0: Bloom filters have no false negatives
+        F.expr(
+            "CAST(false_pos * 1000000 div nullif(probes - truth_pos, 0)"
+            " AS BIGINT)"
+        ).alias("fpr_ppm"),
+        F.expr(
+            "CAST((probes - candidates) * 1000000 div probes AS BIGINT)"
+        ).alias("excused_ppm"),
+        F.expr(f"CAST(bits_set * 1000000 div {M_BITS} AS BIGINT)").alias(
+            "fill_ppm"
+        ),
+    )
+
+
+_BLOOM_SQL = f"""
+WITH {_SHINGLE_CTE},
+eval_sh AS (
+    SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+),
+probe AS (
+    SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+),
+ks AS (SELECT unnest(range(1, {K_HASH} + 1)) AS i),
+bits AS (
+    SELECT DISTINCT
+           TRY_CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 15)
+                    AS BIGINT) % {M_BITS} AS pos
+    FROM eval_sh CROSS JOIN ks
+),
+probed AS (
+    SELECT p.sh, count(b.pos) AS hits
+    FROM (
+        SELECT sh,
+               TRY_CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sh),
+                        1, 15) AS BIGINT) % {M_BITS} AS pos
+        FROM probe CROSS JOIN ks
+    ) p LEFT JOIN bits b USING (pos)
+    GROUP BY 1
+),
+truth AS (
+    SELECT CASE WHEN pr.hits = {K_HASH} THEN 1 ELSE 0 END AS bloom_hit,
+           CASE WHEN e.sh IS NULL THEN 0 ELSE 1 END AS is_eval
+    FROM probed pr LEFT JOIN eval_sh e USING (sh)
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS probes,
+           CAST(sum(bloom_hit) AS BIGINT) AS candidates,
+           CAST(sum(bloom_hit * is_eval) AS BIGINT) AS true_pos,
+           CAST(sum(bloom_hit * (1 - is_eval)) AS BIGINT) AS false_pos,
+           CAST(sum((1 - bloom_hit) * is_eval) AS BIGINT) AS false_neg,
+           CAST(sum(is_eval) AS BIGINT) AS truth_pos
+    FROM truth
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+SELECT probes, candidates, true_pos, false_pos, false_neg,
+       CAST(false_pos * 1000000 // nullif(probes - truth_pos, 0) AS BIGINT)
+           AS fpr_ppm,
+       CAST((probes - candidates) * 1000000 // probes AS BIGINT)
+           AS excused_ppm,
+       CAST(bits_set * 1000000 // {M_BITS} AS BIGINT) AS fill_ppm
+FROM agg, nb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew audit: the measurement the salted-join / broadcast
+# decisions key on, emitted as one row per candidate key column.
+# ---------------------------------------------------------------------------
+def _key_stats(kc: DataFrame, col_name: str) -> DataFrame:
+    tot = kc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+    )
+    hot = (
+        kc.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("distinct_keys").alias("distinct_keys"),
+            F.first("n_rows").alias("n_rows"),
+            F.first("max_key_rows").alias("max_key_rows"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN cnt * distinct_keys > {SKEW_HOT_FACTOR} * n_rows"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("hot_key_ct"),
+        )
+    )
+    return hot.select(
+        F.lit(col_name).alias("key_col"),
+        "n_rows",
+        "distinct_keys",
+        "max_key_rows",
+        F.expr("CAST(max_key_rows * 1000000 div n_rows AS BIGINT)").alias(
+            "top1_share_ppm"
+        ),
+        "hot_key_ct",
+        F.expr(
+            f"CASE WHEN distinct_keys <= {SKEW_BROADCAST_KEYS} THEN 'broadcast'"
+            f" WHEN max_key_rows * 1000000 div n_rows > {SKEW_SALT_TOP1_PPM}"
+            " THEN 'salt' ELSE 'hash' END"
+        ).alias("strategy"),
+    )
+
+
+def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parts = []
+    for col_name, expr in (
+        ("user_id", "CAST(user_id AS STRING)"),
+        ("event_type", "event_type"),
+        ("day", "CAST(CAST(ts AS DATE) AS STRING)"),
+    ):
+        kc = (
+            ev.filter(F.expr(f"{expr} IS NOT NULL"))
+            .groupBy(F.expr(expr).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        parts.append(_key_stats(kc, col_name))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SKEW_COLS = (
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+    ("event_type", "event_type"),
+    ("day", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
+)
+
+_SKEW_SQL = (
+    "WITH "
+    + ", ".join(
+        f"""kc_{name} AS (
+    SELECT {expr} AS k, count(*) AS cnt
+    FROM events WHERE {expr} IS NOT NULL GROUP BY 1
+),
+st_{name} AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS distinct_keys,
+           CAST(max(cnt) AS BIGINT) AS max_key_rows
+    FROM kc_{name}
+),
+row_{name} AS (
+    SELECT '{name}' AS key_col, s.n_rows, s.distinct_keys, s.max_key_rows,
+           CAST(sum(CASE WHEN k.cnt * s.distinct_keys
+                         > {SKEW_HOT_FACTOR} * s.n_rows
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hot_key_ct
+    FROM kc_{name} k, st_{name} s
+    GROUP BY 1, 2, 3, 4
+)"""
+        for name, expr in _SKEW_COLS
+    )
+    + "\n, stats AS ("
+    + " UNION ALL ".join(f"SELECT * FROM row_{name}" for name, _ in _SKEW_COLS)
+    + f""")
+SELECT key_col, n_rows, distinct_keys, max_key_rows,
+       CAST(max_key_rows * 1000000 // n_rows AS BIGINT) AS top1_share_ppm,
+       hot_key_ct,
+       CASE WHEN distinct_keys <= {SKEW_BROADCAST_KEYS} THEN 'broadcast'
+            WHEN max_key_rows * 1000000 // n_rows > {SKEW_SALT_TOP1_PPM}
+            THEN 'salt' ELSE 'hash' END AS strategy
+FROM stats
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search. Anchor alignment: a posting (doc, pos, tok)
+# matching phrase slot j votes for anchor pos - j; an anchor collecting a
+# vote from EVERY slot is one exact occurrence of the phrase.
+# ---------------------------------------------------------------------------
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    qtok = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(p) for p in PHRASES])).alias("phrase")
+        )
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).alias("plen"),
+            F.posexplode(F.split("phrase", " ")).alias("j", "qt"),
+        )
+    )
+    # broadcast the handful of query tokens: postings are pruned to query
+    # vocabulary before any shuffle.
+    matched = postings.join(
+        F.broadcast(qtok), postings["tok"] == qtok["qt"]
+    ).select(
+        "phrase", "plen", "doc_id", (F.col("pos") - F.col("j")).alias("anchor"), "j"
+    )
+    occ = (
+        matched.groupBy("phrase", "plen", "doc_id", "anchor")
+        .agg(F.countDistinct("j").alias("slots"))
+        .filter(F.col("slots") == F.col("plen"))
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occurrences"))
+    )
+    w = Window.partitionBy("phrase").orderBy(
+        F.col("occurrences").desc(), F.col("doc_id")
+    )
+    return (
+        occ.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PHRASE_TOP_DOCS)
+        .select(
+            "phrase",
+            "doc_id",
+            "occurrences",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+_PHRASE_VALUES = ", ".join(f"('{p}')" for p in PHRASES)
+
+_PHRASE_SQL = f"""
+WITH q AS (SELECT phrase FROM (VALUES {_PHRASE_VALUES}) v(phrase)),
+qtok AS (
+    SELECT phrase, len(qt) AS plen, j, qt[j] AS tok
+    FROM (SELECT phrase, string_split(phrase, ' ') AS qt FROM q),
+         UNNEST(range(1, len(qt) + 1)) AS u(j)
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+postings AS (
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+matched AS (
+    SELECT qt.phrase, qt.plen, p.doc_id, p.pos - qt.j AS anchor, qt.j
+    FROM postings p JOIN qtok qt USING (tok)
+),
+occ AS (
+    SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS occurrences
+    FROM (
+        SELECT phrase, plen, doc_id, anchor,
+               count(DISTINCT j) AS slots
+        FROM matched GROUP BY 1, 2, 3, 4
+    ) WHERE slots = plen
+    GROUP BY 1, 2
+)
+SELECT phrase, doc_id, occurrences, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT phrase, doc_id, occurrences,
+           row_number() OVER (PARTITION BY phrase
+                              ORDER BY occurrences DESC, doc_id) AS rnk
+    FROM occ
+) WHERE rnk <= {PHRASE_TOP_DOCS}
+"""
+
+
+QUERIES = {
+    "kmv_distinct_daily": kmv_distinct_daily,
+    "kmv_rolling_distinct": kmv_rolling_distinct,
+    "bloom_prefilter_audit": bloom_prefilter_audit,
+    "shuffle_skew_audit": shuffle_skew_audit,
+    "phrase_search_positional": phrase_search_positional,
+}
+
+ORACLE = {
+    "kmv_distinct_daily": _KMV_DAILY_SQL,
+    "kmv_rolling_distinct": _KMV_ROLLING_SQL,
+    "bloom_prefilter_audit": _BLOOM_SQL,
+    "shuffle_skew_audit": _SKEW_SQL,
+    "phrase_search_positional": _PHRASE_SQL,
+}

@@ -12,7 +12,11 @@ rounds (r3 timestamps, r1 stdout tail, r5 wide-integer rendering):
 * every oracle's DESCRIBE must be free of HUGEINT / UHUGEINT / DECIMAL —
   i.e. every un-cast sum(BIGINT) or ``//`` in a final SELECT is a bug;
 * every Spark query's top-level schema must be free of DecimalType
-  (wide-decimal arithmetic stays INTERNAL; the output boundary is int64).
+  (wide-decimal arithmetic stays INTERNAL; the output boundary is int64);
+* neither side may emit DATE / TIMESTAMP at top level (the r3 class:
+  DuckDB's fetchdf renders DATE as ``2024-01-01 00:00:00`` while Spark
+  renders ``2024-01-01``) — day buckets are rendered as strings via
+  ``date_format(d, 'yyyy-MM-dd')`` / ``strftime(d, '%Y-%m-%d')``.
 
 Schema-only: DuckDB DESCRIBE plans without executing, and Spark's
 `.schema` is resolved by the analyzer without running a job, so the whole
@@ -27,7 +31,7 @@ from realtimedatawarehouse_self_spark import plans
 from tests.conftest import SF_SMOKE
 from tests.oracle_harness import register_duckdb_views
 
-BANNED_DUCK = ("HUGEINT", "DECIMAL")  # UHUGEINT contains HUGEINT
+BANNED_DUCK = ("HUGEINT", "DECIMAL", "DATE", "TIMESTAMP")  # UHUGEINT contains HUGEINT
 
 
 def _oracle_items():
@@ -56,18 +60,25 @@ def test_oracle_describe_is_wide_integer_free(duck, name, sql):
     )
 
 
-def test_all_spark_schemas_are_decimal_free(spark):
+def test_all_spark_schemas_are_decimal_and_temporal_free(spark):
     """One pass over every registered query: analyzer-only, no execution."""
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
+    banned = (DecimalType, DateType, TimestampType, TimestampNTZType)
     offenders = {}
     for name, fn in _query_items():
         schema = fn(spark, SF_SMOKE).schema
-        bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        bad = [f.name for f in schema.fields if isinstance(f.dataType, banned)]
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        f"Spark queries emit top-level DecimalType columns {offenders}; "
-        f"keep wide-decimal arithmetic internal and cast the output "
-        f"boundary to bigint (r5 hash-red class)"
+        f"Spark queries emit top-level Decimal/Date/Timestamp columns "
+        f"{offenders}; keep wide arithmetic internal, cast integers to "
+        f"bigint, and render day buckets via date_format (r5 + r3 "
+        f"hash-red classes)"
     )

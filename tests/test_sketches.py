@@ -1,0 +1,124 @@
+"""Wave-9 sketch/index invariants beyond the oracle parity gate:
+
+- KMV's rank<=K must compile to WindowGroupLimit (the partial top-K that
+  makes the sketch's shuffle K rows per partition, not the full hash set).
+- The Bloom screen must never produce a false negative (the property the
+  exact-join excusal depends on) and must probe through broadcast joins
+  (the bit table is the small side by construction).
+- The KMV rolling merge must equal the direct sketch of the full window —
+  the merge-validity theorem (K smallest of a union are contained in the
+  union of per-set K smallest) checked numerically, not just argued.
+- Positional phrase counts must equal a per-doc Python recount.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def sf():
+    from tests.conftest import TESTDATA
+
+    return os.path.join(TESTDATA, "sf0.001")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_kmv_daily_uses_window_group_limit(spark, sf):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["kmv_distinct_daily"](spark, sf))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bloom_no_false_negatives_and_broadcast_probe(spark, sf):
+    import __spark_entry__ as e
+
+    df = e.queries()["bloom_prefilter_audit"](spark, sf)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, "bit/eval tables must broadcast"
+    row = df.collect()[0]
+    assert row["false_neg"] == 0
+    assert row["candidates"] == row["true_pos"] + row["false_pos"]
+
+
+def test_kmv_rolling_merge_equals_direct_window_sketch(spark, sf):
+    """Merged daily sketches must yield the SAME estimate as a direct KMV
+    over each window's full hash set."""
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        KMV_K,
+        ROLL_DAYS,
+        _daily_hashes,
+        _kmv_estimate,
+    )
+
+    merged = {
+        r["w_end"]: r["kmv_users_7d"]
+        for r in e.queries()["kmv_rolling_distinct"](spark, sf).collect()
+    }
+    dh = _daily_hashes(spark, sf)
+    off = F.explode(F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))).alias("off")
+    full = (
+        dh.select("d", "h", off)
+        .select(F.expr("date_add(d, off)").alias("w_end"), "h")
+        .distinct()
+    )
+    ww = Window.partitionBy("w_end").orderBy("h")
+    direct = (
+        full.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("w_end")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_in"))
+        .select("w_end", _kmv_estimate("h_k", "n_in").alias("est"))
+    )
+    direct_map = {r["w_end"].isoformat(): r["est"] for r in direct.collect()}
+    assert merged, "no rolling windows emitted"
+    for w_end, est in merged.items():
+        assert direct_map[w_end] == est, (w_end, direct_map[w_end], est)
+
+
+def test_phrase_occurrences_match_python_recount(spark, sf):
+    import __spark_entry__ as e
+
+    rows = e.queries()["phrase_search_positional"](spark, sf).collect()
+    assert rows
+    doc_ids = sorted({r["doc_id"] for r in rows})
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .filter(F.col("doc_id").isin(doc_ids))
+        .collect()
+    }
+    for r in rows:
+        toks = [t for t in docs[r["doc_id"]].split(" ") if t]
+        ph = r["phrase"].split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - len(ph) + 1)
+            if toks[i : i + len(ph)] == ph
+        )
+        assert n == r["occurrences"], (r, n)
+
+
+def test_skew_audit_strategies_cover_thresholds(spark, sf):
+    import __spark_entry__ as e
+
+    rows = {r["key_col"]: r for r in e.queries()["shuffle_skew_audit"](spark, sf).collect()}
+    assert set(rows) == {"user_id", "event_type", "day"}
+    for r in rows.values():
+        assert r["n_rows"] >= r["distinct_keys"] >= 1
+        assert r["max_key_rows"] * r["distinct_keys"] >= r["n_rows"]
+        assert r["strategy"] in ("broadcast", "salt", "hash")
