@@ -252,6 +252,19 @@ HEADLINE = [
     # pipelines already in this list (prefix-filter exact join + minhash
     # banding), so benching it would double-count their cost in the total
     # without measuring anything new. It stays oracle-gated in queries().
+    # wave 9: mergeable sketches / index structures
+    "kmv_distinct_daily",
+    "kmv_rolling_distinct",
+    "bloom_prefilter_audit",
+    "shuffle_skew_audit",
+    "phrase_search_positional",
+    # wave 10: planner-support / retrieval / sampling
+    "join_cardinality_estimate",
+    "weighted_sample_priority",
+    # mmr_diversified_topk is NOT benched (double-count rule): its
+    # corpus-sized stage is the brute-force candidate scan already timed
+    # via similarity_topk_bruteforce; the greedy rounds operate on
+    # queries x NCAND frames. It stays oracle-gated in queries().
 ]
 
 

@@ -214,6 +214,10 @@ _VERIFY_FIRST = [
     "bloom_prefilter_audit",
     "shuffle_skew_audit",
     "phrase_search_positional",
+    # wave 10 (planner-support / retrieval / sampling — zero driver evidence)
+    "join_cardinality_estimate",
+    "mmr_diversified_topk",
+    "weighted_sample_priority",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

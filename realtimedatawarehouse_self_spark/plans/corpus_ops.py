@@ -947,6 +947,82 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted priority sample — the weighted companion of the unweighted
+# samplers (`stratified_sample_corpus` rate-Bernoulli, `eval_slice_sample_
+# exact` fixed-K uniform): per language, keep the K docs with the smallest
+# hash-priority  h(doc) div weight  where weight = n_chars. This is the
+# integer "uniform race" scheme: for the winning (smallest) priorities,
+# P(h div w < t) ~ t*w / 2^60, so selection probability is approximately
+# proportional to weight — the deterministic, RNG-free stand-in for
+# Efraimidis-Spirakis A-ES (whose u^(1/w) keys need pow(), outside the
+# cross-engine-exact op set). Reproducible from the table alone; its own
+# salt ("wpri:") decorrelates it from the split/sample/eval-slice hashes.
+#
+# Scale: rank <= K over the priority ordering compiles to WindowGroupLimit
+# (per-partition top-K, never a full per-language sort); the per-lang
+# weight totals are a #langs-row broadcast. One scan, one bounded shuffle.
+# ---------------------------------------------------------------------------
+WPRI_K = 5
+_WPRI_MOD = 1 << 60
+
+
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.greatest(F.col("n_chars"), F.lit(1)).alias("weight")
+    )
+    pri = docs.withColumn(
+        "priority",
+        F.expr(
+            "CAST(conv(substring(md5(concat('wpri:', CAST(doc_id AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT) div weight"
+        ),
+    )
+    totals = pri.groupBy("lang").agg(
+        F.sum("weight").cast("bigint").alias("lang_weight")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("priority"), F.col("doc_id"))
+    return (
+        pri.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= WPRI_K)
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            "weight",
+            "priority",
+            F.expr("CAST(weight * 1000000 div lang_weight AS BIGINT)").alias(
+                "weight_share_ppm"
+            ),
+        )
+    )
+
+
+_WPRI_SQL = f"""
+WITH pri AS (
+    SELECT doc_id, lang, greatest(n_chars, 1) AS weight,
+           TRY_CAST('0x' || substr(md5('wpri:' || CAST(doc_id AS VARCHAR)),
+                    1, 15) AS BIGINT) // greatest(n_chars, 1) AS priority
+    FROM documents
+),
+totals AS (
+    SELECT lang, CAST(sum(weight) AS BIGINT) AS lang_weight
+    FROM pri GROUP BY 1
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY priority, doc_id) AS rnk
+    FROM pri
+)
+SELECT r.lang, CAST(r.rnk AS INTEGER) AS rnk, r.doc_id, r.weight, r.priority,
+       CAST(r.weight * 1000000 // t.lang_weight AS BIGINT)
+           AS weight_share_ppm
+FROM ranked r JOIN totals t ON r.lang = t.lang
+WHERE r.rnk <= {WPRI_K}
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
@@ -959,6 +1035,7 @@ QUERIES = {
     "split_leakage_audit": split_leakage_audit,
     "contamination_longest_match": contamination_longest_match,
     "ngram_novelty_rate": ngram_novelty_rate,
+    "weighted_sample_priority": weighted_sample_priority,
 }
 
 ORACLE = {
@@ -973,4 +1050,5 @@ ORACLE = {
     "lang_mix_rebalance": _LANG_MIX_SQL,
     "domain_mixture_temperature": _MIXTURE_SQL,
     "pretrain_data_recipe": _recipe_sql(),
+    "weighted_sample_priority": _WPRI_SQL,
 }

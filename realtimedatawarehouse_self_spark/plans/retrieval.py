@@ -660,6 +660,214 @@ QUALIFY kw_rank <= {TFIDF_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# MMR-diversified top-K (Carbonell & Goldstein, SIGIR'98) — the reranking
+# step between ANN retrieval and a RAG prompt: from each query's top-N
+# relevance candidates, greedily select K maximizing
+#     lambda * rel(q, c)  -  (1 - lambda) * max_{s in selected} sim(c, s)
+# so the shipped K are relevant AND mutually diverse (a plain top-K from a
+# dense corpus is often K near-duplicates of the same passage).
+#
+# Exactness doctrine: relevance and pairwise similarity are int8-quantized
+# dot products (the SAME shared quantizer as `embedding_quantize_int8` /
+# `similarity_topk_ivf_adc_rerank`, so the proxy-score semantics already
+# hold registry-wide); every score is exact bigint arithmetic
+# (|dot| <= 127^2 * 64 ~ 1.03e6; * LAMBDA_PPM <= 7.3e11), so the greedy
+# argmax — where a single last-ulp float difference would cascade into a
+# DIFFERENT selection for every later round — is bit-deterministic across
+# engines. DuckDB's list_dot_product returns DOUBLE, exact for integer
+# values < 2^53 (max here ~1e6), so CAST AS BIGINT is lossless.
+#
+# Scale shape: the only corpus-sized work is the candidate generation
+# (broadcast queries over one quantized scan + WindowGroupLimit top-N —
+# identical to the benched brute-force/ANN paths; swap in the IVF probe at
+# 100 TB). Everything after is per-query constant: NCAND^2 pairwise rows
+# and K-1 unrolled greedy rounds over broadcast-sized frames — the greedy
+# loop's cost is independent of corpus size by construction.
+# ---------------------------------------------------------------------------
+MMR_QUERIES = 8
+MMR_NCAND = 12
+MMR_K = 4
+MMR_LAMBDA_PPM = 700_000
+_MMR_MU_PPM = 1_000_000 - MMR_LAMBDA_PPM
+
+
+def _int8_dot(a: str, b: str) -> F.Column:
+    """Exact bigint dot product of two int8-code arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        _emb,
+        _with_int8_codes,
+    )
+
+    quant = _with_int8_codes(_emb(spark, sf_dir)).select("vec_id", "q")
+    qset = quant.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cand0 = (
+        quant.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rel", _int8_dot("qq", "q"))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    # rank<=N compiles to WindowGroupLimit — the corpus-sized stage ends
+    # here; everything after is per-query constant work.
+    cand = (
+        cand0.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_NCAND)
+        .select("query_id", "vec_id", "rel", "q")
+    )
+    # The greedy runs as HOF expressions over ONE row per query — the
+    # same lesson as embedding_power_iteration: a first cut iterated with
+    # per-round joins/windows over the tiny candidate frame and cost
+    # ~4-5 s of pure plan-analysis + stage-scheduling at ANY sf; the
+    # candidate array form runs the identical integer arithmetic in K
+    # chained projections (2 shuffles total: the top-N window and this
+    # groupBy). Candidates are packed rel-desc so element 1 IS round 1.
+    garr = cand.groupBy("query_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(vec_id, rel, q)),"
+            " (l, r) -> CASE WHEN l.rel > r.rel THEN -1"
+            " WHEN l.rel < r.rel THEN 1"
+            " WHEN l.vec_id < r.vec_id THEN -1 ELSE 1 END)"
+        ).alias("cs")
+    )
+    df = garr.withColumn(
+        "sel",
+        F.expr(
+            f"array(named_struct('vec_id', cs[0].vec_id, 'rel', cs[0].rel,"
+            f" 'mmr_score', cs[0].rel * {MMR_LAMBDA_PPM},"
+            f" 'rnk', 1, 'q', cs[0].q))"
+        ),
+    )
+    for r in range(2, MMR_K + 1):
+        # maxsim over the selected set via array_max(transform(...)):
+        # sel is non-empty from round 1 on. The trailing select+coalesce
+        # is the plan barrier (cf. embedding_power_iteration): sel is
+        # referenced twice per round (exists-filter + penalty), so without
+        # it CollapseProject re-inlines the whole chain per reference.
+        pick = (
+            "element_at(array_sort("
+            "transform("
+            "  filter(cs, c -> !exists(sel, s -> s.vec_id = c.vec_id)),"
+            "  c -> named_struct("
+            "    'vec_id', c.vec_id, 'rel', c.rel,"
+            f"   'mmr_score', c.rel * {MMR_LAMBDA_PPM} - {_MMR_MU_PPM} *"
+            "      array_max(transform(sel, s -> aggregate("
+            "        zip_with(c.q, s.q, (x, y) -> x * y),"
+            "        0L, (acc, v) -> acc + v))),"
+            f"   'rnk', {r}, 'q', c.q)),"
+            " (l, r2) -> CASE WHEN l.mmr_score > r2.mmr_score THEN -1"
+            " WHEN l.mmr_score < r2.mmr_score THEN 1"
+            " WHEN l.vec_id < r2.vec_id THEN -1 ELSE 1 END), 1)"
+        )
+        df = (
+            df.withColumn("sel", F.expr(f"concat(sel, array({pick}))"))
+            .select("query_id", "cs", "sel")
+            .coalesce(1)
+        )
+    # explode_OUTER on purpose (cf. embedding_power_iteration): plain
+    # explode makes the optimizer infer a size(sel) > 0 Filter carrying
+    # the full nested-HOF chain as one interpreted predicate. sel always
+    # has exactly K elements, so OUTER is semantically identical.
+    return df.select(
+        "query_id", F.explode_outer("sel").alias("s")
+    ).select(
+        "query_id",
+        F.col("s.rnk").cast("int").alias("rnk"),
+        F.col("s.vec_id").alias("neighbor_id"),
+        F.col("s.rel").alias("rel"),
+        F.col("s.mmr_score").alias("mmr_score"),
+    )
+
+
+def _mmr_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        _quant_sql_fragment,
+    )
+
+    lam, mu = MMR_LAMBDA_PPM, _MMR_MU_PPM
+    sql = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+quant AS (
+{_quant_sql_fragment("emb", "vec_id")}
+),
+qset AS (
+    SELECT vec_id AS query_id, q AS qq FROM quant WHERE vec_id < {MMR_QUERIES}
+),
+cand0 AS (
+    SELECT s.query_id, e.vec_id,
+           CAST(list_dot_product(s.qq, e.q) AS BIGINT) AS rel, e.q
+    FROM quant e JOIN qset s ON e.vec_id <> s.query_id
+),
+cand AS (
+    SELECT query_id, vec_id, rel, q FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM cand0
+    ) WHERE rn <= {MMR_NCAND}
+),
+pw AS (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(list_dot_product(a.q, b.q) AS BIGINT) AS sim
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+sel1 AS (
+    SELECT query_id, vec_id, rel, rel * {lam} AS mmr_score, 1 AS rnk FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)"""
+    prev = "SELECT query_id, vec_id, rel, mmr_score, rnk FROM sel1"
+    for r in range(2, MMR_K + 1):
+        sql += f""",
+selected{r - 1} AS ({prev}),
+pen{r} AS (
+    SELECT p.query_id, p.a_id AS vec_id, max(p.sim) AS maxsim
+    FROM pw p JOIN selected{r - 1} s
+      ON p.query_id = s.query_id AND p.b_id = s.vec_id
+    GROUP BY 1, 2
+),
+sel{r} AS (
+    SELECT query_id, vec_id, rel, mmr_score, {r} AS rnk FROM (
+        SELECT c.query_id, c.vec_id, c.rel,
+               c.rel * {lam} - pn.maxsim * {mu} AS mmr_score,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY c.rel * {lam} - pn.maxsim * {mu} DESC,
+                            c.vec_id) AS rn
+        FROM cand c
+        JOIN pen{r} pn
+          ON c.query_id = pn.query_id AND c.vec_id = pn.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM selected{r - 1} s
+                          WHERE s.query_id = c.query_id
+                            AND s.vec_id = c.vec_id)
+    ) WHERE rn = 1
+)"""
+        prev += (
+            f" UNION ALL SELECT query_id, vec_id, rel, mmr_score, rnk"
+            f" FROM sel{r}"
+        )
+    sql += f"""
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id AS neighbor_id,
+       rel, mmr_score
+FROM ({prev})
+"""
+    return sql
+
+
 QUERIES = {
     "bm25_doc_search": bm25_doc_search,
     "source_span_overlap": source_span_overlap,
@@ -667,6 +875,7 @@ QUERIES = {
     "collocation_pmi": collocation_pmi,
     "span_dedup_stats": span_dedup_stats,
     "tfidf_doc_keywords": tfidf_doc_keywords,
+    "mmr_diversified_topk": mmr_diversified_topk,
 }
 
 ORACLE = {
@@ -676,4 +885,5 @@ ORACLE = {
     "collocation_pmi": _PMI_SQL,
     "span_dedup_stats": _SPAN_SQL,
     "tfidf_doc_keywords": _TFIDF_SQL,
+    "mmr_diversified_topk": _mmr_sql(),
 }

@@ -626,12 +626,204 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation audit — the planning decision BEFORE the
+# skew audit's strategy verdict: how many rows will this join produce?
+# For each audited (A.key = B.key) pair, three numbers from per-side key
+# histograms only (what a real optimizer keeps in table stats; the raw
+# join is never materialized):
+#   exact      — sum over matched keys of cnt_a * cnt_b, computed from the
+#                two per-key count frames (a keyed aggregate join: the
+#                only shuffle is on the key, volume = key domains).
+#   est_uniform— the System-R containment formula
+#                rows_a * rows_b / max(ndv_a, ndv_b).
+#   est_hh     — an end-biased histogram (Ioannidis & Poosala, SIGMOD'95):
+#                the top-H heaviest keys per side kept exactly (their
+#                cross products summed where both sides agree), the
+#                residual mass estimated uniformly. This is what rescues
+#                the estimate on skewed keys, measured against the same
+#                exact truth.
+# Wide arithmetic rides DECIMAL(38,0)/HUGEINT internally (rows_a * rows_b
+# overflows int64 at real scale — the market_basket_lift idiom); outputs
+# are BIGINT per the output-type contract.
+# Scale: per-key count frames are one map-side-combine aggregate per
+# table; top-H is TakeOrderedAndProject (no global sort); everything after
+# operates on 1-row or H-row frames.
+# ---------------------------------------------------------------------------
+CARD_JOINS = (
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("events_self_user", "events", "user_id", "events", "user_id"),
+)
+CARD_HH = 8
+
+
+def _key_counts(spark, sf_dir, table: str, key: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, table)
+        .filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).cast("bigint").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _card_one(kc_a: DataFrame, kc_b: DataFrame, name: str) -> DataFrame:
+    sa = kc_a.agg(
+        F.sum("cnt").cast("bigint").alias("rows_a"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv_a"),
+    )
+    sb = kc_b.agg(
+        F.sum("cnt").cast("bigint").alias("rows_b"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv_b"),
+    )
+    ex = (
+        kc_a.select("k", F.col("cnt").alias("cnt_a"))
+        .join(kc_b.select("k", F.col("cnt").alias("cnt_b")), "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(cnt_a AS DECIMAL(38,0)) * cnt_b")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("exact_dec")
+        )
+    )
+    # top-H heaviest keys: orderBy+limit compiles to TakeOrderedAndProject
+    hh_a = kc_a.orderBy(F.col("cnt").desc(), "k").limit(CARD_HH)
+    hh_b = kc_b.orderBy(F.col("cnt").desc(), "k").limit(CARD_HH)
+    hhj = (
+        hh_a.select("k", F.col("cnt").alias("cnt_a"))
+        .join(hh_b.select("k", F.col("cnt").alias("cnt_b")), "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(cnt_a AS DECIMAL(38,0)) * cnt_b")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("hh_exact_dec"),
+            F.coalesce(F.sum("cnt_a"), F.lit(0)).cast("bigint").alias("m_rows_a"),
+            F.coalesce(F.sum("cnt_b"), F.lit(0)).cast("bigint").alias("m_rows_b"),
+            F.count("k").cast("bigint").alias("n_matched"),
+        )
+    )
+    one = (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(hhj))
+    )
+    return one.select(
+        F.lit(name).alias("join_name"),
+        "rows_a",
+        "rows_b",
+        "ndv_a",
+        "ndv_b",
+        F.expr("CAST(exact_dec AS BIGINT)").alias("exact_rows"),
+        F.expr(
+            "CAST(CAST(rows_a AS DECIMAL(38,0)) * rows_b"
+            " div greatest(ndv_a, ndv_b) AS BIGINT)"
+        ).alias("est_uniform"),
+        F.expr(
+            "CAST(hh_exact_dec + (CASE WHEN greatest(ndv_a - n_matched,"
+            " ndv_b - n_matched) <= 0 THEN 0 ELSE"
+            " CAST(rows_a - m_rows_a AS DECIMAL(38,0)) * (rows_b - m_rows_b)"
+            " div greatest(ndv_a - n_matched, ndv_b - n_matched) END)"
+            " AS BIGINT)"
+        ).alias("est_hh"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(CAST(abs(est_uniform - exact_rows) AS DECIMAL(38,0))"
+            " * 1000000 div exact_rows AS BIGINT)"
+        ).alias("err_uniform_ppm"),
+        F.expr(
+            "CAST(CAST(abs(est_hh - exact_rows) AS DECIMAL(38,0))"
+            " * 1000000 div exact_rows AS BIGINT)"
+        ).alias("err_hh_ppm"),
+    )
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, ta, ka, tb, kb in CARD_JOINS:
+        kc_a = _key_counts(spark, sf_dir, ta, ka)
+        # self-join audits reuse ONE per-key frame on both sides
+        kc_b = (
+            kc_a if (ta, ka) == (tb, kb) else _key_counts(spark, sf_dir, tb, kb)
+        )
+        row = _card_one(kc_a, kc_b, name)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _card_sql_one(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+kca_{name} AS (
+    SELECT CAST({ka} AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM {ta} WHERE {ka} IS NOT NULL GROUP BY 1
+),
+kcb_{name} AS (
+    SELECT CAST({kb} AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM {tb} WHERE {kb} IS NOT NULL GROUP BY 1
+),
+sa_{name} AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS rows_a,
+           CAST(count(*) AS BIGINT) AS ndv_a FROM kca_{name}
+),
+sb_{name} AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS rows_b,
+           CAST(count(*) AS BIGINT) AS ndv_b FROM kcb_{name}
+),
+ex_{name} AS (
+    SELECT coalesce(sum(CAST(a.cnt AS HUGEINT) * b.cnt), 0) AS exact_dec
+    FROM kca_{name} a JOIN kcb_{name} b USING (k)
+),
+hha_{name} AS (
+    SELECT k, cnt FROM kca_{name} ORDER BY cnt DESC, k LIMIT {CARD_HH}
+),
+hhb_{name} AS (
+    SELECT k, cnt FROM kcb_{name} ORDER BY cnt DESC, k LIMIT {CARD_HH}
+),
+hhj_{name} AS (
+    SELECT coalesce(sum(CAST(a.cnt AS HUGEINT) * b.cnt), 0) AS hh_exact_dec,
+           CAST(coalesce(sum(a.cnt), 0) AS BIGINT) AS m_rows_a,
+           CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS m_rows_b,
+           CAST(count(a.k) AS BIGINT) AS n_matched
+    FROM hha_{name} a JOIN hhb_{name} b USING (k)
+),
+est_{name} AS (
+    SELECT '{name}' AS join_name, rows_a, rows_b, ndv_a, ndv_b,
+           CAST(exact_dec AS BIGINT) AS exact_rows,
+           CAST(CAST(rows_a AS HUGEINT) * rows_b
+                // greatest(ndv_a, ndv_b) AS BIGINT) AS est_uniform,
+           CAST(hh_exact_dec + (CASE WHEN greatest(ndv_a - n_matched,
+                ndv_b - n_matched) <= 0 THEN 0 ELSE
+                CAST(rows_a - m_rows_a AS HUGEINT) * (rows_b - m_rows_b)
+                // greatest(ndv_a - n_matched, ndv_b - n_matched) END)
+                AS BIGINT) AS est_hh
+    FROM sa_{name}, sb_{name}, ex_{name}, hhj_{name}
+),
+row_{name} AS (
+    SELECT *,
+           CAST(CAST(abs(est_uniform - exact_rows) AS HUGEINT)
+                * 1000000 // exact_rows AS BIGINT) AS err_uniform_ppm,
+           CAST(CAST(abs(est_hh - exact_rows) AS HUGEINT)
+                * 1000000 // exact_rows AS BIGINT) AS err_hh_ppm
+    FROM est_{name}
+)"""
+
+
+_CARD_SQL = (
+    "WITH "
+    + ",".join(_card_sql_one(*j) for j in CARD_JOINS)
+    + "\n"
+    + " UNION ALL ".join(f"SELECT * FROM row_{n}" for n, *_ in CARD_JOINS)
+)
+
+
 QUERIES = {
     "kmv_distinct_daily": kmv_distinct_daily,
     "kmv_rolling_distinct": kmv_rolling_distinct,
     "bloom_prefilter_audit": bloom_prefilter_audit,
     "shuffle_skew_audit": shuffle_skew_audit,
     "phrase_search_positional": phrase_search_positional,
+    "join_cardinality_estimate": join_cardinality_estimate,
 }
 
 ORACLE = {
@@ -640,4 +832,5 @@ ORACLE = {
     "bloom_prefilter_audit": _BLOOM_SQL,
     "shuffle_skew_audit": _SKEW_SQL,
     "phrase_search_positional": _PHRASE_SQL,
+    "join_cardinality_estimate": _CARD_SQL,
 }
