@@ -261,6 +261,10 @@ HEADLINE = [
     # wave 10: planner-support / retrieval / sampling
     "join_cardinality_estimate",
     "weighted_sample_priority",
+    # wave 11: sketch set-algebra / layout / compliance
+    "kmv_audience_intersection",
+    "file_skipping_audit",
+    "deletion_impact_audit",
     # mmr_diversified_topk is NOT benched (double-count rule): its
     # corpus-sized stage is the brute-force candidate scan already timed
     # via similarity_topk_bruteforce; the greedy rounds operate on

@@ -218,6 +218,10 @@ _VERIFY_FIRST = [
     "join_cardinality_estimate",
     "mmr_diversified_topk",
     "weighted_sample_priority",
+    # wave 11 (sketch set-algebra / layout / compliance — zero driver evidence)
+    "kmv_audience_intersection",
+    "file_skipping_audit",
+    "deletion_impact_audit",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1200,6 +1200,104 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Deletion-impact audit — the right-to-be-forgotten dry run: given a
+# tombstone set of customer keys (here a deterministic slice standing in
+# for a real deletion-request table; swap the filter for a join against
+# it), measure what a compliant erasure touches in EVERY table before
+# rewriting anything: rows to delete, total rows, and the deletion share.
+# The cascade is real: orders are deleted by o_custkey, and lineitem rows
+# by membership of their l_orderkey in the DELETED orders — the
+# referential closure a GDPR pipeline must compute, not just per-table
+# key filters. Events are keyed by the same user domain (user_id is a
+# c_custkey in this schema).
+# Scale: the tombstone set broadcasts into every probe (semi-join-shaped
+# conditional counts fused into each table's single scan); the one
+# non-broadcast step is lineitem vs deleted-orderkeys — a keyed shuffle
+# join whose build side is the deleted fraction of orders, exactly the
+# step a real deletion job shuffles on.
+# ---------------------------------------------------------------------------
+TOMBSTONE_MOD = 37  # c_custkey % 37 == 0 -> deletion-requested
+
+
+def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def _count_row(table: str, df: DataFrame, deleted_flag) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(deleted_flag).cast("bigint").alias("rows_deleted"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "rows_total",
+            "rows_deleted",
+            F.expr(
+                "CAST(rows_deleted * 1000000 div rows_total AS BIGINT)"
+            ).alias("delete_ppm"),
+        )
+
+    tomb_flag = lambda c: F.expr(  # noqa: E731
+        f"CASE WHEN {c} % {TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END"
+    )
+    del_orders = orders.filter(
+        F.expr(f"o_custkey % {TOMBSTONE_MOD} = 0")
+    ).select("o_orderkey")
+    li = lineitem.join(
+        del_orders.withColumn("is_del", F.lit(1)),
+        lineitem["l_orderkey"] == del_orders["o_orderkey"],
+        "left",
+    )
+    rows = [
+        _count_row("customer", cust, tomb_flag("c_custkey")),
+        _count_row("orders", orders, tomb_flag("o_custkey")),
+        _count_row("lineitem", li, F.coalesce(F.col("is_del"), F.lit(0))),
+        _count_row("events", events, tomb_flag("user_id")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_DELETION_SQL = f"""
+WITH del_orders AS (
+    SELECT o_orderkey FROM orders WHERE o_custkey % {TOMBSTONE_MOD} = 0
+),
+rows AS (
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN c_custkey % {TOMBSTONE_MOD} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % {TOMBSTONE_MOD} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_orders d
+                                      WHERE d.o_orderkey = l.l_orderkey)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l
+    UNION ALL
+    SELECT 'events',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id % {TOMBSTONE_MOD} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+)
+SELECT table_name, rows_total, rows_deleted,
+       CAST(rows_deleted * 1000000 // rows_total AS BIGINT) AS delete_ppm
+FROM rows
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "bucketed_join_colocation": bucketed_join_colocation,
@@ -1219,6 +1317,7 @@ QUERIES = {
     "zorder_layout_audit": zorder_layout_audit,
     "unpivot_revenue_components": unpivot_revenue_components,
     "array_function_surface": array_function_surface,
+    "deletion_impact_audit": deletion_impact_audit,
 }
 
 ORACLE = {
@@ -1240,4 +1339,5 @@ ORACLE = {
     "zorder_layout_audit": _zorder_audit_sql(),
     "unpivot_revenue_components": _UNPIVOT_SQL,
     "array_function_surface": _ARRAY_SURFACE_SQL,
+    "deletion_impact_audit": _DELETION_SQL,
 }

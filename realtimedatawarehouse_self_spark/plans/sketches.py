@@ -817,6 +817,303 @@ _CARD_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Theta-sketch intersection — the SET-OPERATION half of the mergeable-
+# sketch algebra (union = kmv_rolling_distinct; this is intersection, the
+# audience-overlap question answered from per-audience sketches alone).
+# Per event type keep the K smallest user hashes; theta = the K-th
+# smallest when the sketch is full, else the full hash domain. For a pair:
+#   theta_pair = least(theta_a, theta_b)
+#   D = |kmin_a INTERSECT kmin_b  strictly below theta_pair|
+#   est = D * 2^60 / theta_pair      (Dasgupta et al., theta sketches)
+# audited against the EXACT overlap from the same distinct frame — the
+# sketch-vs-exact doctrine applied to set intersection. Estimates are
+# coarse at tiny |D| (that is the honest property of intersection
+# sketches — relative error grows as overlap shrinks); err_ppm makes the
+# coarseness measurable instead of hidden, and est/err are -1-sentineled
+# when the exact overlap is empty (NULL would render differently across
+# the engines' dataframe bridges).
+# Scale: the per-type distinct + k-min (WindowGroupLimit) is the only
+# data-sized work; every pair computation runs over K-row-per-type
+# frames. Production keeps the K-row sketches and answers ANY pairwise
+# (or k-way) overlap without re-scanning the fact table.
+# ---------------------------------------------------------------------------
+KMV_INTER_K = 32
+
+
+def kmv_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", _h60("user_id").alias("h"))
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = (
+        au.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_INTER_K)
+        .select("event_type", "h")
+        .persist()
+    )
+    sk = kmin.groupBy("event_type").agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+    ).withColumn(
+        "theta",
+        F.expr(f"CASE WHEN n_in < {KMV_INTER_K} THEN {HASH_MOD} ELSE h_k END"),
+    )
+    types = sk.select("event_type", "theta")
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"), F.col("theta").alias("theta_a"))
+        .crossJoin(
+            types.select(
+                F.col("event_type").alias("type_b"), F.col("theta").alias("theta_b")
+            )
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("theta_min", F.least("theta_a", "theta_b"))
+    )
+    exact = (
+        au.select(F.col("event_type").alias("type_a"), "h")
+        .join(au.select(F.col("event_type").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    out = pairs.join(exact, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        F.coalesce("exact_overlap", F.lit(0)).cast("bigint").alias(
+            "exact_overlap"
+        ),
+        "theta_min",
+    )
+    # D counts only retained hashes strictly below theta_min
+    d = (
+        kmin.select(F.col("event_type").alias("type_a"), "h")
+        .join(kmin.select(F.col("event_type").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(pairs.select("type_a", "type_b", "theta_min")), ["type_a", "type_b"])
+        .filter(F.col("h") < F.col("theta_min"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_below"))
+    )
+    return (
+        out.join(d, ["type_a", "type_b"], "left")
+        .withColumn("d_below", F.coalesce("d_below", F.lit(0)).cast("bigint"))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            "d_below",
+            F.expr(
+                f"CAST(CAST(d_below AS DECIMAL(38,0)) * {HASH_MOD}"
+                " div theta_min AS BIGINT)"
+            ).alias("est_overlap"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "CASE WHEN exact_overlap = 0 THEN -1"
+                " ELSE CAST(abs(est_overlap - exact_overlap) * 1000000"
+                " div exact_overlap AS BIGINT) END"
+            ),
+        )
+    )
+
+
+_KMV_INTER_SQL = f"""
+WITH au AS (
+    SELECT DISTINCT event_type,
+           {_H60_DUCK.format(col="user_id")} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+kmin AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM au
+    ) WHERE rn <= {KMV_INTER_K}
+),
+sk AS (
+    SELECT event_type,
+           CASE WHEN count(*) < {KMV_INTER_K} THEN {HASH_MOD}
+                ELSE max(h) END AS theta
+    FROM kmin GROUP BY 1
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           least(a.theta, b.theta) AS theta_min
+    FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+exact AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS exact_overlap
+    FROM au a JOIN au b ON a.h = b.h AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+d AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS d_below
+    FROM kmin a
+    JOIN kmin b ON a.h = b.h AND a.event_type < b.event_type
+    JOIN pairs p ON p.type_a = a.event_type AND p.type_b = b.event_type
+    WHERE a.h < p.theta_min
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT p.type_a, p.type_b,
+           CAST(coalesce(e.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+           CAST(coalesce(d.d_below, 0) AS BIGINT) AS d_below,
+           CAST(CAST(coalesce(d.d_below, 0) AS HUGEINT) * {HASH_MOD}
+                // p.theta_min AS BIGINT) AS est_overlap
+    FROM pairs p
+    LEFT JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    LEFT JOIN d ON d.type_a = p.type_a AND d.type_b = p.type_b
+)
+SELECT type_a, type_b, exact_overlap, d_below, est_overlap,
+       CASE WHEN exact_overlap = 0 THEN -1
+            ELSE CAST(abs(est_overlap - exact_overlap) * 1000000
+                 // exact_overlap AS BIGINT) END AS err_ppm
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# Min-max file-skipping audit — the data-layout decision BEHIND parquet
+# predicate pushdown: per simulated file, the (min, max) of the probe
+# column; a file is SCANNED for a predicate iff [min, max] overlaps it.
+# Two layouts from the same rows:
+#   natural   — files are (day, hour) ingestion slices: user_id ranges are
+#               wide in every file, point lookups scan everything.
+#   clustered — files are user_id range buckets (what a write-time
+#               cluster-by produces): min/max are tight, lookups touch
+#               one file.
+# The audit quantifies the layout's payoff per predicate (skip_ppm) — the
+# measurement behind a CLUSTER BY / Z-ORDER decision, sibling of
+# zorder_layout_audit. One scan: stats aggregate at the (hour, bucket)
+# CELL grain, and both layouts' file stats derive from the cell frame
+# (min of mins / sum of counts) — the fact table is never read twice.
+# ---------------------------------------------------------------------------
+SKIP_UBUCKET = 16  # clustered-layout file width in user_id space
+SKIP_PREDS = (  # (pred_id, lo, hi) on user_id
+    (1, 7, 7),
+    (2, 23, 23),
+    (3, 140, 140),
+    (4, 0, 9),
+    (5, 40, 79),
+    (6, 100, 149),
+    (7, 10, 109),
+)
+
+
+def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cells = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd-HH").alias("hour_key"),
+        F.expr(f"user_id div {SKIP_UBUCKET}").alias("bucket_key"),
+    ).agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    nat = cells.groupBy(F.col("hour_key").alias("file_key")).agg(
+        F.min("u_min").alias("u_min"),
+        F.max("u_max").alias("u_max"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    clu = cells.groupBy(
+        F.col("bucket_key").cast("string").alias("file_key")
+    ).agg(
+        F.min("u_min").alias("u_min"),
+        F.max("u_max").alias("u_max"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        list(SKIP_PREDS), "pred_id int, lo bigint, hi bigint"
+    )
+    parts = []
+    for layout, stats in (("natural", nat), ("clustered", clu)):
+        scanned = (
+            stats.crossJoin(F.broadcast(preds))
+            .groupBy("pred_id", "lo", "hi")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("files_total"),
+                F.sum(
+                    F.expr("CASE WHEN u_min <= hi AND u_max >= lo THEN 1 ELSE 0 END")
+                )
+                .cast("bigint")
+                .alias("files_scanned"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN u_min <= hi AND u_max >= lo THEN n_rows ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("rows_scanned"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "pred_id",
+                "lo",
+                "hi",
+                "files_total",
+                "files_scanned",
+                "rows_scanned",
+                F.expr(
+                    "CAST((files_total - files_scanned) * 1000000"
+                    " div files_total AS BIGINT)"
+                ).alias("skip_ppm"),
+            )
+        )
+        parts.append(scanned)
+    return parts[0].unionByName(parts[1])
+
+
+_SKIP_PRED_VALUES = ", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in SKIP_PREDS)
+
+_SKIP_SQL = f"""
+WITH cells AS (
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS hour_key,
+           user_id // {SKIP_UBUCKET} AS bucket_key,
+           min(user_id) AS u_min, max(user_id) AS u_max,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
+),
+nat AS (
+    SELECT hour_key AS file_key, min(u_min) AS u_min, max(u_max) AS u_max,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows
+    FROM cells GROUP BY 1
+),
+clu AS (
+    SELECT CAST(bucket_key AS VARCHAR) AS file_key,
+           min(u_min) AS u_min, max(u_max) AS u_max,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows
+    FROM cells GROUP BY 1
+),
+preds AS (SELECT * FROM (VALUES {_SKIP_PRED_VALUES}) v(pred_id, lo, hi)),
+stats AS (
+    SELECT 'natural' AS layout, * FROM nat
+    UNION ALL
+    SELECT 'clustered' AS layout, * FROM clu
+)
+SELECT s.layout, CAST(p.pred_id AS INTEGER) AS pred_id,
+       CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN s.u_min <= p.hi AND s.u_max >= p.lo
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN s.u_min <= p.hi AND s.u_max >= p.lo
+                THEN s.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST((count(*) - sum(CASE WHEN s.u_min <= p.hi AND s.u_max >= p.lo
+                            THEN 1 ELSE 0 END)) * 1000000
+            // count(*) AS BIGINT) AS skip_ppm
+FROM stats s CROSS JOIN preds p
+GROUP BY 1, 2, 3, 4
+"""
+
+
 QUERIES = {
     "kmv_distinct_daily": kmv_distinct_daily,
     "kmv_rolling_distinct": kmv_rolling_distinct,
@@ -824,6 +1121,8 @@ QUERIES = {
     "shuffle_skew_audit": shuffle_skew_audit,
     "phrase_search_positional": phrase_search_positional,
     "join_cardinality_estimate": join_cardinality_estimate,
+    "kmv_audience_intersection": kmv_audience_intersection,
+    "file_skipping_audit": file_skipping_audit,
 }
 
 ORACLE = {
@@ -833,4 +1132,6 @@ ORACLE = {
     "shuffle_skew_audit": _SKEW_SQL,
     "phrase_search_positional": _PHRASE_SQL,
     "join_cardinality_estimate": _CARD_SQL,
+    "kmv_audience_intersection": _KMV_INTER_SQL,
+    "file_skipping_audit": _SKIP_SQL,
 }
