@@ -222,6 +222,7 @@ _VERIFY_FIRST = [
     "kmv_audience_intersection",
     "file_skipping_audit",
     "deletion_impact_audit",
+    "streaming_kmv_daily",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1149,6 +1149,121 @@ def _incoming_stream_sql() -> str:
     return _incoming_sql()
 
 
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch — the MERGEABLE-sketch driver row: each
+# day's K-minimum-values set is carried in keyed state across micro-
+# batches, with the stream deliberately sliced by USER (not by day) so
+# every day key must merge partial sketches from every batch — the exact
+# property (K-min of a union ⊆ union of K-mins) that lets a 100 TB
+# deployment keep daily sketches and answer any window by merging.
+# Shares kmv_distinct_daily's oracle: the driver row proves the streaming
+# merge reaches the identical sketch (same h_k, same n_in, same estimate)
+# as the batch computation, independent of batch boundaries.
+# ---------------------------------------------------------------------------
+KMV_STREAM_SLICES = 3  # user_id % 3 slices -> every day merges 3 partials
+
+
+def streaming_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        KMV_K,
+        _h60,
+        _kmv_estimate,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import kmv_kmin
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    dh = None
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-kmv-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+        os.makedirs(src)
+        # (day, h) distinct — the SAME grain as the shared batch oracle's
+        # dh CTE; slices key on the hash so the frame needs no user column
+        dh = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+                _h60("user_id").alias("h"),
+            )
+            .distinct()
+            .persist()
+        )
+        if not dh.take(1):
+            return spark.createDataFrame(
+                [], "d string, exact_users bigint, kmv_users bigint, err_ppm bigint"
+            )
+        t0 = _time.time()
+        for i in range(KMV_STREAM_SLICES):
+            part = os.path.join(src, f"g{i:04d}")
+            dh.filter(F.col("h") % KMV_STREAM_SLICES == i).select(
+                "day", "h", F.lit(0).cast("int").alias("flush")
+            ).coalesce(1).write.parquet(part)
+            for fname in os.listdir(part):
+                os.utime(os.path.join(part, fname), (t0 + i * 10, t0 + i * 10))
+        sent = os.path.join(src, "zz_flush")
+        dh.select("day").distinct().select(
+            "day",
+            F.lit(0).cast("bigint").alias("h"),
+            F.lit(1).cast("int").alias("flush"),
+        ).coalesce(1).write.parquet(sent)
+        for fname in os.listdir(sent):
+            os.utime(
+                os.path.join(sent, fname),
+                (t0 + KMV_STREAM_SLICES * 10, t0 + KMV_STREAM_SLICES * 10),
+            )
+        schema = "day string, h bigint, flush int"
+        q = (
+            kmv_kmin(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*")),
+                k=KMV_K,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        sketch = spark.read.parquet(out).select("day", "h_k", "n_in")
+        exact = dh.groupBy("day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_users")
+        )
+        est = sketch.join(exact, "day").select(
+            F.col("day").alias("d"),
+            "exact_users",
+            _kmv_estimate("h_k", "n_in").alias("kmv_users"),
+        )
+        return est.select(
+            "d",
+            "exact_users",
+            "kmv_users",
+            F.expr(
+                "CAST(abs(kmv_users - exact_users) * 1000000"
+                " div exact_users AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    finally:
+        if dh is not None:
+            dh.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _kmv_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.sketches import _KMV_DAILY_SQL
+
+    return _KMV_DAILY_SQL
+
+
 QUERIES = {
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_topk_hitters": streaming_topk_hitters,
@@ -1161,6 +1276,7 @@ QUERIES = {
     "streaming_cusum_daily": streaming_cusum_daily,
     "streaming_reconcile_full_outer": streaming_reconcile_full_outer,
     "streaming_dedup_incoming": streaming_dedup_incoming,
+    "streaming_kmv_daily": streaming_kmv_daily,
 }
 
 ORACLE = {
@@ -1175,4 +1291,5 @@ ORACLE = {
     "streaming_cusum_daily": _cusum_stream_sql(),
     "streaming_reconcile_full_outer": _FULL_OUTER_STREAM_SQL,
     "streaming_dedup_incoming": _incoming_stream_sql(),
+    "streaming_kmv_daily": _kmv_stream_sql(),
 }

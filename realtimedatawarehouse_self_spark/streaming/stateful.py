@@ -455,3 +455,63 @@ def topk_hitters(
     return events.groupBy(key).applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def kmv_kmin(events: DataFrame, k: int = 8) -> DataFrame:
+    """Per-day K-minimum-values sketch with state carried across
+    micro-batches — the mergeable-sketch streaming twin of
+    ``plans/sketches.kmv_distinct_daily``.
+
+    The state is the day's K smallest DISTINCT hashes (a set union then
+    re-truncate per batch — the same merge rule the batch rolling window
+    uses, valid because the K smallest of a union are contained in the
+    union of per-set K smallest). State per key is O(K) longs, never
+    O(users): the whole point of keeping sketches instead of hash sets.
+
+    Input rows: (day, h, flush). Data rows have flush=0; the harness's
+    final sentinel file carries one flush=1 row per day. On flush the key
+    emits (day, h_k, n_in) — the sketch summary the batch-side estimator
+    consumes — and drops its state.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField("day", StringType()),
+            StructField("h_k", LongType()),
+            StructField("n_in", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("hs", ArrayType(LongType()))])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        hs = set(state.get[0] or []) if state.exists else set()
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        flush = bool((pdf["flush"] == 1).any())
+        data = pdf[pdf["flush"] == 0]
+        if len(data):
+            hs |= {int(x) for x in data["h"].unique()}
+            hs = set(sorted(hs)[:k])
+        if flush:
+            state.remove()
+            arr = sorted(hs)
+            yield pd.DataFrame(
+                {
+                    "day": [key_tuple[0]],
+                    "h_k": [int(arr[-1]) if arr else 0],
+                    "n_in": [len(arr)],
+                }
+            )
+        else:
+            state.update(([int(x) for x in sorted(hs)],))
+            yield pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="str"),
+                    "h_k": pd.Series([], dtype="int64"),
+                    "n_in": pd.Series([], dtype="int64"),
+                }
+            )
+
+    return events.groupBy("day").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

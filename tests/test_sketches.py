@@ -122,3 +122,21 @@ def test_skew_audit_strategies_cover_thresholds(spark, sf):
         assert r["n_rows"] >= r["distinct_keys"] >= 1
         assert r["max_key_rows"] * r["distinct_keys"] >= r["n_rows"]
         assert r["strategy"] in ("broadcast", "salt", "hash")
+
+
+def test_streaming_kmv_twin_equals_batch_sketch(spark, sf):
+    """The streaming K-min state (merged across user-sliced micro-batches)
+    must reach the IDENTICAL sketch — same h_k, same n_in, hence the same
+    estimate — as the batch kmv_distinct_daily over the same events: the
+    mergeability theorem executed through real keyed streaming state."""
+    import __spark_entry__ as e
+
+    batch = {
+        r["d"]: (r["exact_users"], r["kmv_users"], r["err_ppm"])
+        for r in e.queries()["kmv_distinct_daily"](spark, sf).collect()
+    }
+    stream = {
+        r["d"]: (r["exact_users"], r["kmv_users"], r["err_ppm"])
+        for r in e.queries()["streaming_kmv_daily"](spark, sf).collect()
+    }
+    assert batch and stream == batch
