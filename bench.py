@@ -265,6 +265,10 @@ HEADLINE = [
     "kmv_audience_intersection",
     "file_skipping_audit",
     "deletion_impact_audit",
+    # wave 12: entity resolution / late-dim reattribution
+    "entity_match_parts",
+    "entity_golden_record",
+    "late_dim_reattribution",
     # mmr_diversified_topk is NOT benched (double-count rule): its
     # corpus-sized stage is the brute-force candidate scan already timed
     # via similarity_topk_bruteforce; the greedy rounds operate on

@@ -23,6 +23,7 @@ from realtimedatawarehouse_self_spark.plans import (
     featurize,
     llm_ops,
     mining,
+    entity,
     python_path,
     state_ops,
     retrieval,
@@ -45,6 +46,7 @@ _MODULES = (
     mining,
     state_ops,
     drift,
+    entity,
     featurize,
     sketches,
     streaming_twins,
@@ -223,6 +225,10 @@ _VERIFY_FIRST = [
     "file_skipping_audit",
     "deletion_impact_audit",
     "streaming_kmv_daily",
+    # wave 12 (entity resolution / late-dim reattribution — zero driver evidence)
+    "entity_match_parts",
+    "entity_golden_record",
+    "late_dim_reattribution",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1199,6 +1199,148 @@ FROM s1 JOIN s7 ON s1.event_type = s7.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Late-arriving-dimension reattribution — the SCD2 family's operational
+# question: when a dimension upsert arrives LATE (facts were attributed
+# against a stale dim), how many facts change label once the update
+# lands? Dim = each user's value segment from purchases (SCD2-style
+# point-in-time updates, deduped to the last update per (user, ts));
+# facts = view events attributed as-of view time. The stale variant drops
+# each user's FINAL update — exactly what a fact job sees when it runs
+# before the day's dim sync — and the output is the (stale -> final)
+# reattribution matrix, 'none' marking facts before any dim version.
+#
+# The as-of probe is the union+last(IGNORE NULLS) window (dim rows sort
+# before same-ts facts, matching DuckDB's ASOF >= semantics in the
+# oracle): ONE shuffle per variant on the user key, no range explosion —
+# the interval table is never materialized per fact.
+# ---------------------------------------------------------------------------
+SEG_LOW_C = 2_000  # < $20.00 -> low
+SEG_MID_C = 6_000  # < $60.00 -> mid, else high
+
+
+def late_dim_reattribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seg_expr = (
+        f"CASE WHEN v_c < {SEG_LOW_C} THEN 'low'"
+        f" WHEN v_c < {SEG_MID_C} THEN 'mid' ELSE 'high' END"
+    )
+    upd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", money_cents("value").alias("v_c")
+        )
+        .withColumn("seg", F.expr(seg_expr))
+    )
+    # one effective update per (user, ts): the LAST by event_id wins
+    wt = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dim = (
+        upd.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "seg")
+    )
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc()
+    )
+    stale = (
+        dim.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") > 1)
+        .select("user_id", "ts", "seg")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def _attribute(d: DataFrame, out: str) -> DataFrame:
+        f = views.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(None).cast("string").alias("seg"),
+            F.lit(1).alias("kind"),
+        )
+        dm = d.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            "seg",
+            F.lit(0).alias("kind"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "kind")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            f.unionByName(dm)
+            .withColumn("seg_at", F.last("seg", ignorenulls=True).over(w))
+            .filter(F.col("kind") == 1)
+            .select(
+                "event_id", F.coalesce("seg_at", F.lit("none")).alias(out)
+            )
+        )
+
+    full = _attribute(dim, "seg_final")
+    before = _attribute(stale, "seg_stale")
+    return (
+        full.join(before, "event_id")
+        .groupBy("seg_stale", "seg_final")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .withColumn(
+            "reattributed",
+            F.expr(
+                "CAST(CASE WHEN seg_stale <> seg_final THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ),
+        )
+    )
+
+
+_LATE_DIM_SQL = f"""
+WITH upd AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+    FROM events WHERE event_type = 'purchase'
+),
+dim AS (
+    SELECT user_id, ts,
+           CASE WHEN v_c < {SEG_LOW_C} THEN 'low'
+                WHEN v_c < {SEG_MID_C} THEN 'mid' ELSE 'high' END AS seg
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM upd
+    ) WHERE rn = 1
+),
+stale AS (
+    SELECT user_id, ts, seg FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC) AS rn
+        FROM dim
+    ) WHERE rn > 1
+),
+views AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+full_attr AS (
+    SELECT v.event_id, coalesce(d.seg, 'none') AS seg_final
+    FROM views v ASOF LEFT JOIN dim d
+      ON v.user_id = d.user_id AND v.ts >= d.ts
+),
+stale_attr AS (
+    SELECT v.event_id, coalesce(d.seg, 'none') AS seg_stale
+    FROM views v ASOF LEFT JOIN stale d
+      ON v.user_id = d.user_id AND v.ts >= d.ts
+)
+SELECT s.seg_stale, f.seg_final,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CASE WHEN s.seg_stale <> f.seg_final THEN 1 ELSE 0 END AS BIGINT)
+           AS reattributed
+FROM full_attr f JOIN stale_attr s USING (event_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "seasonal_baseline_residual": seasonal_baseline_residual,
@@ -1213,6 +1355,7 @@ QUERIES = {
     "active_users_rolling": active_users_rolling,
     "ewma_anomaly_daily": ewma_anomaly_daily,
     "holt_linear_forecast": holt_linear_forecast,
+    "late_dim_reattribution": late_dim_reattribution,
 }
 
 ORACLE = {
@@ -1229,4 +1372,5 @@ ORACLE = {
     "active_users_rolling": _ACTIVE_USERS_SQL,
     "ewma_anomaly_daily": _EWMA_SQL,
     "holt_linear_forecast": _HOLT_SQL,
+    "late_dim_reattribution": _LATE_DIM_SQL,
 }
