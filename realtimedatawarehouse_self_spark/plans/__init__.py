@@ -229,6 +229,7 @@ _VERIFY_FIRST = [
     "entity_match_parts",
     "entity_golden_record",
     "late_dim_reattribution",
+    "streaming_funnel_3way",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

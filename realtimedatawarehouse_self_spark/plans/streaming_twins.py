@@ -1150,6 +1150,130 @@ def _incoming_stream_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Streaming 3-way CHAINED stream-stream join — the funnel executed as one
+# streaming topology: signup -> view (within the horizon) -> purchase
+# (within the horizon of the view), all three legs watermarked, each join
+# carrying an explicit event-time bound so BOTH state stores evict at
+# their horizons. The 2-way twins (J1/J2) prove single-join semantics;
+# this proves Spark's multi-join append-mode contract — the intermediate
+# join's event-time column feeds the second join's range condition — the
+# topology a real conversion funnel runs as a live pipeline rather than a
+# batch window scan. Strict ts inequalities at both stages double as the
+# sentinel guard: the typed flush rows share one timestamp and distinct
+# sentinel users, so they can never chain.
+# ---------------------------------------------------------------------------
+FUNNEL_HORIZON_S = 43_200  # 12 h per stage: 88 matches at sf0.01, 13 at
+# sf0.001 — wide enough that the driver row exercises real chained-state
+# semantics (the r3 vacuous-join lesson), tight enough to stay bounded
+
+
+def streaming_funnel_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        s = (
+            stream.filter(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("s_user"),
+                F.col("event_id").alias("signup_id"),
+                F.col("ts").alias("s_ts"),
+            )
+            .withWatermark("s_ts", "2 seconds")
+        )
+        v = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 seconds")
+        )
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+                money_cents("value").alias("p_cents"),
+            )
+            .withWatermark("p_ts", "2 seconds")
+        )
+        sv = s.join(
+            v,
+            (F.col("s_user") == F.col("v_user"))
+            & (F.col("v_ts") > F.col("s_ts"))
+            & (
+                F.col("v_ts")
+                <= F.col("s_ts") + F.expr(f"interval {FUNNEL_HORIZON_S} seconds")
+            ),
+        )
+        # Spark's multi-join contract: at most ONE event-time column may
+        # enter the next stream-stream join. The intermediate projection
+        # renders s_ts to a plain string (a NEW attribute without the
+        # watermark tag) and keeps v_ts as the sole event-time column
+        # driving the second join's state eviction.
+        sv = sv.select(
+            "s_user",
+            "signup_id",
+            "view_id",
+            F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+            "v_user",
+            "v_ts",
+        )
+        svp = sv.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr(f"interval {FUNNEL_HORIZON_S} seconds")
+            ),
+        )
+        return svp.select(
+            F.col("s_user").alias("user_id"),
+            "signup_id",
+            "view_id",
+            "purchase_id",
+            "signup_ts",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            cents_amount(F.col("p_cents")).alias("purchase_value"),
+        )
+
+    return _run_stream(
+        spark,
+        sf_dir,
+        build,
+        flush_filter=F.col("user_id") >= 0,
+        flush_types=("signup", "view", "purchase"),
+    )
+
+
+_FUNNEL_3WAY_SQL = f"""
+SELECT s.user_id,
+       s.event_id AS signup_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
+           AS purchase_value
+FROM events s
+JOIN events v
+  ON s.user_id = v.user_id
+ AND v.ts > s.ts
+ AND v.ts <= s.ts + INTERVAL {FUNNEL_HORIZON_S} SECONDS
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL {FUNNEL_HORIZON_S} SECONDS
+WHERE s.event_type = 'signup'
+  AND v.event_type = 'view'
+  AND p.event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming KMV distinct sketch — the MERGEABLE-sketch driver row: each
 # day's K-minimum-values set is carried in keyed state across micro-
 # batches, with the stream deliberately sliced by USER (not by day) so
@@ -1277,6 +1401,7 @@ QUERIES = {
     "streaming_reconcile_full_outer": streaming_reconcile_full_outer,
     "streaming_dedup_incoming": streaming_dedup_incoming,
     "streaming_kmv_daily": streaming_kmv_daily,
+    "streaming_funnel_3way": streaming_funnel_3way,
 }
 
 ORACLE = {
@@ -1292,4 +1417,5 @@ ORACLE = {
     "streaming_reconcile_full_outer": _FULL_OUTER_STREAM_SQL,
     "streaming_dedup_incoming": _incoming_stream_sql(),
     "streaming_kmv_daily": _kmv_stream_sql(),
+    "streaming_funnel_3way": _FUNNEL_3WAY_SQL,
 }

@@ -868,3 +868,29 @@ def test_topk_hitters_sketch_state_bounded_and_candidate_complete(
     assert len(flushed) <= cap  # bounded state
     survivors = set(flushed["user_id"])
     assert {1000, 1001} <= survivors  # completeness for freq >= n/cap
+
+
+def test_streaming_funnel_3way_chain_ordering(spark):
+    """Every emitted funnel row must respect the chain: signup < view <=
+    view+H and view < purchase <= purchase horizon — the two join bounds
+    re-checked on the actual streaming output."""
+    import datetime as dt
+    import os
+
+    import __spark_entry__ as e
+    from tests.conftest import TESTDATA
+    from realtimedatawarehouse_self_spark.plans.streaming_twins import (
+        FUNNEL_HORIZON_S,
+    )
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    rows = e.queries()["streaming_funnel_3way"](spark, sf).collect()
+    assert rows, "funnel must emit real matches (vacuous-join guard)"
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for r in rows:
+        s = dt.datetime.strptime(r["signup_ts"], fmt)
+        v = dt.datetime.strptime(r["view_ts"], fmt)
+        p = dt.datetime.strptime(r["purchase_ts"], fmt)
+        assert s < v <= s + dt.timedelta(seconds=FUNNEL_HORIZON_S), r
+        assert v < p <= v + dt.timedelta(seconds=FUNNEL_HORIZON_S), r
+        assert r["user_id"] >= 0
