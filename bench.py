@@ -269,6 +269,9 @@ HEADLINE = [
     "entity_match_parts",
     "entity_golden_record",
     "late_dim_reattribution",
+    # wave 13: mergeable-summary completion
+    "cms_frequency_audit",
+    "topk_merge_audit",
     # mmr_diversified_topk is NOT benched (double-count rule): its
     # corpus-sized stage is the brute-force candidate scan already timed
     # via similarity_topk_bruteforce; the greedy rounds operate on

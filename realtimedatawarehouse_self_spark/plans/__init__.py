@@ -230,6 +230,9 @@ _VERIFY_FIRST = [
     "entity_golden_record",
     "late_dim_reattribution",
     "streaming_funnel_3way",
+    # wave 13 (mergeable-summary completion — zero driver evidence)
+    "cms_frequency_audit",
+    "topk_merge_audit",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1114,6 +1114,231 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency audit (Cormode & Muthukrishnan '05) — the
+# point-frequency half of the mergeable-summary family (distinct = KMV,
+# membership = Bloom, heavy hitters = Misra-Gries): D=4 salted hash rows
+# x W=256 counters; est(user) = min over rows of its cell — never an
+# undercount, over by at most the cell's collision mass. The audit probes
+# EVERY user against the exact count and reports the realized error
+# distribution next to the theoretical bound e*N/W (one row per depth
+# configuration, so the output is O(1) regardless of user cardinality —
+# the per-user probe frame never leaves the plan).
+# Merge note: CMS merges by cell-wise addition (linear sketch), so
+# per-slice sketches sum to the global one exactly — unlike top-k lists
+# (see topk_merge_audit below, the lossy contrast).
+# Scale: per-user exact counts are one combine-backed aggregate (the only
+# data-sized shuffle); cells are D*W rows built FROM that frame and
+# broadcast back; the min-over-depths is a D-row-per-user reduce.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+_CMS_E_MILLI = 2_719  # ceil(e * 1000): bound = ceil(e*N/W) via integer math
+
+
+def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    ).persist()
+    ds = F.explode(F.sequence(F.lit(1), F.lit(CMS_DEPTH))).alias("d")
+    pos_expr = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(d AS STRING), '#',"
+        f" CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+    placed = per_user.select("user_id", "ct", ds).withColumn("pos", pos_expr)
+    cells = placed.groupBy("d", "pos").agg(
+        F.sum("ct").cast("bigint").alias("cell_ct")
+    )
+    est = (
+        placed.join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("user_id", "ct")
+        .agg(F.min("cell_ct").cast("bigint").alias("est_ct"))
+    )
+    tot = per_user.agg(F.sum("ct").cast("bigint").alias("n_events"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bound",
+            F.expr(
+                f"(n_events * {_CMS_E_MILLI} + {CMS_WIDTH * 1000} - 1)"
+                f" div {CMS_WIDTH * 1000}"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("probes"),
+            F.first("n_events").alias("n_events"),
+            F.sum(F.expr("CASE WHEN est_ct < ct THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("undercounts"),  # MUST be 0: CMS never undercounts
+            F.max(F.expr("est_ct - ct")).cast("bigint").alias("max_over"),
+            F.expr(
+                "CAST(sum(est_ct - ct) * 1000000 div sum(ct) AS BIGINT)"
+            ).alias("avg_over_ppm"),
+            F.sum(F.expr("CASE WHEN est_ct - ct <= bound THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("within_bound"),
+            F.first("bound").cast("bigint").alias("bound_e_n_over_w"),
+        )
+    )
+
+
+_CMS_SQL = f"""
+WITH per_user AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS ct
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+placed AS (
+    SELECT user_id, ct, d,
+           TRY_CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '#' ||
+                    CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % {CMS_WIDTH} AS pos
+    FROM per_user, UNNEST(range(1, {CMS_DEPTH} + 1)) AS u(d)
+),
+cells AS (
+    SELECT d, pos, CAST(sum(ct) AS BIGINT) AS cell_ct
+    FROM placed GROUP BY 1, 2
+),
+est AS (
+    SELECT p.user_id, p.ct, CAST(min(c.cell_ct) AS BIGINT) AS est_ct
+    FROM placed p JOIN cells c ON p.d = c.d AND p.pos = c.pos
+    GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_events FROM per_user)
+SELECT CAST(count(*) AS BIGINT) AS probes,
+       CAST(any_value(n_events) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN est_ct < ct THEN 1 ELSE 0 END) AS BIGINT)
+           AS undercounts,
+       CAST(max(est_ct - ct) AS BIGINT) AS max_over,
+       CAST(sum(est_ct - ct) * 1000000 // sum(ct) AS BIGINT)
+           AS avg_over_ppm,
+       CAST(sum(CASE WHEN est_ct - ct <=
+                (n_events * {_CMS_E_MILLI} + {CMS_WIDTH * 1000} - 1)
+                // {CMS_WIDTH * 1000}
+                THEN 1 ELSE 0 END) AS BIGINT) AS within_bound,
+       CAST(any_value((n_events * {_CMS_E_MILLI} + {CMS_WIDTH * 1000} - 1)
+            // {CMS_WIDTH * 1000}) AS BIGINT) AS bound_e_n_over_w
+FROM est, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k MERGE audit — the lossy contrast to the linear sketches above:
+# merging per-day top-K lists does NOT recover the global top-K (a
+# steady-but-never-daily-top key can be missing from every daily list).
+# The audit merges the daily lists into a candidate set, recounts the
+# candidates exactly, and measures recall@K against the true global
+# top-K plus the worst-ranked miss — the number that tells a deployment
+# whether daily-rollup leaderboards can answer weekly questions, or a
+# full recount (or a Misra-Gries sketch, which DOES merge with bounded
+# error) is required.
+# Scale: two WindowGroupLimit top-Ks over the per-(day,user) /
+# per-user combines; the candidate recount is a semi-join against a
+# candidate set of at most days*K keys.
+# ---------------------------------------------------------------------------
+TOPK_MERGE_K = 10
+
+
+def topk_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    wd = Window.partitionBy("d").orderBy(F.col("ct").desc(), F.col("user_id"))
+    cand = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= TOPK_MERGE_K)
+        .select("user_id")
+        .distinct()
+    )
+    total = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    # global top-K via orderBy+limit (TakeOrderedAndProject — never a
+    # single-partition window over ALL users); rnk is stamped by a window
+    # over the already-limited K-row frame
+    wg = Window.orderBy(F.col("ct").desc(), F.col("user_id"))
+    exact_topk = (
+        total.orderBy(F.col("ct").desc(), "user_id")
+        .limit(TOPK_MERGE_K)
+        .withColumn("rnk", F.row_number().over(wg))
+    )
+    hit = exact_topk.join(
+        cand.withColumn("is_cand", F.lit(1)), "user_id", "left"
+    ).select(
+        "rnk", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_days = daily.select("d").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        hit.agg(
+            F.sum("is_cand").cast("bigint").alias("topk_found"),
+            F.coalesce(
+                F.min(F.expr("CASE WHEN is_cand = 0 THEN rnk END")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("best_missed_rank"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.lit(TOPK_MERGE_K).cast("bigint").alias("k"),
+            "n_days",
+            "n_candidates",
+            "topk_found",
+            F.expr(
+                f"CAST(topk_found * 1000000 div {TOPK_MERGE_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+            "best_missed_rank",
+        )
+    )
+
+
+_TOPK_MERGE_SQL = f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    WHERE user_id IS NOT NULL
+),
+daily AS (
+    SELECT d, user_id, CAST(count(*) AS BIGINT) AS ct FROM ev GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT user_id FROM (
+        SELECT d, user_id,
+               row_number() OVER (PARTITION BY d
+                                  ORDER BY ct DESC, user_id) AS rn
+        FROM daily
+    ) WHERE rn <= {TOPK_MERGE_K}
+),
+total AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS ct FROM ev GROUP BY 1
+),
+exact_topk AS (
+    SELECT user_id, rnk FROM (
+        SELECT user_id, row_number() OVER (ORDER BY ct DESC, user_id) AS rnk
+        FROM total
+    ) WHERE rnk <= {TOPK_MERGE_K}
+),
+hit AS (
+    SELECT e.rnk, CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS is_cand
+    FROM exact_topk e LEFT JOIN cand c USING (user_id)
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM ev)
+SELECT CAST({TOPK_MERGE_K} AS BIGINT) AS k,
+       nd.n_days, nc.n_candidates,
+       CAST(sum(h.is_cand) AS BIGINT) AS topk_found,
+       CAST(sum(h.is_cand) * 1000000 // {TOPK_MERGE_K} AS BIGINT)
+           AS recall_ppm,
+       CAST(coalesce(min(CASE WHEN h.is_cand = 0 THEN h.rnk END), 0)
+            AS BIGINT) AS best_missed_rank
+FROM hit h, nc, nd
+GROUP BY 2, 3
+"""
+
+
 QUERIES = {
     "kmv_distinct_daily": kmv_distinct_daily,
     "kmv_rolling_distinct": kmv_rolling_distinct,
@@ -1123,6 +1348,8 @@ QUERIES = {
     "join_cardinality_estimate": join_cardinality_estimate,
     "kmv_audience_intersection": kmv_audience_intersection,
     "file_skipping_audit": file_skipping_audit,
+    "cms_frequency_audit": cms_frequency_audit,
+    "topk_merge_audit": topk_merge_audit,
 }
 
 ORACLE = {
@@ -1134,4 +1361,6 @@ ORACLE = {
     "join_cardinality_estimate": _CARD_SQL,
     "kmv_audience_intersection": _KMV_INTER_SQL,
     "file_skipping_audit": _SKIP_SQL,
+    "cms_frequency_audit": _CMS_SQL,
+    "topk_merge_audit": _TOPK_MERGE_SQL,
 }

@@ -140,3 +140,83 @@ def test_streaming_kmv_twin_equals_batch_sketch(spark, sf):
         for r in e.queries()["streaming_kmv_daily"](spark, sf).collect()
     }
     assert batch and stream == batch
+
+
+def test_cms_never_undercounts_and_matches_python_sketch(spark, sf):
+    """CMS structural guarantee (est >= exact, always) plus a full pure-
+    Python rebuild of the sketch: same salted hashes, same cells, same
+    min-over-depths estimates — the audit's aggregate numbers recomputed
+    from scratch."""
+    import hashlib
+    from collections import Counter
+
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _CMS_E_MILLI,
+    )
+
+    row = e.queries()["cms_frequency_audit"](spark, sf).collect()[0]
+    assert row["undercounts"] == 0
+    ev = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .collect()
+    )
+    ct = Counter(r["user_id"] for r in ev)
+    cells = Counter()
+    pos = {}
+    for u, c in ct.items():
+        for d in range(1, CMS_DEPTH + 1):
+            p = int(hashlib.md5(f"{d}#{u}".encode()).hexdigest()[:15], 16) % CMS_WIDTH
+            pos[(u, d)] = p
+            cells[(d, p)] += c
+    n = sum(ct.values())
+    bound = (n * _CMS_E_MILLI + CMS_WIDTH * 1000 - 1) // (CMS_WIDTH * 1000)
+    overs = {
+        u: min(cells[(d, pos[(u, d)])] for d in range(1, CMS_DEPTH + 1)) - c
+    for u, c in ct.items()}
+    assert row["probes"] == len(ct)
+    assert row["n_events"] == n
+    assert row["max_over"] == max(overs.values())
+    assert row["avg_over_ppm"] == sum(overs.values()) * 1_000_000 // n
+    assert row["within_bound"] == sum(1 for o in overs.values() if o <= bound)
+    assert row["bound_e_n_over_w"] == bound
+
+
+def test_topk_merge_audit_recall_recount(spark, sf):
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.sketches import TOPK_MERGE_K
+
+    row = e.queries()["topk_merge_audit"](spark, sf).collect()[0]
+    ev = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .collect()
+    )
+    daily = defaultdict(Counter)
+    total = Counter()
+    for r in ev:
+        daily[r["d"]][r["user_id"]] += 1
+        total[r["user_id"]] += 1
+    cand = set()
+    for cnts in daily.values():
+        top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK_MERGE_K]
+        cand |= {u for u, _ in top}
+    exact = [
+        u for u, _ in sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :TOPK_MERGE_K
+        ]
+    ]
+    found = sum(1 for u in exact if u in cand)
+    assert row["n_days"] == len(daily)
+    assert row["n_candidates"] == len(cand)
+    assert row["topk_found"] == found
+    assert row["recall_ppm"] == found * 1_000_000 // TOPK_MERGE_K
+    missed = [i + 1 for i, u in enumerate(exact) if u not in cand]
+    assert row["best_missed_rank"] == (min(missed) if missed else 0)
