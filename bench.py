@@ -272,6 +272,10 @@ HEADLINE = [
     # wave 13: mergeable-summary completion
     "cms_frequency_audit",
     "topk_merge_audit",
+    # wave 14: retraction identity / watermark lateness / l-diversity
+    "retraction_rollup",
+    "watermark_lateness_audit",
+    "l_diversity_audit",
     # mmr_diversified_topk is NOT benched (double-count rule): its
     # corpus-sized stage is the brute-force candidate scan already timed
     # via similarity_topk_bruteforce; the greedy rounds operate on

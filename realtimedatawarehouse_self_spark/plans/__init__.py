@@ -233,6 +233,10 @@ _VERIFY_FIRST = [
     # wave 13 (mergeable-summary completion — zero driver evidence)
     "cms_frequency_audit",
     "topk_merge_audit",
+    # wave 14 (retraction identity / lateness / l-diversity — zero driver evidence)
+    "retraction_rollup",
+    "watermark_lateness_audit",
+    "l_diversity_audit",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

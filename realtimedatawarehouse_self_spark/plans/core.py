@@ -650,6 +650,149 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Retraction-stream aggregate maintenance — the reference's Flink retract
+# semantic (K3 upsert sink tombstones, J2 left-join retractions, T6's
+# dedup defense: MyKafkaUtil.java:129-137, DwdTradeOrderDetail.java:164-167,
+# Dws09:99-145) re-expressed as the IDENTITY it must satisfy: treating
+# each user's purchase sequence as upserts of their current value, the
+# downstream per-segment aggregate maintained by SIGNED deltas (+new,
+# -previous — exactly Flink's retract pairs) must equal the aggregate
+# recomputed from the final snapshot. Both legs are computed in one query
+# and compared per segment; `consistent` must be 1 everywhere — the
+# invariant an upsert-sink consumer relies on when it folds tombstones.
+# Scale: one (user) window for the lag pairs (same shuffle the snapshot
+# row_number needs), signed rows explode 2x in-row, both reduces are
+# combine-backed over the tiny segment domain.
+# ---------------------------------------------------------------------------
+RETRACT_SEG_LOW_C = 2_000
+RETRACT_SEG_MID_C = 6_000
+
+
+def retraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    seg_of = (
+        f"CASE WHEN {{v}} < {RETRACT_SEG_LOW_C} THEN 'low'"
+        f" WHEN {{v}} < {RETRACT_SEG_MID_C} THEN 'mid' ELSE 'high' END"
+    )
+    upd = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", money_cents("value").alias("v_c")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = upd.withColumn("prev_v", F.lag("v_c").over(w))
+    signed = lagged.select(
+        F.explode(
+            F.expr(
+                "filter(array("
+                f" named_struct('seg', {seg_of.format(v='v_c')},"
+                "  'v', v_c, 'sgn', CAST(1 AS BIGINT)),"
+                f" named_struct('seg', CASE WHEN prev_v IS NULL THEN"
+                f"  CAST(NULL AS STRING) ELSE {seg_of.format(v='prev_v')} END,"
+                "  'v', coalesce(prev_v, CAST(0 AS BIGINT)),"
+                "  'sgn', CAST(-1 AS BIGINT))"
+                "), x -> x.seg IS NOT NULL)"
+            )
+        ).alias("r")
+    ).select("r.seg", "r.v", "r.sgn")
+    maintained = signed.groupBy("seg").agg(
+        F.sum("sgn").cast("bigint").alias("users_maintained"),
+        F.sum(F.expr("sgn * v")).cast("bigint").alias("cents_maintained"),
+    )
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        upd.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.expr(seg_of.format(v="v_c")).alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("users_snapshot"),
+            F.sum("v_c").cast("bigint").alias("cents_snapshot"),
+        )
+    )
+    return (
+        maintained.join(snapshot, "seg", "full_outer")
+        .select(
+            "seg",
+            F.coalesce("users_maintained", F.lit(0)).cast("bigint").alias(
+                "users_maintained"
+            ),
+            F.coalesce("users_snapshot", F.lit(0)).cast("bigint").alias(
+                "users_snapshot"
+            ),
+            F.coalesce("cents_maintained", F.lit(0)).cast("bigint").alias(
+                "cents_maintained"
+            ),
+            F.coalesce("cents_snapshot", F.lit(0)).cast("bigint").alias(
+                "cents_snapshot"
+            ),
+        )
+        .withColumn(
+            "consistent",
+            F.expr(
+                "CAST(users_maintained = users_snapshot"
+                " AND cents_maintained = cents_snapshot AS BIGINT)"
+            ),
+        )
+    )
+
+
+def _retract_seg(v: str) -> str:
+    return (
+        f"CASE WHEN {v} < {RETRACT_SEG_LOW_C} THEN 'low'"
+        f" WHEN {v} < {RETRACT_SEG_MID_C} THEN 'mid' ELSE 'high' END"
+    )
+
+
+_RETRACT_SQL = f"""
+WITH upd AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+    FROM events WHERE event_type = 'purchase'
+),
+lagged AS (
+    SELECT *, lag(v_c) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_v
+    FROM upd
+),
+signed AS (
+    SELECT {_retract_seg('v_c')} AS seg, v_c AS v, 1 AS sgn FROM lagged
+    UNION ALL
+    SELECT {_retract_seg('prev_v')}, prev_v, -1 FROM lagged
+    WHERE prev_v IS NOT NULL
+),
+maintained AS (
+    SELECT seg, CAST(sum(sgn) AS BIGINT) AS users_maintained,
+           CAST(sum(sgn * v) AS BIGINT) AS cents_maintained
+    FROM signed GROUP BY 1
+),
+snapshot AS (
+    SELECT {_retract_seg('v_c')} AS seg,
+           CAST(count(*) AS BIGINT) AS users_snapshot,
+           CAST(sum(v_c) AS BIGINT) AS cents_snapshot
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM upd
+    ) WHERE rn = 1
+    GROUP BY 1
+)
+SELECT coalesce(m.seg, s.seg) AS seg,
+       CAST(coalesce(m.users_maintained, 0) AS BIGINT) AS users_maintained,
+       CAST(coalesce(s.users_snapshot, 0) AS BIGINT) AS users_snapshot,
+       CAST(coalesce(m.cents_maintained, 0) AS BIGINT) AS cents_maintained,
+       CAST(coalesce(s.cents_snapshot, 0) AS BIGINT) AS cents_snapshot,
+       CAST(coalesce(m.users_maintained, 0) = coalesce(s.users_snapshot, 0)
+            AND coalesce(m.cents_maintained, 0)
+                = coalesce(s.cents_snapshot, 0) AS BIGINT) AS consistent
+FROM maintained m FULL JOIN snapshot s ON m.seg = s.seg
+"""
+
+
 QUERIES = {
     "dws02_traffic_page_view_window": dws02_traffic_page_view_window,
     "dws03_home_detail_uv_window": dws03_home_detail_uv_window,
@@ -664,6 +807,7 @@ QUERIES = {
     "keyword_page_view": keyword_page_view,
     "scalar_function_surface": scalar_function_surface,
     "cdc_changelog_snapshot": cdc_changelog_snapshot,
+    "retraction_rollup": retraction_rollup,
 }
 
 ORACLE = {
@@ -680,4 +824,5 @@ ORACLE = {
     "keyword_page_view": _KEYWORD_SQL,
     "scalar_function_surface": _SCALAR_SQL,
     "cdc_changelog_snapshot": _CDC_SNAPSHOT_SQL,
+    "retraction_rollup": _RETRACT_SQL,
 }

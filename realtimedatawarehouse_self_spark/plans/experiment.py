@@ -614,12 +614,79 @@ FROM exits
 """
 
 
+# ---------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's companion release gate (Machanavajjhala
+# et al., ICDE'06): a class of k identical quasi-identifier rows still
+# leaks if (nearly) all of them share ONE sensitive value. Quasi-ids here
+# are (day, value-bucket); the sensitive attribute is event_type; l(class)
+# = distinct sensitive values. Output: the l-histogram, the classes/rows
+# failing l >= L_DIV, and the suppression cost of enforcing it — read
+# next to k_anonymity_audit before any release.
+# Scale: one combine-backed aggregate to the class grain (countDistinct
+# over the bounded event_type domain), then a histogram over the tiny
+# class frame.
+# ---------------------------------------------------------------------------
+L_DIV = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    classes = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("d"),
+        F.expr("CAST(floor(value / 25) AS BIGINT)").alias("vb"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct("event_type").cast("bigint").alias("l_div"),
+    )
+    return (
+        classes.groupBy("l_div")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_div") < L_DIV, F.col("class_size")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("suppressed_rows"),
+        )
+        .withColumn(
+            "fails_l", F.expr(f"CAST(l_div < {L_DIV} AS BIGINT)")
+        )
+    )
+
+
+_L_DIV_SQL = f"""
+WITH classes AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           CAST(floor(value / 25) AS BIGINT) AS vb,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS l_div
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT l_div,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_div < {L_DIV} THEN class_size ELSE 0 END)
+            AS BIGINT) AS suppressed_rows,
+       CAST(l_div < {L_DIV} AS BIGINT) AS fails_l
+FROM classes
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ab_experiment_lift": ab_experiment_lift,
     "cuped_variance_reduction": cuped_variance_reduction,
     "k_anonymity_audit": k_anonymity_audit,
     "diff_in_diff": diff_in_diff,
     "survival_hazard_daily": survival_hazard_daily,
+    "l_diversity_audit": l_diversity_audit,
 }
 
 ORACLE = {
@@ -628,4 +695,5 @@ ORACLE = {
     "k_anonymity_audit": _K_ANON_SQL,
     "diff_in_diff": _DID_SQL,
     "survival_hazard_daily": _SURV_SQL,
+    "l_diversity_audit": _L_DIV_SQL,
 }

@@ -1339,6 +1339,134 @@ GROUP BY 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Watermark-lateness audit — the measurement BEHIND a withWatermark(delay)
+# choice. The testdata's event_id is time-ordered (a replay in id order is
+# never late — vacuous), so the audit replays a REALISTIC deterministic
+# arrival model: 10-minute collector flushes, each flush delivered shard-
+# by-shard (shard = user-hash % 64) and time-ordered within a shard — the
+# cross-shard interleave inside a flush is what reorders events, exactly
+# how a fan-in collector behaves. Each event's lateness is max(event time
+# seen STRICTLY before it in arrival order) - its own event time; for
+# each candidate delay, the rows a watermark at that delay would drop
+# (lateness is bounded by the flush width, so the curve must reach zero
+# at delay = 600 s — pinned in tests).
+# The global exclusive prefix-max is a TWO-LEVEL scan: per-flush prefix
+# max (window bounded by the flush's rows) + an exclusive cumulative max
+# over the tiny flush frame broadcast back — never a whole-table single-
+# partition window. Lateness is exact microseconds (unix_micros /
+# epoch_us — identical integers on both engines).
+# ---------------------------------------------------------------------------
+LATE_FLUSH_S = 600  # collector flush width (the outer scan level)
+LATE_SHARDS = 64  # delivery shards inside a flush
+WATERMARK_DELAYS_S = (0, 10, 60, 300, 600)
+
+
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            F.expr("unix_micros(ts)").alias("t_us"),
+            F.expr(f"unix_micros(ts) div {LATE_FLUSH_S * 1_000_000}").alias(
+                "b"
+            ),
+            F.coalesce(_h60("user_id") % LATE_SHARDS, F.lit(-1)).alias(
+                "shard"
+            ),
+        )
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("shard", "t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = ev.withColumn("in_bucket_max", F.max("t_us").over(wb))
+    bmax = ev.groupBy("b").agg(F.max("t_us").alias("bucket_max"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # the single-partition window runs over the FLUSH frame (rows =
+    # corpus span / 600 s), not the fact table
+    cum = bmax.withColumn("prev_max", F.max("bucket_max").over(wcum)).select(
+        "b", "prev_max"
+    )
+    late = (
+        within.join(F.broadcast(cum), "b")
+        .withColumn("seen", F.greatest("in_bucket_max", "prev_max"))
+        .select(
+            F.expr(
+                "CASE WHEN seen IS NULL OR seen <= t_us THEN CAST(0 AS BIGINT)"
+                " ELSE seen - t_us END"
+            ).alias("late_us")
+        )
+    )
+    delays = spark.createDataFrame(
+        [(int(s),) for s in WATERMARK_DELAYS_S], "delay_s bigint"
+    )
+    return (
+        late.crossJoin(F.broadcast(delays))
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CASE WHEN late_us > delay_s * 1000000 THEN 1"
+                         " ELSE 0 END"))
+            .cast("bigint")
+            .alias("dropped"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+        .withColumn(
+            "dropped_ppm",
+            F.expr("CAST(dropped * 1000000 div n_events AS BIGINT)"),
+        )
+    )
+
+
+_LATE_DELAY_VALUES = ", ".join(f"({s})" for s in WATERMARK_DELAYS_S)
+
+_LATENESS_SQL = f"""
+WITH ev AS (
+    SELECT event_id, epoch_us(ts) AS t_us,
+           epoch_us(ts) // {LATE_FLUSH_S * 1_000_000} AS b,
+           coalesce({_H60_DUCK.format(col="user_id")} % {LATE_SHARDS}, -1)
+               AS shard
+    FROM events WHERE ts IS NOT NULL
+),
+within AS (
+    SELECT b, t_us,
+           max(t_us) OVER (PARTITION BY b
+                           ORDER BY shard, t_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS in_bucket_max
+    FROM ev
+),
+cum AS (
+    SELECT b, max(bucket_max) OVER (ORDER BY b
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+    FROM (SELECT b, max(t_us) AS bucket_max FROM ev GROUP BY 1)
+),
+late AS (
+    SELECT CASE WHEN seen IS NULL OR seen <= t_us THEN 0
+                ELSE seen - t_us END AS late_us
+    FROM (
+        SELECT w.t_us, greatest(w.in_bucket_max, c.prev_max) AS seen
+        FROM within w JOIN cum c USING (b)
+    )
+),
+delays AS (SELECT CAST(delay_s AS BIGINT) AS delay_s
+           FROM (VALUES {_LATE_DELAY_VALUES}) v(delay_s))
+SELECT d.delay_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN l.late_us > d.delay_s * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped,
+       CAST(max(l.late_us) AS BIGINT) AS max_late_us,
+       CAST(sum(CASE WHEN l.late_us > d.delay_s * 1000000 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS dropped_ppm
+FROM late l CROSS JOIN delays d
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmv_distinct_daily": kmv_distinct_daily,
     "kmv_rolling_distinct": kmv_rolling_distinct,
@@ -1350,6 +1478,7 @@ QUERIES = {
     "file_skipping_audit": file_skipping_audit,
     "cms_frequency_audit": cms_frequency_audit,
     "topk_merge_audit": topk_merge_audit,
+    "watermark_lateness_audit": watermark_lateness_audit,
 }
 
 ORACLE = {
@@ -1363,4 +1492,5 @@ ORACLE = {
     "file_skipping_audit": _SKIP_SQL,
     "cms_frequency_audit": _CMS_SQL,
     "topk_merge_audit": _TOPK_MERGE_SQL,
+    "watermark_lateness_audit": _LATENESS_SQL,
 }

@@ -1,0 +1,118 @@
+"""Wave-14 invariants beyond the oracle parity gate:
+
+- retraction_rollup: the retract identity — signed-delta maintenance must
+  equal the snapshot recompute in EVERY segment (consistent = 1), and a
+  Python replay of the upsert stream reproduces both legs.
+- watermark_lateness_audit: drops are monotone non-increasing in the
+  delay, non-vacuous at delay 0, and exactly zero at the flush width
+  (lateness is bounded by the arrival model's flush).
+- l_diversity_audit: class l-values recounted.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def sf():
+    from tests.conftest import TESTDATA
+
+    return os.path.join(TESTDATA, "sf0.001")
+
+
+def test_retraction_identity_and_python_replay(spark, sf):
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.core import (
+        RETRACT_SEG_LOW_C,
+        RETRACT_SEG_MID_C,
+    )
+
+    rows = e.queries()["retraction_rollup"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["consistent"] == 1, r
+        assert r["users_maintained"] == r["users_snapshot"]
+        assert r["cents_maintained"] == r["cents_snapshot"]
+    ev = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    seg = lambda c: (  # noqa: E731
+        "low" if c < RETRACT_SEG_LOW_C else ("mid" if c < RETRACT_SEG_MID_C else "high")
+    )
+    users = defaultdict(list)
+    for r in ev:
+        users[r["user_id"]].append((r["ts"], r["event_id"], int(r["value"] * 100 + 0.5)))
+    n = Counter()
+    cents = Counter()
+    for seq in users.values():
+        seq.sort()
+        prev = None
+        for _, _, v in seq:  # replay the signed maintenance
+            if prev is not None:
+                n[seg(prev)] -= 1
+                cents[seg(prev)] -= prev
+            n[seg(v)] += 1
+            cents[seg(v)] += v
+            prev = v
+    got = {r["seg"]: (r["users_maintained"], r["cents_maintained"]) for r in rows}
+    expect = {s: (n[s], cents[s]) for s in n if n[s] or cents[s]}
+    assert got == expect
+
+
+def test_watermark_lateness_curve(spark, sf):
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.sketches import LATE_FLUSH_S
+
+    rows = sorted(
+        e.queries()["watermark_lateness_audit"](spark, sf).collect(),
+        key=lambda r: r["delay_s"],
+    )
+    drops = [r["dropped"] for r in rows]
+    assert drops == sorted(drops, reverse=True), "drops must fall with delay"
+    assert drops[0] > 0, "arrival model must produce real lateness"
+    by_delay = {r["delay_s"]: r for r in rows}
+    assert by_delay[LATE_FLUSH_S]["dropped"] == 0, (
+        "lateness is bounded by the flush width"
+    )
+    for r in rows:
+        assert 0 <= r["max_late_us"] <= LATE_FLUSH_S * 1_000_000
+
+
+def test_l_diversity_recount(spark, sf):
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.experiment import L_DIV
+
+    rows = {r["l_div"]: r for r in e.queries()["l_diversity_audit"](spark, sf).collect()}
+    ev = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(F.col("ts").cast("date").alias("d"), "value", "event_type")
+        .collect()
+    )
+    classes = defaultdict(lambda: (0, set()))
+    agg = {}
+    for r in ev:
+        key = (str(r["d"]), int(r["value"] // 25))
+        size, types = classes[key]
+        types.add(r["event_type"])
+        classes[key] = (size + 1, types)
+    hist = defaultdict(lambda: [0, 0, 0])
+    for size, types in classes.values():
+        h = hist[len(types)]
+        h[0] += 1
+        h[1] += size
+        if len(types) < L_DIV:
+            h[2] += size
+    assert set(rows) == set(hist)
+    for l, (nc, nr, sup) in hist.items():
+        r = rows[l]
+        assert (r["n_classes"], r["n_rows"], r["suppressed_rows"]) == (nc, nr, sup)
+        assert r["fails_l"] == int(l < L_DIV)
