@@ -715,9 +715,12 @@ def _card_one(kc_a: DataFrame, kc_b: DataFrame, name: str) -> DataFrame:
         "ndv_a",
         "ndv_b",
         F.expr("CAST(exact_dec AS BIGINT)").alias("exact_rows"),
+        # zero-guards (empty-table boundary): an empty side means 0 keys —
+        # estimate 0, error sentineled -1 (both mirrored in the oracle)
         F.expr(
-            "CAST(CAST(rows_a AS DECIMAL(38,0)) * rows_b"
-            " div greatest(ndv_a, ndv_b) AS BIGINT)"
+            "CASE WHEN greatest(ndv_a, ndv_b) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(CAST(rows_a AS DECIMAL(38,0)) * rows_b"
+            " div greatest(ndv_a, ndv_b) AS BIGINT) END"
         ).alias("est_uniform"),
         F.expr(
             "CAST(hh_exact_dec + (CASE WHEN greatest(ndv_a - n_matched,"
@@ -729,12 +732,14 @@ def _card_one(kc_a: DataFrame, kc_b: DataFrame, name: str) -> DataFrame:
     ).select(
         "*",
         F.expr(
-            "CAST(CAST(abs(est_uniform - exact_rows) AS DECIMAL(38,0))"
-            " * 1000000 div exact_rows AS BIGINT)"
+            "CASE WHEN exact_rows = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE CAST(CAST(abs(est_uniform - exact_rows) AS DECIMAL(38,0))"
+            " * 1000000 div exact_rows AS BIGINT) END"
         ).alias("err_uniform_ppm"),
         F.expr(
-            "CAST(CAST(abs(est_hh - exact_rows) AS DECIMAL(38,0))"
-            " * 1000000 div exact_rows AS BIGINT)"
+            "CASE WHEN exact_rows = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE CAST(CAST(abs(est_hh - exact_rows) AS DECIMAL(38,0))"
+            " * 1000000 div exact_rows AS BIGINT) END"
         ).alias("err_hh_ppm"),
     )
 
@@ -790,8 +795,9 @@ hhj_{name} AS (
 est_{name} AS (
     SELECT '{name}' AS join_name, rows_a, rows_b, ndv_a, ndv_b,
            CAST(exact_dec AS BIGINT) AS exact_rows,
-           CAST(CAST(rows_a AS HUGEINT) * rows_b
-                // greatest(ndv_a, ndv_b) AS BIGINT) AS est_uniform,
+           CASE WHEN greatest(ndv_a, ndv_b) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(rows_a AS HUGEINT) * rows_b
+                // greatest(ndv_a, ndv_b) AS BIGINT) END AS est_uniform,
            CAST(hh_exact_dec + (CASE WHEN greatest(ndv_a - n_matched,
                 ndv_b - n_matched) <= 0 THEN 0 ELSE
                 CAST(rows_a - m_rows_a AS HUGEINT) * (rows_b - m_rows_b)
@@ -801,10 +807,12 @@ est_{name} AS (
 ),
 row_{name} AS (
     SELECT *,
-           CAST(CAST(abs(est_uniform - exact_rows) AS HUGEINT)
-                * 1000000 // exact_rows AS BIGINT) AS err_uniform_ppm,
-           CAST(CAST(abs(est_hh - exact_rows) AS HUGEINT)
-                * 1000000 // exact_rows AS BIGINT) AS err_hh_ppm
+           CASE WHEN exact_rows = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(CAST(abs(est_uniform - exact_rows) AS HUGEINT)
+                * 1000000 // exact_rows AS BIGINT) END AS err_uniform_ppm,
+           CASE WHEN exact_rows = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(CAST(abs(est_hh - exact_rows) AS HUGEINT)
+                * 1000000 // exact_rows AS BIGINT) END AS err_hh_ppm
     FROM est_{name}
 )"""
 
