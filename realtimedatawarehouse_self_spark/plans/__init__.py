@@ -237,6 +237,7 @@ _VERIFY_FIRST = [
     "retraction_rollup",
     "watermark_lateness_audit",
     "l_diversity_audit",
+    "join_order_recommendation",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

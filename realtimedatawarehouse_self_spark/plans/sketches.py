@@ -1475,6 +1475,193 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-order recommendation — the DECISION the cardinality estimates
+# exist for: for the 3-table chain customer ⨝ orders ⨝ lineitem, which
+# join runs first? Both candidate orders' INTERMEDIATE sizes are
+# estimated System-R-style from per-side (rows, ndv) stats alone, and
+# audited against the exact intermediate sizes — computed from the
+# per-key count frames (sum of count products over the join key), never
+# by materializing a join. The final row also grades the decision:
+# does the estimate-chosen order coincide with the actually-cheaper one?
+# Scale: three per-key combine aggregates + keyed joins of COUNT frames;
+# the one subtle leg (final 3-way size) flows orders' (orderkey, custkey)
+# pairs through a customer-presence semi-join into the lineitem count
+# frame — key-domain volumes throughout.
+# ---------------------------------------------------------------------------
+def join_order_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey").isNotNull())
+
+    kc_c = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    kc_oc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    kc_l = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+    def _stats(kc, pre):
+        return kc.agg(
+            F.sum("cnt").cast("bigint").alias(f"rows_{pre}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"ndv_{pre}"),
+        )
+
+    def _exact(kc_a, kc_b, out):
+        return (
+            kc_a.select("k", F.col("cnt").alias("ca"))
+            .join(kc_b.select("k", F.col("cnt").alias("cb")), "k")
+            .agg(
+                F.coalesce(F.sum(F.expr("ca * cb")), F.lit(0))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    # exact(c ⨝ o) over custkey; exact(o ⨝ l) over orderkey (orders are
+    # unique per orderkey, so its count frame is the orders projection)
+    kc_oo = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ex_co = _exact(kc_c, kc_oc, "actual_co")
+    ex_ol = _exact(kc_oo, kc_l, "actual_ol")
+    # final 3-way size: lineitem rows whose order's customer exists
+    final = (
+        orders.select(F.col("o_orderkey").alias("k"), "o_custkey")
+        .join(
+            kc_c.select(F.col("k").alias("o_custkey")), "o_custkey", "left_semi"
+        )
+        .join(kc_l, "k")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("final_rows"))
+    )
+    one = (
+        _stats(kc_c, "c")
+        .crossJoin(F.broadcast(_stats(kc_oc, "oc")))
+        .crossJoin(F.broadcast(_stats(kc_oo, "oo")))
+        .crossJoin(F.broadcast(_stats(kc_l, "l")))
+        .crossJoin(F.broadcast(ex_co))
+        .crossJoin(F.broadcast(ex_ol))
+        .crossJoin(F.broadcast(final))
+    )
+    est = one.select(
+        "*",
+        F.expr(
+            "CASE WHEN greatest(ndv_c, ndv_oc) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(CAST(rows_c AS DECIMAL(38,0)) * rows_oc"
+            " div greatest(ndv_c, ndv_oc) AS BIGINT) END"
+        ).alias("est_co"),
+        F.expr(
+            "CASE WHEN greatest(ndv_oo, ndv_l) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(CAST(rows_oo AS DECIMAL(38,0)) * rows_l"
+            " div greatest(ndv_oo, ndv_l) AS BIGINT) END"
+        ).alias("est_ol"),
+    )
+    orders_rows = est.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('join_order', 'customer_first',"
+                " 'est_intermediate', est_co, 'actual_intermediate',"
+                " actual_co, 'final_rows', final_rows),"
+                " named_struct('join_order', 'lineitem_first',"
+                " 'est_intermediate', est_ol, 'actual_intermediate',"
+                " actual_ol, 'final_rows', final_rows))"
+            )
+        ).alias("r"),
+        F.expr(
+            "CASE WHEN est_co <= est_ol THEN 'customer_first'"
+            " ELSE 'lineitem_first' END"
+        ).alias("chosen_by_estimate"),
+        F.expr(
+            "CASE WHEN actual_co <= actual_ol THEN 'customer_first'"
+            " ELSE 'lineitem_first' END"
+        ).alias("actually_cheaper"),
+    )
+    return orders_rows.select(
+        "r.join_order",
+        "r.est_intermediate",
+        "r.actual_intermediate",
+        "r.final_rows",
+        "chosen_by_estimate",
+        "actually_cheaper",
+        F.expr(
+            "CAST(chosen_by_estimate = actually_cheaper AS BIGINT)"
+        ).alias("decision_correct"),
+    )
+
+
+_JOIN_ORDER_SQL = """
+WITH kc_c AS (
+    SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+),
+kc_oc AS (
+    SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+    GROUP BY 1
+),
+kc_oo AS (
+    SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+    GROUP BY 1
+),
+kc_l AS (
+    SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+st AS (
+    SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM kc_c) AS rows_c,
+           (SELECT CAST(count(*) AS BIGINT) FROM kc_c) AS ndv_c,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM kc_oc) AS rows_oc,
+           (SELECT CAST(count(*) AS BIGINT) FROM kc_oc) AS ndv_oc,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM kc_oo) AS rows_oo,
+           (SELECT CAST(count(*) AS BIGINT) FROM kc_oo) AS ndv_oo,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM kc_l) AS rows_l,
+           (SELECT CAST(count(*) AS BIGINT) FROM kc_l) AS ndv_l,
+           (SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT)
+            FROM kc_c a JOIN kc_oc b USING (k)) AS actual_co,
+           (SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT)
+            FROM kc_oo a JOIN kc_l b USING (k)) AS actual_ol,
+           (SELECT CAST(coalesce(sum(l.cnt), 0) AS BIGINT)
+            FROM orders o JOIN kc_l l ON l.k = o.o_orderkey
+            WHERE EXISTS (SELECT 1 FROM kc_c c WHERE c.k = o.o_custkey))
+               AS final_rows
+),
+est AS (
+    SELECT *,
+           CASE WHEN greatest(ndv_c, ndv_oc) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(rows_c AS HUGEINT) * rows_oc
+                // greatest(ndv_c, ndv_oc) AS BIGINT) END AS est_co,
+           CASE WHEN greatest(ndv_oo, ndv_l) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(rows_oo AS HUGEINT) * rows_l
+                // greatest(ndv_oo, ndv_l) AS BIGINT) END AS est_ol
+    FROM st
+),
+verdict AS (
+    SELECT *,
+           CASE WHEN est_co <= est_ol THEN 'customer_first'
+                ELSE 'lineitem_first' END AS chosen_by_estimate,
+           CASE WHEN actual_co <= actual_ol THEN 'customer_first'
+                ELSE 'lineitem_first' END AS actually_cheaper
+    FROM est
+)
+SELECT o.join_order,
+       CASE o.join_order WHEN 'customer_first' THEN v.est_co
+            ELSE v.est_ol END AS est_intermediate,
+       CASE o.join_order WHEN 'customer_first' THEN v.actual_co
+            ELSE v.actual_ol END AS actual_intermediate,
+       v.final_rows, v.chosen_by_estimate, v.actually_cheaper,
+       CAST(v.chosen_by_estimate = v.actually_cheaper AS BIGINT)
+           AS decision_correct
+FROM verdict v
+CROSS JOIN (VALUES ('customer_first'), ('lineitem_first')) o(join_order)
+"""
+
+
 QUERIES = {
     "kmv_distinct_daily": kmv_distinct_daily,
     "kmv_rolling_distinct": kmv_rolling_distinct,
@@ -1487,6 +1674,7 @@ QUERIES = {
     "cms_frequency_audit": cms_frequency_audit,
     "topk_merge_audit": topk_merge_audit,
     "watermark_lateness_audit": watermark_lateness_audit,
+    "join_order_recommendation": join_order_recommendation,
 }
 
 ORACLE = {
@@ -1501,4 +1689,5 @@ ORACLE = {
     "cms_frequency_audit": _CMS_SQL,
     "topk_merge_audit": _TOPK_MERGE_SQL,
     "watermark_lateness_audit": _LATENESS_SQL,
+    "join_order_recommendation": _JOIN_ORDER_SQL,
 }

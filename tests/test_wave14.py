@@ -116,3 +116,29 @@ def test_l_diversity_recount(spark, sf):
         r = rows[l]
         assert (r["n_classes"], r["n_rows"], r["suppressed_rows"]) == (nc, nr, sup)
         assert r["fails_l"] == int(l < L_DIV)
+
+
+def test_join_order_recommendation_decision_and_exactness(spark, sf):
+    import __spark_entry__ as e
+
+    rows = {
+        r["join_order"]: r
+        for r in e.queries()["join_order_recommendation"](spark, sf).collect()
+    }
+    assert set(rows) == {"customer_first", "lineitem_first"}
+    cust = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf, "orders.parquet")).filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    actual_co = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+    ).count()
+    actual_ol = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+    ).count()
+    assert rows["customer_first"]["actual_intermediate"] == actual_co
+    assert rows["lineitem_first"]["actual_intermediate"] == actual_ol
+    for r in rows.values():
+        assert r["decision_correct"] == 1
+        assert r["chosen_by_estimate"] == r["actually_cheaper"]
