@@ -176,3 +176,63 @@ def audio_energy_windows(
     return df.select("doc_id", payload_col).mapInPandas(
         windows, AUDIO_WINDOW_SCHEMA
     )
+
+
+BYTE_PROFILE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, distinct_bytes bigint,"
+    " top_byte bigint, top_byte_ct bigint, repeat_pairs bigint"
+)
+
+
+def byte_profile(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-payload byte-distribution profile through ONE Arrow-batched
+    mapInPandas pass — the compression/binary-content screen: compressed
+    or encrypted payloads show near-uniform byte histograms (high
+    distinct count, low top-byte share, few adjacent repeats), while
+    text shows a separator-dominant, repetitive profile. A curation
+    pipeline quarantines the former before any text operator runs.
+
+    All REAL computation, numpy-vectorized per payload (np.unique with
+    counts; one shifted comparison for adjacent repeats — no per-byte
+    Python loop). Ties on the modal byte break to the SMALLEST byte
+    value so the profile is deterministic.
+    """
+    import numpy as np
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) == 0:
+                    out.append((doc_id, 0, 0, -1, 0, 0))
+                    continue
+                vals, cts = np.unique(b, return_counts=True)
+                # np.unique returns vals ascending -> argmax picks the
+                # smallest byte among tied maxima
+                top = int(np.argmax(cts))
+                out.append(
+                    (
+                        doc_id,
+                        int(len(b)),
+                        int(len(vals)),
+                        int(vals[top]),
+                        int(cts[top]),
+                        int(np.sum(b[1:] == b[:-1])),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "distinct_bytes",
+                    "top_byte",
+                    "top_byte_ct",
+                    "repeat_pairs",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        profile, BYTE_PROFILE_SCHEMA
+    )

@@ -238,6 +238,7 @@ _VERIFY_FIRST = [
     "watermark_lateness_audit",
     "l_diversity_audit",
     "join_order_recommendation",
+    "multimodal_byte_profile",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -242,12 +242,76 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Payload byte profile — the compression/binary-content screen over the
+# attached payload, through the REAL Arrow mapInPandas path (numpy
+# np.unique histogram + one shifted comparison per payload; see
+# functions/multimodal.py::byte_profile). The DuckDB mirror walks the
+# text's characters — exact because the stand-in payload is the UTF-8
+# encoding of ASCII-only text (pinned: octet_length(encode(text)) ==
+# length(text) across the corpus); with real media bytes only the Spark
+# side runs and the oracle would be dropped to a rows-only check.
+# ---------------------------------------------------------------------------
+def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.multimodal import (
+        byte_profile,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return byte_profile(attach_payload(docs))
+
+
+_BYTE_PROFILE_SQL = """
+WITH chars AS (
+    SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte
+    FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+),
+hist AS (
+    SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS ct
+    FROM chars GROUP BY 1, 2
+),
+top AS (
+    SELECT doc_id, CAST(byte AS BIGINT) AS top_byte, ct AS top_byte_ct
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY ct DESC, byte) AS rn
+        FROM hist
+    ) WHERE rn = 1
+),
+stats AS (
+    SELECT doc_id, CAST(sum(ct) AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS distinct_bytes
+    FROM hist GROUP BY 1
+),
+rep AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN substr(text, CAST(i AS INTEGER), 1)
+                         = substr(text, CAST(i + 1 AS INTEGER), 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS repeat_pairs
+    FROM documents, UNNEST(range(1, length(text))) AS u(i)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bytes, 0) AS BIGINT) AS n_bytes,
+       CAST(coalesce(s.distinct_bytes, 0) AS BIGINT) AS distinct_bytes,
+       CAST(coalesce(t.top_byte, -1) AS BIGINT) AS top_byte,
+       CAST(coalesce(t.top_byte_ct, 0) AS BIGINT) AS top_byte_ct,
+       CAST(coalesce(r.repeat_pairs, 0) AS BIGINT) AS repeat_pairs
+FROM documents d
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN top t USING (doc_id)
+LEFT JOIN rep r USING (doc_id)
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "trimmed_mean_value_udaf": trimmed_mean_value_udaf,
     "keyword_page_view_udf": keyword_page_view_udf,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_windows": multimodal_audio_windows,
+    "multimodal_byte_profile": multimodal_byte_profile,
 }
 
 ORACLE = {
@@ -256,4 +320,5 @@ ORACLE = {
     "keyword_page_view_udf": _KEYWORD_UDF_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "multimodal_audio_windows": _AUDIO_WINDOWS_SQL,
+    "multimodal_byte_profile": _BYTE_PROFILE_SQL,
 }
