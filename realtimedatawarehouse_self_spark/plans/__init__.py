@@ -239,6 +239,7 @@ _VERIFY_FIRST = [
     "l_diversity_audit",
     "join_order_recommendation",
     "multimodal_byte_profile",
+    "streaming_late_drop_twin",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1274,6 +1274,168 @@ WHERE s.event_type = 'signup'
 
 
 # ---------------------------------------------------------------------------
+# Streaming LATE-DROP twin — W4 (late-data drop) as an oracle-gated
+# driver row instead of a pytest-only property: the stream replays a
+# straggler-shard scenario (each day's shard-1 file delivered ~2 batch
+# slots behind its day, the lagging-partition shape of a real fan-in),
+# so straggler rows arrive after the watermark advanced past most of
+# their day. Spark's actual drop contract was pinned EMPIRICALLY before
+# writing the oracle (the two-phase watermark of SPARK-24634): a row in
+# micro-batch k is dropped from a windowed aggregation iff
+#   window_end <= watermark AT BATCH k-1's START
+#                 = max event time over batches <= k-2, minus delay
+# — late filtering runs one batch BEHIND eviction (probes: a window
+# ending exactly AT that value drops — <=, not <; a row late only
+# against the CURRENT batch's watermark is admitted and emitted in the
+# same batch). The oracle computes exactly that predicate via an
+# exclusive 2-lagged prefix-max over the per-batch event-time maxima, so
+# the driver row proves the engine's late-data semantics row-for-row.
+# ---------------------------------------------------------------------------
+LATE_TWIN_DELAY_S = 21_600  # 6 h watermark delay
+LATE_TWIN_SHARDS = 2
+_LATE_STRAGGLER_OFFSET = 3  # shard-1 of day i ships at slot 2i+3 (s0 at 2i)
+
+
+def streaming_late_drop_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = None
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-late-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+        os.makedirs(src)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            .select(
+                "ts",
+                "event_type",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+                F.coalesce(
+                    F.expr(
+                        "CAST(conv(substring(md5(CAST(user_id AS STRING)),"
+                        f" 1, 15), 16, 10) AS BIGINT) % {LATE_TWIN_SHARDS}"
+                    ),
+                    F.lit(0),
+                ).alias("shard"),
+            )
+            .persist()
+        )
+        # only NONEMPTY (day, shard) slots become files: an empty file
+        # would still occupy a micro-batch position and shift the
+        # one-batch-behind late watermark off the oracle's frame
+        pairs = sorted(
+            (r["day"], r["shard"])
+            for r in ev.select("day", "shard").distinct().collect()
+        )
+        if not pairs:
+            return spark.createDataFrame(
+                [], "win_start string, event_type string, ct bigint"
+            )
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        t0 = _time.time()
+        d0 = dt.date.fromisoformat(pairs[0][0])
+        # delivery slot: shard-0 of day i at 2i, its straggler shard-1 at
+        # 2i+3 — the same arithmetic the oracle derives from date diffs
+        max_seq = 0
+        for d, s in pairs:
+            i = (dt.date.fromisoformat(d) - d0).days
+            seq = 2 * i + (0 if s == 0 else _LATE_STRAGGLER_OFFSET)
+            part = os.path.join(src, f"g{seq:05d}")
+            ev.filter(
+                (F.col("day") == d) & (F.col("shard") == s)
+            ).select("ts", "event_type").coalesce(1).write.parquet(part)
+            for fname in os.listdir(part):
+                os.utime(
+                    os.path.join(part, fname),
+                    (t0 + seq * 10, t0 + seq * 10),
+                )
+            max_seq = max(max_seq, seq)
+        sent = os.path.join(src, "zz_flush")
+        spark.createDataFrame(
+            [(max_ts + dt.timedelta(days=3), FLUSH_TYPE)],
+            "ts timestamp, event_type string",
+        ).coalesce(1).write.parquet(sent)
+        for fname in os.listdir(sent):
+            os.utime(
+                os.path.join(sent, fname),
+                (t0 + (max_seq + 1) * 10, t0 + (max_seq + 1) * 10),
+            )
+        q = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .withWatermark("ts", f"{LATE_TWIN_DELAY_S} seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "event_type",
+                "ct",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        return spark.read.parquet(out).filter(
+            F.col("event_type") != FLUSH_TYPE
+        )
+    finally:
+        if ev is not None:
+            ev.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+_LATE_TWIN_SQL = f"""
+WITH ev AS (
+    SELECT ts, event_type, epoch_us(ts) AS t_us,
+           (CAST(ts AS DATE)
+            - (SELECT min(CAST(ts AS DATE)) FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL))
+               * {LATE_TWIN_SHARDS}
+           + CASE WHEN coalesce(TRY_CAST('0x' ||
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                      % {LATE_TWIN_SHARDS}, 0) = 0
+                  THEN 0 ELSE {_LATE_STRAGGLER_OFFSET} END AS batch_seq
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+bmax AS (
+    -- watermark AT BATCH k-1's START = max over batches <= k-2: the
+    -- 2-lagged exclusive prefix-max over processing positions
+    SELECT batch_seq,
+           max(mx) OVER (ORDER BY batch_seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 2 PRECEDING) AS lag2_max_us
+    FROM (SELECT batch_seq, max(t_us) AS mx FROM ev GROUP BY 1)
+),
+kept AS (
+    SELECT e.ts, e.event_type
+    FROM ev e JOIN bmax b USING (batch_seq)
+    WHERE b.lag2_max_us IS NULL
+       OR epoch_us(time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL 1 HOUR)
+          > b.lag2_max_us - CAST({LATE_TWIN_DELAY_S} AS BIGINT) * 1000000
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS ct
+FROM kept
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming KMV distinct sketch — the MERGEABLE-sketch driver row: each
 # day's K-minimum-values set is carried in keyed state across micro-
 # batches, with the stream deliberately sliced by USER (not by day) so
@@ -1402,6 +1564,7 @@ QUERIES = {
     "streaming_dedup_incoming": streaming_dedup_incoming,
     "streaming_kmv_daily": streaming_kmv_daily,
     "streaming_funnel_3way": streaming_funnel_3way,
+    "streaming_late_drop_twin": streaming_late_drop_twin,
 }
 
 ORACLE = {
@@ -1418,4 +1581,5 @@ ORACLE = {
     "streaming_dedup_incoming": _incoming_stream_sql(),
     "streaming_kmv_daily": _kmv_stream_sql(),
     "streaming_funnel_3way": _FUNNEL_3WAY_SQL,
+    "streaming_late_drop_twin": _LATE_TWIN_SQL,
 }

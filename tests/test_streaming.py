@@ -894,3 +894,36 @@ def test_streaming_funnel_3way_chain_ordering(spark):
         assert s < v <= s + dt.timedelta(seconds=FUNNEL_HORIZON_S), r
         assert v < p <= v + dt.timedelta(seconds=FUNNEL_HORIZON_S), r
         assert r["user_id"] >= 0
+
+
+def test_streaming_late_drop_twin_is_nonvacuous_subset(spark):
+    """The straggler-shard replay must produce REAL drops (the r3
+    vacuous-result guard) and the kept counts must be a per-group subset
+    of the no-drop aggregation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from tests.conftest import TESTDATA
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    rows = e.queries()["streaming_late_drop_twin"](spark, sf).collect()
+    assert rows
+    kept = {(r["win_start"], r["event_type"]): r["ct"] for r in rows}
+    full = {
+        (r["ws"], r["event_type"]): r["ct"]
+        for r in spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            F.date_format(
+                F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .collect()
+    }
+    assert sum(kept.values()) < sum(full.values()), "twin must drop rows"
+    for k, v in kept.items():
+        assert v <= full[k], (k, v, full[k])
