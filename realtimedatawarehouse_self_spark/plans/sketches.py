@@ -1,6 +1,18 @@
-"""Mergeable-sketch and index-structure operators: the summaries a 100 TB
-deployment keeps INSTEAD of raw data, each audited against its own exact
-ground truth on the same scan.
+"""Mergeable-sketch, index-structure, and planner-support operators: the
+summaries and statistics a 100 TB deployment keeps INSTEAD of raw data,
+each audited against its own exact ground truth on the same scan.
+
+The family grew across round-6 waves; the full set hosted here:
+distinct (KMV daily + rolling-union merge + theta INTERSECTION),
+membership (Bloom pre-filter), point frequency (count-min), the one
+UNSAFE merge (top-k lists, recall-audited), plus the planner-support
+audits those summaries feed: shuffle-skew strategy verdicts, per-key
+join-cardinality estimation (uniform + end-biased histogram),
+join-ORDER recommendation graded against exact intermediate sizes,
+min-max file-skipping under two layouts, the positional phrase index,
+and the watermark-lateness drop curve behind a withWatermark choice.
+Per-operator designs follow; scale notes at the end of this docstring
+and inline per operator.
 
 - `kmv_distinct_daily` — K-minimum-values distinct sketch (Bar-Yossef et
   al., RANDOM'02; the theta-sketch core): per-day distinct users estimated

@@ -220,3 +220,85 @@ def test_topk_merge_audit_recall_recount(spark, sf):
     assert row["recall_ppm"] == found * 1_000_000 // TOPK_MERGE_K
     missed = [i + 1 for i, u in enumerate(exact) if u not in cand]
     assert row["best_missed_rank"] == (min(missed) if missed else 0)
+
+
+def test_streaming_kmv_checkpoint_resume_is_exactly_once(spark, sf, tmp_path):
+    """W7 for KEYED CUSTOM STATE: stop after the first availableNow run
+    (only part of the data visible), then resume from the SAME checkpoint
+    with the rest + the flush — the final sketches must equal the batch
+    KMV over all data, proving the state store carried the K-min sets
+    across a restart without double-folding the first slice."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        KMV_K,
+        _daily_hashes,
+        _kmv_estimate,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import kmv_kmin
+
+    src, out, cp = (str(tmp_path / d) for d in ("src", "out", "cp"))
+    os.makedirs(src)
+    dh = _daily_hashes(spark, sf).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "h"
+    )
+    t0 = _time.time()
+
+    def write(i, df):
+        p = os.path.join(src, f"g{i:04d}")
+        df.coalesce(1).write.parquet(p)
+        for fn in os.listdir(p):
+            os.utime(os.path.join(p, fn), (t0 + i * 10, t0 + i * 10))
+
+    def run():
+        q = (
+            kmv_kmin(
+                spark.readStream.schema("day string, h bigint, flush int")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*")),
+                k=KMV_K,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    half = dh.filter(F.col("h") % 2 == 0)
+    rest = dh.filter(F.col("h") % 2 == 1)
+    write(0, half.select("day", "h", F.lit(0).cast("int").alias("flush")))
+    run()  # first run: state persisted in cp, nothing emitted (no flush)
+    write(1, rest.select("day", "h", F.lit(0).cast("int").alias("flush")))
+    write(
+        2,
+        dh.select("day").distinct().select(
+            "day",
+            F.lit(0).cast("bigint").alias("h"),
+            F.lit(1).cast("int").alias("flush"),
+        ),
+    )
+    run()  # resume: folds the rest, flush emits final sketches
+    got = {
+        r["day"]: (r["h_k"], r["n_in"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expect_df = (
+        dh.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("day")
+                .orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("day")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_in"))
+    )
+    expect = {r["day"]: (r["h_k"], r["n_in"]) for r in expect_df.collect()}
+    assert got == expect
