@@ -58,18 +58,32 @@ def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _parts(spark, sf_dir)
 
-    # MULTI-PASS blocking: the match rule is (adj = adj2 OR brand =
-    # brand2), so two passes — one blocked on (noun, bucket, adj), one on
-    # (noun, bucket, brand) — are jointly LOSSLESS while shrinking each
-    # cell by the adjective/brand domain (~10-25x fewer candidate pairs
-    # than noun-only blocking; measured 2.96 s -> sub-second at sf0.1).
-    # A pair matched by BOTH equalities appears in both passes; the
-    # union is deduped before verification.
+    # COLLAPSE-THEN-MATCH: records are first grouped to their distinct
+    # attribute tuple (adj, noun, brand, size) with multiplicity m — at
+    # catalog scale duplicate multiplicity is what explodes a pairwise
+    # matcher quadratically (measured: the row-level pairwise form did
+    # not finish a 10x-replica stress; this form is near-constant there,
+    # because the REP count is bounded by the attribute-combination
+    # domain, not the row count). Pair counts stay EXACT by combinatorics:
+    # two distinct reps contribute m1*m2 unordered pairs, one rep
+    # contributes C(m,2) internal pairs (identical records always match).
+    reps = parts.groupBy("adj", "noun", "brand", "size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+
+    # MULTI-PASS blocking at the REP level: the cross-rep rule is
+    # (adj = adj2 OR brand = brand2), so passes on (noun, bucket, adj)
+    # and (noun, bucket, brand) are jointly lossless; a rep pair matched
+    # by both equalities appears in both passes and is deduped. The
+    # deterministic rep total order (adj, brand, size) counts each
+    # unordered pair once.
     def _pass(key: str) -> DataFrame:
-        probe = parts.select(
-            "k",
+        probe = reps.select(
+            "adj",
             "noun",
+            "brand",
             "size",
+            "m",
             F.col(key).alias("bk"),
             F.explode(
                 F.expr(
@@ -78,30 +92,54 @@ def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("b"),
         )
-        build = parts.select(
-            F.col("k").alias("k2"),
+        build = reps.select(
+            F.col("adj").alias("adj2"),
             "noun",
+            F.col("brand").alias("brand2"),
             F.col("size").alias("size2"),
+            F.col("m").alias("m2"),
             F.col(key).alias("bk"),
             F.expr(f"size div {ENT_SIZE_BUCKET}").alias("b"),
         )
         return (
             probe.join(build, ["noun", "bk", "b"])
-            .filter(F.col("k") < F.col("k2"))
-            .select("noun", "k", "k2", "size", "size2")
+            .filter(
+                F.expr(
+                    "struct(adj, brand, size) < struct(adj2, brand2, size2)"
+                )
+            )
+            .select(
+                "noun", "adj", "brand", "size", "m",
+                "adj2", "brand2", "size2", "m2",
+            )
         )
 
-    cand = _pass("adj").unionByName(_pass("brand")).distinct()
-    scored = cand.select(
-        "noun",
-        F.expr(
-            f"CASE WHEN abs(size - size2) <= {ENT_SIZE_DIFF}"
-            " THEN 1 ELSE 0 END"
-        ).alias("matched"),
+    cross = _pass("adj").unionByName(_pass("brand")).distinct()
+    cross_counts = cross.groupBy("noun").agg(
+        F.sum(F.expr("m * m2")).cast("bigint").alias("cand_cross"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN abs(size - size2) <= {ENT_SIZE_DIFF}"
+                " THEN m * m2 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("matched_cross"),
     )
-    per_block = scored.groupBy("noun").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cand_pairs"),
-        F.sum("matched").cast("bigint").alias("matched_pairs"),
+    within = reps.groupBy("noun").agg(
+        F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("within_pairs")
+    )
+    per_block = (
+        within.join(cross_counts, "noun", "left")
+        .select(
+            "noun",
+            (
+                F.coalesce("cand_cross", F.lit(0)) + F.col("within_pairs")
+            ).cast("bigint").alias("cand_pairs"),
+            (
+                F.coalesce("matched_cross", F.lit(0)) + F.col("within_pairs")
+            ).cast("bigint").alias("matched_pairs"),
+        )
     )
     sizes = parts.groupBy("noun").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts")

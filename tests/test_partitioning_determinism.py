@@ -122,6 +122,41 @@ QUERIES = [
     #                                  the combine, never inside it
     "survival_hazard_daily",         # risk-set window over the lifetime
     #                                  total order
+    # round-6 wave-9..15 additions
+    "kmv_distinct_daily",            # WindowGroupLimit partial top-K: the
+    #                                  merged K-min set must be partition-
+    #                                  independent (the sketch's own merge
+    #                                  theorem under perturbed plans)
+    "kmv_rolling_distinct",          # union-then-retruncate across days
+    "bloom_prefilter_audit",         # bit positions a pure row map; FPR
+    #                                  counts under combine reordering
+    "shuffle_skew_audit",            # per-key combine + twice-reduced
+    #                                  persisted frame
+    "phrase_search_positional",      # anchor votes under perturbed
+    #                                  posting partitioning
+    "join_cardinality_estimate",     # DECIMAL count-products associative;
+    #                                  TakeOrdered top-H tie-break total
+    "mmr_diversified_topk",          # greedy argmax chain: one changed
+    #                                  candidate would cascade — exact
+    #                                  integer scores make it impossible
+    "weighted_sample_priority",      # hash-priority bottom-K tie-break
+    "kmv_audience_intersection",     # theta + retained-set intersection
+    "file_skipping_audit",           # cell-grain min/max re-aggregation
+    "deletion_impact_audit",         # semi-join cascade counts
+    "entity_match_parts",            # multi-pass union dedupe + verify
+    "entity_golden_record",          # survivor election + brand mode
+    "late_dim_reattribution",        # as-of last(IGNORE NULLS) needs the
+    #                                  (ts, kind) total order per user
+    "cms_frequency_audit",           # cell sums + min-over-depths under
+    #                                  any partitioning
+    "topk_merge_audit",              # daily top-K union + global TakeOrdered
+    "retraction_rollup",             # signed-delta combine vs snapshot
+    "watermark_lateness_audit",      # two-level prefix-max: bucket window
+    #                                  + tiny cumulative must not leak
+    "l_diversity_audit",             # bounded-domain countDistinct combine
+    "join_order_recommendation",     # stats + decision under any plan
+    "multimodal_byte_profile",       # Arrow batch boundaries must not
+    #                                  leak into per-payload profiles
 ]
 
 PERTURBED = {
