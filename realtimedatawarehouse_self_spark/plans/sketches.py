@@ -672,11 +672,15 @@ CARD_HH = 8
 
 
 def _key_counts(spark, sf_dir, table: str, key: str) -> DataFrame:
+    # persisted: each count frame feeds THREE consumers (side stats, the
+    # exact count-product join, and the top-H heavy hitters) — without
+    # the persist every consumer re-runs the table scan + combine
     return (
         _t(spark, sf_dir, table)
         .filter(F.col(key).isNotNull())
         .groupBy(F.col(key).cast("bigint").alias("k"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
     )
 
 
@@ -1030,6 +1034,9 @@ SKIP_PREDS = (  # (pred_id, lo, hi) on user_id
 
 def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # persisted: BOTH layouts' file stats derive from this cell frame —
+    # without the persist each branch re-runs the fact scan and the
+    # "fact table never read twice" property would be a lie
     cells = ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd-HH").alias("hour_key"),
         F.expr(f"user_id div {SKIP_UBUCKET}").alias("bucket_key"),
@@ -1037,7 +1044,7 @@ def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("u_min"),
         F.max("user_id").alias("u_max"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
+    ).persist()
     nat = cells.groupBy(F.col("hour_key").alias("file_key")).agg(
         F.min("u_min").alias("u_min"),
         F.max("u_max").alias("u_max"),
@@ -1261,9 +1268,10 @@ TOPK_MERGE_K = 10
 
 def topk_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # persisted: feeds the daily top-K candidates AND the day count
     daily = ev.groupBy(
         F.col("ts").cast("date").alias("d"), "user_id"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct")).persist()
     wd = Window.partitionBy("d").orderBy(F.col("ct").desc(), F.col("user_id"))
     cand = (
         daily.withColumn("rn", F.row_number().over(wd))
