@@ -124,6 +124,9 @@ PYTHON_PATH_QUERIES = {
     # r5: the audio sibling of the frame-sample shape — intentionally
     # Arrow-batched (plans/python_path.py)
     "multimodal_audio_windows",
+    # r6 wave 15: the byte-distribution screen — intentionally
+    # Arrow-batched (plans/python_path.py::multimodal_byte_profile)
+    "multimodal_byte_profile",
 }
 
 
