@@ -278,6 +278,7 @@ HEADLINE = [
     "l_diversity_audit",
     "join_order_recommendation",
     "multimodal_byte_profile",
+    "quantile_rolling_merge",
     # mmr_diversified_topk is NOT benched (double-count rule): its
     # corpus-sized stage is the brute-force candidate scan already timed
     # via similarity_topk_bruteforce; the greedy rounds operate on

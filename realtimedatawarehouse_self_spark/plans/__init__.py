@@ -240,6 +240,7 @@ _VERIFY_FIRST = [
     "join_order_recommendation",
     "multimodal_byte_profile",
     "streaming_late_drop_twin",
+    "quantile_rolling_merge",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

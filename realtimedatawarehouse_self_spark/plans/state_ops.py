@@ -681,6 +681,158 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling quantiles from MERGED daily histograms — the quantile member of
+# the mergeable-summary algebra (KMV showed distinct merges losslessly;
+# top-k showed its merge is lossy; histograms sit in between: the merge
+# itself is EXACT — bins add — so a 7-day rolling quantile answered from
+# daily histograms carries exactly the single-day sketch's bin-width
+# error bound, never more). Production keeps only the (day, bin, ct)
+# frames (≤ bins rows/day) and answers ANY window by summing them; the
+# exact rolling order statistic here is the audit side, and the emitted
+# err_cents must sit in (0, BIN_CENTS] — the same deterministic bound
+# value_quantile_sketch pins for a single scan.
+# Scale: the sketch path never re-touches the fact table (daily combine,
+# then a bins-per-window merge); the ×7 row explode is on the EXACT
+# audit side only.
+# ---------------------------------------------------------------------------
+QRM_DAYS = 7
+
+
+def quantile_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("d"),
+        money_cents("value").alias("cents"),
+        "event_id",
+    )
+    off = F.explode(F.sequence(F.lit(0), F.lit(QRM_DAYS - 1))).alias("off")
+    pct_arr = F.array(*[F.lit(p) for p in PCTS])
+    rng = base.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )  # 1-row broadcast: only full windows are emitted
+
+    # exact audit side: per-window order statistic over the raw rows
+    win_rows = base.select("d", "cents", "event_id", off).select(
+        F.expr("date_add(d, off)").alias("w_end"), "cents", "event_id"
+    )
+    w = Window.partitionBy("w_end").orderBy("cents", "event_id")
+    wn = Window.partitionBy("w_end")
+    ranked = win_rows.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).withColumn("n", F.count(F.lit(1)).over(wn).cast("bigint"))
+    exact = (
+        ranked.select(
+            "w_end", "cents", "rn", "n", F.explode(pct_arr).alias("pct")
+        )
+        .filter(F.expr("rn = (pct * n + 99) div 100"))
+        .select("w_end", "pct", F.col("cents").alias("exact_cents"))
+    )
+
+    # sketch side: daily histograms merged per window (bins add — exact)
+    hist = base.withColumn("bin", F.expr(f"cents div {BIN_CENTS}")).groupBy(
+        "d", "bin"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    merged = (
+        hist.select("d", "bin", "ct", off)
+        .select(F.expr("date_add(d, off)").alias("w_end"), "bin", "ct")
+        .groupBy("w_end", "bin")
+        .agg(F.sum("ct").cast("bigint").alias("ct"))
+    )
+    cum = merged.withColumn(
+        "cum",
+        F.sum("ct").over(
+            Window.partitionBy("w_end")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("ct").over(Window.partitionBy("w_end")))
+    sketch = (
+        cum.select("w_end", "bin", "cum", "n", F.explode(pct_arr).alias("pct"))
+        .filter(F.expr("cum >= (pct * n + 99) div 100"))
+        .groupBy("w_end", "pct")
+        .agg(
+            ((F.min("bin") + 1) * BIN_CENTS).cast("bigint").alias(
+                "sketch_upper_cents"
+            )
+        )
+    )
+    return (
+        exact.join(sketch, ["w_end", "pct"])
+        .crossJoin(F.broadcast(rng))
+        .filter(
+            (F.col("w_end") >= F.expr(f"date_add(d_min, {QRM_DAYS - 1})"))
+            & (F.col("w_end") <= F.col("d_max"))
+        )
+        .select(
+            F.date_format("w_end", "yyyy-MM-dd").alias("w_end"),
+            F.col("pct").cast("bigint").alias("pct"),
+            "exact_cents",
+            "sketch_upper_cents",
+            (F.col("sketch_upper_cents") - F.col("exact_cents"))
+            .cast("bigint")
+            .alias("err_cents"),
+        )
+    )
+
+
+_QRM_SQL = f"""
+WITH base AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+    FROM events
+),
+offs AS (SELECT unnest(range(0, {QRM_DAYS})) AS off),
+rng AS (SELECT min(d) AS d_min, max(d) AS d_max FROM base),
+win_rows AS (
+    SELECT d + CAST(o.off AS INT) AS w_end, cents, event_id
+    FROM base CROSS JOIN offs o
+),
+ranked AS (
+    SELECT w_end, cents,
+           CAST(row_number() OVER (PARTITION BY w_end
+                                   ORDER BY cents, event_id) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY w_end) AS BIGINT) AS n
+    FROM win_rows
+),
+exact AS (
+    SELECT w_end, p.pct, cents AS exact_cents
+    FROM ranked, (VALUES {", ".join(f"({p})" for p in PCTS)}) AS p(pct)
+    WHERE rn = (p.pct * n + 99) // 100
+),
+hist AS (
+    SELECT d, cents // {BIN_CENTS} AS bin, CAST(count(*) AS BIGINT) AS ct
+    FROM base GROUP BY 1, 2
+),
+merged AS (
+    SELECT d + CAST(o.off AS INT) AS w_end, bin, CAST(sum(ct) AS BIGINT) AS ct
+    FROM hist CROSS JOIN offs o
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT w_end, bin,
+           sum(ct) OVER (PARTITION BY w_end ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           sum(ct) OVER (PARTITION BY w_end) AS n
+    FROM merged
+),
+sketch AS (
+    SELECT w_end, p.pct,
+           CAST((min(bin) + 1) * {BIN_CENTS} AS BIGINT)
+               AS sketch_upper_cents
+    FROM cum, (VALUES {", ".join(f"({p})" for p in PCTS)}) AS p(pct)
+    WHERE cum >= (p.pct * n + 99) // 100
+    GROUP BY 1, 2
+)
+SELECT strftime(e.w_end, '%Y-%m-%d') AS w_end,
+       CAST(e.pct AS BIGINT) AS pct, e.exact_cents, s.sketch_upper_cents,
+       CAST(s.sketch_upper_cents - e.exact_cents AS BIGINT) AS err_cents
+FROM exact e
+JOIN sketch s ON e.w_end = s.w_end AND e.pct = s.pct, rng
+WHERE e.w_end >= rng.d_min + {QRM_DAYS - 1} AND e.w_end <= rng.d_max
+"""
+
+
 QUERIES = {
     "snapshot_diff_user_state": snapshot_diff_user_state,
     "running_balance_floor": running_balance_floor,
@@ -688,6 +840,7 @@ QUERIES = {
     "attribution_linear_apportion": attribution_linear_apportion,
     "dedup_incoming_batch": dedup_incoming_batch,
     "value_quantile_sketch": value_quantile_sketch,
+    "quantile_rolling_merge": quantile_rolling_merge,
 }
 
 ORACLE = {
@@ -697,4 +850,5 @@ ORACLE = {
     "attribution_linear_apportion": _APPORTION_SQL,
     "dedup_incoming_batch": _incoming_sql(),
     "value_quantile_sketch": _QUANTILE_SQL,
+    "quantile_rolling_merge": _QRM_SQL,
 }

@@ -302,3 +302,47 @@ def test_streaming_kmv_checkpoint_resume_is_exactly_once(spark, sf, tmp_path):
     )
     expect = {r["day"]: (r["h_k"], r["n_in"]) for r in expect_df.collect()}
     assert got == expect
+
+
+def test_quantile_rolling_merge_bound_and_merge_exactness(spark, sf):
+    """err must sit in (0, BIN_CENTS] for every window (the histogram's
+    deterministic bound survives the merge untouched), and the merged
+    daily histograms must answer the SAME quantile as a direct histogram
+    over each window's raw rows — histogram merge is exact (bins add)."""
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.state_ops import (
+        BIN_CENTS,
+        PCTS,
+        QRM_DAYS,
+    )
+
+    rows = e.queries()["quantile_rolling_merge"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["err_cents"] <= BIN_CENTS, r
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet")).collect()
+    by_day = defaultdict(list)
+    for r in ev:
+        by_day[r["ts"].date()].append(int(r["value"] * 100 + 0.5))
+    days = sorted(by_day)
+    got = {(r["w_end"], r["pct"]): r["sketch_upper_cents"] for r in rows}
+    for w_end_day in days:
+        if (w_end_day - days[0]).days < QRM_DAYS - 1:
+            continue
+        window = []
+        for i in range(QRM_DAYS):
+            window += by_day.get(
+                w_end_day - __import__("datetime").timedelta(days=i), []
+            )
+        hist = Counter(c // BIN_CENTS for c in window)
+        n = len(window)
+        for p in PCTS:
+            k = (p * n + 99) // 100
+            cum = 0
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= k:
+                    assert got[(w_end_day.isoformat(), p)] == (b + 1) * BIN_CENTS
+                    break
