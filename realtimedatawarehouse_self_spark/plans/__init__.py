@@ -241,6 +241,7 @@ _VERIFY_FIRST = [
     "multimodal_byte_profile",
     "streaming_late_drop_twin",
     "quantile_rolling_merge",
+    "streaming_dedup_within_watermark",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

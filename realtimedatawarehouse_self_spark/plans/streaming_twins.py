@@ -1436,6 +1436,140 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark twin — the bounded-state dedup OPERATOR
+# (Spark 3.5+) oracle-gated: per-day files (one row per user per day, the
+# user's min event time) flow through dropDuplicatesWithinWatermark on
+# user_id with a 2-day delay; a user is re-emitted each time their dedup
+# state expires. The operator's ACTUAL semantics were pinned by probes
+# before the oracle was written:
+#   - only EMITTED rows set state (a dropped duplicate does not extend
+#     the expiry); expiry = emitted row's event time + delay;
+#   - state is evicted at the END of the batch whose START watermark
+#     >= expiry (inclusive — probed at exact equality), so a duplicate
+#     in batch k is dropped iff the entry survived batch k-1:
+#       dropped  iff  max(event time over batches <= k-2) < e_ts + 2*delay
+#   - hence the emission chain per user: e_1 = first appearance; each
+#     next emit = the FIRST appearance in a batch whose 2-lagged prefix
+#     max >= previous emit ts + 2*delay (monotone, so well-defined).
+# The oracle replays that chain with a recursive CTE — the driver row
+# proves the operator's re-emission cadence appearance-for-appearance.
+# ---------------------------------------------------------------------------
+DDW_DELAY_S = 172_800  # 2-day dedup horizon
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    daily = None
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-ddw-")
+        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+        os.makedirs(src)
+        # one row per (day, user): the user's min event time that day —
+        # within-batch dedup is then deterministic by construction
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+            .groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+                "user_id",
+            )
+            .agg(F.min("ts").alias("ts"))
+            .persist()
+        )
+        days = sorted(r[0] for r in daily.select("day").distinct().collect())
+        if not days:
+            return spark.createDataFrame(
+                [], "user_id bigint, emit_ts string"
+            )
+        t0 = _time.time()
+        for i, d in enumerate(days):
+            part = os.path.join(src, f"g{i:04d}")
+            daily.filter(F.col("day") == d).select(
+                "ts", "user_id"
+            ).coalesce(1).write.parquet(part)
+            for fname in os.listdir(part):
+                os.utime(os.path.join(part, fname), (t0 + i * 10, t0 + i * 10))
+        q = (
+            spark.readStream.schema("ts timestamp, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .withWatermark("ts", f"{DDW_DELAY_S} seconds")
+            .dropDuplicatesWithinWatermark(["user_id"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        return spark.read.parquet(out).select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("emit_ts"),
+        )
+    finally:
+        if daily is not None:
+            daily.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _ddw_sql() -> str:
+    # DuckDB recursive CTE replaying the emission chain
+    return f"""
+WITH RECURSIVE app AS (
+    SELECT user_id,
+           CAST(CAST(ts_day AS DATE)
+               - (SELECT min(CAST(ts AS DATE)) FROM events
+                  WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+               AS BIGINT) AS pos,
+           min_ts
+    FROM (
+        SELECT user_id, CAST(ts AS DATE) AS ts_day, min(ts) AS min_ts
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    )
+),
+bm AS (
+    SELECT pos,
+           max(mx) OVER (ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 2 PRECEDING) AS lag2_max
+    FROM (SELECT pos, max(min_ts) AS mx FROM app GROUP BY 1)
+),
+emits AS (
+    SELECT user_id, pos, min_ts FROM (
+        SELECT user_id, pos, min_ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY pos) AS rn
+        FROM app
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, a.pos, a.min_ts
+    FROM emits e
+    JOIN app a
+      ON a.user_id = e.user_id
+     AND a.pos = (
+         SELECT min(a2.pos)
+         FROM app a2 JOIN bm b2 ON b2.pos = a2.pos
+         WHERE a2.user_id = e.user_id
+           AND a2.pos > e.pos
+           AND b2.lag2_max >= e.min_ts + INTERVAL {DDW_DELAY_S * 2} SECONDS
+     )
+)
+SELECT user_id,
+       strftime(min_ts, '%Y-%m-%d %H:%M:%S') AS emit_ts
+FROM emits
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming KMV distinct sketch — the MERGEABLE-sketch driver row: each
 # day's K-minimum-values set is carried in keyed state across micro-
 # batches, with the stream deliberately sliced by USER (not by day) so
@@ -1565,6 +1699,7 @@ QUERIES = {
     "streaming_kmv_daily": streaming_kmv_daily,
     "streaming_funnel_3way": streaming_funnel_3way,
     "streaming_late_drop_twin": streaming_late_drop_twin,
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
 }
 
 ORACLE = {
@@ -1582,4 +1717,5 @@ ORACLE = {
     "streaming_kmv_daily": _kmv_stream_sql(),
     "streaming_funnel_3way": _FUNNEL_3WAY_SQL,
     "streaming_late_drop_twin": _LATE_TWIN_SQL,
+    "streaming_dedup_within_watermark": _ddw_sql(),
 }

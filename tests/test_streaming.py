@@ -927,3 +927,61 @@ def test_streaming_late_drop_twin_is_nonvacuous_subset(spark):
     assert sum(kept.values()) < sum(full.values()), "twin must drop rows"
     for k, v in kept.items():
         assert v <= full[k], (k, v, full[k])
+
+
+def test_ddw_twin_matches_python_replay(spark):
+    """Full Python replay of the pinned dropDuplicatesWithinWatermark
+    semantics: per user, emit the first appearance, then each first
+    appearance whose 2-lagged batch prefix-max passed the previous emit's
+    time + 2*delay — the twin's output must match chain-for-chain."""
+    import os
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.streaming_twins import (
+        DDW_DELAY_S,
+    )
+    from tests.conftest import TESTDATA
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    rows = e.queries()["streaming_dedup_within_watermark"](spark, sf).collect()
+    got = sorted((r["user_id"], r["emit_ts"]) for r in rows)
+
+    daily = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"), "user_id")
+        .agg(F.min("ts").alias("ts"))
+        .collect()
+    )
+    days = sorted({r["d"] for r in daily})
+    pos = {d: i for i, d in enumerate(days)}
+    per_batch_max = {}
+    per_user = defaultdict(list)
+    for r in daily:
+        p = pos[r["d"]]
+        per_batch_max[p] = max(per_batch_max.get(p, r["ts"]), r["ts"])
+        per_user[r["user_id"]].append((p, r["ts"]))
+    lag2 = {}
+    running = None
+    for p in sorted(per_batch_max):
+        idx = sorted(per_batch_max).index(p)
+        prior = [per_batch_max[q] for q in sorted(per_batch_max)[: max(0, idx - 1)]]
+        lag2[p] = max(prior) if prior else None
+    import datetime as dt
+
+    expect = []
+    for u, apps in per_user.items():
+        apps.sort()
+        emit = None
+        for p, ts in apps:
+            if emit is None or (
+                lag2[p] is not None
+                and lag2[p] >= emit + dt.timedelta(seconds=2 * DDW_DELAY_S)
+            ):
+                emit = ts
+                expect.append((u, ts.strftime("%Y-%m-%d %H:%M:%S")))
+    assert got == sorted(expect)
+    assert len(got) > len(per_user), "re-emissions must actually occur"
