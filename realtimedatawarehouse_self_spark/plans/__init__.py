@@ -242,6 +242,7 @@ _VERIFY_FIRST = [
     "streaming_late_drop_twin",
     "quantile_rolling_merge",
     "streaming_dedup_within_watermark",
+    "map_function_surface",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

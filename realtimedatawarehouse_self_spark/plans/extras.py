@@ -1298,6 +1298,94 @@ FROM rows
 """
 
 
+# ---------------------------------------------------------------------------
+# MAP higher-order-function surface — the map sibling of
+# `array_function_surface`: a per-user map<event_type, count> (and a
+# parallel cents map) built with map_from_entries, then exercised through
+# the MAP HOF set — size/element_at/map_filter/transform_values/
+# map_zip_with/map_values+aggregate — with every output flattened to a
+# SCALAR so the comparison is engine-neutral (map render order never
+# reaches the result). The DuckDB oracle computes the same scalars
+# directly from the relational form — the point is that the map route
+# and the relational route agree exactly.
+# Scale: one (user, type) combine (bounded values per user by the type
+# domain), then pure in-row map expressions inside codegen.
+# ---------------------------------------------------------------------------
+MAP_HEAVY_CT = 3
+
+
+def map_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type", money_cents("value").alias("v_c"))
+    )
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+        F.sum("v_c").cast("bigint").alias("cents"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.expr(
+            "map_from_entries(array_sort(collect_list("
+            "struct(event_type, ct))))"
+        ).alias("ct_map"),
+        F.expr(
+            "map_from_entries(array_sort(collect_list("
+            "struct(event_type, cents))))"
+        ).alias("cents_map"),
+    )
+    return maps.select(
+        "user_id",
+        F.expr("CAST(size(ct_map) AS BIGINT)").alias("n_types"),
+        F.expr(
+            "aggregate(map_values(ct_map), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v)"
+        ).alias("total_events"),
+        F.expr("coalesce(element_at(ct_map, 'click'), CAST(0 AS BIGINT))").alias(
+            "clicks"
+        ),
+        F.expr(
+            f"CAST(size(map_filter(ct_map, (k, v) -> v >= {MAP_HEAVY_CT}))"
+            " AS BIGINT)"
+        ).alias("heavy_types"),
+        F.expr(
+            "aggregate(map_values(transform_values(ct_map,"
+            " (k, v) -> v * 2)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("doubled_total"),
+        F.expr(
+            "coalesce(element_at(map_zip_with(ct_map, cents_map,"
+            " (k, c, s) -> CASE WHEN c IS NULL OR s IS NULL THEN NULL"
+            " ELSE s div c END), 'purchase'), CAST(-1 AS BIGINT))"
+        ).alias("purchase_avg_cents"),
+    )
+
+
+_MAP_SURFACE_SQL = f"""
+WITH per AS (
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS ct,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(ct) AS BIGINT) AS total_events,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN ct END), 0)
+            AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN ct >= {MAP_HEAVY_CT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS heavy_types,
+       CAST(sum(ct) * 2 AS BIGINT) AS doubled_total,
+       CAST(coalesce(
+           max(CASE WHEN event_type = 'purchase' THEN cents // ct END), -1)
+           AS BIGINT) AS purchase_avg_cents
+FROM per
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "bucketed_join_colocation": bucketed_join_colocation,
@@ -1318,6 +1406,7 @@ QUERIES = {
     "unpivot_revenue_components": unpivot_revenue_components,
     "array_function_surface": array_function_surface,
     "deletion_impact_audit": deletion_impact_audit,
+    "map_function_surface": map_function_surface,
 }
 
 ORACLE = {
@@ -1340,4 +1429,5 @@ ORACLE = {
     "unpivot_revenue_components": _UNPIVOT_SQL,
     "array_function_surface": _ARRAY_SURFACE_SQL,
     "deletion_impact_audit": _DELETION_SQL,
+    "map_function_surface": _MAP_SURFACE_SQL,
 }
