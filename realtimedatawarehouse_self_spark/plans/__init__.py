@@ -243,6 +243,7 @@ _VERIFY_FIRST = [
     "quantile_rolling_merge",
     "streaming_dedup_within_watermark",
     "map_function_surface",
+    "streaming_config_swap_twin",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -1521,6 +1521,138 @@ def streaming_dedup_within_watermark(
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
+# ---------------------------------------------------------------------------
+# Config hot-swap twin — the reference's broadcast-state CRUD semantic
+# (T7 BaseDBApp broadcast config stream + K5 per-rule routing,
+# R/app/func/DIM_SinkFunction.java:28-92) as an oracle-gated driver row:
+# routing rules are CONSULTED PER MICRO-BATCH (foreachBatch re-reads the
+# rule table — the engine's documented substitution for Flink's
+# broadcast-state stream, streaming/pipelines.py:184 idiom), so a rule
+# update takes effect at the next batch. The twin runs the first half of
+# the day files under rule set v1, swaps the rule table, then RESUMES
+# from the same checkpoint over the second half under v2 — proving both
+# the per-batch consult and that the swap composes with exactly-once
+# restart. The oracle routes each day by the rule version active when
+# its batch ran (deterministic: versions change only between runs).
+# ---------------------------------------------------------------------------
+_CFG_V1 = (("view", "t_view"), ("purchase", "t_trade"))
+_CFG_V2 = (("view", "t_view"), ("purchase", "t_trade_v2"), ("click", "t_click"))
+
+
+def streaming_config_swap_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    apply_runtime_confs(spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = None
+    try:
+        base = tempfile.mkdtemp(prefix="rtdw-cfg-")
+        src, out, cp, rules = (
+            os.path.join(base, d) for d in ("src", "out", "cp", "rules")
+        )
+        os.makedirs(src)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            .select(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+                "event_type",
+            )
+            .persist()
+        )
+        days = sorted(r[0] for r in ev.select("day").distinct().collect())
+        if not days:
+            return spark.createDataFrame(
+                [], "day string, event_type string, route string, ct bigint"
+            )
+        split = len(days) // 2  # days[:split] run under v1, rest under v2
+        t0 = _time.time()
+
+        def write_days(sub, base_i):
+            for j, d in enumerate(sub):
+                part = os.path.join(src, f"g{base_i + j:04d}")
+                ev.filter(F.col("day") == d).coalesce(1).write.parquet(part)
+                for fname in os.listdir(part):
+                    os.utime(
+                        os.path.join(part, fname),
+                        (t0 + (base_i + j) * 10, t0 + (base_i + j) * 10),
+                    )
+
+        def write_rules(pairs):
+            spark.createDataFrame(
+                list(pairs), "event_type string, route string"
+            ).coalesce(1).write.mode("overwrite").parquet(rules)
+
+        def route_batch(batch_df, batch_id):
+            # the per-batch config consult (T7): re-read the rule table
+            rule_df = batch_df.sparkSession.read.parquet(rules)
+            (
+                batch_df.join(F.broadcast(rule_df), "event_type")
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        def run():
+            q = (
+                spark.readStream.schema("day string, event_type string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*"))
+                .writeStream.foreachBatch(route_batch)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(q)
+
+        write_rules(_CFG_V1)
+        write_days(days[:split], 0)
+        run()
+        write_rules(_CFG_V2)
+        write_days(days[split:], split)
+        run()  # resume from the same checkpoint under the swapped rules
+        return (
+            spark.read.parquet(out)
+            .groupBy("day", "event_type", "route")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        )
+    finally:
+        if ev is not None:
+            ev.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _cfg_swap_sql() -> str:
+    v1 = ", ".join(f"('{t}', '{r}', 1)" for t, r in _CFG_V1)
+    v2 = ", ".join(f"('{t}', '{r}', 2)" for t, r in _CFG_V2)
+    return f"""
+WITH ev AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+days AS (
+    SELECT day, row_number() OVER (ORDER BY day) - 1 AS day_idx,
+           count(*) OVER () AS n_days
+    FROM (SELECT DISTINCT day FROM ev)
+),
+rules AS (
+    SELECT * FROM (VALUES {v1}, {v2}) r(event_type, route, version)
+),
+routed AS (
+    SELECT e.day, e.event_type, r.route
+    FROM ev e
+    JOIN days d ON d.day = e.day
+    JOIN rules r
+      ON r.event_type = e.event_type
+     AND r.version = CASE WHEN d.day_idx < d.n_days // 2 THEN 1 ELSE 2 END
+)
+SELECT day, event_type, route, CAST(count(*) AS BIGINT) AS ct
+FROM routed GROUP BY 1, 2, 3
+"""
+
+
 def _ddw_sql() -> str:
     # DuckDB recursive CTE replaying the emission chain
     return f"""
@@ -1700,6 +1832,7 @@ QUERIES = {
     "streaming_funnel_3way": streaming_funnel_3way,
     "streaming_late_drop_twin": streaming_late_drop_twin,
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
+    "streaming_config_swap_twin": streaming_config_swap_twin,
 }
 
 ORACLE = {
@@ -1718,4 +1851,5 @@ ORACLE = {
     "streaming_funnel_3way": _FUNNEL_3WAY_SQL,
     "streaming_late_drop_twin": _LATE_TWIN_SQL,
     "streaming_dedup_within_watermark": _ddw_sql(),
+    "streaming_config_swap_twin": _cfg_swap_sql(),
 }

@@ -985,3 +985,37 @@ def test_ddw_twin_matches_python_replay(spark):
                 expect.append((u, ts.strftime("%Y-%m-%d %H:%M:%S")))
     assert got == sorted(expect)
     assert len(got) > len(per_user), "re-emissions must actually occur"
+
+
+def test_config_swap_twin_versions_flip_at_split(spark):
+    """Days processed before the rule swap must route per v1 (no t_click,
+    purchase -> t_trade); days after per v2 (t_click live, purchase ->
+    t_trade_v2) — the per-batch config consult made visible."""
+    import os
+
+    import __spark_entry__ as e
+    from tests.conftest import TESTDATA
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    rows = e.queries()["streaming_config_swap_twin"](spark, sf).collect()
+    assert rows
+    days = sorted({r["day"] for r in rows})
+    all_days = sorted(
+        r["d"]
+        for r in spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .selectExpr("CAST(CAST(ts AS DATE) AS STRING) AS d")
+        .distinct()
+        .collect()
+    )
+    split_day = all_days[len(all_days) // 2]
+    for r in rows:
+        if r["day"] < split_day:
+            assert r["route"] in ("t_view", "t_trade"), r
+            if r["event_type"] == "purchase":
+                assert r["route"] == "t_trade"
+        else:
+            assert r["route"] in ("t_view", "t_trade_v2", "t_click"), r
+            if r["event_type"] == "purchase":
+                assert r["route"] == "t_trade_v2"
+    assert any(r["route"] == "t_click" for r in rows), "v2 rule must fire"
+    assert any(r["route"] == "t_trade" for r in rows), "v1 rule must fire"
