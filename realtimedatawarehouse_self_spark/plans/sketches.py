@@ -1199,8 +1199,12 @@ def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("undercounts"),  # MUST be 0: CMS never undercounts
             F.max(F.expr("est_ct - ct")).cast("bigint").alias("max_over"),
+            # int64 headroom: the summed overestimate can exceed int64 at
+            # extreme scale (DuckDB's sum(BIGINT) is HUGEINT natively) —
+            # ride DECIMAL(38,0) internally, BIGINT at the boundary
             F.expr(
-                "CAST(sum(est_ct - ct) * 1000000 div sum(ct) AS BIGINT)"
+                "CAST(sum(CAST(est_ct - ct AS DECIMAL(38,0))) * 1000000"
+                " div sum(ct) AS BIGINT)"
             ).alias("avg_over_ppm"),
             F.sum(F.expr("CASE WHEN est_ct - ct <= bound THEN 1 ELSE 0 END"))
             .cast("bigint")
