@@ -114,6 +114,11 @@ def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # int64 headroom: pair counts are inherently quadratic in duplicate
+    # multiplicity — m1*m2 (and the per-noun sums) stay within int64 up
+    # to ~4.3e9 records of a single attribute tuple, far beyond any real
+    # catalog; DuckDB errors on overflow natively, so a breach cannot
+    # pass the gate silently.
     cross = _pass("adj").unionByName(_pass("brand")).distinct()
     cross_counts = cross.groupBy("noun").agg(
         F.sum(F.expr("m * m2")).cast("bigint").alias("cand_cross"),
