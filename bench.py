@@ -308,6 +308,11 @@ SUMMARY_QUERIES = [
     # r6 representatives: the zero-join funnel and a corpus audit
     "window_funnel_depth",
     "split_leakage_audit",
+    # r6 late-wave representatives: a mergeable sketch, a planner audit,
+    # and the entity-resolution family
+    "kmv_distinct_daily",
+    "join_cardinality_estimate",
+    "entity_match_parts",
 ]
 
 
