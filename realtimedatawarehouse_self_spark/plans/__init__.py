@@ -244,6 +244,7 @@ _VERIFY_FIRST = [
     "streaming_dedup_within_watermark",
     "map_function_surface",
     "streaming_config_swap_twin",
+    "t_closeness_audit",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

@@ -680,6 +680,119 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the third
+# privacy gate: a class can pass k-anonymity AND l-diversity and still
+# leak if its SENSITIVE-VALUE DISTRIBUTION deviates from the corpus-wide
+# one. Per quasi-identifier class, total-variation distance to the
+# global event_type distribution in exact ppm:
+#   TV = sum_types |ct_c*N - ct_g*n_c| / (2 * n_c * N)
+# — pure integer cross-multiplication (the products ride DECIMAL(38,0)/
+# HUGEINT internally: ct_c*N reaches 1e24 at corpus scale), absent types
+# included via the broadcast type list (|0 - ct_g*n_c| terms). Output is
+# the decile histogram of class TV with the failing mass under
+# T_CLOSE_PPM — bounded by 10 rows at any scale.
+# ---------------------------------------------------------------------------
+T_CLOSE_PPM = 300_000  # class fails if TV > 0.3
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("d"),
+        F.expr("CAST(floor(value / 25) AS BIGINT)").alias("vb"),
+        "event_type",
+    )
+    cls = ev.groupBy("d", "vb", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct_c")
+    ).persist()
+    classes = cls.groupBy("d", "vb").agg(
+        F.sum("ct_c").cast("bigint").alias("n_c")
+    )
+    glob = cls.groupBy("event_type").agg(
+        F.sum("ct_c").cast("bigint").alias("ct_g")
+    )
+    total = cls.agg(F.sum("ct_c").cast("bigint").alias("n_tot"))
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cls, ["d", "vb", "event_type"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "vb",
+            "n_c",
+            "n_tot",
+            F.expr(
+                "abs(CAST(coalesce(ct_c, 0) AS DECIMAL(38,0)) * n_tot"
+                " - CAST(ct_g AS DECIMAL(38,0)) * n_c)"
+            ).alias("term"),
+        )
+    )
+    tv = grid.groupBy("d", "vb", "n_c", "n_tot").agg(
+        F.expr(
+            "CAST(sum(term) * 1000000"
+            " div (CAST(2 AS DECIMAL(38,0)) * n_c * n_tot) AS BIGINT)"
+        ).alias("tv_ppm")
+    )
+    return (
+        tv.groupBy(F.expr("tv_ppm div 100000").cast("bigint").alias("tv_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("n_c").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.expr(f"CASE WHEN tv_ppm > {T_CLOSE_PPM} THEN n_c ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("failing_rows"),
+        )
+    )
+
+
+_T_CLOSE_SQL = f"""
+WITH ev AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           CAST(floor(value / 25) AS BIGINT) AS vb,
+           event_type
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+cls AS (
+    SELECT d, vb, event_type, CAST(count(*) AS BIGINT) AS ct_c
+    FROM ev GROUP BY 1, 2, 3
+),
+classes AS (
+    SELECT d, vb, CAST(sum(ct_c) AS BIGINT) AS n_c FROM cls GROUP BY 1, 2
+),
+gstats AS (
+    SELECT event_type, CAST(sum(ct_c) AS BIGINT) AS ct_g FROM cls GROUP BY 1
+),
+total AS (SELECT CAST(sum(ct_c) AS BIGINT) AS n_tot FROM cls),
+grid AS (
+    SELECT c.d, c.vb, c.n_c, t.n_tot,
+           abs(CAST(coalesce(x.ct_c, 0) AS HUGEINT) * t.n_tot
+               - CAST(g.ct_g AS HUGEINT) * c.n_c) AS term
+    FROM classes c
+    CROSS JOIN gstats g
+    LEFT JOIN cls x ON x.d = c.d AND x.vb = c.vb
+                   AND x.event_type = g.event_type
+    CROSS JOIN total t
+),
+tv AS (
+    SELECT d, vb, n_c,
+           CAST(sum(term) * 1000000
+                // (CAST(2 AS HUGEINT) * n_c * n_tot) AS BIGINT) AS tv_ppm
+    FROM grid GROUP BY d, vb, n_c, n_tot
+)
+SELECT CAST(tv_ppm // 100000 AS BIGINT) AS tv_decile,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n_c) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN tv_ppm > {T_CLOSE_PPM} THEN n_c ELSE 0 END)
+            AS BIGINT) AS failing_rows
+FROM tv
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ab_experiment_lift": ab_experiment_lift,
     "cuped_variance_reduction": cuped_variance_reduction,
@@ -687,6 +800,7 @@ QUERIES = {
     "diff_in_diff": diff_in_diff,
     "survival_hazard_daily": survival_hazard_daily,
     "l_diversity_audit": l_diversity_audit,
+    "t_closeness_audit": t_closeness_audit,
 }
 
 ORACLE = {
@@ -696,4 +810,5 @@ ORACLE = {
     "diff_in_diff": _DID_SQL,
     "survival_hazard_daily": _SURV_SQL,
     "l_diversity_audit": _L_DIV_SQL,
+    "t_closeness_audit": _T_CLOSE_SQL,
 }

@@ -164,3 +164,43 @@ def test_byte_profile_matches_python_recount(spark, sf):
         assert r["repeat_pairs"] == sum(
             1 for i in range(len(b) - 1) if b[i] == b[i + 1]
         )
+
+
+def test_t_closeness_matches_python_recount(spark, sf):
+    from fractions import Fraction
+
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.experiment import T_CLOSE_PPM
+
+    rows = {r["tv_decile"]: r for r in e.queries()["t_closeness_audit"](spark, sf).collect()}
+    ev = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(F.col("ts").cast("date").alias("d"), "value", "event_type")
+        .collect()
+    )
+    cls = Counter()
+    glob = Counter()
+    for r in ev:
+        key = (str(r["d"]), int(r["value"] // 25))
+        cls[(key, r["event_type"])] += 1
+        glob[r["event_type"]] += 1
+    n_tot = sum(glob.values())
+    by_class = defaultdict(int)
+    for (key, t), c in cls.items():
+        by_class[key] += c
+    hist = defaultdict(lambda: [0, 0, 0])
+    for key, n_c in by_class.items():
+        num = sum(
+            abs(cls.get((key, t), 0) * n_tot - glob[t] * n_c) for t in glob
+        )
+        tv_ppm = num * 1_000_000 // (2 * n_c * n_tot)
+        h = hist[tv_ppm // 100_000]
+        h[0] += 1
+        h[1] += n_c
+        if tv_ppm > T_CLOSE_PPM:
+            h[2] += n_c
+    assert set(rows) == set(hist)
+    for dec, (nc, nr, fr) in hist.items():
+        r = rows[dec]
+        assert (r["n_classes"], r["n_rows"], r["failing_rows"]) == (nc, nr, fr)
