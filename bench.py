@@ -281,6 +281,7 @@ HEADLINE = [
     "quantile_rolling_merge",
     "map_function_surface",
     "t_closeness_audit",
+    "ts_similarity_topk",
     # mmr_diversified_topk is NOT benched (double-count rule): its
     # corpus-sized stage is the brute-force candidate scan already timed
     # via similarity_topk_bruteforce; the greedy rounds operate on

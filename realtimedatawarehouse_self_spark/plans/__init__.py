@@ -245,6 +245,7 @@ _VERIFY_FIRST = [
     "map_function_surface",
     "streaming_config_swap_twin",
     "t_closeness_audit",
+    "ts_similarity_topk",
     "streaming_topk_hitters",
     "streaming_reconcile_full_outer",
     "streaming_cusum_daily",

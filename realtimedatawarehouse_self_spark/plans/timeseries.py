@@ -1341,6 +1341,108 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series similarity search (cf. "Time Series Similarity Search for
+# Streaming Data in Distributed Systems", EDBT'19 — the problem statement;
+# the plan here is the sparse decomposition a distributed engine should
+# run): each user's 30-day activity CURVE (daily event counts) is compared
+# to a handful of query users' curves by exact squared euclidean distance.
+# Dense vectors are never materialized: with sparse per-(user, day) counts,
+#     dist(q, u) = ||q||² + ||u||² − 2·(q·u)
+# — norms are one combine per user, and the dot products touch only the
+# DAYS WHERE BOTH ARE ACTIVE (query postings broadcast, join on day), so
+# total work is linear in the corpus' (user, day) cells, never
+# |users|×|days|. Missing days are implicit zeros by construction.
+# All-integer arithmetic; top-K per query is WindowGroupLimit.
+# ---------------------------------------------------------------------------
+TS_SIM_QUERIES = 5
+TS_SIM_K = 3
+
+
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cells = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct")).persist()
+    norms = cells.groupBy("user_id").agg(
+        F.sum(F.expr("ct * ct")).cast("bigint").alias("norm2")
+    )
+    qcells = cells.filter(F.col("user_id") < TS_SIM_QUERIES).select(
+        F.col("user_id").alias("q_user"), "d", F.col("ct").alias("q_ct")
+    )
+    qnorms = norms.filter(F.col("user_id") < TS_SIM_QUERIES).select(
+        F.col("user_id").alias("q_user"), F.col("norm2").alias("q_norm2")
+    )
+    dots = (
+        cells.join(F.broadcast(qcells), "d")
+        .groupBy("q_user", "user_id")
+        .agg(F.sum(F.expr("ct * q_ct")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        norms.crossJoin(F.broadcast(qnorms))
+        .join(dots, ["q_user", "user_id"], "left")
+        .filter(F.col("user_id") != F.col("q_user"))
+        .select(
+            "q_user",
+            "user_id",
+            F.expr(
+                "q_norm2 + norm2 - 2 * coalesce(dot, CAST(0 AS BIGINT))"
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("q_user").orderBy(F.col("dist2"), F.col("user_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TS_SIM_K)
+        .select(
+            "q_user",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("user_id").alias("neighbor_user"),
+            "dist2",
+        )
+    )
+
+
+_TS_SIM_SQL = f"""
+WITH cells AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS ct
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+norms AS (
+    SELECT user_id, CAST(sum(ct * ct) AS BIGINT) AS norm2
+    FROM cells GROUP BY 1
+),
+qcells AS (
+    SELECT user_id AS q_user, d, ct AS q_ct FROM cells
+    WHERE user_id < {TS_SIM_QUERIES}
+),
+qnorms AS (
+    SELECT user_id AS q_user, norm2 AS q_norm2 FROM norms
+    WHERE user_id < {TS_SIM_QUERIES}
+),
+dots AS (
+    SELECT q.q_user, c.user_id, CAST(sum(c.ct * q.q_ct) AS BIGINT) AS dot
+    FROM cells c JOIN qcells q USING (d)
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT qn.q_user, n.user_id,
+           CAST(qn.q_norm2 + n.norm2 - 2 * coalesce(dt.dot, 0) AS BIGINT)
+               AS dist2
+    FROM norms n
+    CROSS JOIN qnorms qn
+    LEFT JOIN dots dt ON dt.q_user = qn.q_user AND dt.user_id = n.user_id
+    WHERE n.user_id <> qn.q_user
+)
+SELECT q_user, CAST(rnk AS BIGINT) AS rnk, user_id AS neighbor_user, dist2
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_user
+                                 ORDER BY dist2, user_id) AS rnk
+    FROM scored
+) WHERE rnk <= {TS_SIM_K}
+"""
+
+
 QUERIES = {
     "hierarchical_time_rollup": hierarchical_time_rollup,
     "seasonal_baseline_residual": seasonal_baseline_residual,
@@ -1356,6 +1458,7 @@ QUERIES = {
     "ewma_anomaly_daily": ewma_anomaly_daily,
     "holt_linear_forecast": holt_linear_forecast,
     "late_dim_reattribution": late_dim_reattribution,
+    "ts_similarity_topk": ts_similarity_topk,
 }
 
 ORACLE = {
@@ -1373,4 +1476,5 @@ ORACLE = {
     "ewma_anomaly_daily": _EWMA_SQL,
     "holt_linear_forecast": _HOLT_SQL,
     "late_dim_reattribution": _LATE_DIM_SQL,
+    "ts_similarity_topk": _TS_SIM_SQL,
 }

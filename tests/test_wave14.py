@@ -204,3 +204,40 @@ def test_t_closeness_matches_python_recount(spark, sf):
     for dec, (nc, nr, fr) in hist.items():
         r = rows[dec]
         assert (r["n_classes"], r["n_rows"], r["failing_rows"]) == (nc, nr, fr)
+
+
+def test_ts_similarity_matches_dense_python_recount(spark, sf):
+    """The sparse norm+dot decomposition must equal the DENSE squared
+    euclidean distance over gap-filled daily curves — missing days are
+    implicit zeros, and the decomposition may not change a single value."""
+    import __spark_entry__ as e
+    from realtimedatawarehouse_self_spark.plans.timeseries import (
+        TS_SIM_K,
+        TS_SIM_QUERIES,
+    )
+
+    rows = e.queries()["ts_similarity_topk"](spark, sf).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .collect()
+    )
+    days = sorted({r["d"] for r in ev})
+    curves = defaultdict(lambda: Counter())
+    for r in ev:
+        curves[r["user_id"]][r["d"]] += 1
+    users = sorted(curves)
+    got = {(r["q_user"], r["rnk"]): (r["neighbor_user"], r["dist2"]) for r in rows}
+    for q in range(TS_SIM_QUERIES):
+        dists = sorted(
+            (
+                sum((curves[q][d] - curves[u][d]) ** 2 for d in days),
+                u,
+            )
+            for u in users
+            if u != q
+        )
+        for rnk, (dist2, u) in enumerate(dists[:TS_SIM_K], start=1):
+            assert got[(q, rnk)] == (u, dist2), (q, rnk)
