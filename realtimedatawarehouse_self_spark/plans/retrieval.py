@@ -753,8 +753,11 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is the plan barrier (cf. embedding_power_iteration): sel is
         # referenced twice per round (exists-filter + penalty), so without
         # it CollapseProject re-inlines the whole chain per reference.
+        # try_element_at: an exhausted candidate pool (corpus smaller
+        # than MMR_K+1) yields an empty filtered array; plain element_at
+        # THROWS under ANSI. The NULL pick is dropped after the explode.
         pick = (
-            "element_at(array_sort("
+            "try_element_at(array_sort("
             "transform("
             "  filter(cs, c -> !exists(sel, s -> s.vec_id = c.vec_id)),"
             "  c -> named_struct("
@@ -775,16 +778,22 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # explode_OUTER on purpose (cf. embedding_power_iteration): plain
     # explode makes the optimizer infer a size(sel) > 0 Filter carrying
-    # the full nested-HOF chain as one interpreted predicate. sel always
-    # has exactly K elements, so OUTER is semantically identical.
-    return df.select(
-        "query_id", F.explode_outer("sel").alias("s")
-    ).select(
-        "query_id",
-        F.col("s.rnk").cast("int").alias("rnk"),
-        F.col("s.vec_id").alias("neighbor_id"),
-        F.col("s.rel").alias("rel"),
-        F.col("s.mmr_score").alias("mmr_score"),
+    # the full nested-HOF chain as one interpreted predicate. A query
+    # with fewer than MMR_K eligible candidates exhausts the pool and
+    # later rounds append NULL structs (element_at on an empty filtered
+    # array); the oracle simply emits fewer rows for that query, so drop
+    # the NULL picks AFTER the Generate (the filter sits on the exploded
+    # column and cannot be pushed into the HOF chain) — ADVICE r6.
+    return (
+        df.select("query_id", F.explode_outer("sel").alias("s"))
+        .filter(F.col("s.vec_id").isNotNull())
+        .select(
+            "query_id",
+            F.col("s.rnk").cast("int").alias("rnk"),
+            F.col("s.vec_id").alias("neighbor_id"),
+            F.col("s.rel").alias("rel"),
+            F.col("s.mmr_score").alias("mmr_score"),
+        )
     )
 
 

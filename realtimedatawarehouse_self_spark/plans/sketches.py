@@ -465,6 +465,10 @@ def _key_stats(kc: DataFrame, col_name: str) -> DataFrame:
             .alias("hot_key_ct"),
         )
     )
+    # Empty/all-NULL key domain: the global agg still emits one row (all
+    # stats NULL) while the oracle's GROUP BY over the empty frame emits
+    # zero — drop the degenerate row so both sides agree (ADVICE r6).
+    hot = hot.filter(F.col("n_rows").isNotNull())
     return hot.select(
         F.lit(col_name).alias("key_col"),
         "n_rows",
@@ -1541,7 +1545,12 @@ def join_order_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
             kc_a.select("k", F.col("cnt").alias("ca"))
             .join(kc_b.select("k", F.col("cnt").alias("cb")), "k")
             .agg(
-                F.coalesce(F.sum(F.expr("ca * cb")), F.lit(0))
+                # sum in DECIMAL(38,0) like _card_one's exact_dec — BIGINT
+                # ca*cb would silently wrap at extreme key multiplicity
+                # while the oracle's HUGEINT sum errors on the final cast
+                F.coalesce(
+                    F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")), F.lit(0)
+                )
                 .cast("bigint")
                 .alias(out)
             )

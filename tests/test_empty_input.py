@@ -43,3 +43,14 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
     df = e.queries()[name](spark, empty_sf)
     rows = df.collect()  # must not raise
     assert isinstance(rows, list)
+
+
+def test_shuffle_skew_audit_empty_domain_shape(spark, empty_sf):
+    """ADVICE r6: on an empty/all-NULL key domain the oracle's GROUP BY
+    emits zero rows, while Spark's global agg used to emit one NULL-stats
+    row per key column ('hash' fallthrough). The Spark side must now
+    match the oracle's zero-row shape, not merely survive."""
+    import __spark_entry__ as e
+
+    df = e.queries()["shuffle_skew_audit"](spark, empty_sf)
+    assert df.collect() == []

@@ -174,3 +174,47 @@ def test_mmr_first_pick_is_top_relevance_and_picks_distinct(spark, sf):
         assert len(ids) == len(set(ids)), f"duplicate picks for query {qid}"
         r1 = next(r for r in rs if r["rnk"] == 1)
         assert r1["rel"] == max(r["rel"] for r in rs)
+
+
+def test_mmr_small_corpus_matches_oracle(spark, duck, tmp_path):
+    """ADVICE r6: a query with fewer than MMR_K eligible candidates used
+    to emit NULL-rnk rows (element_at on an exhausted candidate array →
+    NULL struct survives explode_outer) while the oracle simply emits
+    fewer rows. Build a 3-vector corpus (each query sees only 2
+    candidates < MMR_K=4) and require full engine-vs-oracle parity plus
+    the no-NULL-pick invariant."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from tests.conftest import TESTDATA
+    from tests.oracle_harness import compare_query, register_duckdb_views
+
+    src = os.path.join(TESTDATA, "sf0.001")
+    d = str(tmp_path / "tiny_sf")
+    os.makedirs(d)
+    for t in ("region", "nation"):  # cheap placeholders; query reads only embeddings
+        shutil.copy(os.path.join(src, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(3, 16)).astype("float32")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(3), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+
+    df = e.queries()["mmr_diversified_topk"](spark, d)
+    rows = df.collect()
+    assert rows, "tiny corpus must still produce picks"
+    assert all(r["neighbor_id"] is not None and r["rnk"] is not None for r in rows)
+    # each of the 3 queries exhausts after 2 picks: exactly 6 rows
+    assert len(rows) == 6
+    register_duckdb_views(duck, d)
+    ok, detail = compare_query(df, duck, e.oracle_sql()["mmr_diversified_topk"])
+    assert ok, detail
