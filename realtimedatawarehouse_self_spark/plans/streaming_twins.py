@@ -25,9 +25,11 @@ naturally).
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import os
 import tempfile
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +59,96 @@ def _await_or_raise(q, timeout_s: int = STREAM_TIMEOUT_S) -> None:
         )
 
 
+@contextlib.contextmanager
+def _twin_confs(spark: SparkSession, shuffle: str = "8"):
+    """Per-twin session confs: apply the engine's runtime confs, then pin
+    shuffle partitions low for the tiny per-micro-batch frames (state-store
+    instances scale with shuffle partitions; 32 would be pure overhead
+    here), restoring the caller's setting afterwards."""
+    apply_runtime_confs(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+class _MicroBatchStage:
+    """Shared micro-batch feeder for the streaming twins (VERDICT r6 #7 —
+    this staging/stamping logic used to be repeated in seven twins).
+
+    FileStreamSource orders files by MODIFICATION TIME; every staged slice
+    is utime-stamped strictly later than the previous one, so with
+    ``maxFilesPerTrigger=1`` slice ``i`` IS micro-batch ``i`` — the
+    property every twin's oracle derives its batch-sequence arithmetic
+    from. A sentinel slice (``stage_sentinel``) is stamped strictly after
+    ALL staged slices, including ones staged at explicit out-of-order
+    ``seq`` slots (the late-drop twin). The sentinel-TYPING contract
+    (real event types, sentinel keys — Catalyst pushes type predicates
+    below EventTimeWatermark, SURVEY §9.1) stays the caller's job; this
+    class only guarantees the ordering half of the flush contract.
+    """
+
+    def __init__(self, prefix: str, extra_dirs: tuple[str, ...] = ()):
+        self.base = tempfile.mkdtemp(prefix=prefix)
+        self.src = os.path.join(self.base, "src")
+        self.out = os.path.join(self.base, "out")
+        self.cp = os.path.join(self.base, "cp")
+        for d in extra_dirs:
+            setattr(self, d, os.path.join(self.base, d))
+        os.makedirs(self.src)
+        self._t0 = _time.time()
+        self._next_seq = 0
+
+    def stage_slice(self, df: DataFrame, seq: int | None = None) -> None:
+        """Write one micro-batch slice (single file) at sequence slot
+        ``seq`` (default: next unused slot)."""
+        if seq is None:
+            seq = self._next_seq
+        part = os.path.join(self.src, f"g{seq:05d}")
+        df.coalesce(1).write.parquet(part)
+        self._stamp(part, seq)
+        self._next_seq = max(self._next_seq, seq + 1)
+
+    def stage_sentinel(self, df: DataFrame) -> None:
+        """Write the flush slice, mtime-stamped strictly last."""
+        part = os.path.join(self.src, "zz_flush")
+        df.coalesce(1).write.parquet(part)
+        self._stamp(part, self._next_seq)
+        self._next_seq += 1
+
+    def _stamp(self, part: str, seq: int) -> None:
+        ts = self._t0 + seq * 10
+        for fname in os.listdir(part):
+            os.utime(os.path.join(part, fname), (ts, ts))
+
+    def read_stream(self, spark: SparkSession, schema) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(self.src, "*"))
+        )
+
+    def run_to_parquet(self, spark: SparkSession, stream_df: DataFrame) -> DataFrame:
+        """Run the transformed stream to the parquet sink (availableNow,
+        append mode) and return the sink's contents."""
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.out)
+            .option("checkpointLocation", self.cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        return spark.read.parquet(self.out)
+
+
+def _day_groups(days: list, per_batch: int) -> list[list]:
+    return [days[i : i + per_batch] for i in range(0, len(days), per_batch)]
+
+
 def _run_stream(
     spark: SparkSession, sf_dir: str, build, flush_filter=None,
     double_flush: bool = False, flush_types=(FLUSH_TYPE,),
@@ -83,13 +175,7 @@ def _run_stream(
     watermark silently never advances (measured: stuck at
     last-real-row - delay; found by this twin's missing final-horizon
     rows)."""
-    apply_runtime_confs(spark)
-    # scoped conf: restore the session's shuffle partitioning on exit so a
-    # batch query run after a streaming twin (e.g. a verify loop over all
-    # queries) doesn't silently inherit the tiny streaming setting
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _twin_confs(spark):
         base = tempfile.mkdtemp(prefix="rtdw-stream-")
         src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
 
@@ -146,8 +232,6 @@ def _run_stream(
         if flush_filter is None:
             flush_filter = F.col("event_type") != FLUSH_TYPE
         return spark.read.parquet(out).filter(flush_filter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
 # ---------------------------------------------------------------------------
@@ -430,10 +514,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtimedatawarehouse_self_spark.functions.exprs import TS_FMT
     from realtimedatawarehouse_self_spark.streaming.sinks import upsert_parquet
 
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _twin_confs(spark):
         base = tempfile.mkdtemp(prefix="rtdw-incr-")
         src, store, cp = (os.path.join(base, d) for d in ("src", "store", "cp"))
         events = load_table(spark, sf_dir, "events").select(
@@ -504,8 +585,6 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_ct").cast("bigint").alias("event_ct"),
             cents_amount("v_c").alias("total_value"),
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
 def _incr_stream_sql() -> str:
@@ -533,97 +612,64 @@ EWMA_DAYS_PER_BATCH = 7
 
 
 def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
-
     from realtimedatawarehouse_self_spark.streaming.stateful import ewma_daily
 
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     events = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-ewma-")
-        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
-        os.makedirs(src)
-        # Same non-NULL contract as the batch twin (the shared oracle
-        # filters identically); persist the 2-column projection so the
-        # per-group staging writes below re-filter this tiny frame
-        # instead of rescanning the events parquet once per group.
-        events = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
-            .select(
-                "event_type",
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                    "day"
-                ),
-            )
-            .persist()
-        )
-        days = [r[0] for r in events.select("day").distinct().collect()]
-        days.sort()
-        if not days:
-            # empty source: no files to stream — emit the typed empty frame
-            return spark.createDataFrame(
-                [],
-                "event_type string, day string, ct bigint, "
-                "ewma_micro bigint, deviation_micro bigint, "
-                "is_anomaly bigint",
-            )
-        groups = [
-            days[i : i + EWMA_DAYS_PER_BATCH]
-            for i in range(0, len(days), EWMA_DAYS_PER_BATCH)
-        ]
-        t0 = _time.time()
-        for i, grp in enumerate(groups):
-            part = os.path.join(src, f"g{i:04d}")
-            events.filter(F.col("day").isin(grp)).coalesce(1).write.parquet(
-                part
-            )
-            # FileStreamSource orders files by modification time: stamp
-            # each day-group strictly later than the previous one so the
-            # fold sees days in order.
-            for fname in os.listdir(part):
-                os.utime(
-                    os.path.join(part, fname), (t0 + i * 10, t0 + i * 10)
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-ewma-")
+            # Same non-NULL contract as the batch twin (the shared oracle
+            # filters identically); persist the 2-column projection so the
+            # per-group staging writes below re-filter this tiny frame
+            # instead of rescanning the events parquet once per group.
+            events = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("event_type").isNotNull() & F.col("ts").isNotNull()
                 )
-        schema = events.schema
-        q = (
-            ewma_daily(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(os.path.join(src, "*"))
+                .select(
+                    "event_type",
+                    F.date_format(
+                        F.date_trunc("day", "ts"), "yyyy-MM-dd"
+                    ).alias("day"),
+                )
+                .persist()
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-        sunk = spark.read.parquet(out)
-        return sunk.select(
-            "event_type",
-            "day",
-            "ct",
-            F.col("ewma").alias("ewma_micro"),
-            F.expr(
-                "CASE WHEN prev = 0 THEN cast(0 as bigint) "
-                "ELSE ct * 1000000 - prev END"
-            ).alias("deviation_micro"),
-            F.expr(
-                "cast(CASE WHEN prev > 0 AND abs(ct * 1000000 - prev) * 2 "
-                "> prev THEN 1 ELSE 0 END as bigint)"
-            ).alias("is_anomaly"),
-        )
-    finally:
-        # The persisted staging projection has served its per-group writes
-        # by the time the streaming job runs; without this it would occupy
-        # executor cache for the rest of the session/bench run (ADVICE r5).
-        if events is not None:
-            events.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            days = sorted(r[0] for r in events.select("day").distinct().collect())
+            if not days:
+                # empty source: no files to stream — typed empty frame
+                return spark.createDataFrame(
+                    [],
+                    "event_type string, day string, ct bigint, "
+                    "ewma_micro bigint, deviation_micro bigint, "
+                    "is_anomaly bigint",
+                )
+            for grp in _day_groups(days, EWMA_DAYS_PER_BATCH):
+                stage.stage_slice(events.filter(F.col("day").isin(grp)))
+            sunk = stage.run_to_parquet(
+                spark, ewma_daily(stage.read_stream(spark, events.schema))
+            )
+            return sunk.select(
+                "event_type",
+                "day",
+                "ct",
+                F.col("ewma").alias("ewma_micro"),
+                F.expr(
+                    "CASE WHEN prev = 0 THEN cast(0 as bigint) "
+                    "ELSE ct * 1000000 - prev END"
+                ).alias("deviation_micro"),
+                F.expr(
+                    "cast(CASE WHEN prev > 0 AND abs(ct * 1000000 - prev) * 2 "
+                    "> prev THEN 1 ELSE 0 END as bigint)"
+                ).alias("is_anomaly"),
+            )
+        finally:
+            # The persisted staging projection has served its per-group
+            # writes by the time the streaming job runs; without this it
+            # would occupy executor cache for the rest of the session/bench
+            # run (ADVICE r5).
+            if events is not None:
+                events.unpersist()
 
 
 def _ewma_stream_sql() -> str:
@@ -646,87 +692,60 @@ def _ewma_stream_sql() -> str:
 # streaming_ewma_daily.
 # ---------------------------------------------------------------------------
 def streaming_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
-
     from realtimedatawarehouse_self_spark.streaming.stateful import cusum_daily
 
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     events = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-cusum-")
-        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
-        os.makedirs(src)
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
-            .select(
-                "event_type",
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                    "day"
-                ),
-            )
-        )
-        # Reference-period baseline, computed ONCE batch-side and joined
-        # statically (mirrors the batch operator's stats CTE exactly).
-        daily = ev.groupBy("event_type", "day").agg(
-            F.count(F.lit(1)).cast("bigint").alias("ct")
-        )
-        stats = daily.groupBy("event_type").agg(
-            F.expr("CAST(sum(ct) * 1000000 div count(*) AS BIGINT)").alias(
-                "mean_micro"
-            )
-        )
-        events = ev.join(F.broadcast(stats), "event_type").persist()
-        days = sorted(r[0] for r in events.select("day").distinct().collect())
-        if not days:
-            return spark.createDataFrame(
-                [],
-                "event_type string, day string, ct bigint, "
-                "cusum_up_micro bigint, cusum_dn_micro bigint, alarm bigint",
-            )
-        groups = [
-            days[i : i + EWMA_DAYS_PER_BATCH]
-            for i in range(0, len(days), EWMA_DAYS_PER_BATCH)
-        ]
-        t0 = _time.time()
-        for i, grp in enumerate(groups):
-            part = os.path.join(src, f"g{i:04d}")
-            events.filter(F.col("day").isin(grp)).coalesce(1).write.parquet(
-                part
-            )
-            for fname in os.listdir(part):
-                os.utime(
-                    os.path.join(part, fname), (t0 + i * 10, t0 + i * 10)
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-cusum-")
+            ev = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("event_type").isNotNull() & F.col("ts").isNotNull()
                 )
-        schema = events.schema
-        q = (
-            cusum_daily(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(os.path.join(src, "*"))
+                .select(
+                    "event_type",
+                    F.date_format(
+                        F.date_trunc("day", "ts"), "yyyy-MM-dd"
+                    ).alias("day"),
+                )
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-        return spark.read.parquet(out).select(
-            "event_type",
-            "day",
-            "ct",
-            "cusum_up_micro",
-            "cusum_dn_micro",
-            "alarm",
-        )
-    finally:
-        if events is not None:
-            events.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            # Reference-period baseline, computed ONCE batch-side and joined
+            # statically (mirrors the batch operator's stats CTE exactly).
+            daily = ev.groupBy("event_type", "day").agg(
+                F.count(F.lit(1)).cast("bigint").alias("ct")
+            )
+            stats = daily.groupBy("event_type").agg(
+                F.expr("CAST(sum(ct) * 1000000 div count(*) AS BIGINT)").alias(
+                    "mean_micro"
+                )
+            )
+            events = ev.join(F.broadcast(stats), "event_type").persist()
+            days = sorted(
+                r[0] for r in events.select("day").distinct().collect()
+            )
+            if not days:
+                return spark.createDataFrame(
+                    [],
+                    "event_type string, day string, ct bigint, "
+                    "cusum_up_micro bigint, cusum_dn_micro bigint, "
+                    "alarm bigint",
+                )
+            for grp in _day_groups(days, EWMA_DAYS_PER_BATCH):
+                stage.stage_slice(events.filter(F.col("day").isin(grp)))
+            return stage.run_to_parquet(
+                spark, cusum_daily(stage.read_stream(spark, events.schema))
+            ).select(
+                "event_type",
+                "day",
+                "ct",
+                "cusum_up_micro",
+                "cusum_dn_micro",
+                "alarm",
+            )
+        finally:
+            if events is not None:
+                events.unpersist()
 
 
 def _cusum_stream_sql() -> str:
@@ -841,112 +860,87 @@ HH_TYPE_DEN = 125  # heavy = >= 1/125 of the TYPE's events (mining.HH_DEN twin)
 
 
 def streaming_topk_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
-
     from realtimedatawarehouse_self_spark.streaming.stateful import (
         topk_hitters,
     )
 
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     events = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-topk-")
-        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
-        os.makedirs(src)
-        events = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
-            .select(
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-topk-")
+            events = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("event_type").isNotNull()
+                    & F.col("user_id").isNotNull()
+                )
+                .select(
+                    "event_type",
+                    "user_id",
+                    F.date_format(
+                        F.date_trunc("day", "ts"), "yyyy-MM-dd"
+                    ).alias("day"),
+                )
+                .persist()
+            )
+            days = sorted(
+                r[0] for r in events.select("day").distinct().collect() if r[0]
+            )
+            if not days:
+                return spark.createDataFrame(
+                    [],
+                    "event_type string, user_id bigint, event_ct bigint, "
+                    "share_micro bigint",
+                )
+            for grp in _day_groups(days, EWMA_DAYS_PER_BATCH):
+                stage.stage_slice(
+                    events.filter(F.col("day").isin(grp)).select(
+                        "event_type",
+                        "user_id",
+                        F.lit(0).cast("int").alias("flush"),
+                    )
+                )
+            # typed sentinel: one flush row per key, stamped strictly last
+            # so every key's counters flush only after all data batches
+            # folded in
+            stage.stage_sentinel(
+                events.select("event_type")
+                .distinct()
+                .select(
+                    "event_type",
+                    F.lit(-1).cast("bigint").alias("user_id"),
+                    F.lit(1).cast("int").alias("flush"),
+                )
+            )
+            schema = "event_type string, user_id bigint, flush int"
+            sunk = stage.run_to_parquet(
+                spark,
+                topk_hitters(stage.read_stream(spark, schema), cap=HH_TYPE_DEN),
+            )
+            candidates = sunk.select("event_type", "user_id").distinct()
+            # exact recount over candidates only (two-pass confirm):
+            # per-type totals broadcast, threshold filter — output
+            # independent of the sketch's decrements and of how days were
+            # grouped into batches
+            per_type = events.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_type")
+            )
+            exact = (
+                events.join(candidates, ["event_type", "user_id"], "left_semi")
+                .groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("event_ct"))
+                .join(F.broadcast(per_type), "event_type")
+                .filter(F.col("event_ct") * HH_TYPE_DEN >= F.col("n_type"))
+            )
+            return exact.select(
                 "event_type",
                 "user_id",
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                    "day"
-                ),
+                "event_ct",
+                F.expr("event_ct * 1000000 div n_type").alias("share_micro"),
             )
-            .persist()
-        )
-        days = sorted(
-            r[0] for r in events.select("day").distinct().collect() if r[0]
-        )
-        if not days:
-            return spark.createDataFrame(
-                [],
-                "event_type string, user_id bigint, event_ct bigint, "
-                "share_micro bigint",
-            )
-        groups = [
-            days[i : i + EWMA_DAYS_PER_BATCH]
-            for i in range(0, len(days), EWMA_DAYS_PER_BATCH)
-        ]
-        t0 = _time.time()
-        for i, grp in enumerate(groups):
-            part = os.path.join(src, f"g{i:04d}")
-            events.filter(F.col("day").isin(grp)).select(
-                "event_type", "user_id", F.lit(0).cast("int").alias("flush")
-            ).coalesce(1).write.parquet(part)
-            for fname in os.listdir(part):
-                os.utime(
-                    os.path.join(part, fname), (t0 + i * 10, t0 + i * 10)
-                )
-        # typed sentinel: one flush row per key, stamped strictly last so
-        # every key's counters flush only after all data batches folded in
-        sent = os.path.join(src, "zz_flush")
-        events.select("event_type").distinct().select(
-            "event_type",
-            F.lit(-1).cast("bigint").alias("user_id"),
-            F.lit(1).cast("int").alias("flush"),
-        ).coalesce(1).write.parquet(sent)
-        for fname in os.listdir(sent):
-            os.utime(
-                os.path.join(sent, fname),
-                (t0 + len(groups) * 10, t0 + len(groups) * 10),
-            )
-        schema = "event_type string, user_id bigint, flush int"
-        q = (
-            topk_hitters(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(os.path.join(src, "*")),
-                cap=HH_TYPE_DEN,
-            )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-        candidates = (
-            spark.read.parquet(out)
-            .select("event_type", "user_id")
-            .distinct()
-        )
-        # exact recount over candidates only (two-pass confirm): per-type
-        # totals broadcast, threshold filter — output independent of the
-        # sketch's decrements and of how days were grouped into batches
-        per_type = events.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_type")
-        )
-        exact = (
-            events.join(candidates, ["event_type", "user_id"], "left_semi")
-            .groupBy("event_type", "user_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("event_ct"))
-            .join(F.broadcast(per_type), "event_type")
-            .filter(F.col("event_ct") * HH_TYPE_DEN >= F.col("n_type"))
-        )
-        return exact.select(
-            "event_type",
-            "user_id",
-            "event_ct",
-            F.expr("event_ct * 1000000 div n_type").alias("share_micro"),
-        )
-    finally:
-        if events is not None:
-            events.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        finally:
+            if events is not None:
+                events.unpersist()
 
 
 _TOPK_STREAM_SQL = f"""
@@ -1000,143 +994,135 @@ def streaming_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from realtimedatawarehouse_self_spark.plans.state_ops import INCOMING_MOD
 
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     corpus = None
     corpus_bands = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-sdedup-")
-        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
-        os.makedirs(src)
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text", "lang"
-        )
-
-        def per_doc_stats(d: DataFrame) -> DataFrame:
-            sh = (
-                d.withColumn("tok_arr", tokens("text"))
-                .select(
-                    "doc_id",
-                    "lang",
-                    F.explode(word_shingles(F.col("tok_arr"))).alias("sh"),
-                )
-                .distinct()
-            )
-            return (
-                sh.select("doc_id", "lang", "sh", _shingle_hash())
-                .groupBy("doc_id")
-                .agg(
-                    F.first("lang").alias("lang"),
-                    F.count(F.lit(1)).alias("n_sh"),
-                    F.collect_list("sh").alias("sh_arr"),
-                    *_minhash_aggs(),
-                )
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-sdedup-")
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang"
             )
 
-        # The static side, built once and kept hot across micro-batches:
-        # the band index (probe target) and the shingle arrays (verify).
-        corpus = per_doc_stats(
-            docs.filter(F.col("doc_id") % INCOMING_MOD != 0)
-        ).persist()
-        corpus_bands = signature_bands(corpus).persist()
-        corpus_bands.count()  # materialize before the stream starts
-        corpus_side = corpus.select(
-            F.col("doc_id").alias("corpus_doc"),
-            F.col("lang").alias("lang_b"),
-            F.col("n_sh").alias("n_b"),
-            F.col("sh_arr").alias("arr_b"),
-        )
-
-        # Incoming raw docs land as one file per micro-batch, mtime-ordered
-        # (maxFilesPerTrigger=1 under availableNow — the day-file feeder
-        # idiom shared by the rollup/ewma twins).
-        inc = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
-        import time as _time
-
-        t0 = _time.time()
-        for i in range(DEDUP_STREAM_GROUPS):
-            part = os.path.join(src, f"g{i:04d}")
-            inc.filter(
-                (F.col("doc_id") / INCOMING_MOD) % DEDUP_STREAM_GROUPS == i
-            ).coalesce(1).write.parquet(part)
-            for fname in os.listdir(part):
-                os.utime(os.path.join(part, fname), (t0 + i * 10, t0 + i * 10))
-
-        def process(batch_df: DataFrame, batch_id: int) -> None:
-            b = per_doc_stats(batch_df)
-            bb = signature_bands(b)
-            cand = (
-                bb.alias("a")
-                .join(
-                    corpus_bands.alias("b"),
-                    (F.col("a.band_id") == F.col("b.band_id"))
-                    & (F.col("a.sig") == F.col("b.sig")),
+            def per_doc_stats(d: DataFrame) -> DataFrame:
+                sh = (
+                    d.withColumn("tok_arr", tokens("text"))
+                    .select(
+                        "doc_id",
+                        "lang",
+                        F.explode(word_shingles(F.col("tok_arr"))).alias("sh"),
+                    )
+                    .distinct()
                 )
-                .select(
-                    F.col("a.doc_id").alias("new_doc"),
-                    F.col("b.doc_id").alias("corpus_doc"),
+                return (
+                    sh.select("doc_id", "lang", "sh", _shingle_hash())
+                    .groupBy("doc_id")
+                    .agg(
+                        F.first("lang").alias("lang"),
+                        F.count(F.lit(1)).alias("n_sh"),
+                        F.collect_list("sh").alias("sh_arr"),
+                        *_minhash_aggs(),
+                    )
                 )
-                .distinct()
+
+            # The static side, built once and kept hot across micro-batches:
+            # the band index (probe target) and the shingle arrays (verify).
+            corpus = per_doc_stats(
+                docs.filter(F.col("doc_id") % INCOMING_MOD != 0)
+            ).persist()
+            corpus_bands = signature_bands(corpus).persist()
+            corpus_bands.count()  # materialize before the stream starts
+            corpus_side = corpus.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("lang").alias("lang_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("sh_arr").alias("arr_b"),
             )
-            res = (
-                cand.join(
-                    b.select(
-                        F.col("doc_id").alias("new_doc"),
-                        F.col("lang").alias("lang_a"),
-                        F.col("n_sh").alias("n_a"),
-                        F.col("sh_arr").alias("arr_a"),
-                    ),
-                    "new_doc",
-                )
-                .join(corpus_side, "corpus_doc")
-                .filter(F.col("lang_a") == F.col("lang_b"))
-                .withColumn(
-                    "inter_ct",
-                    F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
-                )
-                .withColumn(
-                    "union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct")
-                )
-                .select(
-                    "new_doc",
-                    "corpus_doc",
-                    "inter_ct",
-                    F.col("union_ct").cast("bigint").alias("union_ct"),
-                    (2 * F.col("inter_ct") >= F.col("union_ct")).alias(
-                        "is_dup"
-                    ),
-                )
-            )
-            res.write.mode("append").parquet(out)
 
-        q = (
-            spark.readStream.schema("doc_id bigint, text string, lang string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(src, "*"))
-            .writeStream.foreachBatch(process)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-        if not os.path.isdir(out) or not any(
-            f.endswith(".parquet") for f in os.listdir(out)
-        ):
-            return spark.createDataFrame(
-                [],
-                "new_doc bigint, corpus_doc bigint, inter_ct bigint, "
-                "union_ct bigint, is_dup boolean",
+            # Incoming raw docs land as one file per micro-batch, mtime-ordered
+            # (maxFilesPerTrigger=1 under availableNow — the day-file feeder
+            # idiom shared by the rollup/ewma twins).
+            inc = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
+            for i in range(DEDUP_STREAM_GROUPS):
+                stage.stage_slice(
+                    inc.filter(
+                        (F.col("doc_id") / INCOMING_MOD) % DEDUP_STREAM_GROUPS
+                        == i
+                    )
+                )
+
+            def process(batch_df: DataFrame, batch_id: int) -> None:
+                b = per_doc_stats(batch_df)
+                bb = signature_bands(b)
+                cand = (
+                    bb.alias("a")
+                    .join(
+                        corpus_bands.alias("b"),
+                        (F.col("a.band_id") == F.col("b.band_id"))
+                        & (F.col("a.sig") == F.col("b.sig")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("new_doc"),
+                        F.col("b.doc_id").alias("corpus_doc"),
+                    )
+                    .distinct()
+                )
+                res = (
+                    cand.join(
+                        b.select(
+                            F.col("doc_id").alias("new_doc"),
+                            F.col("lang").alias("lang_a"),
+                            F.col("n_sh").alias("n_a"),
+                            F.col("sh_arr").alias("arr_a"),
+                        ),
+                        "new_doc",
+                    )
+                    .join(corpus_side, "corpus_doc")
+                    .filter(F.col("lang_a") == F.col("lang_b"))
+                    .withColumn(
+                        "inter_ct",
+                        F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
+                    )
+                    .withColumn(
+                        "union_ct", F.col("n_a") + F.col("n_b") - F.col("inter_ct")
+                    )
+                    .select(
+                        "new_doc",
+                        "corpus_doc",
+                        "inter_ct",
+                        F.col("union_ct").cast("bigint").alias("union_ct"),
+                        (2 * F.col("inter_ct") >= F.col("union_ct")).alias(
+                            "is_dup"
+                        ),
+                    )
+                )
+                res.write.mode("append").parquet(stage.out)
+
+            q = (
+                stage.read_stream(
+                    spark, "doc_id bigint, text string, lang string"
+                )
+                .writeStream.foreachBatch(process)
+                .option("checkpointLocation", stage.cp)
+                .trigger(availableNow=True)
+                .start()
             )
-        return spark.read.parquet(out).select(
-            "new_doc", "corpus_doc", "inter_ct", "union_ct", "is_dup"
-        )
-    finally:
-        if corpus_bands is not None:
-            corpus_bands.unpersist()
-        if corpus is not None:
-            corpus.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            _await_or_raise(q)
+            if not os.path.isdir(stage.out) or not any(
+                f.endswith(".parquet") for f in os.listdir(stage.out)
+            ):
+                return spark.createDataFrame(
+                    [],
+                    "new_doc bigint, corpus_doc bigint, inter_ct bigint, "
+                    "union_ct bigint, is_dup boolean",
+                )
+            return spark.read.parquet(stage.out).select(
+                "new_doc", "corpus_doc", "inter_ct", "union_ct", "is_dup"
+            )
+        finally:
+            if corpus_bands is not None:
+                corpus_bands.unpersist()
+            if corpus is not None:
+                corpus.unpersist()
 
 
 def _incoming_stream_sql() -> str:
@@ -1297,104 +1283,80 @@ _LATE_STRAGGLER_OFFSET = 3  # shard-1 of day i ships at slot 2i+3 (s0 at 2i)
 
 
 def streaming_late_drop_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
-
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ev = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-late-")
-        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
-        os.makedirs(src)
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-            .select(
-                "ts",
-                "event_type",
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                    "day"
-                ),
-                F.coalesce(
-                    F.expr(
-                        "CAST(conv(substring(md5(CAST(user_id AS STRING)),"
-                        f" 1, 15), 16, 10) AS BIGINT) % {LATE_TWIN_SHARDS}"
-                    ),
-                    F.lit(0),
-                ).alias("shard"),
-            )
-            .persist()
-        )
-        # only NONEMPTY (day, shard) slots become files: an empty file
-        # would still occupy a micro-batch position and shift the
-        # one-batch-behind late watermark off the oracle's frame
-        pairs = sorted(
-            (r["day"], r["shard"])
-            for r in ev.select("day", "shard").distinct().collect()
-        )
-        if not pairs:
-            return spark.createDataFrame(
-                [], "win_start string, event_type string, ct bigint"
-            )
-        max_ts = ev.agg(F.max("ts")).collect()[0][0]
-        t0 = _time.time()
-        d0 = dt.date.fromisoformat(pairs[0][0])
-        # delivery slot: shard-0 of day i at 2i, its straggler shard-1 at
-        # 2i+3 — the same arithmetic the oracle derives from date diffs
-        max_seq = 0
-        for d, s in pairs:
-            i = (dt.date.fromisoformat(d) - d0).days
-            seq = 2 * i + (0 if s == 0 else _LATE_STRAGGLER_OFFSET)
-            part = os.path.join(src, f"g{seq:05d}")
-            ev.filter(
-                (F.col("day") == d) & (F.col("shard") == s)
-            ).select("ts", "event_type").coalesce(1).write.parquet(part)
-            for fname in os.listdir(part):
-                os.utime(
-                    os.path.join(part, fname),
-                    (t0 + seq * 10, t0 + seq * 10),
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-late-")
+            ev = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("ts").isNotNull() & F.col("event_type").isNotNull()
                 )
-            max_seq = max(max_seq, seq)
-        sent = os.path.join(src, "zz_flush")
-        spark.createDataFrame(
-            [(max_ts + dt.timedelta(days=3), FLUSH_TYPE)],
-            "ts timestamp, event_type string",
-        ).coalesce(1).write.parquet(sent)
-        for fname in os.listdir(sent):
-            os.utime(
-                os.path.join(sent, fname),
-                (t0 + (max_seq + 1) * 10, t0 + (max_seq + 1) * 10),
+                .select(
+                    "ts",
+                    "event_type",
+                    F.date_format(
+                        F.date_trunc("day", "ts"), "yyyy-MM-dd"
+                    ).alias("day"),
+                    F.coalesce(
+                        F.expr(
+                            "CAST(conv(substring(md5(CAST(user_id AS STRING)),"
+                            f" 1, 15), 16, 10) AS BIGINT) % {LATE_TWIN_SHARDS}"
+                        ),
+                        F.lit(0),
+                    ).alias("shard"),
+                )
+                .persist()
             )
-        q = (
-            spark.readStream.schema("ts timestamp, event_type string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(src, "*"))
-            .withWatermark("ts", f"{LATE_TWIN_DELAY_S} seconds")
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-            .select(
-                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "win_start"
+            # only NONEMPTY (day, shard) slots become files: an empty file
+            # would still occupy a micro-batch position and shift the
+            # one-batch-behind late watermark off the oracle's frame
+            pairs = sorted(
+                (r["day"], r["shard"])
+                for r in ev.select("day", "shard").distinct().collect()
+            )
+            if not pairs:
+                return spark.createDataFrame(
+                    [], "win_start string, event_type string, ct bigint"
+                )
+            max_ts = ev.agg(F.max("ts")).collect()[0][0]
+            d0 = dt.date.fromisoformat(pairs[0][0])
+            # delivery slot: shard-0 of day i at 2i, its straggler shard-1
+            # at 2i+3 — the same arithmetic the oracle derives from date
+            # diffs
+            for d, s in pairs:
+                i = (dt.date.fromisoformat(d) - d0).days
+                seq = 2 * i + (0 if s == 0 else _LATE_STRAGGLER_OFFSET)
+                stage.stage_slice(
+                    ev.filter(
+                        (F.col("day") == d) & (F.col("shard") == s)
+                    ).select("ts", "event_type"),
+                    seq=seq,
+                )
+            stage.stage_sentinel(
+                spark.createDataFrame(
+                    [(max_ts + dt.timedelta(days=3), FLUSH_TYPE)],
+                    "ts timestamp, event_type string",
+                )
+            )
+            sunk = stage.run_to_parquet(
+                spark,
+                stage.read_stream(spark, "ts timestamp, event_type string")
+                .withWatermark("ts", f"{LATE_TWIN_DELAY_S} seconds")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+                .select(
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "win_start"
+                    ),
+                    "event_type",
+                    "ct",
                 ),
-                "event_type",
-                "ct",
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-        return spark.read.parquet(out).filter(
-            F.col("event_type") != FLUSH_TYPE
-        )
-    finally:
-        if ev is not None:
-            ev.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            return sunk.filter(F.col("event_type") != FLUSH_TYPE)
+        finally:
+            if ev is not None:
+                ev.unpersist()
 
 
 _LATE_TWIN_SQL = f"""
@@ -1460,65 +1422,49 @@ DDW_DELAY_S = 172_800  # 2-day dedup horizon
 def streaming_dedup_within_watermark(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import time as _time
-
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     daily = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-ddw-")
-        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
-        os.makedirs(src)
-        # one row per (day, user): the user's min event time that day —
-        # within-batch dedup is then deterministic by construction
-        daily = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-            .groupBy(
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                    "day"
-                ),
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-ddw-")
+            # one row per (day, user): the user's min event time that day —
+            # within-batch dedup is then deterministic by construction
+            daily = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+                )
+                .groupBy(
+                    F.date_format(
+                        F.date_trunc("day", "ts"), "yyyy-MM-dd"
+                    ).alias("day"),
+                    "user_id",
+                )
+                .agg(F.min("ts").alias("ts"))
+                .persist()
+            )
+            days = sorted(
+                r[0] for r in daily.select("day").distinct().collect()
+            )
+            if not days:
+                return spark.createDataFrame(
+                    [], "user_id bigint, emit_ts string"
+                )
+            for d in days:
+                stage.stage_slice(
+                    daily.filter(F.col("day") == d).select("ts", "user_id")
+                )
+            return stage.run_to_parquet(
+                spark,
+                stage.read_stream(spark, "ts timestamp, user_id bigint")
+                .withWatermark("ts", f"{DDW_DELAY_S} seconds")
+                .dropDuplicatesWithinWatermark(["user_id"]),
+            ).select(
                 "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("emit_ts"),
             )
-            .agg(F.min("ts").alias("ts"))
-            .persist()
-        )
-        days = sorted(r[0] for r in daily.select("day").distinct().collect())
-        if not days:
-            return spark.createDataFrame(
-                [], "user_id bigint, emit_ts string"
-            )
-        t0 = _time.time()
-        for i, d in enumerate(days):
-            part = os.path.join(src, f"g{i:04d}")
-            daily.filter(F.col("day") == d).select(
-                "ts", "user_id"
-            ).coalesce(1).write.parquet(part)
-            for fname in os.listdir(part):
-                os.utime(os.path.join(part, fname), (t0 + i * 10, t0 + i * 10))
-        q = (
-            spark.readStream.schema("ts timestamp, user_id bigint")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(src, "*"))
-            .withWatermark("ts", f"{DDW_DELAY_S} seconds")
-            .dropDuplicatesWithinWatermark(["user_id"])
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-        return spark.read.parquet(out).select(
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("emit_ts"),
-        )
-    finally:
-        if daily is not None:
-            daily.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        finally:
+            if daily is not None:
+                daily.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1542,86 +1488,72 @@ _CFG_V2 = (("view", "t_view"), ("purchase", "t_trade_v2"), ("click", "t_click"))
 def streaming_config_swap_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ev = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-cfg-")
-        src, out, cp, rules = (
-            os.path.join(base, d) for d in ("src", "out", "cp", "rules")
-        )
-        os.makedirs(src)
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-            .select(
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                    "day"
-                ),
-                "event_type",
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-cfg-", extra_dirs=("rules",))
+            rules = stage.rules
+            ev = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+                )
+                .select(
+                    F.date_format(
+                        F.date_trunc("day", "ts"), "yyyy-MM-dd"
+                    ).alias("day"),
+                    "event_type",
+                )
+                .persist()
             )
-            .persist()
-        )
-        days = sorted(r[0] for r in ev.select("day").distinct().collect())
-        if not days:
-            return spark.createDataFrame(
-                [], "day string, event_type string, route string, ct bigint"
+            days = sorted(r[0] for r in ev.select("day").distinct().collect())
+            if not days:
+                return spark.createDataFrame(
+                    [],
+                    "day string, event_type string, route string, ct bigint",
+                )
+            split = len(days) // 2  # days[:split] under v1, rest under v2
+
+            def write_rules(pairs):
+                spark.createDataFrame(
+                    list(pairs), "event_type string, route string"
+                ).coalesce(1).write.mode("overwrite").parquet(rules)
+
+            def route_batch(batch_df, batch_id):
+                # the per-batch config consult (T7): re-read the rule table
+                rule_df = batch_df.sparkSession.read.parquet(rules)
+                (
+                    batch_df.join(F.broadcast(rule_df), "event_type")
+                    .write.mode("append")
+                    .parquet(stage.out)
+                )
+
+            def run():
+                q = (
+                    stage.read_stream(spark, "day string, event_type string")
+                    .writeStream.foreachBatch(route_batch)
+                    .option("checkpointLocation", stage.cp)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _await_or_raise(q)
+
+            write_rules(_CFG_V1)
+            for d in days[:split]:
+                stage.stage_slice(ev.filter(F.col("day") == d))
+            run()
+            write_rules(_CFG_V2)
+            for d in days[split:]:
+                stage.stage_slice(ev.filter(F.col("day") == d))
+            run()  # resume from the same checkpoint under the swapped rules
+            return (
+                spark.read.parquet(stage.out)
+                .groupBy("day", "event_type", "route")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
             )
-        split = len(days) // 2  # days[:split] run under v1, rest under v2
-        t0 = _time.time()
-
-        def write_days(sub, base_i):
-            for j, d in enumerate(sub):
-                part = os.path.join(src, f"g{base_i + j:04d}")
-                ev.filter(F.col("day") == d).coalesce(1).write.parquet(part)
-                for fname in os.listdir(part):
-                    os.utime(
-                        os.path.join(part, fname),
-                        (t0 + (base_i + j) * 10, t0 + (base_i + j) * 10),
-                    )
-
-        def write_rules(pairs):
-            spark.createDataFrame(
-                list(pairs), "event_type string, route string"
-            ).coalesce(1).write.mode("overwrite").parquet(rules)
-
-        def route_batch(batch_df, batch_id):
-            # the per-batch config consult (T7): re-read the rule table
-            rule_df = batch_df.sparkSession.read.parquet(rules)
-            (
-                batch_df.join(F.broadcast(rule_df), "event_type")
-                .write.mode("append")
-                .parquet(out)
-            )
-
-        def run():
-            q = (
-                spark.readStream.schema("day string, event_type string")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(os.path.join(src, "*"))
-                .writeStream.foreachBatch(route_batch)
-                .option("checkpointLocation", cp)
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await_or_raise(q)
-
-        write_rules(_CFG_V1)
-        write_days(days[:split], 0)
-        run()
-        write_rules(_CFG_V2)
-        write_days(days[split:], split)
-        run()  # resume from the same checkpoint under the swapped rules
-        return (
-            spark.read.parquet(out)
-            .groupBy("day", "event_type", "route")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-        )
-    finally:
-        if ev is not None:
-            ev.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        finally:
+            if ev is not None:
+                ev.unpersist()
 
 
 def _cfg_swap_sql() -> str:
@@ -1716,8 +1648,6 @@ KMV_STREAM_SLICES = 3  # user_id % 3 slices -> every day merges 3 partials
 
 
 def streaming_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
-
     from realtimedatawarehouse_self_spark.plans.sketches import (
         KMV_K,
         _h60,
@@ -1725,89 +1655,70 @@ def streaming_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from realtimedatawarehouse_self_spark.streaming.stateful import kmv_kmin
 
-    apply_runtime_confs(spark)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     dh = None
-    try:
-        base = tempfile.mkdtemp(prefix="rtdw-kmv-")
-        src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
-        os.makedirs(src)
-        # (day, h) distinct — the SAME grain as the shared batch oracle's
-        # dh CTE; slices key on the hash so the frame needs no user column
-        dh = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("user_id").isNotNull())
-            .select(
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                    "day"
-                ),
-                _h60("user_id").alias("h"),
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-kmv-")
+            # (day, h) distinct — the SAME grain as the shared batch
+            # oracle's dh CTE; slices key on the hash so the frame needs
+            # no user column
+            dh = (
+                load_table(spark, sf_dir, "events")
+                .filter(F.col("user_id").isNotNull())
+                .select(
+                    F.date_format(
+                        F.date_trunc("day", "ts"), "yyyy-MM-dd"
+                    ).alias("day"),
+                    _h60("user_id").alias("h"),
+                )
+                .distinct()
+                .persist()
             )
-            .distinct()
-            .persist()
-        )
-        if not dh.take(1):
-            return spark.createDataFrame(
-                [], "d string, exact_users bigint, kmv_users bigint, err_ppm bigint"
+            if not dh.take(1):
+                return spark.createDataFrame(
+                    [],
+                    "d string, exact_users bigint, kmv_users bigint, "
+                    "err_ppm bigint",
+                )
+            for i in range(KMV_STREAM_SLICES):
+                stage.stage_slice(
+                    dh.filter(F.col("h") % KMV_STREAM_SLICES == i).select(
+                        "day", "h", F.lit(0).cast("int").alias("flush")
+                    )
+                )
+            stage.stage_sentinel(
+                dh.select("day")
+                .distinct()
+                .select(
+                    "day",
+                    F.lit(0).cast("bigint").alias("h"),
+                    F.lit(1).cast("int").alias("flush"),
+                )
             )
-        t0 = _time.time()
-        for i in range(KMV_STREAM_SLICES):
-            part = os.path.join(src, f"g{i:04d}")
-            dh.filter(F.col("h") % KMV_STREAM_SLICES == i).select(
-                "day", "h", F.lit(0).cast("int").alias("flush")
-            ).coalesce(1).write.parquet(part)
-            for fname in os.listdir(part):
-                os.utime(os.path.join(part, fname), (t0 + i * 10, t0 + i * 10))
-        sent = os.path.join(src, "zz_flush")
-        dh.select("day").distinct().select(
-            "day",
-            F.lit(0).cast("bigint").alias("h"),
-            F.lit(1).cast("int").alias("flush"),
-        ).coalesce(1).write.parquet(sent)
-        for fname in os.listdir(sent):
-            os.utime(
-                os.path.join(sent, fname),
-                (t0 + KMV_STREAM_SLICES * 10, t0 + KMV_STREAM_SLICES * 10),
+            schema = "day string, h bigint, flush int"
+            sketch = stage.run_to_parquet(
+                spark, kmv_kmin(stage.read_stream(spark, schema), k=KMV_K)
+            ).select("day", "h_k", "n_in")
+            exact = dh.groupBy("day").agg(
+                F.count(F.lit(1)).cast("bigint").alias("exact_users")
             )
-        schema = "day string, h bigint, flush int"
-        q = (
-            kmv_kmin(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(os.path.join(src, "*")),
-                k=KMV_K,
+            est = sketch.join(exact, "day").select(
+                F.col("day").alias("d"),
+                "exact_users",
+                _kmv_estimate("h_k", "n_in").alias("kmv_users"),
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-        sketch = spark.read.parquet(out).select("day", "h_k", "n_in")
-        exact = dh.groupBy("day").agg(
-            F.count(F.lit(1)).cast("bigint").alias("exact_users")
-        )
-        est = sketch.join(exact, "day").select(
-            F.col("day").alias("d"),
-            "exact_users",
-            _kmv_estimate("h_k", "n_in").alias("kmv_users"),
-        )
-        return est.select(
-            "d",
-            "exact_users",
-            "kmv_users",
-            F.expr(
-                "CAST(abs(kmv_users - exact_users) * 1000000"
-                " div exact_users AS BIGINT)"
-            ).alias("err_ppm"),
-        )
-    finally:
-        if dh is not None:
-            dh.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            return est.select(
+                "d",
+                "exact_users",
+                "kmv_users",
+                F.expr(
+                    "CAST(abs(kmv_users - exact_users) * 1000000"
+                    " div exact_users AS BIGINT)"
+                ).alias("err_ppm"),
+            )
+        finally:
+            if dh is not None:
+                dh.unpersist()
 
 
 def _kmv_stream_sql() -> str:
