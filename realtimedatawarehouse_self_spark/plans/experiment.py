@@ -793,6 +793,170 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Differential-privacy sensitivity audit — the measurement a DP release
+# runs BEFORE choosing its noise scale: after clipping each user's daily
+# contribution to DP_CLIP_CENTS, the daily sum's L1 sensitivity is exactly
+# the clip bound, and the audit quantifies what the clip costs (bias) and
+# who it touches. Complements the k-anon / l-div / t-closeness release
+# gates: those decide WHETHER a cut may ship, this sizes the noise if it
+# ships under DP instead. No RNG anywhere — noise addition itself is
+# deliberately out of scope (nondeterministic); everything here is the
+# deterministic prep: contribution bounding + clip-loss accounting.
+#
+# Scale shape: fact scan -> per-(day, user) sums (ONE shuffle with
+# map-side combine) -> per-day roll-up (tiny). Identical to the A/B
+# scorecard's sufficient-statistics pattern.
+# ---------------------------------------------------------------------------
+DP_CLIP_CENTS = 10_000  # per-user-day contribution cap: 100.00 units
+
+
+def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    per_user_day = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum(money_cents("value")).cast("bigint").alias("v_cents"),
+    )
+    return (
+        per_user_day.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+            F.max("n_ev").cast("bigint").alias("linf_max_events"),
+            F.sum("v_cents").cast("bigint").alias("sum_cents"),
+            F.sum(F.expr(f"least(v_cents, {DP_CLIP_CENTS})"))
+            .cast("bigint")
+            .alias("clipped_sum_cents"),
+            F.sum(
+                F.expr(f"CASE WHEN v_cents > {DP_CLIP_CENTS} THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("users_clipped"),
+        )
+        .select(
+            "day",
+            "n_users",
+            "n_events",
+            "linf_max_events",
+            "sum_cents",
+            "clipped_sum_cents",
+            F.expr("sum_cents - clipped_sum_cents")
+            .cast("bigint")
+            .alias("clip_loss_cents"),
+            F.expr(
+                f"CAST((sum_cents - clipped_sum_cents) * {MICRO}"
+                " div nullif(sum_cents, 0) AS BIGINT)"
+            ).alias("clip_loss_ppm"),
+            "users_clipped",
+        )
+    )
+
+
+_DP_SENS_SQL = f"""
+WITH per_user_day AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+           CAST(count(*) AS BIGINT) AS n_ev,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_cents
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(max(n_ev) AS BIGINT) AS linf_max_events,
+       CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+       CAST(sum(least(v_cents, {DP_CLIP_CENTS})) AS BIGINT)
+           AS clipped_sum_cents,
+       CAST(sum(v_cents) - sum(least(v_cents, {DP_CLIP_CENTS})) AS BIGINT)
+           AS clip_loss_cents,
+       CAST((sum(v_cents) - sum(least(v_cents, {DP_CLIP_CENTS}))) * {MICRO}
+            // nullif(sum(v_cents), 0) AS BIGINT) AS clip_loss_ppm,
+       CAST(sum(CASE WHEN v_cents > {DP_CLIP_CENTS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS users_clipped
+FROM per_user_day
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail — the FIRST check any experimentation
+# platform runs, before it looks at a single metric: with the same
+# deterministic arm hash as `ab_experiment_lift`, each day's active-user
+# counts per arm must be statistically consistent with 50/50; a flagged
+# day means the assignment or logging pipeline is biased and every
+# downstream readout is invalid. Two-cell equal-share chi² collapses to
+# (n0-n1)²/(n0+n1) — one exact rational in micro-units, flag at the
+# 95% critical value 3.841459.
+# ---------------------------------------------------------------------------
+SRM_CHI2_CRIT_MICRO = 3_841_459
+
+
+def srm_guardrail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    day_user = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+        F.expr(_ARM_SPARK).alias("arm"),
+    ).distinct()
+    per_day = day_user.groupBy("day").agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_ctrl"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_trt"),
+    )
+    return per_day.select(
+        "day",
+        "n_ctrl",
+        "n_trt",
+        F.expr(
+            f"CAST((n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}"
+            " div nullif(n_ctrl + n_trt, 0) AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            f"CAST(CASE WHEN (n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}"
+            f" div nullif(n_ctrl + n_trt, 0) > {SRM_CHI2_CRIT_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    )
+
+
+_SRM_SQL = f"""
+WITH day_user AS (
+    SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+           {_ARM_DUCK} AS arm
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+per_day AS (
+    SELECT day,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ctrl,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_trt
+    FROM day_user GROUP BY 1
+)
+SELECT day, n_ctrl, n_trt,
+       CAST((n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}
+            // nullif(n_ctrl + n_trt, 0) AS BIGINT) AS chi2_micro,
+       CAST(CASE WHEN (n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}
+                      // nullif(n_ctrl + n_trt, 0) > {SRM_CHI2_CRIT_MICRO}
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM per_day
+"""
+
+
 QUERIES = {
     "ab_experiment_lift": ab_experiment_lift,
     "cuped_variance_reduction": cuped_variance_reduction,
@@ -801,6 +965,8 @@ QUERIES = {
     "survival_hazard_daily": survival_hazard_daily,
     "l_diversity_audit": l_diversity_audit,
     "t_closeness_audit": t_closeness_audit,
+    "dp_sensitivity_audit": dp_sensitivity_audit,
+    "srm_guardrail_audit": srm_guardrail_audit,
 }
 
 ORACLE = {
@@ -811,4 +977,6 @@ ORACLE = {
     "survival_hazard_daily": _SURV_SQL,
     "l_diversity_audit": _L_DIV_SQL,
     "t_closeness_audit": _T_CLOSE_SQL,
+    "dp_sensitivity_audit": _DP_SENS_SQL,
+    "srm_guardrail_audit": _SRM_SQL,
 }

@@ -317,6 +317,168 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog rolling union — the third mergeable distinct sketch beside
+# KMV (`kmv_rolling_distinct`) and Spark's builtin HLL++
+# (`approx_daily_users`), implemented from scratch so its REGISTER-level
+# merge is visible to the oracle: a 7-day union is per-register max over
+# the daily register maxima — constant 64-register state per window,
+# versus KMV's K-set re-merge. That is the summary a 100 TB deployment
+# ships between clusters (registers are trivially re-shardable; the
+# merge is commutative/associative/idempotent).
+#
+# Exact-integer doctrine: the register RANK needs leading-zero counting,
+# which both engines expose exactly as `length(bin(x))` (no float log2);
+# the harmonic mean sum(2^-M_j) is computed scaled by 2^55 so every term
+# is a BIGINT shift, and the alpha bias constant rides in micro-units.
+# No small-range linear-counting correction on purpose (it needs ln):
+# `occupied_regs` reports the regime, and err_ppm stays honest where a
+# production sketch would switch to linear counting (n < 2.5m).
+# ---------------------------------------------------------------------------
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+_HLL_REST_BITS = 60 - HLL_P  # 54
+_HLL_POW_REST = 1 << _HLL_REST_BITS  # 2^54
+_HLL_RANK_MAX = _HLL_REST_BITS + 1  # 55
+_HLL_SCALE = 1 << _HLL_RANK_MAX  # 2^55 — the harmonic-sum scaling
+# alpha_64 = 0.7213 / (1 + 1.079/64), pinned in micro-units so both
+# engines use the identical rational constant
+HLL_ALPHA_MICRO = 709_341
+
+
+def hll_union_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dh = _daily_hashes(spark, sf_dir).persist()
+    # daily register maxima: (d, reg) -> max rank
+    daily_reg = (
+        dh.select(
+            "d",
+            F.expr(f"h div {_HLL_POW_REST}").alias("reg"),
+            F.expr(
+                f"CASE WHEN h % {_HLL_POW_REST} = 0 THEN {_HLL_RANK_MAX} "
+                f"ELSE {_HLL_RANK_MAX} - length(bin(h % {_HLL_POW_REST})) "
+                f"END"
+            ).alias("rank"),
+        )
+        .groupBy("d", "reg")
+        .agg(F.max("rank").alias("m_day"))
+    )
+    off = F.explode(F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))).alias("off")
+    # register-level union across the window: max over the daily maxima
+    win_reg = (
+        daily_reg.select("d", "reg", "m_day", off)
+        .select(F.expr("date_add(d, off)").alias("w_end"), "reg", "m_day")
+        .groupBy("w_end", "reg")
+        .agg(F.max("m_day").alias("m"))
+    )
+    sk = win_reg.groupBy("w_end").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied_regs"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RANK_MAX} - m)")
+        )
+        .cast("bigint")
+        .alias("s_occ"),
+    )
+    exact = (
+        dh.select("d", "h", off)
+        .select(F.expr("date_add(d, off)").alias("w_end"), "h")
+        .distinct()
+        .groupBy("w_end")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_users_7d"))
+    )
+    rng = dh.agg(F.min("d").alias("d_min"), F.max("d").alias("d_max"))
+    out = (
+        sk.join(exact, "w_end")
+        .crossJoin(F.broadcast(rng))
+        .filter(
+            (F.col("w_end") >= F.expr(f"date_add(d_min, {ROLL_DAYS - 1})"))
+            & (F.col("w_end") <= F.col("d_max"))
+        )
+        .withColumn(
+            "s_total",
+            F.expr(
+                f"s_occ + ({HLL_M} - occupied_regs)"
+                f" * CAST({_HLL_SCALE} AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "hll_users_7d",
+            F.expr(
+                f"CAST(CAST({HLL_ALPHA_MICRO} AS DECIMAL(38,0))"
+                f" * {HLL_M} * {HLL_M} * {_HLL_SCALE}"
+                f" div (CAST(s_total AS DECIMAL(38,0)) * 1000000)"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    return out.select(
+        F.date_format("w_end", "yyyy-MM-dd").alias("w_end"),
+        "exact_users_7d",
+        "hll_users_7d",
+        F.expr(
+            "CAST(abs(hll_users_7d - exact_users_7d) * 1000000"
+            " div exact_users_7d AS BIGINT)"
+        ).alias("err_ppm"),
+        "occupied_regs",
+    )
+
+
+_HLL_ROLLING_SQL = f"""
+WITH dh AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           {_H60_DUCK.format(col="user_id")} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+daily_reg AS (
+    SELECT d, h // {_HLL_POW_REST} AS reg,
+           max(CASE WHEN h % {_HLL_POW_REST} = 0 THEN {_HLL_RANK_MAX}
+               ELSE {_HLL_RANK_MAX} - length(bin(h % {_HLL_POW_REST}))
+               END) AS m_day
+    FROM dh GROUP BY 1, 2
+),
+offs AS (SELECT unnest(range(0, {ROLL_DAYS})) AS off),
+win_reg AS (
+    SELECT d + CAST(o.off AS INT) AS w_end, reg, max(m_day) AS m
+    FROM daily_reg CROSS JOIN offs o
+    GROUP BY 1, 2
+),
+sk AS (
+    SELECT w_end, CAST(count(*) AS BIGINT) AS occupied_regs,
+           CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - m)) AS BIGINT)
+               AS s_occ
+    FROM win_reg GROUP BY 1
+),
+exact AS (
+    SELECT w_end, CAST(count(*) AS BIGINT) AS exact_users_7d
+    FROM (
+        SELECT DISTINCT d + CAST(o.off AS INT) AS w_end, h
+        FROM dh CROSS JOIN offs o
+    ) GROUP BY 1
+),
+rng AS (SELECT min(d) AS d_min, max(d) AS d_max FROM dh),
+est AS (
+    SELECT s.w_end, e.exact_users_7d, s.occupied_regs,
+           s.s_occ + ({HLL_M} - s.occupied_regs)
+               * CAST({_HLL_SCALE} AS BIGINT) AS s_total
+    FROM sk s JOIN exact e USING (w_end), rng
+    WHERE s.w_end >= rng.d_min + {ROLL_DAYS - 1} AND s.w_end <= rng.d_max
+),
+fin AS (
+    SELECT w_end, exact_users_7d,
+           CAST(CAST({HLL_ALPHA_MICRO} AS HUGEINT)
+                * {HLL_M} * {HLL_M} * {_HLL_SCALE}
+                // (CAST(s_total AS HUGEINT) * 1000000) AS BIGINT)
+               AS hll_users_7d,
+           occupied_regs
+    FROM est
+)
+SELECT strftime(w_end, '%Y-%m-%d') AS w_end, exact_users_7d, hll_users_7d,
+       CAST(abs(hll_users_7d - exact_users_7d) * 1000000 // exact_users_7d
+            AS BIGINT) AS err_ppm,
+       occupied_regs
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bloom pre-filter audit. Bits set by the eval shingle set; the corpus
 # probes. A shingle is a candidate only if all K_HASH positions are set —
 # candidates (true + false positives) proceed to the exact decontamination
@@ -1698,6 +1860,7 @@ CROSS JOIN (VALUES ('customer_first'), ('lineitem_first')) o(join_order)
 QUERIES = {
     "kmv_distinct_daily": kmv_distinct_daily,
     "kmv_rolling_distinct": kmv_rolling_distinct,
+    "hll_union_rolling": hll_union_rolling,
     "bloom_prefilter_audit": bloom_prefilter_audit,
     "shuffle_skew_audit": shuffle_skew_audit,
     "phrase_search_positional": phrase_search_positional,
@@ -1713,6 +1876,7 @@ QUERIES = {
 ORACLE = {
     "kmv_distinct_daily": _KMV_DAILY_SQL,
     "kmv_rolling_distinct": _KMV_ROLLING_SQL,
+    "hll_union_rolling": _HLL_ROLLING_SQL,
     "bloom_prefilter_audit": _BLOOM_SQL,
     "shuffle_skew_audit": _SKEW_SQL,
     "phrase_search_positional": _PHRASE_SQL,
