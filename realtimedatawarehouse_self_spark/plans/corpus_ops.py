@@ -1023,7 +1023,91 @@ WHERE r.rnk <= {WPRI_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing — the dynamic-batching efficiency audit: pad
+# each document to the next power-of-two token length (the bucketed-batch
+# policy every training loader uses) and measure the padding waste per
+# bucket against the worst-case pad-to-global-max policy. The pow-2
+# ceiling is exact integer bit arithmetic (2^bitlength(ct-1), via the
+# same engine-identical length(bin(x)) primitive as the HLL rank), so no
+# float log2 anywhere. One combine-backed scan to per-doc token counts,
+# one |buckets|-sized aggregate, global max broadcast back.
+# ---------------------------------------------------------------------------
+def sequence_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.size(tokens("text")).cast("bigint").alias("tok_ct")
+    ).filter(F.col("tok_ct") > 0)
+    bucketed = docs.select(
+        "tok_ct",
+        F.expr(
+            "CASE WHEN tok_ct = 1 THEN CAST(1 AS BIGINT)"
+            " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(tok_ct - 1)))"
+            " END"
+        ).alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok_ct").cast("bigint").alias("sum_tokens"),
+    )
+    glob = per_bucket.agg(
+        F.max("bucket").cast("bigint").alias("max_bucket"),
+        F.sum("sum_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("n_docs").cast("bigint").alias("tot_docs"),
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(glob))
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            F.expr("bucket * n_docs - sum_tokens")
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.expr(
+                "CAST((bucket * n_docs - sum_tokens) * 1000000"
+                " div (bucket * n_docs) AS BIGINT)"
+            ).alias("bucket_waste_ppm"),
+            F.expr(
+                "CAST((max_bucket * n_docs - sum_tokens) * 1000000"
+                " div (max_bucket * n_docs) AS BIGINT)"
+            ).alias("global_pad_waste_ppm"),
+        )
+    )
+
+
+_SEQ_BUCKET_SQL = """
+WITH docs AS (
+    SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS BIGINT) AS tok_ct
+    FROM documents
+),
+bucketed AS (
+    SELECT tok_ct,
+           CASE WHEN tok_ct = 1 THEN CAST(1 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << length(bin(tok_ct - 1)) END
+               AS bucket
+    FROM docs WHERE tok_ct > 0
+),
+per_bucket AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok_ct) AS BIGINT) AS sum_tokens
+    FROM bucketed GROUP BY 1
+),
+gstats AS (
+    SELECT CAST(max(bucket) AS BIGINT) AS max_bucket FROM per_bucket
+)
+SELECT bucket, n_docs, sum_tokens,
+       CAST(bucket * n_docs - sum_tokens AS BIGINT) AS pad_tokens,
+       CAST((bucket * n_docs - sum_tokens) * 1000000 // (bucket * n_docs)
+            AS BIGINT) AS bucket_waste_ppm,
+       CAST((g.max_bucket * n_docs - sum_tokens) * 1000000
+            // (g.max_bucket * n_docs) AS BIGINT) AS global_pad_waste_ppm
+FROM per_bucket, gstats g
+"""
+
+
 QUERIES = {
+    "sequence_length_bucketing": sequence_length_bucketing,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
     "pii_scrub_stats": pii_scrub_stats,
@@ -1039,6 +1123,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "split_leakage_audit": _split_leakage_sql(),
     "contamination_longest_match": _LONGEST_MATCH_SQL,
     "ngram_novelty_rate": _NOVELTY_SQL,

@@ -269,6 +269,239 @@ LIMIT {BPE_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (iterative subword merges) — the operator above
+# (`bpe_pair_counts`) ranks word-level pairs once; this one actually runs
+# the byte-pair-encoding loop at WORD-INTERNAL character level, the way a
+# tokenizer is trained. The classic scale-out formulation: collapse the
+# corpus to (word, freq) FIRST — one combine-backed shuffle bounded by
+# |vocab|, not |tokens| — then every merge round operates on the vocab
+# frame with a broadcast 1-row argmax, so 100 TB of text costs one corpus
+# pass plus vocab-sized rounds (Sennrich et al., ACL'16, re-expressed
+# DataFrame-first).
+#
+# Engine-identical primitives (verified bit-for-bit both engines):
+#   - char split: regexp_replace(word, '(.)', '$1 ') — one codepoint per
+#     symbol, unicode-safe;
+#   - greedy merge: replace(sym, ' a b ', ' ab ') — leftmost
+#     non-overlapping scan, exactly BPE's merge order ('a a a' -> 'aa a');
+#   - argmax total order: (count DESC, lhs, rhs).
+# Symbol identity is the surface string (no end-of-word marker), the
+# standard no-marker simplification; pair counts weight by word freq and
+# count every adjacent position (the reference implementation's behavior).
+# ---------------------------------------------------------------------------
+BPE_MERGE_ROUNDS = 3
+
+
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    wf = (
+        docs.select(F.explode("tok_arr").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "freq",
+            F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("sym"),
+        )
+        .persist()
+    )
+
+    def pair_top1(frame):
+        pairs = (
+            frame.withColumn("arr", F.expr("split(trim(sym), ' ')"))
+            .filter(F.expr("size(arr) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(arr) - 2),"
+                        " i -> struct(arr[i] AS lhs, arr[i+1] AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").cast("bigint").alias("pair_ct"))
+        )
+        return pairs.orderBy(
+            F.col("pair_ct").desc(), F.col("lhs"), F.col("rhs")
+        ).limit(1)
+
+    def apply_merge(frame, top):
+        return frame.crossJoin(F.broadcast(top)).select(
+            "freq",
+            F.expr(
+                "replace(sym, ' ' || lhs || ' ' || rhs || ' ',"
+                " ' ' || lhs || rhs || ' ')"
+            ).alias("sym"),
+        )
+
+    rows = []
+    cur = wf
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        top = pair_top1(cur)
+        cur = apply_merge(cur, top)
+        after = cur.agg(
+            F.sum(F.expr("freq * size(split(trim(sym), ' '))"))
+            .cast("bigint")
+            .alias("corpus_symbols_after")
+        )
+        rows.append(
+            top.crossJoin(F.broadcast(after)).select(
+                F.lit(rnd).cast("int").alias("round"),
+                "lhs",
+                "rhs",
+                "pair_ct",
+                F.expr("lhs || rhs").alias("new_symbol"),
+                "corpus_symbols_after",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_merge_sql() -> str:
+    rounds = []
+    prev = "wf0"
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        rounds.append(
+            f"""p{rnd} AS (
+    SELECT t[i] AS lhs, t[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_ct
+    FROM (SELECT freq, string_split(trim(sym), ' ') AS t FROM {prev}),
+         UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    GROUP BY 1, 2
+),
+top{rnd} AS (
+    SELECT lhs, rhs, pair_ct FROM p{rnd}
+    ORDER BY pair_ct DESC, lhs, rhs LIMIT 1
+),
+wf{rnd} AS (
+    SELECT w.freq,
+           replace(w.sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
+                   ' ' || t.lhs || t.rhs || ' ') AS sym
+    FROM {prev} w, top{rnd} t
+),
+row{rnd} AS (
+    SELECT CAST({rnd} AS INTEGER) AS round, t.lhs, t.rhs, t.pair_ct,
+           t.lhs || t.rhs AS new_symbol,
+           (SELECT CAST(sum(freq * len(string_split(trim(sym), ' ')))
+                   AS BIGINT) FROM wf{rnd}) AS corpus_symbols_after
+    FROM top{rnd} t
+)"""
+        )
+        prev = f"wf{rnd}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM row{r}" for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return f"""
+WITH tok AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+wf0 AS (
+    SELECT CAST(count(*) AS BIGINT) AS freq,
+           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+    FROM (SELECT unnest(t) AS word FROM tok)
+    GROUP BY word
+),
+{", ".join(rounds)}
+{union}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney bigram counts — the discounted LM estimate the coverage /
+# quality operators (`lm_bigram_coverage`, `lm_quality_probability`)
+# stop short of: absolute discounting with continuation-count backoff
+# (Kneser–Ney '95; Chen & Goodman '99), entirely in exact integers:
+#   p_disc(b|a)  = (c(ab) - D) / c(a)            (D = 0.75 in micro)
+#   lambda(a)    = D * N1+(a·) / c(a)            (backoff mass)
+#   p_cont(b)    = N1+(·b)  / N1+(··)            (continuation unigram)
+# Every quantity is a count ratio floored in micro-units — no logs, no
+# floats. One pair shuffle (|bigram types|-bounded), two tiny distinct-
+# neighbor frames broadcast back; top-K by the (ct DESC, lhs, rhs) total
+# order compiles to TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+KN_TOPK = 25
+KN_DISCOUNT_MICRO = 750_000
+
+
+def kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    pairs = _adjacent_pairs(docs)
+    bi = pairs.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    ).persist()
+    left_tot = bi.groupBy("lhs").agg(
+        F.sum("c_ab").cast("bigint").alias("c_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+    )
+    cont = bi.groupBy("rhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_precede")
+    )
+    n_types = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"))
+    scored = (
+        bi.join(F.broadcast(left_tot), "lhs")
+        .join(F.broadcast(cont), "rhs")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "lhs",
+            "rhs",
+            "c_ab",
+            "c_a",
+            F.expr(
+                f"CAST(greatest(c_ab * 1000000 - {KN_DISCOUNT_MICRO}, 0)"
+                " div c_a AS BIGINT)"
+            ).alias("p_disc_micro"),
+            F.expr(
+                f"CAST({KN_DISCOUNT_MICRO} * n_follow div c_a AS BIGINT)"
+            ).alias("lambda_micro"),
+            F.expr(
+                "CAST(n_precede * 1000000 div n_bigram_types AS BIGINT)"
+            ).alias("p_cont_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("c_ab").desc(), F.col("lhs"), F.col("rhs")
+    ).limit(KN_TOPK)
+
+
+_KN_SQL = f"""
+WITH tok AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT t[i] AS lhs, t[i+1] AS rhs
+    FROM tok, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+bi AS (
+    SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c_ab
+    FROM pairs GROUP BY 1, 2
+),
+left_tot AS (
+    SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_a,
+           CAST(count(*) AS BIGINT) AS n_follow
+    FROM bi GROUP BY 1
+),
+cont AS (
+    SELECT rhs, CAST(count(*) AS BIGINT) AS n_precede FROM bi GROUP BY 1
+),
+n_types AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM bi)
+SELECT b.lhs, b.rhs, b.c_ab, l.c_a,
+       CAST(greatest(b.c_ab * 1000000 - {KN_DISCOUNT_MICRO}, 0) // l.c_a
+            AS BIGINT) AS p_disc_micro,
+       CAST({KN_DISCOUNT_MICRO} * l.n_follow // l.c_a AS BIGINT)
+           AS lambda_micro,
+       CAST(c.n_precede * 1000000 // t.n_bigram_types AS BIGINT)
+           AS p_cont_micro
+FROM bi b JOIN left_tot l USING (lhs) JOIN cont c USING (rhs), n_types t
+ORDER BY b.c_ab DESC, b.lhs, b.rhs
+LIMIT {KN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocation mining: rank adjacent pairs by pointwise mutual
 # information — the association measure separating real collocations
 # ("hash join") from merely-frequent pairs ("the the"). Log-free like BM25's
@@ -881,6 +1114,8 @@ QUERIES = {
     "bm25_doc_search": bm25_doc_search,
     "source_span_overlap": source_span_overlap,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_merge_rounds": bpe_merge_rounds,
+    "kneser_ney_counts": kneser_ney_counts,
     "collocation_pmi": collocation_pmi,
     "span_dedup_stats": span_dedup_stats,
     "tfidf_doc_keywords": tfidf_doc_keywords,
@@ -891,6 +1126,8 @@ ORACLE = {
     "bm25_doc_search": _bm25_sql(),
     "source_span_overlap": _SOURCE_OVERLAP_SQL,
     "bpe_pair_counts": _BPE_SQL,
+    "bpe_merge_rounds": _bpe_merge_sql(),
+    "kneser_ney_counts": _KN_SQL,
     "collocation_pmi": _PMI_SQL,
     "span_dedup_stats": _SPAN_SQL,
     "tfidf_doc_keywords": _TFIDF_SQL,

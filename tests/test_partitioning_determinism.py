@@ -157,6 +157,22 @@ QUERIES = [
     "join_order_recommendation",     # stats + decision under any plan
     "multimodal_byte_profile",       # Arrow batch boundaries must not
     #                                  leak into per-payload profiles
+    # round-7 wave-18 additions
+    "hll_union_rolling",             # register max-merge commutative /
+    #                                  idempotent; shifted harmonic sums
+    #                                  associative under any partitioning
+    "dp_sensitivity_audit",          # clipped per-user-day sums under
+    #                                  partial-agg reordering
+    "srm_guardrail_audit",           # md5 arm split pure row map; chi²
+    #                                  rational exact under any plan
+    # round-7 wave-19 additions
+    "bpe_merge_rounds",              # per-round argmax: (ct, lhs, rhs)
+    #                                  total order makes the 3-round merge
+    #                                  chain partition-independent
+    "kneser_ney_counts",             # continuation counts under combine
+    #                                  reordering; top-K tie-break total
+    "sequence_length_bucketing",     # pow2 ceiling a pure row map; per-
+    #                                  bucket combine + broadcast max
 ]
 
 PERTURBED = {
