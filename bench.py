@@ -286,6 +286,14 @@ HEADLINE = [
     # corpus-sized stage is the brute-force candidate scan already timed
     # via similarity_topk_bruteforce; the greedy rounds operate on
     # queries x NCAND frames. It stays oracle-gated in queries().
+    # round-7 waves 18-19
+    "hll_union_rolling",
+    "dp_sensitivity_audit",
+    "srm_guardrail_audit",
+    "bpe_merge_rounds",
+    "kneser_ney_counts",
+    "sequence_length_bucketing",
+    "multimodal_resize",
 ]
 
 

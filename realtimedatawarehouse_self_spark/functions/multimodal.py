@@ -236,3 +236,74 @@ def byte_profile(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(
         profile, BYTE_PROFILE_SCHEMA
     )
+
+RESIZED_SCHEMA = (
+    "doc_id long, src_w int, src_h int, out_w int, out_h int, "
+    "pix_sum long, resized_sha256 string"
+)
+
+
+def resize_nearest(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_w: int = 16,
+    out_h: int = 16,
+) -> DataFrame:
+    """Nearest-neighbor thumbnail resize through ONE Arrow-batched
+    mapInPandas pass — the preprocessing step between decode and
+    feature-extract in an image curation pipeline.
+
+    STUB geometry over REAL plumbing: the "image" is the payload byte
+    grid of the stub decoder's (width, height) — pixel(x, y) = payload
+    byte at (y*width + x) mod n_bytes (a real implementation indexes the
+    decoded RGB array from Pillow/torchvision; the sampling arithmetic,
+    Arrow batching, and output schema are exactly what that plug-in
+    keeps). Index math is numpy-vectorized (one gather per payload, no
+    per-pixel Python loop); source coordinates use floor division
+    (src_x = x*W // out_w), the standard nearest-neighbor convention,
+    mirrored exactly by the SQL oracle.
+    """
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(out_w)
+        ys = np.arange(out_h)
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) == 0:
+                    out.append((doc_id, 0, 0, out_w, out_h, 0, ""))
+                    continue
+                w, h = _decode_image_bytes(bytes(payload))
+                src_x = xs * w // out_w
+                src_y = ys * h // out_h
+                idx = (src_y[:, None] * w + src_x[None, :]).ravel() % len(b)
+                sampled = b[idx]
+                out.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        int(sampled.sum()),
+                        hashlib.sha256(sampled.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "src_w",
+                    "src_h",
+                    "out_w",
+                    "out_h",
+                    "pix_sum",
+                    "resized_sha256",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        resize, RESIZED_SCHEMA
+    )

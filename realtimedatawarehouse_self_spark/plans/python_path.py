@@ -305,8 +305,65 @@ LEFT JOIN rep r USING (doc_id)
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 16x16 thumbnail pass (decode -> resize), the
+    fifth quarantined Arrow path: real mapInPandas plumbing + vectorized
+    gather, stub pixel geometry (see functions/multimodal.py::
+    resize_nearest); the oracle re-derives every sampled pixel by
+    character arithmetic and hash-pins the resized content."""
+    from realtimedatawarehouse_self_spark.functions.multimodal import (
+        resize_nearest,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return resize_nearest(attach_payload(docs))
+
+
+_RESIZE_W = 16
+_RESIZE_H = 16
+
+_MULTIMODAL_RESIZE_SQL = f"""
+WITH hashed AS (
+    SELECT doc_id, text,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(160 + (TRY_CAST('0x' || substr(sha256(text), 1, 2)
+                       AS INTEGER) % 8) * 80 AS BIGINT) AS w,
+           CAST(90 + (TRY_CAST('0x' || substr(sha256(text), 3, 2)
+                      AS INTEGER) % 8) * 45 AS BIGINT) AS h
+    FROM documents
+),
+grid AS (
+    SELECT doc_id, uy.y, ux.x,
+           substr(text,
+                  CAST(((uy.y * h // {_RESIZE_H}) * w
+                        + (ux.x * w // {_RESIZE_W})) % n_bytes + 1
+                       AS INTEGER), 1) AS ch
+    FROM hashed,
+         UNNEST(range(0, {_RESIZE_H})) AS uy(y),
+         UNNEST(range(0, {_RESIZE_W})) AS ux(x)
+    WHERE n_bytes > 0
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(ascii(ch)) AS BIGINT) AS pix_sum,
+           sha256(string_agg(ch, '' ORDER BY y, x)) AS resized_sha256
+    FROM grid GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.n_bytes = 0 THEN 0 ELSE d.w END AS INTEGER) AS src_w,
+       CAST(CASE WHEN d.n_bytes = 0 THEN 0 ELSE d.h END AS INTEGER) AS src_h,
+       CAST({_RESIZE_W} AS INTEGER) AS out_w,
+       CAST({_RESIZE_H} AS INTEGER) AS out_h,
+       CAST(coalesce(a.pix_sum, 0) AS BIGINT) AS pix_sum,
+       coalesce(a.resized_sha256, '') AS resized_sha256
+FROM hashed d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_resize": multimodal_resize,
     "trimmed_mean_value_udaf": trimmed_mean_value_udaf,
     "keyword_page_view_udf": keyword_page_view_udf,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -316,6 +373,7 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "trimmed_mean_value_udaf": _TRIMMED_MEAN_SQL,
     "keyword_page_view_udf": _KEYWORD_UDF_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,

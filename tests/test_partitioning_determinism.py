@@ -173,6 +173,8 @@ QUERIES = [
     #                                  reordering; top-K tie-break total
     "sequence_length_bucketing",     # pow2 ceiling a pure row map; per-
     #                                  bucket combine + broadcast max
+    "multimodal_resize",             # Arrow batch boundaries must not
+    #                                  leak into sampled-pixel hashes
 ]
 
 PERTURBED = {
