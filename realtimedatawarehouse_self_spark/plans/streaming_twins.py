@@ -1727,7 +1727,139 @@ def _kmv_stream_sql() -> str:
     return _KMV_DAILY_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming CDC APPLY twin — the closest a broker-less container gets to
+# the reference's core loop (S3 Maxwell envelope -> P1 JSON parse -> P3
+# op handling -> K3/K5 keyed upsert with tombstones,
+# R/app/BaseDBApp.java:53 / MyKafkaUtil.java:129-148 /
+# DIM_SinkFunction.java:28-92): a deterministic Maxwell-envelope op log
+# (insert for every order; an UPDATE wave for o_orderkey%3==0; a DELETE
+# wave for o_orderkey%13==0) flows as real micro-batches through
+# parse_maxwell + a foreachBatch merge into the crash-safe upsert store —
+# now exercising upsert_parquet's tombstone leg (delete_col), the
+# Delta-MERGE "WHEN MATCHED THEN DELETE" analogue. Batch slicing is
+# adversarial on purpose: batch 1 carries insert+update for even keys
+# (within-batch last-writer resolution must pick the update), batch 2
+# carries the odd-key updates and ALL deletes (cross-batch upsert + key
+# removal). The batch-id high-water mark rides in the swap's atomic meta,
+# so a replay is skipped iff its merge committed (same contract as
+# streaming_incremental_rollup). The oracle replays last-op-per-key wins /
+# delete-drops in SQL over the same arithmetic.
+# ---------------------------------------------------------------------------
+def streaming_cdc_apply_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.sources.envelopes import (
+        parse_maxwell,
+    )
+    from realtimedatawarehouse_self_spark.streaming.sinks import (
+        read_table_meta,
+        upsert_parquet,
+    )
+
+    with _twin_confs(spark):
+        stage = _MicroBatchStage("rtdw-cdc-", extra_dirs=("store",))
+        store = stage.store
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        env = (
+            "to_json(named_struct("
+            "'database', 'warehouse', 'table', 'orders', 'type', {typ},"
+            " 'ts', CAST({seq} AS BIGINT),"
+            " 'data', map('id', CAST(o_orderkey AS STRING),"
+            "             'status', {status},"
+            "             'total_cents', CAST(cents AS STRING))))"
+        )
+        inserts = orders.select(
+            F.expr(
+                env.format(typ="'insert'", seq=1, status="o_orderstatus")
+            ).alias("value")
+        )
+        updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.expr(env.format(typ="'update'", seq=2, status="'U'")).alias(
+                "value"
+            ),
+        )
+        deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            F.expr(
+                env.format(typ="'delete'", seq=3, status="o_orderstatus")
+            ).alias("value")
+        )
+        stage.stage_slice(
+            inserts.unionByName(
+                updates.filter(F.col("k") % 2 == 0).select("value")
+            )
+        )
+        stage.stage_slice(
+            updates.filter(F.col("k") % 2 == 1)
+            .select("value")
+            .unionByName(deletes)
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            seen = read_table_meta(store)
+            if seen is not None and batch_id <= seen["batch_id"]:
+                return  # replayed batch: its merge already committed
+            rows = parse_maxwell(batch_df).select(
+                F.element_at("data", "id").cast("bigint").alias("order_id"),
+                F.element_at("data", "status").alias("status"),
+                F.element_at("data", "total_cents")
+                .cast("bigint")
+                .alias("total_cents"),
+                F.col("ts").alias("last_seq"),
+                (F.col("type") == "delete").alias("is_delete"),
+            )
+            upsert_parquet(
+                batch_df.sparkSession,
+                rows,
+                store,
+                keys=["order_id"],
+                order_col="last_seq",
+                meta={"batch_id": batch_id},
+                delete_col="is_delete",
+            )
+
+        q = (
+            stage.read_stream(spark, "value string")
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", stage.cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        if not os.path.isdir(store):
+            return spark.createDataFrame(
+                [],
+                "order_id bigint, status string, total_cents bigint, "
+                "last_seq bigint",
+            )
+        return spark.read.parquet(store).select(
+            "order_id", "status", "total_cents", "last_seq"
+        )
+
+
+_CDC_APPLY_SQL = """
+WITH base AS (
+    SELECT o_orderkey AS order_id, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+    FROM orders
+)
+SELECT order_id,
+       CASE WHEN order_id % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+       total_cents,
+       CAST(CASE WHEN order_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS last_seq
+FROM base
+WHERE order_id % 13 <> 0
+"""
+
+
 QUERIES = {
+    "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_topk_hitters": streaming_topk_hitters,
     "streaming_uv_daily": streaming_uv_daily,
@@ -1747,6 +1879,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
     "streaming_pv_hourly": _PV_SQL,
     "streaming_topk_hitters": _TOPK_STREAM_SQL,
     "streaming_uv_daily": _UV_SQL,

@@ -141,6 +141,7 @@ def upsert_parquet(
     keys: list[str],
     order_col: str | None = None,
     meta: dict | None = None,
+    delete_col: str | None = None,
 ) -> None:
     """MERGE INTO analogue: last-writer-wins upsert keyed on `keys`.
 
@@ -159,10 +160,17 @@ def upsert_parquet(
     so a transactional marker — e.g. a foreachBatch batch-id high-water
     mark — can never be observed out of sync with the table contents.
     Read it back with `read_table_meta`.
+
+    `delete_col` (optional) adds the Delta-MERGE "WHEN MATCHED ... THEN
+    DELETE" leg: after within-batch last-writer resolution, rows whose
+    `delete_col` is true act as tombstones — the key is REMOVED from the
+    table instead of upserted (CDC delete application; reference tombstone
+    semantics BaseDBApp.java:53 / MyKafkaUtil.java:129-137). The column
+    itself is never persisted.
     """
     lock = _acquire_lock(path)
     try:
-        _upsert_locked(spark, updates, path, keys, order_col, meta)
+        _upsert_locked(spark, updates, path, keys, order_col, meta, delete_col)
     finally:
         try:
             os.unlink(lock)
@@ -187,6 +195,7 @@ def _upsert_locked(
     keys: list[str],
     order_col: str | None,
     meta: dict | None = None,
+    delete_col: str | None = None,
 ) -> None:
     # If a previous run died between the two swap renames, the serving dir
     # is missing but `<path>.__old__` holds the table — restore it BEFORE
@@ -205,12 +214,20 @@ def _upsert_locked(
     else:
         within = updates.dropDuplicates(keys)
 
+    # Tombstone leg: a key whose LAST within-batch row is a delete is
+    # removed (its key still anti-joins existing state below, so the old
+    # row disappears and nothing is re-inserted).
+    if delete_col is not None:
+        upserts = within.filter(~F.col(delete_col)).drop(delete_col)
+    else:
+        upserts = within
+
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         keep = existing.join(within.select(*keys), keys, "left_anti")
-        merged = keep.unionByName(within, allowMissingColumns=True)
+        merged = keep.unionByName(upserts, allowMissingColumns=True)
     else:
-        merged = within
+        merged = upserts
 
     # Crash-safe swap. The tmp dir is a SIBLING of `path` so the final move
     # is a same-filesystem rename (os.rename), never a copy; the old table

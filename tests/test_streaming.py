@@ -358,6 +358,47 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     assert got == {"1": "a", "2": "B2", "3": "c"}
 
 
+def test_upsert_parquet_tombstone_delete(spark, tmp_path):
+    """The Delta-MERGE "WHEN MATCHED THEN DELETE" leg: a delete-marked
+    row removes its key; within-batch last-writer resolution decides
+    WHETHER the key's final op is the delete; the marker column never
+    reaches the table."""
+    from realtimedatawarehouse_self_spark.streaming.sinks import upsert_parquet
+
+    path = str(tmp_path / "dim_d")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [("1", "a"), ("2", "b"), ("3", "c")], "id string, v string"
+        ),
+        path,
+        ["id"],
+    )
+    # batch: delete 1; update-then-delete 2 (delete is last -> removed);
+    # delete-then-update 3 (update is last -> survives with new value)
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [
+                ("1", "x", 1, True),
+                ("2", "B2", 1, False),
+                ("2", "x", 2, True),
+                ("3", "x", 1, True),
+                ("3", "C2", 2, False),
+            ],
+            "id string, v string, seq int, dead boolean",
+        ),
+        path,
+        ["id"],
+        order_col="seq",
+        delete_col="dead",
+    )
+    rows = spark.read.parquet(path)
+    assert set(rows.columns) == {"id", "v", "seq"}
+    got = {r.id: r.v for r in rows.collect()}
+    assert got == {"3": "C2"}
+
+
 def test_upsert_parquet_crash_safety(spark, tmp_path):
     """W7/K3 atomicity stand-in for Delta MERGE: a crash at ANY point of the
     swap leaves the previous table recoverable (VERDICT r1 item 6)."""
