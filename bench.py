@@ -294,6 +294,8 @@ HEADLINE = [
     "kneser_ney_counts",
     "sequence_length_bucketing",
     "multimodal_resize",
+    "community_label_propagation",
+    "cooccurrence_window_pmi",
 ]
 
 

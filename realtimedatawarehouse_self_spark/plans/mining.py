@@ -39,7 +39,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtimedatawarehouse_self_spark.functions.exprs import (
@@ -1426,7 +1426,114 @@ FROM deg GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Community detection by synchronous label propagation (Raghavan et al.
+# 2007) over the shared minute-grain co-engagement graph — completes the
+# graph family's fourth pillar: components (dedup_clusters), rank
+# (pagerank), density (triangle), cores (kcore), COMMUNITIES (this).
+# LPA's known nondeterminism (random tie-breaks, async order) is removed
+# the repo's standard way: synchronous rounds (every node updates from the
+# PREVIOUS round's labels) and a total tie order (neighbor-label count
+# DESC, label ASC), so the execution is a pure function of the edge set —
+# partition-independent and oracle-replayable. LPA_ROUNDS fixed rounds
+# unrolled, per-round label frame persisted (the kcore recipe: without it
+# round r re-derives rounds 1..r-1).
+#
+# Scale: per round = one edge-sized join + a (node, label) combine + a
+# per-node argmax window — linear in |edges|, which BUCKET_CAP bounds;
+# label state is one row per node.
+# ---------------------------------------------------------------------------
+LPA_ROUNDS = 3
+
+
+def community_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    und = _minute_edges(spark, sf_dir)
+    edges = (
+        und.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionAll(
+            und.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+        )
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        nb = edges.join(
+            labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("id"), "lbl")
+        votes = nb.groupBy("id", "lbl").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ct")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("ct").desc(), F.col("lbl")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+            .persist()
+        )
+    size = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(F.broadcast(size), "lbl").select(
+        F.col("id").alias("user_id"),
+        F.col("lbl").alias("community_label"),
+        "community_size",
+    )
+
+
+def _lpa_sql() -> str:
+    round_cte = """l{next} AS (
+    SELECT id, lbl FROM (
+        SELECT e.src AS id, l.lbl,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM edges e JOIN l{cur} l ON e.dst = l.id
+        GROUP BY e.src, l.lbl
+    ) WHERE rn = 1
+)"""
+    rounds = ",".join(
+        round_cte.format(cur=i, next=i + 1) for i in range(LPA_ROUNDS)
+    )
+    return f"""
+WITH b AS (
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+bn AS (
+    SELECT event_type, h, user_id,
+           count(*) OVER (PARTITION BY event_type, h) AS bucket_n
+    FROM b
+),
+bc AS (SELECT * FROM bn WHERE bucket_n <= {BUCKET_CAP}),
+und AS (
+    SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+    FROM bc a JOIN bc c
+      ON a.event_type = c.event_type AND a.h = c.h
+     AND a.user_id < c.user_id
+),
+edges AS (
+    SELECT ua AS src, ub AS dst FROM und
+    UNION ALL
+    SELECT ub AS src, ua AS dst FROM und
+),
+l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+{rounds},
+size_ AS (
+    SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+    FROM l{LPA_ROUNDS} GROUP BY 1
+)
+SELECT l.id AS user_id, l.lbl AS community_label, s.community_size
+FROM l{LPA_ROUNDS} l JOIN size_ s ON l.lbl = s.lbl
+"""
+
+
 QUERIES = {
+    "community_label_propagation": community_label_propagation,
     "heavy_hitter_users": heavy_hitter_users,
     "degree_distribution_histogram": degree_distribution_histogram,
     "pagerank_co_engagement": pagerank_co_engagement,
@@ -1442,6 +1549,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "community_label_propagation": _lpa_sql(),
     "heavy_hitter_users": _HH_SQL,
     "degree_distribution_histogram": _DEGREE_HIST_SQL,
     "pagerank_co_engagement": _pagerank_sql(),

@@ -1110,7 +1110,124 @@ FROM ({prev})
     return sql
 
 
+# ---------------------------------------------------------------------------
+# Skip-gram window co-occurrence PMI — the word-embedding-preparation
+# counterpart of `collocation_pmi` (adjacent pairs only): pairs within a
+# symmetric window of COOC_WINDOW tokens, canonicalized to (least,
+# greatest) and self-pairs dropped — exactly the co-occurrence matrix a
+# word2vec/GloVe pipeline aggregates before training. Pairs are generated
+# IN-ROW with nested HOF transforms over the token array (no positional
+# self-join: the corpus-sized stage is one scan + explode whose output is
+# ≤ W·tokens), then one combine-backed shuffle on the pair key. Scoring
+# reuses the log-free PMI odds doctrine (wide-decimal exact rational,
+# ranking unchanged since log is monotone).
+# ---------------------------------------------------------------------------
+COOC_WINDOW = 3
+COOC_MIN_CT = 5
+
+
+def cooccurrence_window_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    pairs = (
+        docs.filter(F.expr("size(tok_arr) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(tok_arr) - 2),"
+                    f" i -> transform(sequence(1, least({COOC_WINDOW},"
+                    " size(tok_arr) - 1 - i)),"
+                    " d -> struct(least(tok_arr[i], tok_arr[i+d]) AS a,"
+                    " greatest(tok_arr[i], tok_arr[i+d]) AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    pair_ct = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_ct")
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    uni = (
+        docs.select(F.explode("tok_arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("uni_ct"))
+    )
+    scored = (
+        pair_ct.filter(F.col("pair_ct") >= COOC_MIN_CT)
+        .join(
+            F.broadcast(
+                uni.select(F.col("tok").alias("a"), F.col("uni_ct").alias("a_ct"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("tok").alias("b"), F.col("uni_ct").alias("b_ct"))
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_pairs))
+        .withColumn(
+            "pmi_odds_micro",
+            F.expr(
+                f"CAST((CAST({PMI_SCALE} AS DECIMAL(38,0)) * n_pairs"
+                f" * pair_ct) div (CAST(a_ct AS DECIMAL(38,0)) * b_ct)"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_odds_micro").desc(), F.col("a"), F.col("b"))
+    return (
+        scored.orderBy(F.col("pmi_odds_micro").desc(), F.col("a"), F.col("b"))
+        .limit(PMI_TOPK)
+        .withColumn("pmi_rank", F.row_number().over(w))
+        .select("pmi_rank", "a", "b", "pair_ct", "pmi_odds_micro")
+    )
+
+
+_COOC_SQL = f"""
+WITH tok AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT least(t[i], t[i + d]) AS a, greatest(t[i], t[i + d]) AS b
+    FROM tok,
+         UNNEST(range(1, greatest(len(t), 1))) AS u(i),
+         UNNEST(range(1, {COOC_WINDOW} + 1)) AS v(d)
+    WHERE i + d <= len(t) AND t[i] <> t[i + d]
+),
+pair_ct AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS pair_ct
+    FROM pairs GROUP BY 1, 2
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+uni AS (
+    SELECT u.t AS tok, CAST(count(*) AS BIGINT) AS uni_ct
+    FROM tok, UNNEST(t) AS u(t) GROUP BY 1
+),
+scored AS (
+    SELECT p.a, p.b, p.pair_ct,
+           CAST((CAST({PMI_SCALE} AS HUGEINT) * np.n_pairs * p.pair_ct)
+                // (CAST(ua.uni_ct AS HUGEINT) * ub.uni_ct) AS BIGINT)
+               AS pmi_odds_micro
+    FROM pair_ct p
+    JOIN uni ua ON p.a = ua.tok
+    JOIN uni ub ON p.b = ub.tok, np
+    WHERE p.pair_ct >= {COOC_MIN_CT}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_odds_micro DESC, a, b)
+            AS INTEGER) AS pmi_rank,
+       a, b, pair_ct, pmi_odds_micro
+FROM scored
+ORDER BY pmi_odds_micro DESC, a, b
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
+    "cooccurrence_window_pmi": cooccurrence_window_pmi,
     "bm25_doc_search": bm25_doc_search,
     "source_span_overlap": source_span_overlap,
     "bpe_pair_counts": bpe_pair_counts,
@@ -1124,6 +1241,7 @@ QUERIES = {
 
 ORACLE = {
     "bm25_doc_search": _bm25_sql(),
+    "cooccurrence_window_pmi": _COOC_SQL,
     "source_span_overlap": _SOURCE_OVERLAP_SQL,
     "bpe_pair_counts": _BPE_SQL,
     "bpe_merge_rounds": _bpe_merge_sql(),

@@ -175,6 +175,12 @@ QUERIES = [
     #                                  bucket combine + broadcast max
     "multimodal_resize",             # Arrow batch boundaries must not
     #                                  leak into sampled-pixel hashes
+    # round-7 wave-21 additions
+    "community_label_propagation",   # synchronous rounds + (ct, lbl)
+    #                                  total tie order: label chain must
+    #                                  be a pure function of the edge set
+    "cooccurrence_window_pmi",       # in-row pair generation + combine;
+    #                                  top-K tie-break total-order
 ]
 
 PERTURBED = {
