@@ -296,6 +296,8 @@ HEADLINE = [
     "multimodal_resize",
     "community_label_propagation",
     "cooccurrence_window_pmi",
+    "item_cf_recommend",
+    "pit_training_matrix",
 ]
 
 

@@ -863,6 +863,210 @@ CROSS JOIN n
 
 
 # ---------------------------------------------------------------------------
+# Item-item collaborative filtering, FULL serve path: neighborhood build
+# (co-occurrence squared-cosine over the customer x part purchase matrix)
+# AND the recommendation-generation step most "similarity" operators stop
+# short of — per-user candidate expansion through the neighbor lists,
+# owned-item anti-join, score combine, top-K. This is the batch
+# recommender a warehouse actually ships (Linden et al., IEEE IC'03
+# item-to-item CF), distinct from `market_basket_lift` (event-TYPE pairs,
+# a 5x5 domain) — here items are the PART CATALOG, so every stage must
+# survive a catalog-sized domain.
+#
+# Scale shape:
+# - pair generation is bounded the repo's standard way: users with more
+#   than CF_ITEM_CAP distinct items are excluded from the matrix (hub
+#   guard, same doctrine as BUCKET_CAP in mining.py) => pairs per user
+#   <= C(CAP,2), total pair volume linear in users at any corpus size;
+#   CF_MIN_COOC prunes the singleton-pair tail before scoring.
+# - degrees and neighbor lists are item-domain-sized; they flow through
+#   SHUFFLE joins (not broadcast) because a real catalog (1e8 items x
+#   CF_NEIGHBORS) exceeds broadcast limits — AQE demotes to broadcast
+#   when the domain is actually small.
+# - the serve join expands each user-item row to <= CF_NEIGHBORS
+#   candidates (linear), the anti-join removes owned items, and the
+#   per-user top-K is a WindowGroupLimit.
+# - squared cosine keeps the log-free/sqrt-free doctrine: cos^2 in micro
+#   = 1e6*cooc^2 div (deg_a*deg_b), exact on DECIMAL(38,0)/HUGEINT
+#   (cooc<=1e12 at extreme scale -> cooc^2*1e6 <= 1e30 < 10^38), then
+#   floored to BIGINT at the output boundary. Squaring is monotone on
+#   nonnegative cosines, so rankings are unchanged.
+# Ties are totally ordered everywhere ((cos2 DESC, nb ASC) and
+# (score DESC, item ASC)), so neighborhood cuts and served top-Ks are
+# pure functions of the purchase matrix.
+# ---------------------------------------------------------------------------
+CF_ITEM_CAP = 128
+CF_MIN_COOC = 2
+CF_NEIGHBORS = 10
+CF_RECS = 5
+
+
+def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import (
+        ordered_pair_structs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ui = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    uc = (
+        ui.withColumn(
+            "n_items",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("n_items") <= CF_ITEM_CAP)
+        .select("user_id", "item")
+        .persist()  # consumed 3x: degrees, baskets, serve probe
+    )
+    deg = uc.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    pairs = (
+        uc.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .select(
+            F.explode(ordered_pair_structs("items", "ia", "ib")).alias("p")
+        )
+        .groupBy("p.ia", "p.ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= CF_MIN_COOC)
+    )
+    sym = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("nb"), "cooc"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("item"), F.col("ia").alias("nb"), "cooc"
+        )
+    )
+    scored = (
+        sym.join(deg.select(F.col("item"), F.col("d").alias("da")), "item")
+        .join(
+            deg.select(F.col("item").alias("nb"), F.col("d").alias("db")),
+            "nb",
+        )
+        .select(
+            "item",
+            "nb",
+            F.expr(
+                "CAST((CAST(cooc AS DECIMAL(38,0)) * cooc * 1000000)"
+                " div (CAST(da AS DECIMAL(38,0)) * db) AS BIGINT)"
+            ).alias("cos2_micro"),
+        )
+    )
+    wn = Window.partitionBy("item").orderBy(
+        F.col("cos2_micro").desc(), F.col("nb")
+    )
+    nbrs = (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= CF_NEIGHBORS)
+        .select("item", "nb", "cos2_micro")
+    )
+    serve = (
+        uc.join(nbrs, "item")
+        .select("user_id", F.col("nb").alias("rec_item"), "cos2_micro")
+        .join(
+            uc.select("user_id", F.col("item").alias("rec_item")),
+            ["user_id", "rec_item"],
+            "left_anti",
+        )
+    )
+    scores = serve.groupBy("user_id", "rec_item").agg(
+        F.sum("cos2_micro").cast("bigint").alias("score_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+    )
+    wu = Window.partitionBy("user_id").orderBy(
+        F.col("score_micro").desc(), F.col("rec_item")
+    )
+    return (
+        scores.withColumn("rec_rank", F.row_number().over(wu))
+        .filter(F.col("rec_rank") <= CF_RECS)
+        .select("user_id", "rec_rank", "rec_item", "score_micro", "n_paths")
+    )
+
+
+_ITEM_CF_SQL = f"""
+WITH ui AS (
+    SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+),
+uc AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+               count(*) OVER (PARTITION BY user_id) AS n_items
+        FROM ui
+    ) WHERE n_items <= {CF_ITEM_CAP}
+),
+deg AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS d FROM uc GROUP BY 1
+),
+pairs AS (
+    SELECT a.item AS ia, c.item AS ib, CAST(count(*) AS BIGINT) AS cooc
+    FROM uc a JOIN uc c
+      ON a.user_id = c.user_id AND a.item < c.item
+    GROUP BY 1, 2
+    HAVING count(*) >= {CF_MIN_COOC}
+),
+sym AS (
+    SELECT ia AS item, ib AS nb, cooc FROM pairs
+    UNION ALL
+    SELECT ib AS item, ia AS nb, cooc FROM pairs
+),
+scored AS (
+    SELECT s.item, s.nb,
+           CAST((CAST(s.cooc AS HUGEINT) * s.cooc * 1000000)
+                // (CAST(da.d AS HUGEINT) * db.d) AS BIGINT) AS cos2_micro
+    FROM sym s
+    JOIN deg da ON s.item = da.item
+    JOIN deg db ON s.nb = db.item
+),
+nbrs AS (
+    SELECT item, nb, cos2_micro FROM (
+        SELECT item, nb, cos2_micro,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY cos2_micro DESC, nb) AS rn
+        FROM scored
+    ) WHERE rn <= {CF_NEIGHBORS}
+),
+serve AS (
+    SELECT u.user_id, n.nb AS rec_item, n.cos2_micro
+    FROM uc u JOIN nbrs n ON u.item = n.item
+    WHERE NOT EXISTS (
+        SELECT 1 FROM uc o2
+        WHERE o2.user_id = u.user_id AND o2.item = n.nb
+    )
+),
+scores AS (
+    SELECT user_id, rec_item,
+           CAST(sum(cos2_micro) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM serve GROUP BY 1, 2
+)
+SELECT user_id, CAST(rn AS INTEGER) AS rec_rank, rec_item,
+       score_micro, n_paths
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY score_micro DESC, rec_item) AS rn
+    FROM scores
+)
+WHERE rn <= {CF_RECS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-decayed engagement score — the recency-weighted feature ranking
 # models consume, with the decay EXACT by construction: weight halves
 # every DECAY_HALF_LIFE_D days via integer right-shift-style division
@@ -1649,6 +1853,7 @@ QUERIES = {
     "rfm_user_features": rfm_user_features,
     "quantile_normalize_values": quantile_normalize_values,
     "market_basket_lift": market_basket_lift,
+    "item_cf_recommend": item_cf_recommend,
     "decayed_user_score": decayed_user_score,
     "window_funnel_depth": window_funnel_depth,
     "user_day_bitmap_retention": user_day_bitmap_retention,
@@ -1673,5 +1878,6 @@ ORACLE = {
     "rfm_user_features": _RFM_SQL,
     "quantile_normalize_values": _QNORM_SQL,
     "market_basket_lift": _BASKET_SQL,
+    "item_cf_recommend": _ITEM_CF_SQL,
     "decayed_user_score": _DECAY_SQL,
 }

@@ -14,6 +14,11 @@ between a curated corpus/event log and a model's feature matrix.
   lags 1..7, emitted as sign-preserving r² in micro (integer), computed from
   the five sufficient sums. No sqrt anywhere: r² = cov² / (varx·vary) needs
   only exact integer products.
+- `pit_training_matrix` — point-in-time-correct feature assembly (the
+  feature-store time-travel join): every feature column reflects only state
+  as of label_day - embargo, via the union-stream as-of plan (one user-keyed
+  sort, no label x history range join). `target_encoding_oof` guards fold
+  leakage; this guards TIME leakage.
 
 Scale notes:
 - feature hashing is scan-bound: map (md5 + mod) fused into the scan, then
@@ -299,14 +304,278 @@ FROM sums WHERE n >= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time-correct training-matrix assembly — the feature-store
+# "time-travel join" that keeps label leakage out of a training set: for
+# every label row (a purchase day), every feature column must reflect
+# ONLY state as of label_day - EMBARGO_DAYS or earlier. This is the
+# multi-stream generalization of `asof_join_purchase_signup` (one as-of
+# pair) and the batch counterpart of what a feature store serves online;
+# `target_encoding_oof` guards fold leakage, this guards TIME leakage.
+#
+# Two feature streams are assembled against the label stream:
+# - events:  cumulative event count + cumulative cents per user, plus the
+#   feature AGE (label_day - last contributing day) as the staleness
+#   diagnostic every PIT pipeline reports;
+# - orders:  cumulative order count + cumulative spend cents per user.
+#
+# Scale shape — the UNION-STREAM as-of plan, not a per-label range join:
+# daily per-user aggregates (one combine-backed shuffle per stream,
+# bounded by user x active-day), cumulative sums by window, then feature
+# rows (time-shifted by the embargo so ordering alone enforces it) and
+# label rows are UNIONED and sorted once per user; last(ignorenulls)
+# propagates each stream's latest admissible state onto every label row.
+# Cost: one user-keyed sort-shuffle over |daily frames| + |labels| —
+# linear, no label x history expansion, no range-join explosion. The
+# embargo shift (feature day d usable iff d + EMBARGO <= label day)
+# becomes "sort key d + EMBARGO, features before labels on equal days":
+# correctness by ordering, enforced identically at any scale.
+# The oracle states the same semantics declaratively (per-label argmax
+# over admissible feature days) — same answer, different plan; labels
+# with no admissible history keep NULL-coalesced zeros and age -1 on
+# both engines.
+# ---------------------------------------------------------------------------
+EMBARGO_DAYS = 1
+
+
+def pit_training_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            "event_type",
+            "value",
+        )
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev_cum = (
+        ev.groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.coalesce(F.sum(money_cents("value")), F.lit(0))
+            .cast("bigint")
+            .alias("dc"),
+        )
+        .select(
+            "user_id",
+            "d",
+            F.sum("dn").over(wcum).cast("bigint").alias("cev_cnt"),
+            F.sum("dc").over(wcum).cast("bigint").alias("cev_cents"),
+        )
+    )
+    ord_cum = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            money_cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("dc"),
+        )
+        .select(
+            "user_id",
+            "d",
+            F.sum("dn").over(wcum).cast("bigint").alias("cord_cnt"),
+            F.sum("dc").over(wcum).cast("bigint").alias("cord_cents"),
+        )
+    )
+    labels = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("d").alias("label_day"))
+        .agg(
+            F.coalesce(F.sum(money_cents("value")), F.lit(0))
+            .cast("bigint")
+            .alias("label_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        )
+    )
+    shift = F.date_add("d", EMBARGO_DAYS)
+    n = F.lit(None)
+    fe = ev_cum.select(
+        "user_id",
+        shift.alias("sd"),
+        F.lit(0).alias("kind"),
+        F.col("d").alias("ev_d"),
+        "cev_cnt",
+        "cev_cents",
+        n.cast("bigint").alias("cord_cnt"),
+        n.cast("bigint").alias("cord_cents"),
+        n.cast("date").alias("label_day"),
+        n.cast("bigint").alias("label_cents"),
+        n.cast("bigint").alias("n_purchases"),
+    )
+    fo = ord_cum.select(
+        "user_id",
+        shift.alias("sd"),
+        F.lit(0).alias("kind"),
+        n.cast("date").alias("ev_d"),
+        n.cast("bigint").alias("cev_cnt"),
+        n.cast("bigint").alias("cev_cents"),
+        "cord_cnt",
+        "cord_cents",
+        n.cast("date").alias("label_day"),
+        n.cast("bigint").alias("label_cents"),
+        n.cast("bigint").alias("n_purchases"),
+    )
+    lb = labels.select(
+        "user_id",
+        F.col("label_day").alias("sd"),
+        F.lit(1).alias("kind"),
+        n.cast("date").alias("ev_d"),
+        n.cast("bigint").alias("cev_cnt"),
+        n.cast("bigint").alias("cev_cents"),
+        n.cast("bigint").alias("cord_cnt"),
+        n.cast("bigint").alias("cord_cents"),
+        "label_day",
+        "label_cents",
+        "n_purchases",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sd", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _carry(c: str):
+        return F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+
+    assembled = (
+        fe.unionAll(fo)
+        .unionAll(lb)
+        .select(
+            "user_id",
+            "kind",
+            "label_day",
+            "label_cents",
+            "n_purchases",
+            _carry("ev_d"),
+            _carry("cev_cnt"),
+            _carry("cev_cents"),
+            _carry("cord_cnt"),
+            _carry("cord_cents"),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    return assembled.select(
+        "user_id",
+        # day-as-VARCHAR at the output boundary (repo temporal convention:
+        # every daily query emits formatted strings, never raw DATE/TS)
+        F.date_format("label_day", "yyyy-MM-dd").alias("label_day"),
+        "label_cents",
+        "n_purchases",
+        F.coalesce("cev_cnt", F.lit(0)).cast("bigint").alias("f_ev_cnt"),
+        F.coalesce("cev_cents", F.lit(0)).cast("bigint").alias("f_ev_cents"),
+        F.coalesce(
+            F.datediff(F.col("label_day"), F.col("ev_d")).cast("bigint"),
+            F.lit(-1),
+        ).alias("f_ev_age_days"),
+        F.coalesce("cord_cnt", F.lit(0)).cast("bigint").alias("f_ord_cnt"),
+        F.coalesce("cord_cents", F.lit(0))
+        .cast("bigint")
+        .alias("f_ord_cents"),
+    )
+
+
+_PIT_SQL = f"""
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+evc AS (
+    SELECT user_id, d,
+           CAST(sum(dn) OVER w AS BIGINT) AS cev_cnt,
+           CAST(sum(dc) OVER w AS BIGINT) AS cev_cents
+    FROM (
+        SELECT user_id, d, CAST(count(*) AS BIGINT) AS dn,
+               COALESCE(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT), 0) AS dc
+        FROM ev GROUP BY 1, 2
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+odc AS (
+    SELECT user_id, d,
+           CAST(sum(dn) OVER w AS BIGINT) AS cord_cnt,
+           CAST(sum(dc) OVER w AS BIGINT) AS cord_cents
+    FROM (
+        SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS dn,
+               COALESCE(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)) AS BIGINT), 0) AS dc
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        GROUP BY 1, 2
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+lab AS (
+    SELECT user_id, d AS label_day,
+           COALESCE(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT), 0) AS label_cents,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+fe AS (
+    SELECT user_id, label_day, label_cents, n_purchases,
+           fed, cev_cnt, cev_cents
+    FROM (
+        SELECT l.user_id, l.label_day, l.label_cents, l.n_purchases,
+               e.d AS fed, e.cev_cnt, e.cev_cents,
+               row_number() OVER (PARTITION BY l.user_id, l.label_day
+                                  ORDER BY e.d DESC) AS rn
+        FROM lab l
+        LEFT JOIN evc e ON l.user_id = e.user_id
+              AND e.d + {EMBARGO_DAYS} <= l.label_day
+    ) WHERE rn = 1
+),
+fo AS (
+    SELECT user_id, label_day, cord_cnt, cord_cents
+    FROM (
+        SELECT l.user_id, l.label_day,
+               o.cord_cnt, o.cord_cents,
+               row_number() OVER (PARTITION BY l.user_id, l.label_day
+                                  ORDER BY o.d DESC) AS rn
+        FROM lab l
+        LEFT JOIN odc o ON l.user_id = o.user_id
+              AND o.d + {EMBARGO_DAYS} <= l.label_day
+    ) WHERE rn = 1
+)
+SELECT f.user_id, strftime(f.label_day, '%Y-%m-%d') AS label_day,
+       f.label_cents, f.n_purchases,
+       COALESCE(f.cev_cnt, 0) AS f_ev_cnt,
+       COALESCE(f.cev_cents, 0) AS f_ev_cents,
+       COALESCE(CAST(date_diff('day', f.fed, f.label_day) AS BIGINT),
+                -1) AS f_ev_age_days,
+       COALESCE(o.cord_cnt, 0) AS f_ord_cnt,
+       COALESCE(o.cord_cents, 0) AS f_ord_cents
+FROM fe f
+JOIN fo o ON f.user_id = o.user_id AND f.label_day = o.label_day
+"""
+
+
 QUERIES = {
     "feature_hashing_counts": feature_hashing_counts,
     "target_encoding_oof": target_encoding_oof,
     "autocorrelation_daily_lags": autocorrelation_daily_lags,
+    "pit_training_matrix": pit_training_matrix,
 }
 
 ORACLE = {
     "feature_hashing_counts": _FEATURE_HASH_SQL,
     "target_encoding_oof": _TARGET_ENC_SQL,
     "autocorrelation_daily_lags": _ACF_SQL,
+    "pit_training_matrix": _PIT_SQL,
 }

@@ -111,23 +111,26 @@ def test_topk_uses_window_group_limit(spark, sf):
     assert "WindowGroupLimit" in plan
 
 
-# Queries that INTENTIONALLY exercise the Arrow-batched Python path
-# (plans/python_path.py); everything else must stay JVM-side.
-PYTHON_PATH_QUERIES = {
-    "multimodal_decode",
-    "keyword_page_view_udf",
-    "multimodal_frame_sample",
-    # bounded-memory Misra-Gries sketch stage (plans/mining.py): the
-    # MapInPandas node holds k counters per partition and emits candidate
-    # ids only; the exact recount that determines the ANSWER is JVM-side.
-    "heavy_hitter_users",
-    # r5: the audio sibling of the frame-sample shape — intentionally
-    # Arrow-batched (plans/python_path.py)
-    "multimodal_audio_windows",
-    # r6 wave 15: the byte-distribution screen — intentionally
-    # Arrow-batched (plans/python_path.py::multimodal_byte_profile)
-    "multimodal_byte_profile",
-}
+# Queries that INTENTIONALLY exercise the Arrow-batched Python path.
+# Derived from plans/python_path.py's registry so a new Arrow-path operator
+# cannot drift out of this allowlist (multimodal_resize did exactly that in
+# r7 when the set was hand-maintained), plus the two named exceptions that
+# live outside that module but quarantine their Python stage by design.
+def _python_path_queries():
+    from realtimedatawarehouse_self_spark.plans import python_path
+
+    return set(python_path.QUERIES) | {
+        # Arrow-batched tokenizer UDTF (functions/text.py)
+        "keyword_page_view_udf",
+        # bounded-memory Misra-Gries sketch stage (plans/mining.py): the
+        # MapInPandas node holds k counters per partition and emits
+        # candidate ids only; the exact recount that determines the
+        # ANSWER is JVM-side.
+        "heavy_hitter_users",
+    }
+
+
+PYTHON_PATH_QUERIES = _python_path_queries()
 
 
 def test_no_python_udf_in_oracle_queries(spark, sf):

@@ -181,6 +181,11 @@ QUERIES = [
     #                                  be a pure function of the edge set
     "cooccurrence_window_pmi",       # in-row pair generation + combine;
     #                                  top-K tie-break total-order
+    # round-7 wave-22 additions
+    "item_cf_recommend",             # neighborhood cut + served top-K:
+    #                                  both windows totally tie-ordered
+    "pit_training_matrix",           # union-stream as-of: carry must be
+    #                                  a pure function of (user, day) order
 ]
 
 PERTURBED = {
