@@ -57,6 +57,22 @@ def null_sf_dir(tmp_path_factory):
         }
     )
     pq.write_table(table, os.path.join(str(d), "events.parquet"))
+    # a tiny orders table for the PIT assembly: NULL custkey and NULL
+    # orderdate rows must drop out of the feature stream on both engines
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, None, 3, 1], pa.int64()),
+            "o_orderstatus": pa.array(["F", "O", "F", "O"]),
+            "o_totalprice": pa.array([10.0, 20.0, None, 5.5], pa.float64()),
+            "o_orderdate": pa.array(
+                [base - dt.timedelta(days=1), base, None, base],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }
+    )
+    pq.write_table(orders, os.path.join(str(d), "orders.parquet"))
     return str(d)
 
 
@@ -68,6 +84,10 @@ def null_duck(null_sf_dir):
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"'{os.path.join(null_sf_dir, 'events.parquet')}'"
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(null_sf_dir, 'orders.parquet')}'"
     )
     yield con
     con.close()
@@ -168,6 +188,14 @@ def null_duck(null_sf_dir):
         # k-anonymity: NULL value rows form their own vb=NULL classes and
         # NULL users must not count toward users_in_class on either side
         "k_anonymity_audit",
+        # r7 wave 21/22: NULL users must never become LPA graph nodes on
+        # either engine (Spark's groupBy keeps a NULL group, the oracle's
+        # self-join never matches it — both filter explicitly); the PIT
+        # matrix's NULL-value label day must coalesce to 0 cents, NULL
+        # custkey/orderdate order rows must drop from the feature stream,
+        # and the NULL-user purchase must produce no label row
+        "community_label_propagation",
+        "pit_training_matrix",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
