@@ -186,6 +186,35 @@ QUERIES = [
     #                                  both windows totally tie-ordered
     "pit_training_matrix",           # union-stream as-of: carry must be
     #                                  a pure function of (user, day) order
+    # round-7 expansion: the remaining high-risk families — iterative
+    # training, float-cosine ties, hash-gated sampling/splits, greedy
+    # folds, interval chains, pivot column ordering, top-K tie cuts
+    "kmeans_ivf_train",              # iterative centroid updates
+    "similarity_topk_bruteforce",    # cosine top-K tie order
+    "similarity_topk_ivf",           # centroid assignment + probe cut
+    "user_journey_paths",            # per-user path assembly order
+    "user_value_trend_theilsen",     # median-of-slopes rank pick
+    "doc_pack_greedy",               # greedy cumsum packing fold
+    "stratified_sample_corpus",      # hash-gated membership, never RNG
+    "corpus_split_assign",           # hash split assignment
+    "sessionize_events",             # gap sessionization chain
+    "session_window_native",         # native session windows
+    "scd2_user_value",               # validity-interval chain
+    "gap_fill_interpolate",          # integer interpolation arithmetic
+    "running_balance_floor",         # sequential clamp fold
+    "pareto_frontier_parts",         # frontier dominance ties
+    "contamination_longest_match",   # islands-trick run assembly
+    "dedup_minhash_lsh",             # band bucketing candidate set
+    "dedup_simhash",                 # hamming-band candidates
+    "kcore_peeling_rounds",          # iterative peel + survivor persist
+    "vocab_topk",                    # corpus top-K tie cut
+    "attribution_last_touch",        # as-of last-touch tie order
+    "snapshot_diff_user_state",      # keyed snapshot diff
+    "range_join_campaigns",          # banded interval join
+    "tpch_q15_top_supplier",         # max-revenue tie (classic)
+    "tpch_q18_large_orders",         # top-K over join
+    "user_retention_cohorts",        # cohort window matrix
+    "pivot_daily_event_matrix",      # pivot column ordering
 ]
 
 PERTURBED = {
