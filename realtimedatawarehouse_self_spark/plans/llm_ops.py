@@ -1073,6 +1073,91 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training pair step of an
+# embedding-model data pipeline: for each anchor, the HARDEST negatives
+# are the most-similar candidates inside a banded cosine window
+# (HN_LO, HN_HI): above HN_HI the candidate is a probable positive /
+# near-dup (excluded — it would poison the contrastive loss), below
+# HN_LO it is an easy negative the model learns nothing from. Emits the
+# top HN_K in-band candidates per anchor, hardest first, plus the
+# anchor's in-band candidate count (the mining-depth diagnostic that
+# tells you whether the band is too tight for this corpus).
+#
+# Scale: the banded score shares the similarity family's corpus shape —
+# one corpus scan, anchors broadcast; at 100 TB the band filter composes
+# unchanged with the bucketed/IVF candidate generators (it is a pure
+# per-pair predicate applied after scoring), so the brute-force form here
+# is the exactness baseline, not the deployment plan. Scores are the
+# family's fixed-order cosine (bit-identical across engines), ties
+# resolved by vec_id — the mined pair set is a pure function of the
+# corpus.
+# ---------------------------------------------------------------------------
+HN_LO = 0.30
+HN_HI = 0.80
+HN_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
+        F.col("vec_id").alias("anchor_id"), F.col("vec").alias("qvec")
+    )
+    band = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("vec")))
+        .filter((F.col("score") > HN_LO) & (F.col("score") < HN_HI))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    wn = Window.partitionBy("anchor_id")
+    return (
+        band.withColumn("neg_rank", F.row_number().over(w))
+        .withColumn(
+            "n_band_candidates", F.count(F.lit(1)).over(wn).cast("bigint")
+        )
+        .filter(F.col("neg_rank") <= HN_K)
+        .select(
+            "anchor_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            F.col("vec_id").alias("neg_id"),
+            "score",
+            "n_band_candidates",
+        )
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+q AS (
+    SELECT vec_id AS anchor_id, vec AS qvec FROM emb
+    WHERE vec_id < {NUM_QUERY_VECS}
+),
+band AS (
+    SELECT q.anchor_id, e.vec_id,
+           list_dot_product(q.qvec, e.vec)
+             / (sqrt(list_dot_product(q.qvec, q.qvec))
+                * sqrt(list_dot_product(e.vec, e.vec))) AS score
+    FROM emb e JOIN q ON e.vec_id <> q.anchor_id
+)
+SELECT anchor_id, CAST(neg_rank AS INTEGER) AS neg_rank,
+       vec_id AS neg_id, score, n_band_candidates
+FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY score DESC, vec_id) AS neg_rank,
+           CAST(count(*) OVER (PARTITION BY anchor_id) AS BIGINT)
+               AS n_band_candidates
+    FROM band
+    WHERE score > {HN_LO} AND score < {HN_HI}
+) WHERE neg_rank <= {HN_K}
+"""
+
+
 def _bucket_expr_spark(col: str):
     return (
         F.when(F.element_at(F.col(col), 1) > 0, 8).otherwise(0)
@@ -3365,6 +3450,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "hard_negative_mining": hard_negative_mining,
     "similarity_topk_lsh_bucketed": similarity_topk_lsh_bucketed,
     "similarity_topk_ivf": similarity_topk_ivf,
     "dedup_edit_distance": dedup_edit_distance,
@@ -3410,6 +3496,7 @@ ORACLE = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "similarity_topk_bruteforce": _SIM_TOPK_SQL,
+    "hard_negative_mining": _HARD_NEG_SQL,
     "similarity_topk_lsh_bucketed": _SIM_LSH_SQL,
     "similarity_topk_ivf": _IVF_SQL,
     "dedup_edit_distance": _EDIT_SQL,

@@ -215,6 +215,7 @@ QUERIES = [
     "tpch_q18_large_orders",         # top-K over join
     "user_retention_cohorts",        # cohort window matrix
     "pivot_daily_event_matrix",      # pivot column ordering
+    "hard_negative_mining",          # banded-cosine cut + tie order
 ]
 
 PERTURBED = {
