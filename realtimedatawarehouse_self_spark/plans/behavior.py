@@ -908,7 +908,12 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    ui = (
+    # ONE user-keyed shuffle builds the whole matrix: collect_set dedups
+    # (no distinct pre-pass) and the cap filters on the set size (no
+    # window count pre-pass) — the raw join output flows straight into a
+    # map-side-combined set aggregate. uc (the exploded user-item matrix)
+    # is derived from the persisted basket frame without any shuffle.
+    baskets = (
         orders.join(
             lineitem,
             orders["o_orderkey"] == lineitem["l_orderkey"],
@@ -920,24 +925,17 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("user_id"),
             F.col("l_partkey").alias("item"),
         )
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .filter(F.size("items") <= CF_ITEM_CAP)
+        .persist()  # consumed 3x: degrees, pair explode, serve probe
     )
-    uc = (
-        ui.withColumn(
-            "n_items",
-            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
-        )
-        .filter(F.col("n_items") <= CF_ITEM_CAP)
-        .select("user_id", "item")
-        .persist()  # consumed 3x: degrees, baskets, serve probe
-    )
+    uc = baskets.select("user_id", F.explode("items").alias("item"))
     deg = uc.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
     pairs = (
-        uc.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
-        .select(
+        baskets.select(
             F.explode(ordered_pair_structs("items", "ia", "ib")).alias("p")
         )
         .groupBy("p.ia", "p.ib")
