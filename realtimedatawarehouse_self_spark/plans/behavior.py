@@ -908,12 +908,7 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    # ONE user-keyed shuffle builds the whole matrix: collect_set dedups
-    # (no distinct pre-pass) and the cap filters on the set size (no
-    # window count pre-pass) — the raw join output flows straight into a
-    # map-side-combined set aggregate. uc (the exploded user-item matrix)
-    # is derived from the persisted basket frame without any shuffle.
-    baskets = (
+    ui = (
         orders.join(
             lineitem,
             orders["o_orderkey"] == lineitem["l_orderkey"],
@@ -925,17 +920,24 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("user_id"),
             F.col("l_partkey").alias("item"),
         )
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
-        .filter(F.size("items") <= CF_ITEM_CAP)
-        .persist()  # consumed 3x: degrees, pair explode, serve probe
+        .distinct()
     )
-    uc = baskets.select("user_id", F.explode("items").alias("item"))
+    uc = (
+        ui.withColumn(
+            "n_items",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("n_items") <= CF_ITEM_CAP)
+        .select("user_id", "item")
+        .persist()  # consumed 3x: degrees, baskets, serve probe
+    )
     deg = uc.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
     pairs = (
-        baskets.select(
+        uc.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .select(
             F.explode(ordered_pair_structs("items", "ia", "ib")).alias("p")
         )
         .groupBy("p.ia", "p.ib")
