@@ -26,6 +26,10 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (e.g. the driver's): keeps oracle comparisons deterministic.
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # the arithmetic contract every oracle was validated under (Spark 4
+    # default, but a hostile host session may have flipped it): exact
+    # div/cast/overflow semantics must not depend on the caller
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
