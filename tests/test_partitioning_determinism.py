@@ -216,6 +216,35 @@ QUERIES = [
     "user_retention_cohorts",        # cohort window matrix
     "pivot_daily_event_matrix",      # pivot column ordering
     "hard_negative_mining",          # banded-cosine cut + tie order
+    # round-7 expansion 2: complete TPC-H (all 22 forms now covered) and
+    # the remaining text-pipeline maps — decimal aggregates, correlated
+    # exists/anti forms, min-cost argmin ties, and hash fingerprints must
+    # all be pure functions of the tables
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_orders",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_trade",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_revenue",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_branch_revenue",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_balances",
+    "doc_fingerprint",               # rolling-hash fingerprint
+    "text_quality_score",            # ratio micro-units
+    "token_count_stats",             # regex token maps
+    "lang_id_ngram",                 # n-gram vote argmax ties
+    "pii_scrub_stats",               # regex hit maps
+    "repetition_filter",             # windowed n-gram repeat ratio
 ]
 
 PERTURBED = {
