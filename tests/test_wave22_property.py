@@ -355,3 +355,75 @@ def test_lpa_matches_python_synchronous_rounds(spark, ev):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cooccurrence_window_pmi_matches_python(spark, docs, monkeypatch):
+    """Window-pair index arithmetic and the exact-rational PMI odds,
+    recounted in pure Python (min-count shrunk so tiny corpora emit)."""
+    from realtimedatawarehouse_self_spark.plans import retrieval
+
+    monkeypatch.setattr(retrieval, "COOC_MIN_CT", 1)
+
+    d = tempfile.mkdtemp(prefix="coocprop")
+    try:
+        texts = [" ".join(toks) for toks in docs]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array(["s"] * len(texts)),
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+
+        got = sorted(
+            map(tuple, retrieval.cooccurrence_window_pmi(spark, d).collect())
+        )
+
+        # recount: pairs within window COOC_WINDOW, canonical (min,max),
+        # self-pairs dropped; PMI odds floored exact rational
+        W = retrieval.COOC_WINDOW
+        pairs = []
+        uni = Counter()
+        for toks in docs:
+            uni.update(toks)
+            for i in range(len(toks) - 1):
+                for dd in range(1, min(W, len(toks) - 1 - i) + 1):
+                    a, b = toks[i], toks[i + dd]
+                    if a != b:
+                        pairs.append((min(a, b), max(a, b)))
+        n_pairs = len(pairs)
+        pc = Counter(pairs)
+        scored = [
+            (a, b, c, (retrieval.PMI_SCALE * n_pairs * c) // (uni[a] * uni[b]))
+            for (a, b), c in pc.items()
+            if c >= 1
+        ]
+        scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+        want = sorted(
+            (rank, a, b, c, odds)
+            for rank, (a, b, c, odds) in enumerate(
+                scored[: retrieval.PMI_TOPK], 1
+            )
+        )
+        assert got == sorted(want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
