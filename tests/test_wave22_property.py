@@ -427,3 +427,78 @@ def test_cooccurrence_window_pmi_matches_python(spark, docs, monkeypatch):
         assert got == sorted(want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_hard_negative_mining_matches_python(spark, vecs):
+    """The banded cut and per-anchor top-K, recounted with the same
+    sequential-fold cosine (bit-identical doubles: Spark's aggregate and
+    Python's loop both fold left-to-right)."""
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        HN_HI,
+        HN_K,
+        HN_LO,
+        NUM_QUERY_VECS,
+        hard_negative_mining,
+    )
+
+    d = tempfile.mkdtemp(prefix="hnprop")
+    try:
+        f32 = [[float(pa.scalar(x, pa.float32()).as_py()) for x in v] for v in vecs]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        vecs, pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * len(vecs), pa.int32()),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+        )
+
+        got = sorted(
+            map(tuple, hard_negative_mining(spark, d).collect())
+        )
+
+        def dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            return s
+
+        def nsq(a):
+            s = 0.0
+            for x in a:
+                s += x * x
+            return s
+
+        want = []
+        for qid in range(min(NUM_QUERY_VECS, len(f32))):
+            band = []
+            for cid, v in enumerate(f32):
+                if cid == qid:
+                    continue
+                score = dot(f32[qid], v) / (
+                    math.sqrt(nsq(f32[qid])) * math.sqrt(nsq(v))
+                )
+                if HN_LO < score < HN_HI:
+                    band.append((cid, score))
+            band.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (cid, score) in enumerate(band[:HN_K], 1):
+                want.append((qid, rank, cid, score, len(band)))
+        assert got == sorted(want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
