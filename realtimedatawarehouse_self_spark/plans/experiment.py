@@ -850,9 +850,11 @@ def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_cents - clipped_sum_cents")
             .cast("bigint")
             .alias("clip_loss_cents"),
+            # Widened before the micro multiply (ADVICE r7): a daily
+            # clip loss above ~9.2e12 cents would ANSI-overflow BIGINT.
             F.expr(
-                f"CAST((sum_cents - clipped_sum_cents) * {MICRO}"
-                " div nullif(sum_cents, 0) AS BIGINT)"
+                f"CAST(CAST(sum_cents - clipped_sum_cents AS DECIMAL(38,0))"
+                f" * {MICRO} div nullif(sum_cents, 0) AS BIGINT)"
             ).alias("clip_loss_ppm"),
             "users_clipped",
         )
@@ -878,7 +880,8 @@ SELECT day,
            AS clipped_sum_cents,
        CAST(sum(v_cents) - sum(least(v_cents, {DP_CLIP_CENTS})) AS BIGINT)
            AS clip_loss_cents,
-       CAST((sum(v_cents) - sum(least(v_cents, {DP_CLIP_CENTS}))) * {MICRO}
+       CAST(CAST(sum(v_cents) - sum(least(v_cents, {DP_CLIP_CENTS}))
+                 AS HUGEINT) * {MICRO}
             // nullif(sum(v_cents), 0) AS BIGINT) AS clip_loss_ppm,
        CAST(sum(CASE WHEN v_cents > {DP_CLIP_CENTS} THEN 1 ELSE 0 END)
             AS BIGINT) AS users_clipped
@@ -921,12 +924,17 @@ def srm_guardrail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_ctrl",
         "n_trt",
+        # First factor widened to DECIMAL(38,0) BEFORE the square+micro
+        # multiply (ADVICE r7): plain BIGINT would ANSI-overflow once a
+        # daily arm imbalance exceeds ~3.03M users; sibling operators
+        # (item_cf cos2_micro, window-PMI odds) follow the same doctrine.
         F.expr(
-            f"CAST((n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}"
-            " div nullif(n_ctrl + n_trt, 0) AS BIGINT)"
+            f"CAST(CAST(n_ctrl - n_trt AS DECIMAL(38,0)) * (n_ctrl - n_trt)"
+            f" * {MICRO} div nullif(n_ctrl + n_trt, 0) AS BIGINT)"
         ).alias("chi2_micro"),
         F.expr(
-            f"CAST(CASE WHEN (n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}"
+            f"CAST(CASE WHEN CAST(n_ctrl - n_trt AS DECIMAL(38,0))"
+            f" * (n_ctrl - n_trt) * {MICRO}"
             f" div nullif(n_ctrl + n_trt, 0) > {SRM_CHI2_CRIT_MICRO}"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_flag"),
@@ -948,9 +956,10 @@ per_day AS (
     FROM day_user GROUP BY 1
 )
 SELECT day, n_ctrl, n_trt,
-       CAST((n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}
+       CAST(CAST(n_ctrl - n_trt AS HUGEINT) * (n_ctrl - n_trt) * {MICRO}
             // nullif(n_ctrl + n_trt, 0) AS BIGINT) AS chi2_micro,
-       CAST(CASE WHEN (n_ctrl - n_trt) * (n_ctrl - n_trt) * {MICRO}
+       CAST(CASE WHEN CAST(n_ctrl - n_trt AS HUGEINT) * (n_ctrl - n_trt)
+                      * {MICRO}
                       // nullif(n_ctrl + n_trt, 0) > {SRM_CHI2_CRIT_MICRO}
             THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
 FROM per_day

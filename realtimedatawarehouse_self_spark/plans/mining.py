@@ -1479,7 +1479,11 @@ def community_label_propagation(
     size = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
     )
-    return labels.join(F.broadcast(size), "lbl").select(
+    # No broadcast hint (ADVICE/VERDICT r7): `size` is one row per distinct
+    # label, which is node-sized worst-case pre-convergence — a forced
+    # broadcast would be an unguarded local[32] pin. AQE demotes this join
+    # to broadcast at small SFs on its own when the measured size allows.
+    return labels.join(size, "lbl").select(
         F.col("id").alias("user_id"),
         F.col("lbl").alias("community_label"),
         "community_size",

@@ -310,7 +310,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fifth quarantined Arrow path: real mapInPandas plumbing + vectorized
     gather, stub pixel geometry (see functions/multimodal.py::
     resize_nearest); the oracle re-derives every sampled pixel by
-    character arithmetic and hash-pins the resized content."""
+    character arithmetic and hash-pins the resized content.
+
+    ASCII contract (ADVICE r7): the oracle samples CHARACTERS via
+    substr(text, ...) at offsets computed modulo octet_length (a BYTE
+    count) while the Spark side samples raw UTF-8 bytes — the two agree
+    only because the corpus is pure ASCII (byte index == char index,
+    ascii(ch) == byte value). This is the same contract every
+    python_path oracle relies on; it is asserted per-session by
+    tests/test_contract.py::test_python_path_ascii_corpus_contract.
+    With real (non-ASCII / binary) payloads only the Spark side runs
+    and the oracle drops to a rows-only check."""
     from realtimedatawarehouse_self_spark.functions.multimodal import (
         resize_nearest,
     )

@@ -283,7 +283,13 @@ LIMIT {BPE_TOPK}
 #   - char split: regexp_replace(word, '(.)', '$1 ') — one codepoint per
 #     symbol, unicode-safe;
 #   - greedy merge: replace(sym, ' a b ', ' ab ') — leftmost
-#     non-overlapping scan, exactly BPE's merge order ('a a a' -> 'aa a');
+#     non-overlapping scan. NOTE (ADVICE r7): the pattern's trailing space
+#     consumes the separator of the next match, so an even-length run of
+#     identical symbols UNDER-merges relative to Sennrich BPE:
+#     ' a a a a ' -> ' aa a a ' (one merge) where reference BPE produces
+#     ' aa aa ' (two). Odd runs agree ('a a a' -> 'aa a' both). Both
+#     engines use the identical replace, so parity holds exactly; the
+#     divergence from textbook BPE is only on even-length identical runs;
 #   - argmax total order: (count DESC, lhs, rhs).
 # Symbol identity is the surface string (no end-of-word marker), the
 # standard no-marker simplification; pair counts weight by word freq and

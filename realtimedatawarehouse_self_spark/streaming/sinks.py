@@ -166,8 +166,18 @@ def upsert_parquet(
     `delete_col` is true act as tombstones — the key is REMOVED from the
     table instead of upserted (CDC delete application; reference tombstone
     semantics BaseDBApp.java:53 / MyKafkaUtil.java:129-137). The column
-    itself is never persisted.
+    itself is never persisted. `delete_col` REQUIRES `order_col` (ADVICE
+    r7): without it, within-batch resolution is dropDuplicates(keys),
+    which picks an arbitrary row — whether a key carrying both a delete
+    and a non-delete row in one batch ends up deleted or upserted would
+    be nondeterministic.
     """
+    if delete_col is not None and order_col is None:
+        raise ValueError(
+            "delete_col requires order_col: without a within-batch order, "
+            "a key carrying both a delete and a non-delete row in the same "
+            "batch would resolve nondeterministically"
+        )
     lock = _acquire_lock(path)
     try:
         _upsert_locked(spark, updates, path, keys, order_col, meta, delete_col)

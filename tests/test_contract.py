@@ -145,3 +145,29 @@ def test_documented_registry_count():
         assert ms, f"{doc}: registry-count sentence missing"
         # earlier matches are frozen round-history notes; the LAST is current
         assert int(ms[-1]) == n, f"{doc} says {ms[-1]}, registry has {n}"
+
+
+def test_python_path_ascii_corpus_contract(duck):
+    """Every python_path oracle (byte profile, frame sample, audio
+    windows, resize) samples CHARACTERS via substr(text, ...) at offsets
+    computed from octet_length (a BYTE count), while the Spark side
+    samples raw UTF-8 payload bytes. The two agree iff the documents
+    corpus is pure ASCII (byte index == char index and ascii(ch) == byte
+    value) — ADVICE r7 asked for this shared contract to be asserted,
+    not just claimed in comments. Checked at both parity SFs."""
+    import os
+
+    from tests.conftest import TESTDATA
+
+    for sf in ["sf0.001", "sf0.01"]:
+        path = os.path.join(TESTDATA, sf, "documents.parquet")
+        non_ascii = duck.execute(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE octet_length(encode(text)) != length(text)"
+        ).fetchone()[0]
+        assert non_ascii == 0, (
+            f"{sf}: {non_ascii} non-ASCII documents — the python_path "
+            "char-indexed oracles no longer match the byte-indexed Spark "
+            "side; re-derive those oracles over encode(text) or drop "
+            "them to rows-only checks"
+        )
