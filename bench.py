@@ -298,6 +298,19 @@ HEADLINE = [
     "cooccurrence_window_pmi",
     "item_cf_recommend",
     "pit_training_matrix",
+    # r8 wave 24: eval math, tokenizer apply, DSIR selection, IVM,
+    # image near-dup, streaming HLL registers
+    "pass_at_k_estimator",
+    "conformal_calibration_audit",
+    "annotator_agreement_kappa",
+    "bpe_apply_fertility",
+    "importance_weight_selection",
+    "incremental_join_maintenance",
+    "multimodal_phash_dedup",
+    # streaming_hll_merge_twin is NOT benched (streaming-twin rule, as
+    # streaming_dedup_incoming above: the register fold is the already-
+    # benched hll_union_rolling arithmetic plus harness file-feed
+    # overhead that measures the rig, not the operator).
 ]
 
 

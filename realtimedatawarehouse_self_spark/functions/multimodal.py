@@ -307,3 +307,55 @@ def resize_nearest(
     return df.select("doc_id", payload_col).mapInPandas(
         resize, RESIZED_SCHEMA
     )
+
+
+PHASH_GRID = 8  # 8x8 sample grid -> 8 rows x 7 row-gradient bits = 56 bits
+
+
+def dhash_bits(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint through ONE
+    Arrow-batched mapInPandas pass — the standard image near-dup
+    signature (Krawetz's dHash: resize to a tiny grid, hash the
+    horizontal gradient signs). 56 bits (8 rows x 7 adjacent-column
+    comparisons) so the value stays clear of BIGINT's sign bit on both
+    engines.
+
+    STUB geometry over REAL plumbing, same contract as ``resize_nearest``:
+    pixel(x, y) is the payload byte at the nearest-neighbor sample index
+    (a real implementation hashes the decoded grayscale plane from
+    Pillow; the gradient/banding arithmetic and the Arrow batch shape are
+    exactly what that plug-in keeps). Zero-length payloads emit no row —
+    an image that failed to decode has no fingerprint.
+    """
+    import numpy as np
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(PHASH_GRID)
+        ys = np.arange(PHASH_GRID)
+        weights = 1 << np.arange(
+            PHASH_GRID * (PHASH_GRID - 1), dtype=np.int64
+        )
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                w, h = _decode_image_bytes(bytes(payload))
+                src_x = xs * w // PHASH_GRID
+                src_y = ys * h // PHASH_GRID
+                idx = (src_y[:, None] * w + src_x[None, :]).ravel() % len(b)
+                g = b[idx].reshape(PHASH_GRID, PHASH_GRID).astype(np.int64)
+                bits = (g[:, :-1] > g[:, 1:]).ravel().astype(np.int64)
+                ids.append(int(doc_id))
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        hash_batch, "doc_id bigint, dhash bigint"
+    )

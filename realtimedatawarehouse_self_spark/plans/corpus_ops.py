@@ -1106,8 +1106,157 @@ FROM per_bucket, gstats g
 """
 
 
+# ---------------------------------------------------------------------------
+# Importance-weighted data selection (DSIR-lite; Xie et al., "Data
+# Selection for Language Models via Importance Resampling", NeurIPS'23,
+# re-expressed log-free): score every document by how target-like its
+# unigram distribution is — the per-token smoothed frequency ODDS
+#   odds(w) = ((target_ct(w)+1) / (T_tot+V)) / ((raw_ct(w)+1) / (R_tot+V))
+# averaged over the document's token occurrences (DSIR sums log-odds;
+# the arithmetic mean of exact micro odds is the engine's deterministic
+# monotone stand-in — both engines floor identically, no float logs) —
+# then select the above-median half and report the per-source yield:
+# the skew table a mixture designer reads ("which sources survive
+# en-targeted selection").
+#
+# Scale shape: corpus collapses to a (word, target_ct, raw_ct) vocab
+# frame (one combine shuffle, |vocab|-bounded) with the 1-row totals
+# broadcast-crossed in; scoring is explode -> vocab join (dimension-like
+# at any corpus size) -> per-doc combine; the threshold is ONE global
+# lower-median order-statistic pick ((score, doc_id) total order);
+# per-source rollup is |sources| rows. Odds products ride
+# DECIMAL(38,0)/HUGEINT (target_ct·R_tot exceeds BIGINT at 100 TB).
+# ---------------------------------------------------------------------------
+DSIR_TARGET_LANG = "en"
+
+
+def importance_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    occ = docs.select(
+        "doc_id", "source", "lang", F.explode(tokens("text")).alias("word")
+    )
+    vocab = (
+        occ.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("raw_ct"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("target_ct"),
+        )
+        .persist()
+    )
+    totals = vocab.agg(
+        F.sum("raw_ct").cast("bigint").alias("r_tot"),
+        F.sum("target_ct").cast("bigint").alias("t_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    odds = vocab.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.expr(
+            "CAST(CAST(target_ct + 1 AS DECIMAL(38,0)) * (r_tot + v)"
+            " * 1000000 div (CAST(raw_ct + 1 AS DECIMAL(38,0))"
+            " * (t_tot + v)) AS BIGINT)"
+        ).alias("odds_micro"),
+    )
+    scores = (
+        occ.join(odds, "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("CAST(sum(odds_micro) div count(*) AS BIGINT)").alias(
+                "score_micro"
+            )
+        )
+        .persist()
+    )
+    n_docs = scores.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy("score_micro", "doc_id")
+    thr = (
+        scores.crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("score_micro").alias("thr"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN score_micro >= thr THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.expr("CAST(sum(score_micro) div count(*) AS BIGINT)").alias(
+                "avg_score_micro"
+            ),
+        )
+        .withColumn(
+            "sel_ppm",
+            F.expr("CAST(n_selected * 1000000 div n_docs AS BIGINT)"),
+        )
+    )
+
+
+_DSIR_SQL = f"""
+WITH occ AS (
+    SELECT doc_id, source, lang, unnest(list_filter(
+               string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+    WHERE text IS NOT NULL
+),
+vocab AS (
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS raw_ct,
+           CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS target_ct
+    FROM occ GROUP BY 1
+),
+totals AS (
+    SELECT CAST(sum(raw_ct) AS BIGINT) AS r_tot,
+           CAST(sum(target_ct) AS BIGINT) AS t_tot,
+           CAST(count(*) AS BIGINT) AS v
+    FROM vocab
+),
+odds AS (
+    SELECT word,
+           CAST(CAST(target_ct + 1 AS HUGEINT) * (r_tot + v) * 1000000
+                // (CAST(raw_ct + 1 AS HUGEINT) * (t_tot + v))
+                AS BIGINT) AS odds_micro
+    FROM vocab, totals
+),
+scores AS (
+    SELECT o.doc_id, o.source,
+           CAST(sum(d.odds_micro) // count(*) AS BIGINT) AS score_micro
+    FROM occ o JOIN odds d USING (word)
+    GROUP BY 1, 2
+),
+thr AS (
+    SELECT score_micro AS thr
+    FROM (
+        SELECT score_micro,
+               row_number() OVER (ORDER BY score_micro, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM scores
+    )
+    WHERE rn = (n + 1) // 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score_micro >= t.thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(sum(score_micro) // count(*) AS BIGINT) AS avg_score_micro,
+       CAST(sum(CASE WHEN score_micro >= t.thr THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS sel_ppm
+FROM scores, thr t
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
+    "importance_weight_selection": importance_weight_selection,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
     "pii_scrub_stats": pii_scrub_stats,
@@ -1124,6 +1273,7 @@ QUERIES = {
 
 ORACLE = {
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
+    "importance_weight_selection": _DSIR_SQL,
     "split_leakage_audit": _split_leakage_sql(),
     "contamination_longest_match": _LONGEST_MATCH_SQL,
     "ngram_novelty_rate": _NOVELTY_SQL,

@@ -966,6 +966,346 @@ FROM per_day
 """
 
 
+# ---------------------------------------------------------------------------
+# pass@k estimator — the unbiased eval-harness statistic (Chen et al.,
+# "Evaluating Large Language Models Trained on Code", 2021, eq. 1): with n
+# sampled attempts and c successes, pass@k = 1 - C(n-c,k)/C(n,k), averaged
+# over problems. Here each (event_type, user) group is one problem-candidate
+# run (attempts = events, success = value >= PASS_THRESH_CENTS cents), and
+# the per-type average is the benchmark score. The binomial ratio collapses
+# to prod_{i=0..k-1}(n-c-i)/(n-i) — evaluated as ONE exact rational in
+# DECIMAL(38,0)/HUGEINT (no factorials, no floats), well-defined up to
+# n ≈ 2.5e7 attempts per group at k=5 (n^5 < 1e38; far beyond any real
+# eval harness). Scale shape: fact scan -> per-(type,user) sufficient
+# stats (one combine-backed shuffle) -> per-type roll-up (5 rows).
+# Averages of floored micros are floored sums-of-floors on both engines.
+# ---------------------------------------------------------------------------
+PASS_THRESH_CENTS = 5_000  # success: value >= 50.00 units
+PASS_K = 5
+
+
+def _passk_num_den(k: int) -> tuple[str, str]:
+    num = " * ".join(f"(n - c - {i})" for i in range(1, k))
+    den = " * ".join(f"(n - {i})" for i in range(1, k))
+    num = f"CAST(n - c AS DECIMAL(38,0))" + (f" * {num}" if num else "")
+    den = f"CAST(n AS DECIMAL(38,0))" + (f" * {den}" if den else "")
+    return num, den
+
+
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                f" >= {PASS_THRESH_CENTS} THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    num_k, den_k = _passk_num_den(PASS_K)
+    scored = per.select(
+        "event_type",
+        F.expr(f"CAST(c * {MICRO} div n AS BIGINT)").alias("p1"),
+        F.expr(
+            f"CASE WHEN n >= {PASS_K} THEN CAST(("
+            f"  ({den_k}) - (CASE WHEN n - c >= {PASS_K} THEN {num_k}"
+            f"               ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            f") * {MICRO} div ({den_k}) AS BIGINT) ELSE NULL END"
+        ).alias("pk"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("pk").cast("bigint").alias("n_eligible_k"),
+        F.expr(f"CAST(sum(p1) div count(p1) AS BIGINT)").alias(
+            "pass_at_1_micro"
+        ),
+        F.expr(f"CAST(sum(pk) div nullif(count(pk), 0) AS BIGINT)").alias(
+            f"pass_at_{PASS_K}_micro"
+        ),
+    )
+
+
+def _passk_sql() -> str:
+    num = " * ".join(f"(n - c - {i})" for i in range(1, PASS_K))
+    den = " * ".join(f"(n - {i})" for i in range(1, PASS_K))
+    num = "CAST(n - c AS HUGEINT)" + (f" * {num}" if num else "")
+    den = "CAST(n AS HUGEINT)" + (f" * {den}" if den else "")
+    return f"""
+WITH per AS (
+    SELECT event_type, user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              >= {PASS_THRESH_CENTS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT event_type,
+           CAST(c * {MICRO} // n AS BIGINT) AS p1,
+           CASE WHEN n >= {PASS_K} THEN CAST((
+                ({den}) - (CASE WHEN n - c >= {PASS_K} THEN {num}
+                           ELSE CAST(0 AS HUGEINT) END)
+           ) * {MICRO} // ({den}) AS BIGINT) ELSE NULL END AS pk
+    FROM per
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(pk) AS BIGINT) AS n_eligible_k,
+       CAST(sum(p1) // count(p1) AS BIGINT) AS pass_at_1_micro,
+       CAST(sum(pk) // nullif(count(pk), 0) AS BIGINT)
+           AS pass_at_{PASS_K}_micro
+FROM scored
+GROUP BY 1
+"""
+
+
+_PASSK_SQL = _passk_sql()
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration audit — the distribution-free coverage
+# guarantee check (Vovk et al.; Angelopoulos & Bates '21 survey): hold out
+# a calibration split, take the ceil((n+1)(1-alpha))-th smallest
+# nonconformity score as the threshold, and the test-split coverage is
+# guaranteed >= 1-alpha in expectation. Everything is exact-integer: the
+# "model" is the calibration split's per-type mean (floored cents), the
+# score is |v - mean| in cents, the threshold an ORDER-STATISTIC pick over
+# the (score, event_id) total order (no percentile interpolation), and
+# coverage a floored micro ratio. Scale shape: one scan -> per-type
+# sufficient stats (broadcast back) -> one window rank over the
+# calibration slice -> tiny per-type join; nothing holistic.
+# ---------------------------------------------------------------------------
+CONFORMAL_ALPHA_NUM, CONFORMAL_ALPHA_DEN = 1, 10  # alpha = 0.1
+_SPLIT5_SPARK = (
+    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 5"
+)
+_SPLIT5_DUCK = (
+    "TRY_CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 5"
+)
+
+
+def conformal_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v_cents"),
+        (F.expr(_SPLIT5_SPARK) < 2).alias("is_cal"),
+    )
+    mean = (
+        base.filter("is_cal")
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(sum(v_cents) div count(*) AS BIGINT)").alias(
+                "mean_cents"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        )
+    )
+    scored = base.join(F.broadcast(mean), "event_type").withColumn(
+        "score", F.expr("abs(v_cents - mean_cents)")
+    )
+    # q_rank = ceil((n_cal + 1) * (1 - alpha)); threshold = the q_rank-th
+    # smallest calibration score under the (score, event_id) total order
+    qr = (
+        f"CAST(((n_cal + 1) * ({CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM})"
+        f" + {CONFORMAL_ALPHA_DEN - 1}) div {CONFORMAL_ALPHA_DEN} AS BIGINT)"
+    )
+    w = Window.partitionBy("event_type").orderBy("score", "event_id")
+    thr = (
+        scored.filter("is_cal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.expr(f"rn = least({qr}, n_cal)"))
+        .select(
+            "event_type",
+            F.expr(qr).alias("q_rank"),
+            F.col("score").alias("threshold_cents"),
+        )
+    )
+    test = scored.filter(~F.col("is_cal"))
+    return (
+        test.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "q_rank", "threshold_cents")
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.expr(
+                f"CAST(sum(CASE WHEN score <= threshold_cents THEN 1 ELSE 0"
+                f" END) * {MICRO} div count(*) AS BIGINT)"
+            ).alias("coverage_micro"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "q_rank",
+            "threshold_cents",
+            "coverage_micro",
+        )
+    )
+
+
+_CONFORMAL_SQL = f"""
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+           ({_SPLIT5_DUCK}) < 2 AS is_cal
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+    SELECT event_type,
+           CAST(sum(v_cents) // count(*) AS BIGINT) AS mean_cents,
+           CAST(count(*) AS BIGINT) AS n_cal
+    FROM base WHERE is_cal GROUP BY 1
+),
+scored AS (
+    SELECT b.event_type, b.event_id, b.is_cal,
+           abs(b.v_cents - m.mean_cents) AS score, m.n_cal
+    FROM base b JOIN m USING (event_type)
+),
+thr AS (
+    SELECT event_type,
+           CAST(((n_cal + 1) * {CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM}
+                 + {CONFORMAL_ALPHA_DEN - 1}) // {CONFORMAL_ALPHA_DEN}
+                AS BIGINT) AS q_rank,
+           score AS threshold_cents
+    FROM (
+        SELECT event_type, score, n_cal,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY score, event_id) AS rn
+        FROM scored WHERE is_cal
+    )
+    WHERE rn = least(((n_cal + 1) * {CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM}
+                      + {CONFORMAL_ALPHA_DEN - 1}) // {CONFORMAL_ALPHA_DEN},
+                     n_cal)
+),
+test AS (SELECT * FROM scored WHERE NOT is_cal)
+SELECT t.event_type,
+       CAST(max(t.n_cal) AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       h.q_rank,
+       h.threshold_cents,
+       CAST(sum(CASE WHEN t.score <= h.threshold_cents THEN 1 ELSE 0 END)
+            * {MICRO} // count(*) AS BIGINT) AS coverage_micro
+FROM test t JOIN thr h USING (event_type)
+GROUP BY 1, 4, 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (Cohen's kappa) — the label-quality gate a
+# training pipeline runs over any machine- or dual-labeled slice before
+# trusting the labels: two deterministic annotators (A: length rule,
+# B: lexical-diversity rule) label every document and kappa corrects the
+# raw agreement for chance, per source. One exact rational:
+#   kappa = (N*(n11+n00) - (a1*b1 + a0*b0)) / (N^2 - (a1*b1 + a0*b0))
+# in micro-units, DECIMAL(38,0)/HUGEINT products (N up to ~1e16 per
+# source before width matters). Degenerate chance-agreement pe=1 (all
+# four marginal products concentrated) yields NULL via nullif — the
+# convention for "kappa undefined", identical on both engines.
+# Scale shape: one scan, per-row labeling in codegen, one per-source
+# combine; output |sources| rows.
+# ---------------------------------------------------------------------------
+KAPPA_LEN_THRESH = 200  # annotator A: long-document rule, n_chars >= 200
+# annotator B: lexical diversity, distinct tokens >= 3/10 of tokens
+KAPPA_DIV_NUM, KAPPA_DIV_DEN = 3, 10
+
+
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    labeled = docs.select(
+        "source",
+        F.expr(f"CASE WHEN n_chars >= {KAPPA_LEN_THRESH} THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("a"),
+        F.expr(
+            f"CASE WHEN CAST(size(array_distinct(filter(split(text, ' '),"
+            f" x -> x != ''))) AS BIGINT) * {KAPPA_DIV_DEN} >="
+            f" CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+            f" * {KAPPA_DIV_NUM} THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    cells = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("a * b")).cast("bigint").alias("n11"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("bigint").alias("n00"),
+        F.sum(F.expr("a * (1 - b)")).cast("bigint").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("bigint").alias("n01"),
+    )
+    return cells.select(
+        "source",
+        "n_docs",
+        "n11",
+        "n00",
+        "n10",
+        "n01",
+        F.expr(
+            f"CAST((CAST(n_docs AS DECIMAL(38,0)) * (n11 + n00)"
+            f" - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            f"    + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10)))"
+            f" * {MICRO} div nullif("
+            f"CAST(n_docs AS DECIMAL(38,0)) * n_docs"
+            f" - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            f"    + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10)), 0)"
+            f" AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+_KAPPA_SQL = f"""
+WITH labeled AS (
+    SELECT source,
+           CASE WHEN n_chars >= {KAPPA_LEN_THRESH} THEN 1 ELSE 0 END AS a,
+           CASE WHEN CAST(len(list_distinct(list_filter(
+                         string_split(text, ' '), x -> x <> '')))
+                     AS BIGINT) * {KAPPA_DIV_DEN} >=
+                     CAST(len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS BIGINT) * {KAPPA_DIV_NUM}
+                THEN 1 ELSE 0 END AS b
+    FROM documents
+    WHERE text IS NOT NULL
+),
+cells AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(a * b) AS BIGINT) AS n11,
+           CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00,
+           CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(sum((1 - a) * b) AS BIGINT) AS n01
+    FROM labeled GROUP BY 1
+)
+SELECT source, n_docs, n11, n00, n10, n01,
+       CAST((CAST(n_docs AS HUGEINT) * (n11 + n00)
+             - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)))
+            * {MICRO} // nullif(
+            CAST(n_docs AS HUGEINT) * n_docs
+            - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+               + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)), 0)
+            AS BIGINT) AS kappa_micro
+FROM cells
+"""
+
+
 QUERIES = {
     "ab_experiment_lift": ab_experiment_lift,
     "cuped_variance_reduction": cuped_variance_reduction,
@@ -976,6 +1316,9 @@ QUERIES = {
     "t_closeness_audit": t_closeness_audit,
     "dp_sensitivity_audit": dp_sensitivity_audit,
     "srm_guardrail_audit": srm_guardrail_audit,
+    "pass_at_k_estimator": pass_at_k_estimator,
+    "conformal_calibration_audit": conformal_calibration_audit,
+    "annotator_agreement_kappa": annotator_agreement_kappa,
 }
 
 ORACLE = {
@@ -988,4 +1331,7 @@ ORACLE = {
     "t_closeness_audit": _T_CLOSE_SQL,
     "dp_sensitivity_audit": _DP_SENS_SQL,
     "srm_guardrail_audit": _SRM_SQL,
+    "pass_at_k_estimator": _PASSK_SQL,
+    "conformal_calibration_audit": _CONFORMAL_SQL,
+    "annotator_agreement_kappa": _KAPPA_SQL,
 }

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtimedatawarehouse_self_spark.functions.multimodal import (
+    PHASH_GRID,
     attach_payload,
     decode_media_metadata,
 )
@@ -371,8 +372,177 @@ FROM hashed d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup — the image-side analogue of the text
+# dedup family: dHash fingerprints (56-bit row-gradient signs over a
+# nearest-neighbor 8x8 grid; Krawetz) through the REAL Arrow mapInPandas
+# path, then an entirely JVM-side SimHash-style banded candidate join
+# (4 x 14-bit bands: Hamming-<=3 pairs are guaranteed a colliding band;
+# the audit's threshold PHASH_HAM_MAX=6 keeps the usual LSH recall
+# caveat, documented like dedup_simhash's) and a bit_count(xor) verify.
+# Output is the per-band audit (buckets, candidate pairs, verified dup
+# pairs) — bounded at exactly PHASH_BANDS rows at any corpus size; each
+# candidate pair is attributed to its SMALLEST colliding band so the
+# rows partition the pair set deterministically.
+#
+# Scale shape: hashing is one Arrow pass (real codecs plug in at
+# functions/multimodal.py::dhash_bits); candidates come from a bucketed
+# equi-join on (band, value) — never all pairs; the verify touches
+# candidates only. ASCII-corpus contract shared with every python_path
+# oracle (tests/test_contract.py::test_python_path_ascii_corpus_contract).
+# ---------------------------------------------------------------------------
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 14
+PHASH_HAM_MAX = 6
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.multimodal import (
+        dhash_bits,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    hashed = dhash_bits(attach_payload(docs)).persist()
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = hashed.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}),"
+                f" b -> struct(CAST(b AS BIGINT) AS band_idx,"
+                f" (shiftright(dhash, CAST(b * {PHASH_BAND_BITS} AS INT))"
+                f" & {mask}) AS band_val))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "dhash", "bv.band_idx", "bv.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .agg(F.min("a.band_idx").alias("band_idx"))
+        .select(
+            "band_idx",
+            F.expr("bit_count(ha ^ hb)").cast("bigint").alias("hamming"),
+        )
+    )
+    pair_stats = pairs.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum(
+            F.expr(f"CASE WHEN hamming <= {PHASH_HAM_MAX} THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_dup_pairs"),
+        # the observable verify leg even when no pair clears the dup
+        # threshold: the band's closest candidate distance
+        F.min("hamming").cast("bigint").alias("min_hamming"),
+    )
+    buckets = bands.groupBy("band_idx").agg(
+        F.countDistinct("band_val").cast("bigint").alias("n_buckets")
+    )
+    return (
+        buckets.join(pair_stats, "band_idx", "left")
+        .select(
+            "band_idx",
+            "n_buckets",
+            F.coalesce("n_candidate_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+            F.coalesce("n_dup_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_pairs"),
+            F.coalesce("min_hamming", F.lit(-1))
+            .cast("bigint")
+            .alias("min_hamming"),
+        )
+    )
+
+
+_PHASH_MASK = (1 << PHASH_BAND_BITS) - 1
+
+_PHASH_SQL = f"""
+WITH hashed AS (
+    SELECT doc_id, text,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(160 + (TRY_CAST('0x' || substr(sha256(text), 1, 2)
+                       AS INTEGER) % 8) * 80 AS BIGINT) AS w,
+           CAST(90 + (TRY_CAST('0x' || substr(sha256(text), 3, 2)
+                      AS INTEGER) % 8) * 45 AS BIGINT) AS h
+    FROM documents
+),
+grid AS (
+    SELECT doc_id, uy.y, ux.x,
+           ascii(substr(text,
+                 CAST(((uy.y * h // {PHASH_GRID}) * w
+                       + (ux.x * w // {PHASH_GRID})) % n_bytes + 1
+                      AS INTEGER), 1)) AS p
+    FROM hashed,
+         UNNEST(range(0, {PHASH_GRID})) AS uy(y),
+         UNNEST(range(0, {PHASH_GRID})) AS ux(x)
+    WHERE n_bytes > 0
+),
+dh AS (
+    SELECT g1.doc_id,
+           CAST(sum(CASE WHEN g1.p > g2.p
+                    THEN CAST(1 AS BIGINT) << (g1.y * {PHASH_GRID - 1} + g1.x)
+                    ELSE 0 END) AS BIGINT) AS dhash
+    FROM grid g1
+    JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.y = g1.y
+                AND g2.x = g1.x + 1
+    WHERE g1.x <= {PHASH_GRID - 2}
+    GROUP BY 1
+),
+bands AS (
+    SELECT doc_id, dhash, CAST(u.b AS BIGINT) AS band_idx,
+           (dhash >> CAST(u.b * {PHASH_BAND_BITS} AS INTEGER))
+               & {_PHASH_MASK} AS band_val
+    FROM dh, UNNEST(range(0, {PHASH_BANDS})) AS u(b)
+),
+pairs AS (
+    SELECT min(a.band_idx) AS band_idx,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.dhash, b.dhash
+),
+pair_stats AS (
+    SELECT band_idx,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN hamming <= {PHASH_HAM_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_pairs,
+           CAST(min(hamming) AS BIGINT) AS min_hamming
+    FROM pairs GROUP BY 1
+),
+buckets AS (
+    SELECT band_idx,
+           CAST(count(DISTINCT band_val) AS BIGINT) AS n_buckets
+    FROM bands GROUP BY 1
+)
+SELECT k.band_idx, k.n_buckets,
+       CAST(coalesce(p.n_candidate_pairs, 0) AS BIGINT)
+           AS n_candidate_pairs,
+       CAST(coalesce(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(p.min_hamming, -1) AS BIGINT) AS min_hamming
+FROM buckets k LEFT JOIN pair_stats p USING (band_idx)
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_resize": multimodal_resize,
     "trimmed_mean_value_udaf": trimmed_mean_value_udaf,
     "keyword_page_view_udf": keyword_page_view_udf,
@@ -383,6 +553,7 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_phash_dedup": _PHASH_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "trimmed_mean_value_udaf": _TRIMMED_MEAN_SQL,
     "keyword_page_view_udf": _KEYWORD_UDF_SQL,

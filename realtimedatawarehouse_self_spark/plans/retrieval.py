@@ -298,53 +298,66 @@ LIMIT {BPE_TOPK}
 BPE_MERGE_ROUNDS = 3
 
 
-def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    wf = (
+_BPE_CHAR_SPLIT = "' ' || regexp_replace({col}, '(.)', '$1 ')"
+
+
+def _bpe_pair_top1(frame):
+    """Argmax adjacent-symbol pair over a (freq, sym) vocab frame, under
+    the (count DESC, lhs, rhs) total order (shared by train + apply)."""
+    pairs = (
+        frame.withColumn("arr", F.expr("split(trim(sym), ' ')"))
+        .filter(F.expr("size(arr) >= 2"))
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 2),"
+                    " i -> struct(arr[i] AS lhs, arr[i+1] AS rhs))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").cast("bigint").alias("pair_ct"))
+    )
+    return pairs.orderBy(
+        F.col("pair_ct").desc(), F.col("lhs"), F.col("rhs")
+    ).limit(1)
+
+
+def _bpe_apply_merge(frame, top, keep: tuple[str, ...] = ("freq",)):
+    """One merge round: broadcast the 1-row (lhs, rhs) argmax and rewrite
+    every symbol string (leftmost non-overlapping replace; see the
+    even-run caveat in the module comment above)."""
+    return frame.crossJoin(F.broadcast(top.select("lhs", "rhs"))).select(
+        *keep,
+        F.expr(
+            "replace(sym, ' ' || lhs || ' ' || rhs || ' ',"
+            " ' ' || lhs || rhs || ' ')"
+        ).alias("sym"),
+    )
+
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    return (
         docs.select(F.explode("tok_arr").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
             "freq",
-            F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("sym"),
+            F.expr(_BPE_CHAR_SPLIT.format(col="word")).alias("sym"),
         )
-        .persist()
     )
 
-    def pair_top1(frame):
-        pairs = (
-            frame.withColumn("arr", F.expr("split(trim(sym), ' ')"))
-            .filter(F.expr("size(arr) >= 2"))
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(arr) - 2),"
-                        " i -> struct(arr[i] AS lhs, arr[i+1] AS rhs))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.lhs", "p.rhs")
-            .agg(F.sum("freq").cast("bigint").alias("pair_ct"))
-        )
-        return pairs.orderBy(
-            F.col("pair_ct").desc(), F.col("lhs"), F.col("rhs")
-        ).limit(1)
 
-    def apply_merge(frame, top):
-        return frame.crossJoin(F.broadcast(top)).select(
-            "freq",
-            F.expr(
-                "replace(sym, ' ' || lhs || ' ' || rhs || ' ',"
-                " ' ' || lhs || rhs || ' ')"
-            ).alias("sym"),
-        )
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    wf = _bpe_vocab(docs).persist()
 
     rows = []
     cur = wf
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
-        top = pair_top1(cur)
-        cur = apply_merge(cur, top)
+        top = _bpe_pair_top1(cur)
+        cur = _bpe_apply_merge(cur, top)
         after = cur.agg(
             F.sum(F.expr("freq * size(split(trim(sym), ' '))"))
             .cast("bigint")
@@ -412,6 +425,151 @@ wf0 AS (
 ),
 {", ".join(rounds)}
 {union}
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION + fertility audit — the other half of
+# `bpe_merge_rounds`: train the same BPE_MERGE_ROUNDS-round merge table
+# on the whole corpus, APPLY it to every word, and report per-language
+# fertility (symbols emitted per token occurrence) and compression
+# (symbols per character) — the numbers a tokenizer team reads before
+# shipping a vocab (a tokenizer trained on an 'en'-heavy corpus shows
+# higher fertility on the minority languages; this op measures exactly
+# that skew). Scale shape: the corpus collapses ONCE to (lang, word,
+# freq) — a combine-backed shuffle bounded by |vocab|·|langs| — training
+# runs on the lang-summed vocab frame (sublinear in corpus, same as
+# bpe_merge_rounds), and application is BPE_MERGE_ROUNDS broadcast
+# 1-row crossJoins over DISTINCT words, never the corpus. Fertility /
+# compression are floored micro rationals over DECIMAL(38,0)/HUGEINT
+# (token counts at 100 TB exceed BIGINT·1e6 headroom).
+# ---------------------------------------------------------------------------
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    wl = (
+        docs.filter(F.col("lang").isNotNull())
+        .select("lang", F.explode("tok_arr").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    # train on the lang-summed vocab (identical merge table to
+    # bpe_merge_rounds: same corpus totals, same argmax total order)
+    wf = wl.groupBy("word").agg(F.sum("freq").cast("bigint").alias("freq")).select(
+        "freq", F.expr(_BPE_CHAR_SPLIT.format(col="word")).alias("sym")
+    )
+    tops = []
+    cur = wf
+    for _ in range(BPE_MERGE_ROUNDS):
+        top = _bpe_pair_top1(cur).persist()
+        tops.append(top)
+        cur = _bpe_apply_merge(cur, top)
+    # apply the learned merges to the distinct-word frame
+    words = wl.select("word").distinct().select(
+        "word", F.expr(_BPE_CHAR_SPLIT.format(col="word")).alias("sym")
+    )
+    for top in tops:
+        words = _bpe_apply_merge(words, top, keep=("word",))
+    n_sym = words.select(
+        "word",
+        F.expr("CAST(size(split(trim(sym), ' ')) AS BIGINT)").alias("n_sym"),
+    )
+    return (
+        wl.join(n_sym, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.sum("freq").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("freq * n_sym")).cast("bigint").alias("sum_symbols"),
+            F.sum(F.expr("freq * length(word)"))
+            .cast("bigint")
+            .alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            "n_vocab",
+            "n_tokens",
+            "sum_symbols",
+            F.expr(
+                "CAST(CAST(sum_symbols AS DECIMAL(38,0)) * 1000000"
+                " div n_tokens AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST(CAST(sum_symbols AS DECIMAL(38,0)) * 1000000"
+                " div sum_chars AS BIGINT)"
+            ).alias("compression_micro"),
+        )
+    )
+
+
+def _bpe_apply_sql() -> str:
+    rounds = []
+    prev = "wf0"
+    wprev = "w0"
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        rounds.append(
+            f"""p{rnd} AS (
+    SELECT t[i] AS lhs, t[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_ct
+    FROM (SELECT freq, string_split(trim(sym), ' ') AS t FROM {prev}),
+         UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    GROUP BY 1, 2
+),
+top{rnd} AS (
+    SELECT lhs, rhs FROM p{rnd}
+    ORDER BY pair_ct DESC, lhs, rhs LIMIT 1
+),
+wf{rnd} AS (
+    SELECT w.freq,
+           replace(w.sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
+                   ' ' || t.lhs || t.rhs || ' ') AS sym
+    FROM {prev} w, top{rnd} t
+),
+w{rnd} AS (
+    SELECT w.word,
+           replace(w.sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
+                   ' ' || t.lhs || t.rhs || ' ') AS sym
+    FROM {wprev} w, top{rnd} t
+)"""
+        )
+        prev = f"wf{rnd}"
+        wprev = f"w{rnd}"
+    return f"""
+WITH tokl AS (
+    SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+    WHERE lang IS NOT NULL
+),
+wl AS (
+    SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT lang, unnest(t) AS word FROM tokl)
+    GROUP BY 1, 2
+),
+wf0 AS (
+    SELECT CAST(sum(freq) AS BIGINT) AS freq,
+           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+    FROM wl GROUP BY word
+),
+w0 AS (
+    SELECT DISTINCT word,
+           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+    FROM wl
+),
+{", ".join(rounds)},
+ns AS (
+    SELECT word,
+           CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_sym
+    FROM {wprev}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       CAST(sum(freq * n_sym) AS BIGINT) AS sum_symbols,
+       CAST(CAST(sum(freq * n_sym) AS HUGEINT) * 1000000
+            // sum(freq) AS BIGINT) AS fertility_micro,
+       CAST(CAST(sum(freq * n_sym) AS HUGEINT) * 1000000
+            // sum(freq * length(word)) AS BIGINT) AS compression_micro
+FROM wl JOIN ns USING (word)
+GROUP BY 1
 """
 
 
@@ -1238,6 +1396,7 @@ QUERIES = {
     "source_span_overlap": source_span_overlap,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_rounds": bpe_merge_rounds,
+    "bpe_apply_fertility": bpe_apply_fertility,
     "kneser_ney_counts": kneser_ney_counts,
     "collocation_pmi": collocation_pmi,
     "span_dedup_stats": span_dedup_stats,
@@ -1251,6 +1410,7 @@ ORACLE = {
     "source_span_overlap": _SOURCE_OVERLAP_SQL,
     "bpe_pair_counts": _BPE_SQL,
     "bpe_merge_rounds": _bpe_merge_sql(),
+    "bpe_apply_fertility": _bpe_apply_sql(),
     "kneser_ney_counts": _KN_SQL,
     "collocation_pmi": _PMI_SQL,
     "span_dedup_stats": _SPAN_SQL,

@@ -833,8 +833,97 @@ WHERE e.w_end >= rng.d_min + {QRM_DAYS - 1} AND e.w_end <= rng.d_max
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance — the delta-join rule every
+# materialized-view maintainer implements (Blakeley et al. SIGMOD'86;
+# the algebra behind Delta Live Tables / Materialize):
+#   V = agg(O ⋈ C);  O = Bo ∪ ΔO, C = Bc ∪ ΔC
+#   ΔV-terms: agg(Bo⋈Bc) [the stored view] + agg(ΔO⋈Bc) + agg(Bo⋈ΔC)
+#             + agg(ΔO⋈ΔC), merged by re-aggregating the PARTIAL
+#             aggregates on the view key.
+# The Spark side executes the full four-term decomposition (delta slices
+# are deterministic key residues standing in for a CDC batch) and merges;
+# the oracle computes the direct full-join aggregate — proving the IVM
+# algebra reaches the identical view. `n_partials` exposes the merge
+# provenance (how many delta terms touched each key), re-derived by the
+# oracle from the residue classes. The signed/retraction half of IVM
+# lives in `retraction_rollup`; this op is the JOIN-delta half.
+#
+# Scale shape: at 100 TB only the three delta terms run per refresh (the
+# base term IS the stored view); each term is a key-partitioned join
+# whose delta side is batch-sized, followed by a combine-backed partial
+# aggregate — the merge re-aggregates |view| rows, never re-scans facts.
+# ---------------------------------------------------------------------------
+IVM_ORDER_MOD = 4  # ΔO: o_orderkey % 4 == 0 (one CDC batch of orders)
+IVM_CUST_MOD = 5  # ΔC: c_custkey % 5 == 0 (one CDC batch of customers)
+
+
+def incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    apply_runtime_confs(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            money_cents("o_totalprice").alias("cents"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    bo = o.filter(f"o_orderkey % {IVM_ORDER_MOD} != 0")
+    d_o = o.filter(f"o_orderkey % {IVM_ORDER_MOD} = 0")
+    bc = c.filter(f"c_custkey % {IVM_CUST_MOD} != 0")
+    d_c = c.filter(f"c_custkey % {IVM_CUST_MOD} = 0")
+
+    def term(os_, cs_):
+        return (
+            os_.join(cs_, os_["o_custkey"] == cs_["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+        )
+
+    parts = (
+        term(bo, bc)
+        .unionByName(term(d_o, bc))
+        .unionByName(term(bo, d_c))
+        .unionByName(term(d_o, d_c))
+    )
+    return parts.groupBy("c_nationkey").agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("total_cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+    )
+
+
+_IVM_SQL = f"""
+WITH joined AS (
+    SELECT c.c_nationkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           (CASE WHEN o.o_orderkey % {IVM_ORDER_MOD} = 0 THEN 2 ELSE 0 END
+            + CASE WHEN c.c_custkey % {IVM_CUST_MOD} = 0 THEN 1 ELSE 0 END)
+               AS term_id
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(count(DISTINCT term_id) AS BIGINT) AS n_partials
+FROM joined
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "snapshot_diff_user_state": snapshot_diff_user_state,
+    "incremental_join_maintenance": incremental_join_maintenance,
     "running_balance_floor": running_balance_floor,
     "attribution_last_touch": attribution_last_touch,
     "attribution_linear_apportion": attribution_linear_apportion,
@@ -845,6 +934,7 @@ QUERIES = {
 
 ORACLE = {
     "snapshot_diff_user_state": _SNAP_SQL,
+    "incremental_join_maintenance": _IVM_SQL,
     "running_balance_floor": _BALANCE_SQL,
     "attribution_last_touch": _ATTR_SQL,
     "attribution_linear_apportion": _APPORTION_SQL,

@@ -1858,8 +1858,179 @@ WHERE order_id % 13 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming HLL register merge — the FIXED-WIDTH mergeable-sketch driver
+# row, completing the streaming sketch-state trio (KMV K-set:
+# `streaming_kmv_daily`; Misra–Gries counters: `streaming_topk_hitters`;
+# HLL registers: this). Each day's 64-register vector is carried in
+# keyed state across micro-batches with an elementwise-max fold —
+# commutative/associative/idempotent, so the stream is deliberately
+# sliced by HASH (not by day): every day key must merge partials from
+# every batch, and the final registers must equal the batch
+# computation's bit-for-bit. The oracle recomputes the per-day HLL
+# estimate (the daily grain of `hll_union_rolling`'s register algebra,
+# same alpha/harmonic integer doctrine) directly in SQL.
+# ---------------------------------------------------------------------------
+HLL_STREAM_SLICES = 3
+
+
+def streaming_hll_merge_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        HLL_ALPHA_MICRO,
+        HLL_M,
+        _HLL_POW_REST,
+        _HLL_RANK_MAX,
+        _HLL_SCALE,
+        _daily_hashes,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        hll_register_merge,
+    )
+
+    dh = None
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-hll-")
+            dh = _daily_hashes(spark, sf_dir).persist()
+            if not dh.take(1):
+                return spark.createDataFrame(
+                    [],
+                    "day string, exact_users bigint, hll_users bigint, "
+                    "err_ppm bigint, occupied_regs bigint",
+                )
+            dr = dh.select(
+                F.date_format("d", "yyyy-MM-dd").alias("day"),
+                F.expr(f"h div {_HLL_POW_REST}").alias("reg"),
+                F.expr(
+                    f"CASE WHEN h % {_HLL_POW_REST} = 0 THEN {_HLL_RANK_MAX} "
+                    f"ELSE {_HLL_RANK_MAX} - length(bin(h % {_HLL_POW_REST}))"
+                    f" END"
+                ).alias("rank"),
+                F.col("h"),
+            )
+            for i in range(HLL_STREAM_SLICES):
+                stage.stage_slice(
+                    dr.filter(F.col("h") % HLL_STREAM_SLICES == i).select(
+                        "day",
+                        "reg",
+                        "rank",
+                        F.lit(0).cast("int").alias("flush"),
+                    )
+                )
+            stage.stage_sentinel(
+                dh.select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+                .distinct()
+                .select(
+                    "day",
+                    F.lit(0).cast("bigint").alias("reg"),
+                    F.lit(0).cast("bigint").alias("rank"),
+                    F.lit(1).cast("int").alias("flush"),
+                )
+            )
+            schema = "day string, reg bigint, rank bigint, flush int"
+            sketch = stage.run_to_parquet(
+                spark,
+                hll_register_merge(
+                    stage.read_stream(spark, schema),
+                    m=HLL_M,
+                    rank_max=_HLL_RANK_MAX,
+                ),
+            ).select("day", "occupied_regs", "s_occ")
+            exact = dh.groupBy(
+                F.date_format("d", "yyyy-MM-dd").alias("day")
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("exact_users"))
+            est = (
+                sketch.join(exact, "day")
+                .withColumn(
+                    "s_total",
+                    F.expr(
+                        f"s_occ + ({HLL_M} - occupied_regs)"
+                        f" * CAST({_HLL_SCALE} AS BIGINT)"
+                    ),
+                )
+                .withColumn(
+                    "hll_users",
+                    F.expr(
+                        f"CAST(CAST({HLL_ALPHA_MICRO} AS DECIMAL(38,0))"
+                        f" * {HLL_M} * {HLL_M} * {_HLL_SCALE}"
+                        f" div (CAST(s_total AS DECIMAL(38,0)) * 1000000)"
+                        f" AS BIGINT)"
+                    ),
+                )
+            )
+            return est.select(
+                "day",
+                "exact_users",
+                "hll_users",
+                F.expr(
+                    "CAST(abs(hll_users - exact_users) * 1000000"
+                    " div exact_users AS BIGINT)"
+                ).alias("err_ppm"),
+                "occupied_regs",
+            )
+        finally:
+            if dh is not None:
+                dh.unpersist()
+
+
+def _hll_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        _H60_DUCK,
+        HLL_ALPHA_MICRO,
+        HLL_M,
+        _HLL_POW_REST,
+        _HLL_RANK_MAX,
+        _HLL_SCALE,
+    )
+
+    return f"""
+WITH dh AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           {_H60_DUCK.format(col="user_id")} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+daily_reg AS (
+    SELECT d, h // {_HLL_POW_REST} AS reg,
+           max(CASE WHEN h % {_HLL_POW_REST} = 0 THEN {_HLL_RANK_MAX}
+               ELSE {_HLL_RANK_MAX} - length(bin(h % {_HLL_POW_REST}))
+               END) AS m
+    FROM dh GROUP BY 1, 2
+),
+sk AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS occupied_regs,
+           CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - m)) AS BIGINT)
+               AS s_occ
+    FROM daily_reg GROUP BY 1
+),
+exact AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS exact_users FROM dh GROUP BY 1
+),
+est AS (
+    SELECT s.d, e.exact_users, s.occupied_regs,
+           s.s_occ + ({HLL_M} - s.occupied_regs)
+               * CAST({_HLL_SCALE} AS BIGINT) AS s_total
+    FROM sk s JOIN exact e USING (d)
+),
+fin AS (
+    SELECT d, exact_users,
+           CAST(CAST({HLL_ALPHA_MICRO} AS HUGEINT)
+                * {HLL_M} * {HLL_M} * {_HLL_SCALE}
+                // (CAST(s_total AS HUGEINT) * 1000000) AS BIGINT)
+               AS hll_users,
+           occupied_regs
+    FROM est
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, exact_users, hll_users,
+       CAST(abs(hll_users - exact_users) * 1000000 // exact_users
+            AS BIGINT) AS err_ppm,
+       occupied_regs
+FROM fin
+"""
+
+
 QUERIES = {
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
+    "streaming_hll_merge_twin": streaming_hll_merge_twin,
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_topk_hitters": streaming_topk_hitters,
     "streaming_uv_daily": streaming_uv_daily,
@@ -1880,6 +2051,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
+    "streaming_hll_merge_twin": _hll_stream_sql(),
     "streaming_pv_hourly": _PV_SQL,
     "streaming_topk_hitters": _TOPK_STREAM_SQL,
     "streaming_uv_daily": _UV_SQL,

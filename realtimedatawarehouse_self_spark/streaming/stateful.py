@@ -515,3 +515,74 @@ def kmv_kmin(events: DataFrame, k: int = 8) -> DataFrame:
     return events.groupBy("day").applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def hll_register_merge(
+    events: DataFrame, m: int = 64, rank_max: int = 55
+) -> DataFrame:
+    """Per-day HyperLogLog register state carried across micro-batches —
+    the fixed-width mergeable-sketch streaming twin of
+    ``plans/sketches.hll_union_rolling``'s register algebra.
+
+    The state is the day's m-register vector (max rank seen per
+    register): per batch the fold is an elementwise max — commutative,
+    associative, idempotent, so the result is independent of how the
+    stream was sliced. State per key is EXACTLY m longs regardless of
+    cardinality — the property that distinguishes HLL from KMV's K-set
+    (`kmv_kmin`) and makes the register vector the cheapest
+    cross-cluster shippable distinct summary.
+
+    Input rows: (day, reg, rank, flush). Data rows have flush=0; the
+    harness's final sentinel carries one flush=1 row per day. On flush
+    the key emits (day, occupied_regs, s_occ) — the two sufficient
+    statistics of the shifted harmonic sum (s_occ = sum over occupied
+    registers of 2^(rank_max - M_j)) — and drops its state; the
+    JVM-side plan composes the same alpha/harmonic estimate as the
+    batch operator.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField("day", StringType()),
+            StructField("occupied_regs", LongType()),
+            StructField("s_occ", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("regs", ArrayType(LongType()))])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * m
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        flush = bool((pdf["flush"] == 1).any())
+        data = pdf[pdf["flush"] == 0]
+        if len(data):
+            mx = data.groupby("reg")["rank"].max()
+            for r, k in mx.items():
+                r, k = int(r), int(k)
+                if k > regs[r]:
+                    regs[r] = k
+        if flush:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "day": [key_tuple[0]],
+                    "occupied_regs": [sum(1 for v in regs if v > 0)],
+                    "s_occ": [
+                        sum(1 << (rank_max - v) for v in regs if v > 0)
+                    ],
+                }
+            )
+        else:
+            state.update(([int(v) for v in regs],))
+            yield pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="str"),
+                    "occupied_regs": pd.Series([], dtype="int64"),
+                    "s_occ": pd.Series([], dtype="int64"),
+                }
+            )
+
+    return events.groupBy("day").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

@@ -73,6 +73,19 @@ def null_sf_dir(tmp_path_factory):
         }
     )
     pq.write_table(orders, os.path.join(str(d), "orders.parquet"))
+    # a tiny customer table for the IVM delta-join: a NULL nationkey must
+    # form its own view group and the NULL-custkey order must drop on
+    # both engines (r8 wave 24)
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([10, None, 10], pa.int32()),
+            "c_acctbal": pa.array([1.0, 2.0, None], pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING"] * 3),
+        }
+    )
+    pq.write_table(customer, os.path.join(str(d), "customer.parquet"))
     return str(d)
 
 
@@ -88,6 +101,10 @@ def null_duck(null_sf_dir):
     con.execute(
         "CREATE VIEW orders AS SELECT * FROM "
         f"'{os.path.join(null_sf_dir, 'orders.parquet')}'"
+    )
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"'{os.path.join(null_sf_dir, 'customer.parquet')}'"
     )
     yield con
     con.close()
@@ -196,6 +213,15 @@ def null_duck(null_sf_dir):
         # and the NULL-user purchase must produce no label row
         "community_label_propagation",
         "pit_training_matrix",
+        # r8 wave 24: pass@k's sufficient stats over groups whose values
+        # are partly/entirely NULL (the all-NULL 'error' type must vanish
+        # identically), the conformal split where md5(NULL user) makes
+        # is_cal NULL (dropped from BOTH the cal and test slices on both
+        # engines), and the IVM delta-join where a NULL custkey order
+        # never joins and a NULL nationkey forms its own view group
+        "pass_at_k_estimator",
+        "conformal_calibration_audit",
+        "incremental_join_maintenance",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

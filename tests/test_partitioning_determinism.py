@@ -245,6 +245,22 @@ QUERIES = [
     "lang_id_ngram",                 # n-gram vote argmax ties
     "pii_scrub_stats",               # regex hit maps
     "repetition_filter",             # windowed n-gram repeat ratio
+    # round-8 wave-24 additions
+    "pass_at_k_estimator",           # binomial-ratio rationals under
+    #                                  partial-agg reordering
+    "conformal_calibration_audit",   # order-statistic threshold pick:
+    #                                  (score, event_id) total order
+    "annotator_agreement_kappa",     # chance-corrected agreement cells
+    #                                  under combine reordering
+    "bpe_apply_fertility",           # trained merge chain + per-lang
+    #                                  fertility sums must be a pure
+    #                                  function of the corpus
+    "importance_weight_selection",   # global lower-median threshold:
+    #                                  (score, doc_id) total order
+    "incremental_join_maintenance",  # four-term delta merge must equal
+    #                                  the direct join under any plan
+    "multimodal_phash_dedup",        # Arrow batch boundaries must not
+    #                                  leak into dHash bands or pair sets
 ]
 
 PERTURBED = {
