@@ -307,6 +307,16 @@ HEADLINE = [
     "importance_weight_selection",
     "incremental_join_maintenance",
     "multimodal_phash_dedup",
+    # r8 wave 25: eval/diversity/attribution/sketch-difference
+    "classifier_calibration_ece",
+    "kmv_audience_difference",
+    "vocab_concentration_simpson",
+    "recsys_holdout_eval",
+    "markov_removal_effect",
+    # r8 wave 26: layout planner, filter interactions, sequence eval
+    "encoding_choice_audit",
+    "filter_ablation_matrix",
+    "next_event_prediction_accuracy",
     # streaming_hll_merge_twin is NOT benched (streaming-twin rule, as
     # streaming_dedup_incoming above: the register fold is the already-
     # benched hll_union_rolling arithmetic plus harness file-feed

@@ -1836,6 +1836,702 @@ WHERE a.day IN (SELECT DISTINCT day FROM topk)
 """
 
 
+# ---------------------------------------------------------------------------
+# Next-event prediction accuracy — the sequence-model eval harness on
+# user splits: train a first-order transition model (the
+# `event_type_markov_transitions` statistic) on the md5-hash train
+# users, predict each test transition's next type by the per-prev argmax
+# under the (count DESC, type ASC) total order, and score accuracy per
+# prev type against the global-majority baseline (the lift-over-baseline
+# number that decides whether sequence context helps at all). Exact
+# integers: counts, argmax tie order, floored micro accuracies. Scale
+# shape: one lag window per split, a <=|types|^2 model frame broadcast
+# back over the test transitions, a |types|-row output.
+# ---------------------------------------------------------------------------
+_NEP_SPLIT_SPARK = (
+    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 2"
+)
+_NEP_SPLIT_DUCK = (
+    "TRY_CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 2"
+)
+
+
+def next_event_prediction_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chained = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            (F.expr(_NEP_SPLIT_SPARK) == 0).alias("is_train"),
+        )
+        .persist()
+    )
+    counts = (
+        chained.filter("is_train")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type")
+    )
+    model = (
+        counts.withColumn("rn", F.row_number().over(wm))
+        .filter("rn = 1")
+        .select("prev_type", F.col("next_type").alias("predicted_next"))
+    )
+    baseline = (
+        chained.filter("is_train")
+        .groupBy("next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("next_type"))
+        .limit(1)
+        .select(F.col("next_type").alias("baseline_next"))
+    )
+    test = chained.filter(~F.col("is_train"))
+    return (
+        test.join(F.broadcast(model), "prev_type")
+        .crossJoin(F.broadcast(baseline))
+        .groupBy("prev_type", "predicted_next", "baseline_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN next_type = predicted_next THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN next_type = baseline_next THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_baseline_correct"),
+        )
+        .select(
+            "prev_type",
+            "predicted_next",
+            "n_test",
+            "n_correct",
+            F.expr(
+                "CAST(n_correct * 1000000 div n_test AS BIGINT)"
+            ).alias("accuracy_micro"),
+            F.expr(
+                "CAST(n_baseline_correct * 1000000 div n_test AS BIGINT)"
+            ).alias("baseline_accuracy_micro"),
+        )
+    )
+
+
+_NEP_SQL = f"""
+WITH chained AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type,
+           ({_NEP_SPLIT_DUCK}) = 0 AS is_train
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+tr AS (SELECT * FROM chained WHERE prev_type IS NOT NULL),
+counts AS (
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM tr WHERE is_train GROUP BY 1, 2
+),
+model AS (
+    SELECT prev_type, next_type AS predicted_next FROM (
+        SELECT prev_type, next_type,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type) AS rn
+        FROM counts
+    ) WHERE rn = 1
+),
+baseline AS (
+    SELECT next_type AS baseline_next
+    FROM tr WHERE is_train
+    GROUP BY 1 ORDER BY count(*) DESC, next_type LIMIT 1
+)
+SELECT t.prev_type, m.predicted_next,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.next_type = m.predicted_next
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN t.next_type = m.predicted_next THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS accuracy_micro,
+       CAST(sum(CASE WHEN t.next_type = b.baseline_next THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS baseline_accuracy_micro
+FROM tr t
+JOIN model m USING (prev_type), baseline b
+WHERE NOT t.is_train
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — the data-driven attribution model
+# (Anderl et al. 2016; the industry successor to last-touch/linear,
+# both already in this registry): user journeys become a first-order
+# absorbing Markov chain (start -> channels -> conv/null), and a
+# channel's credit is its REMOVAL EFFECT — how much the chain's
+# conversion probability drops when every visit to the channel is
+# redirected to the null absorber.
+#
+# Exact-integer execution: transition probabilities are floored micro
+# rationals; absorption probability is computed by MARKOV_STEPS unrolled
+# mass-propagation steps over the PIVOTED 1-row transition matrix (the
+# state space is the fixed event-type domain, so the matrix pivots into
+# scalar columns and every step is plain column arithmetic in codegen —
+# no driver-side linear algebra, no collect). Each product floors at
+# micro (m*p div 1e6), identically in both engines; the truncation after
+# MARKOV_STEPS drops only mass still in transient states (documented —
+# paths longer than MARKOV_STEPS hops contribute nothing, the same
+# horizon cap production attribution uses). Products stay < 1e12, well
+# inside BIGINT.
+#
+# Scale shape: ONE data-sized pass (the per-user path/lag window the
+# markov-transitions op already runs) down to a <=|types|^2 transition
+# frame; the pivot and all 5 scenario iterations run on a 1-row frame.
+# ---------------------------------------------------------------------------
+MARKOV_CHANNELS = ("click", "error", "signup", "view")  # transient states
+MARKOV_STATES = ("start",) + MARKOV_CHANNELS
+MARKOV_STEPS = 8
+_MK_MICRO = 1_000_000
+
+
+def _markov_step_cols(div: str):
+    """Expression strings for the unrolled mass propagation (the DuckDB
+    oracle's chained-CTE form; the Spark side evaluates the identical
+    recurrence as an aggregate fold — same fold-vs-unroll duality as
+    Holt). Returns (init_cols, step_cols_fn): init maps scenario columns
+    to literals; step_cols_fn(step) maps each scenario column to its
+    update in terms of the previous step's columns (m_{scen}_{state},
+    conv_{scen}) and the pivoted p_{src}_{dst} micro columns."""
+    scens = ("all",) + MARKOV_CHANNELS
+    init = {}
+    for sc in scens:
+        for s in MARKOV_STATES:
+            init[f"m_{sc}_{s}"] = str(_MK_MICRO if s == "start" else 0)
+        init[f"conv_{sc}"] = "0"
+
+    def step(_i: int):
+        out = {}
+        for sc in scens:
+            active = [s for s in MARKOV_STATES if s != sc]
+            for t in MARKOV_STATES:
+                if t == "start" or t == sc:
+                    out[f"m_{sc}_{t}"] = "0"
+                    continue
+                terms = [
+                    f"(m_{sc}_{s} * p_{s}_{t} {div} {_MK_MICRO})"
+                    for s in active
+                ]
+                out[f"m_{sc}_{t}"] = " + ".join(terms)
+            conv_terms = [
+                f"(m_{sc}_{s} * p_{s}_conv {div} {_MK_MICRO})"
+                for s in active
+            ]
+            out[f"conv_{sc}"] = f"conv_{sc} + " + " + ".join(conv_terms)
+        return out
+
+    return init, step
+
+
+def markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # path_id = number of conversions strictly BEFORE this row: events
+    # after a purchase start a fresh journey
+    pathed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.coalesce(
+            F.sum(
+                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("path_id"),
+    )
+    wp = Window.partitionBy("user_id", "path_id").orderBy("ts", "event_id")
+    hops = pathed.select(
+        F.coalesce(F.lag("event_type").over(wp), F.lit("start")).alias("src"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 'conv'"
+            " ELSE event_type END"
+        ).alias("dst"),
+        F.expr(
+            "CASE WHEN event_type != 'purchase' AND lead(event_type) OVER ("
+            "PARTITION BY user_id, path_id ORDER BY ts, event_id) IS NULL"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_path_end"),
+        "event_type",
+    )
+    # explicit null-absorber exits so every state's outgoing mass sums to 1
+    trans = hops.select("src", "dst").unionAll(
+        hops.filter("is_path_end = 1").select(
+            F.col("event_type").alias("src"), F.lit("null").alias("dst")
+        )
+    )
+    counts = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # pivot to ONE row of p_{src}_{dst} micro columns
+    aggs = []
+    for s in MARKOV_STATES:
+        tot = (
+            f"sum(CASE WHEN src = '{s}' THEN n ELSE 0 END)"
+        )
+        for t in list(MARKOV_CHANNELS) + ["conv"]:
+            aggs.append(
+                F.expr(
+                    f"CAST(coalesce(sum(CASE WHEN src = '{s}' AND dst = '{t}'"
+                    f" THEN n END) * {_MK_MICRO} div nullif({tot}, 0), 0)"
+                    f" AS BIGINT)"
+                ).alias(f"p_{s}_{t}")
+            )
+    pivot = counts.agg(*aggs)
+
+    # Per-scenario absorption as ONE aggregate-fold expression (the Holt
+    # pattern): chained per-step projections would be collapsed by
+    # Catalyst into an exponentially-inlined tree that blows janino's
+    # method limit; the fold keeps the expression linear in
+    # MARKOV_STEPS x |states| and inside codegen.
+    def fold_expr(sc: str) -> str:
+        active = [s for s in MARKOV_STATES if s != sc]
+        zero = "CAST(0 AS BIGINT)"
+        init_fields = ", ".join(
+            f"CAST({_MK_MICRO if s == 'start' else 0} AS BIGINT) AS m_{s}"
+            for s in MARKOV_STATES
+        )
+        upd_fields = []
+        for t in MARKOV_STATES:
+            if t == "start" or t == sc:
+                upd_fields.append(f"{zero} AS m_{t}")
+                continue
+            terms = " + ".join(
+                f"(a.m_{s} * p_{s}_{t} div {_MK_MICRO})" for s in active
+            )
+            upd_fields.append(f"CAST({terms} AS BIGINT) AS m_{t}")
+        conv_terms = " + ".join(
+            f"(a.m_{s} * p_{s}_conv div {_MK_MICRO})" for s in active
+        )
+        return (
+            f"aggregate(sequence(1, {MARKOV_STEPS}),"
+            f" struct({init_fields}, {zero} AS conv),"
+            f" (a, i) -> struct({', '.join(upd_fields)},"
+            f" CAST(a.conv + {conv_terms} AS BIGINT) AS conv),"
+            f" a -> a.conv)"
+        )
+
+    cur = pivot.select(
+        *[
+            F.expr(fold_expr(sc)).cast("bigint").alias(f"conv_{sc}")
+            for sc in ("all",) + MARKOV_CHANNELS
+        ]
+    )
+    removal_sum = " + ".join(
+        f"greatest(conv_all - conv_{c}, 0)" for c in MARKOV_CHANNELS
+    )
+    stack_args = ", ".join(
+        f"'{c}', CAST(greatest(conv_all - conv_{c}, 0) AS BIGINT),"
+        f" CAST(conv_{c} AS BIGINT)"
+        for c in MARKOV_CHANNELS
+    )
+    return cur.select(
+        F.col("conv_all").cast("bigint").alias("conv_full_micro"),
+        F.expr(f"CAST({removal_sum} AS BIGINT)").alias("_rsum"),
+        F.expr(
+            f"stack({len(MARKOV_CHANNELS)}, {stack_args})"
+            " AS (channel, removal_micro, conv_removed_micro)"
+        ),
+    ).select(
+        "channel",
+        "conv_full_micro",
+        "conv_removed_micro",
+        "removal_micro",
+        F.expr(
+            "CASE WHEN _rsum = 0 THEN -1"
+            f" ELSE CAST(removal_micro * {_MK_MICRO} div _rsum AS BIGINT)"
+            " END"
+        ).alias("attribution_micro"),
+    )
+
+
+def _markov_removal_sql() -> str:
+    p_defs = []
+    for s in MARKOV_STATES:
+        tot = f"sum(CASE WHEN src = '{s}' THEN n ELSE 0 END)"
+        for t in list(MARKOV_CHANNELS) + ["conv"]:
+            p_defs.append(
+                f"CAST(coalesce(sum(CASE WHEN src = '{s}' AND dst = '{t}'"
+                f" THEN n END) * {_MK_MICRO} // nullif({tot}, 0), 0)"
+                f" AS BIGINT) AS p_{s}_{t}"
+            )
+    init, step = _markov_step_cols("//")
+    p_cols = ", ".join(
+        f"p_{s}_{t}" for s in MARKOV_STATES
+        for t in list(MARKOV_CHANNELS) + ["conv"]
+    )
+    steps_sql = [
+        "s0 AS (SELECT "
+        + p_cols
+        + ", "
+        + ", ".join(f"CAST({v} AS BIGINT) AS {k}" for k, v in init.items())
+        + " FROM pv)"
+    ]
+    for i in range(MARKOV_STEPS):
+        upd = step(i)
+        steps_sql.append(
+            f"s{i + 1} AS (SELECT "
+            + p_cols
+            + ", "
+            + ", ".join(
+                f"CAST({v} AS BIGINT) AS {k}" for k, v in upd.items()
+            )
+            + f" FROM s{i})"
+        )
+    removal_sum = " + ".join(
+        f"greatest(conv_all - conv_{c}, 0)" for c in MARKOV_CHANNELS
+    )
+    chan_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel,"
+        f" CAST(conv_all AS BIGINT) AS conv_full_micro,"
+        f" CAST(conv_{c} AS BIGINT) AS conv_removed_micro,"
+        f" CAST(greatest(conv_all - conv_{c}, 0) AS BIGINT)"
+        f" AS removal_micro,"
+        f" CAST({removal_sum} AS BIGINT) AS rsum"
+        f" FROM s{MARKOV_STEPS}"
+        for c in MARKOV_CHANNELS
+    )
+    return f"""
+WITH pathed AS (
+    SELECT user_id, event_id, ts, event_type,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS path_id
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+hops AS (
+    SELECT coalesce(lag(event_type) OVER w, 'start') AS src,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS dst,
+           CASE WHEN event_type <> 'purchase'
+                 AND lead(event_type) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_path_end,
+           event_type
+    FROM pathed
+    WINDOW w AS (PARTITION BY user_id, path_id ORDER BY ts, event_id)
+),
+trans AS (
+    SELECT src, dst FROM hops
+    UNION ALL
+    SELECT event_type AS src, 'null' AS dst FROM hops WHERE is_path_end = 1
+),
+counts AS (
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+    FROM trans GROUP BY 1, 2
+),
+pv AS (
+    SELECT {", ".join(p_defs)} FROM counts
+),
+{", ".join(steps_sql)},
+chans AS ({chan_rows})
+SELECT channel, conv_full_micro, conv_removed_micro, removal_micro,
+       CASE WHEN rsum = 0 THEN -1
+            ELSE CAST(removal_micro * {_MK_MICRO} // rsum AS BIGINT)
+       END AS attribution_micro
+FROM chans
+"""
+
+
+# ---------------------------------------------------------------------------
+# Recommender holdout evaluation — the TIME-SPLIT offline eval harness
+# that turns `item_cf_recommend` from "we built a recommender" into "we
+# measured one" (the standard leave-future-out protocol; Cremonesi et
+# al., RecSys'10): train a co-occurrence recommender on orders BEFORE
+# the 80% time cutoff, recommend top-K per user, and score hits against
+# each user's AFTER-cutoff purchases. HitRate@k / Precision@k / MRR@k
+# at k in {1, 5, 10}, every metric an exact floored micro rational
+# (MRR's 1/rank terms are MICRO div rank — exact integers, no floats).
+#
+# The trained model here is the simple cooc-sum scorer ("users who
+# bought X also bought", Linden et al.) rather than the full cos²
+# neighborhoods — the EVAL HARNESS is the operator under test, and a
+# second scorer keeps it from sharing a blind spot with item_cf's; the
+# same harness evaluates any (user, item, rank) frame.
+#
+# Scale shape: identical bounds to item_cf (hub cap -> pair volume
+# linear in users; candidate expansion <= neighbors per owned item;
+# top-K via WindowGroupLimit); the eval joins are user-keyed; output is
+# 3 rows. The time cutoff is derived from the data's own date range in
+# integer day arithmetic — no wall clock.
+# ---------------------------------------------------------------------------
+EVAL_TRAIN_PCT_NUM, EVAL_TRAIN_PCT_DEN = 4, 5  # 80/20 time split
+EVAL_KS = (1, 5, 10)
+
+
+def recsys_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import (
+        ordered_pair_structs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rng = orders.agg(
+        F.expr("CAST(min(o_orderdate) AS DATE)").alias("d_min"),
+        F.expr("CAST(max(o_orderdate) AS DATE)").alias("d_max"),
+    )
+    ui = (
+        orders.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "is_train",
+            F.expr(
+                f"CAST(o_orderdate AS DATE) < date_add(d_min,"
+                f" CAST(datediff(d_max, d_min) * {EVAL_TRAIN_PCT_NUM}"
+                f" div {EVAL_TRAIN_PCT_DEN} AS INT))"
+            ),
+        )
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .filter(F.col("l_partkey").isNotNull())
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+            "is_train",
+        )
+        .distinct()
+        .persist()
+    )
+    train = (
+        ui.filter("is_train")
+        .select("user_id", "item")
+        .distinct()
+        .withColumn(
+            "n_items", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("n_items") <= CF_ITEM_CAP)
+        .select("user_id", "item")
+        .persist()
+    )
+    test = ui.filter(~F.col("is_train")).select("user_id", "item").distinct()
+    pairs = (
+        train.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .select(
+            F.explode(ordered_pair_structs("items", "ia", "ib")).alias("p")
+        )
+        .groupBy("p.ia", "p.ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= CF_MIN_COOC)
+    )
+    sym_all = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("cand"), "cooc"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("item"), F.col("ia").alias("cand"), "cooc"
+        )
+    )
+    # neighborhood cut BEFORE the serve join (same as item_cf: candidate
+    # expansion is bounded by CF_NEIGHBORS per owned item, not by the
+    # item's full cooc partner list — without it the serve join is
+    # quadratic in popular-item degree)
+    wn = Window.partitionBy("item").orderBy(
+        F.col("cooc").desc(), F.col("cand")
+    )
+    sym = (
+        sym_all.withColumn("nrk", F.row_number().over(wn))
+        .filter(F.col("nrk") <= CF_NEIGHBORS)
+        .drop("nrk")
+    )
+    scored = (
+        train.join(sym, "item")
+        .groupBy("user_id", "cand")
+        .agg(F.sum("cooc").cast("bigint").alias("score"))
+        .join(
+            train.select(
+                "user_id", F.col("item").alias("cand")
+            ),
+            ["user_id", "cand"],
+            "left_anti",
+        )
+    )
+    wk = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    recs = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= max(EVAL_KS))
+        .select("user_id", F.col("cand").alias("item"), "rank")
+    )
+    eval_users = (
+        train.select("user_id")
+        .distinct()
+        .join(test.select("user_id").distinct(), "user_id")
+    )
+    hits = recs.join(test, ["user_id", "item"]).select("user_id", "rank")
+    per_user = eval_users.join(
+        hits.groupBy("user_id").agg(
+            F.min("rank").alias("first_rank"),
+            F.array_sort(F.collect_list("rank")).alias("hit_ranks"),
+        ),
+        "user_id",
+        "left",
+    )
+    ks = ", ".join(str(k) for k in EVAL_KS)
+    return (
+        per_user.select(
+            "user_id",
+            "first_rank",
+            "hit_ranks",
+            F.explode(F.expr(f"array({ks})")).alias("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_users"),
+            F.sum(
+                F.expr("CASE WHEN first_rank <= k THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_hit_users"),
+            F.expr(
+                "CAST(sum(CASE WHEN first_rank <= k THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("hitrate_micro"),
+            F.expr(
+                "CAST(sum(coalesce(size(filter(hit_ranks, r -> r <= k)), 0))"
+                " * 1000000 div (k * count(*)) AS BIGINT)"
+            ).alias("precision_micro"),
+            F.expr(
+                "CAST(sum(CASE WHEN first_rank <= k"
+                " THEN 1000000 div first_rank ELSE 0 END)"
+                " div count(*) AS BIGINT)"
+            ).alias("mrr_micro"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_eval_users",
+            "n_hit_users",
+            "hitrate_micro",
+            "precision_micro",
+            "mrr_micro",
+        )
+    )
+
+
+def _recsys_eval_sql() -> str:
+    ks = ", ".join(str(k) for k in EVAL_KS)
+    return f"""
+WITH rng AS (
+    SELECT CAST(min(o_orderdate) AS DATE) AS d_min,
+           CAST(max(o_orderdate) AS DATE) AS d_max
+    FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+ui AS (
+    SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item,
+           CAST(o.o_orderdate AS DATE) <
+             r.d_min + CAST(date_diff('day', r.d_min, r.d_max)
+                 * {EVAL_TRAIN_PCT_NUM} // {EVAL_TRAIN_PCT_DEN} AS INT)
+               AS is_train
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey, rng r
+    WHERE o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+      AND l.l_partkey IS NOT NULL
+),
+train AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+               count(*) OVER (PARTITION BY user_id) AS n_items
+        FROM (SELECT DISTINCT user_id, item FROM ui WHERE is_train)
+    ) WHERE n_items <= {CF_ITEM_CAP}
+),
+test AS (SELECT DISTINCT user_id, item FROM ui WHERE NOT is_train),
+pairs AS (
+    SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS cooc
+    FROM train a JOIN train b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= {CF_MIN_COOC}
+),
+sym_all AS (
+    SELECT ia AS item, ib AS cand, cooc FROM pairs
+    UNION ALL
+    SELECT ib AS item, ia AS cand, cooc FROM pairs
+),
+sym AS (
+    SELECT item, cand, cooc FROM (
+        SELECT item, cand, cooc,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY cooc DESC, cand) AS nrk
+        FROM sym_all
+    ) WHERE nrk <= {CF_NEIGHBORS}
+),
+scored AS (
+    SELECT t.user_id, s.cand, CAST(sum(s.cooc) AS BIGINT) AS score
+    FROM train t JOIN sym s ON s.item = t.item
+    GROUP BY 1, 2
+),
+unowned AS (
+    SELECT s.* FROM scored s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM train t
+        WHERE t.user_id = s.user_id AND t.item = s.cand
+    )
+),
+recs AS (
+    SELECT user_id, cand AS item, rank FROM (
+        SELECT user_id, cand,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY score DESC, cand) AS rank
+        FROM unowned
+    ) WHERE rank <= {max(EVAL_KS)}
+),
+eval_users AS (
+    SELECT DISTINCT t.user_id FROM train t
+    JOIN (SELECT DISTINCT user_id FROM test) x USING (user_id)
+),
+hits AS (
+    SELECT r.user_id, r.rank
+    FROM recs r JOIN test e ON e.user_id = r.user_id AND e.item = r.item
+),
+per_user AS (
+    SELECT u.user_id, h.first_rank, h.hit_ranks
+    FROM eval_users u
+    LEFT JOIN (
+        SELECT user_id, min(rank) AS first_rank,
+               list_sort(list(rank)) AS hit_ranks
+        FROM hits GROUP BY 1
+    ) h USING (user_id)
+)
+SELECT CAST(k.k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_eval_users,
+       CAST(sum(CASE WHEN first_rank <= k.k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit_users,
+       CAST(sum(CASE WHEN first_rank <= k.k THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS hitrate_micro,
+       CAST(sum(coalesce(len(list_filter(hit_ranks, r -> r <= k.k)), 0))
+            * 1000000 // (k.k * count(*)) AS BIGINT) AS precision_micro,
+       CAST(sum(CASE WHEN first_rank <= k.k
+                THEN 1000000 // first_rank ELSE 0 END)
+            // count(*) AS BIGINT) AS mrr_micro
+FROM per_user, UNNEST([{ks}]) AS k(k)
+GROUP BY k.k
+"""
+
+
 QUERIES = {
     "topk_churn_daily": topk_churn_daily,
     "user_ltv_segments": user_ltv_segments,
@@ -1854,6 +2550,9 @@ QUERIES = {
     "quantile_normalize_values": quantile_normalize_values,
     "market_basket_lift": market_basket_lift,
     "item_cf_recommend": item_cf_recommend,
+    "recsys_holdout_eval": recsys_holdout_eval,
+    "markov_removal_effect": markov_removal_effect,
+    "next_event_prediction_accuracy": next_event_prediction_accuracy,
     "decayed_user_score": decayed_user_score,
     "window_funnel_depth": window_funnel_depth,
     "user_day_bitmap_retention": user_day_bitmap_retention,
@@ -1879,5 +2578,8 @@ ORACLE = {
     "quantile_normalize_values": _QNORM_SQL,
     "market_basket_lift": _BASKET_SQL,
     "item_cf_recommend": _ITEM_CF_SQL,
+    "recsys_holdout_eval": _recsys_eval_sql(),
+    "markov_removal_effect": _markov_removal_sql(),
+    "next_event_prediction_accuracy": _NEP_SQL,
     "decayed_user_score": _DECAY_SQL,
 }

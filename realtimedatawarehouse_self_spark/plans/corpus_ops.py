@@ -1254,9 +1254,224 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Simpson vocabulary concentration — the corpus-level diversity gauge
+# (Simpson '49): lambda = sum_w f_w(f_w-1) / (N(N-1)) is the exact
+# probability two token draws (without replacement) are the same word —
+# the log-free counterpart of entropy the engine's integer doctrine
+# allows, and the number a mixture designer watches to catch a source
+# collapsing onto template text (lambda up = diversity down). Also emits
+# the effective vocabulary size 1/lambda (floored). Complements
+# `doc_lexical_diversity` (per-document TTR): this is the per-LANGUAGE
+# corpus statistic. One token-explode -> (lang, word) combine (vocab-
+# bounded), one per-lang roll-up; products ride DECIMAL(38,0)/HUGEINT
+# (N^2 exceeds BIGINT at ~3e9 tokens per language).
+# ---------------------------------------------------------------------------
+def vocab_concentration_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    wl = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    return (
+        wl.groupBy("lang")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * (f - 1)")).alias("_coll"),
+        )
+        .filter(F.col("n_tokens") >= 2)
+        .select(
+            "lang",
+            "n_tokens",
+            "n_vocab",
+            F.expr(
+                "CAST(CAST(_coll AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+                " AS BIGINT)"
+            ).alias("simpson_micro"),
+            F.expr(
+                "CASE WHEN _coll = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)"
+                " div _coll AS BIGINT) END"
+            ).alias("effective_vocab"),
+        )
+    )
+
+
+_SIMPSON_SQL = """
+WITH wl AS (
+    SELECT lang, unnest(list_filter(string_split(text, ' '),
+               x -> x <> '')) AS word
+    FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+f AS (
+    SELECT lang, word, CAST(count(*) AS BIGINT) AS f
+    FROM wl GROUP BY 1, 2
+),
+agg AS (
+    SELECT lang,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           sum(CAST(f AS HUGEINT) * (f - 1)) AS coll
+    FROM f GROUP BY 1
+)
+SELECT lang, n_tokens, n_vocab,
+       CAST(CAST(coll AS HUGEINT) * 1000000
+            // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+            AS BIGINT) AS simpson_micro,
+       CASE WHEN coll = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) // coll
+                 AS BIGINT) END AS effective_vocab
+FROM agg
+WHERE n_tokens >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ablation matrix — the interaction audit a curation team
+# runs before COMPOSING filters: each of the 2^3 on/off combinations of
+# the three standing quality rules (length floor, stopword-density cap,
+# lexical-diversity floor — the same integer-exact predicates
+# text_quality_score / repetition_filter / the kappa annotators use) is
+# evaluated over the whole corpus in ONE pass, reporting document and
+# token yield. The marginal columns answer "what does filter X remove
+# that the others didn't already" — the number that decides whether a
+# filter earns its false-positive cost. Per-row flags are pure codegen;
+# the 8-way evaluation is an in-row explode of the mask domain (x8 rows,
+# constant), then one 8-key combine. Output: exactly 8 rows at any
+# corpus size.
+# ---------------------------------------------------------------------------
+ABL_MIN_TOKENS = 20  # F1: length floor
+ABL_STOP_DEN = 4  # F2: keep iff stopword_ct * 4 <= n_tokens
+ABL_DIV_NUM, ABL_DIV_DEN = 3, 10  # F3: keep iff 10*distinct >= 3*tokens
+
+
+def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+        .select(
+            F.expr("CAST(size(tok_arr) AS BIGINT)").alias("n_tok"),
+            F.expr(
+                f"CASE WHEN size(tok_arr) >= {ABL_MIN_TOKENS}"
+                " THEN 1 ELSE 0 END"
+            ).alias("f1"),
+            F.expr(
+                f"CASE WHEN size(filter(tok_arr,"
+                f" x -> array_contains(array({stop_arr}), x)))"
+                f" * {ABL_STOP_DEN} <= size(tok_arr) THEN 1 ELSE 0 END"
+            ).alias("f2"),
+            F.expr(
+                f"CASE WHEN size(array_distinct(tok_arr)) * {ABL_DIV_DEN}"
+                f" >= size(tok_arr) * {ABL_DIV_NUM} THEN 1 ELSE 0 END"
+            ).alias("f3"),
+        )
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    masked = docs.select(
+        "n_tok",
+        "f1",
+        "f2",
+        "f3",
+        F.explode(F.expr("sequence(0, 7)")).alias("mask"),
+    ).withColumn(
+        "keep",
+        F.expr(
+            "CASE WHEN (mask & 1 = 0 OR f1 = 1)"
+            " AND (mask & 2 = 0 OR f2 = 1)"
+            " AND (mask & 4 = 0 OR f3 = 1) THEN 1 ELSE 0 END"
+        ),
+    )
+    return (
+        masked.groupBy("mask")
+        .agg(
+            F.sum("keep").cast("bigint").alias("n_docs_kept"),
+            F.sum(F.expr("keep * n_tok")).cast("bigint").alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("mask").cast("bigint").alias("mask"),
+            F.expr(
+                "concat(CASE WHEN mask & 1 = 1 THEN 'L' ELSE '-' END,"
+                " CASE WHEN mask & 2 = 2 THEN 'S' ELSE '-' END,"
+                " CASE WHEN mask & 4 = 4 THEN 'D' ELSE '-' END)"
+            ).alias("filters"),
+            "n_docs_kept",
+            "tokens_kept",
+            F.expr(
+                "CAST(n_docs_kept * 1000000 div nullif(total_docs, 0)"
+                " AS BIGINT)"
+            ).alias("doc_keep_ppm"),
+            F.expr(
+                "CAST(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000"
+                " div nullif(total_tokens, 0) AS BIGINT)"
+            ).alias("token_keep_ppm"),
+        )
+    )
+
+
+def _ablation_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH flagged AS (
+    SELECT CAST(len(toks) AS BIGINT) AS n_tok,
+           CASE WHEN len(toks) >= {ABL_MIN_TOKENS} THEN 1 ELSE 0 END AS f1,
+           CASE WHEN len(list_filter(toks,
+                    x -> list_contains([{stop_arr}], x)))
+                * {ABL_STOP_DEN} <= len(toks) THEN 1 ELSE 0 END AS f2,
+           CASE WHEN len(list_distinct(toks)) * {ABL_DIV_DEN}
+                >= len(toks) * {ABL_DIV_NUM} THEN 1 ELSE 0 END AS f3
+    FROM (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    )
+),
+totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM flagged
+),
+masked AS (
+    SELECT u.mask, n_tok,
+           CASE WHEN (u.mask & 1 = 0 OR f1 = 1)
+                 AND (u.mask & 2 = 0 OR f2 = 1)
+                 AND (u.mask & 4 = 0 OR f3 = 1) THEN 1 ELSE 0 END AS keep
+    FROM flagged, UNNEST(range(0, 8)) AS u(mask)
+)
+SELECT CAST(m.mask AS BIGINT) AS mask,
+       concat(CASE WHEN m.mask & 1 = 1 THEN 'L' ELSE '-' END,
+              CASE WHEN m.mask & 2 = 2 THEN 'S' ELSE '-' END,
+              CASE WHEN m.mask & 4 = 4 THEN 'D' ELSE '-' END) AS filters,
+       CAST(sum(keep) AS BIGINT) AS n_docs_kept,
+       CAST(sum(keep * n_tok) AS BIGINT) AS tokens_kept,
+       CAST(sum(keep) * 1000000 // nullif(t.total_docs, 0) AS BIGINT)
+           AS doc_keep_ppm,
+       CAST(CAST(sum(keep * n_tok) AS HUGEINT) * 1000000
+            // nullif(t.total_tokens, 0) AS BIGINT) AS token_keep_ppm
+FROM masked m, totals t
+GROUP BY m.mask, t.total_docs, t.total_tokens
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
     "importance_weight_selection": importance_weight_selection,
+    "vocab_concentration_simpson": vocab_concentration_simpson,
+    "filter_ablation_matrix": filter_ablation_matrix,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
     "pii_scrub_stats": pii_scrub_stats,
@@ -1274,6 +1489,8 @@ QUERIES = {
 ORACLE = {
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "importance_weight_selection": _DSIR_SQL,
+    "vocab_concentration_simpson": _SIMPSON_SQL,
+    "filter_ablation_matrix": _ablation_sql(),
     "split_leakage_audit": _split_leakage_sql(),
     "contamination_longest_match": _LONGEST_MATCH_SQL,
     "ngram_novelty_rate": _NOVELTY_SQL,

@@ -1696,6 +1696,112 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Classifier calibration audit (ECE) — the reliability check any
+# pipeline runs before TRUSTING a classifier's confidence as a routing
+# or filtering signal (Guo et al., ICML'17 re-expressed exact-integer):
+# bin the lang-ID classifier's confidence (predicted-marker share of all
+# marker hits, a rational in ppm), and per bin compare mean confidence
+# to realized accuracy; the gap, weighted by bin mass, is the expected
+# calibration error. Every quantity is a floored micro rational — no
+# floats, so both engines agree bit-for-bit including the zero-marker
+# docs (confidence 0, bin 0). Scale shape: one scan with per-row marker
+# counting in codegen, one 10-key combine, one 1-row broadcast back for
+# the global ECE — dashboard-sized output at any corpus size.
+# ---------------------------------------------------------------------------
+ECE_BINS = 10
+MICRO_PPM = 1_000_000
+
+
+def classifier_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = lang_id_ngram(spark, sf_dir)
+    total = "(" + " + ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+    pred_score = " ".join(
+        f"WHEN pred_lang = '{lang}' THEN score_{lang}" for lang in LANG_ORDER
+    )
+    conf = scored.select(
+        "doc_id",
+        "is_correct",
+        F.expr(
+            f"CASE WHEN {total} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST(CAST((CASE {pred_score} END) AS DECIMAL(38,0))"
+            f" * {MICRO_PPM} div {total} AS BIGINT) END"
+        ).alias("conf_ppm"),
+    ).select(
+        "doc_id",
+        "is_correct",
+        F.expr(
+            f"least(CAST(conf_ppm div {MICRO_PPM // ECE_BINS} AS BIGINT),"
+            f" {ECE_BINS - 1})"
+        ).alias("bin"),
+        "conf_ppm",
+    )
+    bins = conf.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(conf_ppm) div count(*) AS BIGINT)").alias(
+            "avg_conf_micro"
+        ),
+        F.expr(f"CAST(sum(is_correct) * {MICRO_PPM} div count(*) AS BIGINT)")
+        .alias("acc_micro"),
+    )
+    withgap = bins.withColumn(
+        "gap_micro", F.expr("abs(acc_micro - avg_conf_micro)")
+    )
+    ece = withgap.agg(
+        F.expr(
+            "CAST(sum(CAST(n_docs AS DECIMAL(38,0)) * gap_micro)"
+            " div sum(n_docs) AS BIGINT)"
+        ).alias("ece_micro_global")
+    )
+    return withgap.crossJoin(F.broadcast(ece)).select(
+        "bin", "n_docs", "avg_conf_micro", "acc_micro", "gap_micro",
+        "ece_micro_global",
+    )
+
+
+def _ece_sql() -> str:
+    total = "(" + " + ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+    pred_score = " ".join(
+        f"WHEN pred_lang = '{lang}' THEN score_{lang}" for lang in LANG_ORDER
+    )
+    return f"""
+WITH base AS ({_lang_id_sql()}),
+conf AS (
+    SELECT doc_id, is_correct,
+           CASE WHEN {total} = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST((CASE {pred_score} END) AS HUGEINT)
+                     * {MICRO_PPM} // {total} AS BIGINT)
+           END AS conf_ppm
+    FROM base
+),
+binned AS (
+    SELECT is_correct, conf_ppm,
+           least(CAST(conf_ppm // {MICRO_PPM // ECE_BINS} AS BIGINT),
+                 {ECE_BINS - 1}) AS bin
+    FROM conf
+),
+bins AS (
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(conf_ppm) // count(*) AS BIGINT) AS avg_conf_micro,
+           CAST(sum(is_correct) * {MICRO_PPM} // count(*) AS BIGINT)
+               AS acc_micro
+    FROM binned GROUP BY 1
+),
+gapped AS (
+    SELECT *, abs(acc_micro - avg_conf_micro) AS gap_micro FROM bins
+),
+ece AS (
+    SELECT CAST(sum(CAST(n_docs AS HUGEINT) * gap_micro) // sum(n_docs)
+                AS BIGINT) AS ece_micro_global
+    FROM gapped
+)
+SELECT bin, n_docs, avg_conf_micro, acc_micro, gap_micro,
+       e.ece_micro_global
+FROM gapped, ece e
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
     return docs.select(
@@ -3457,6 +3563,7 @@ QUERIES = {
     "approx_daily_users": approx_daily_users,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
+    "classifier_calibration_ece": classifier_calibration_ece,
     "doc_fingerprint": doc_fingerprint,
     "token_count_stats": token_count_stats,
     "vocab_topk": vocab_topk,
@@ -3506,6 +3613,7 @@ ORACLE = {
     "approx_daily_users": _APPROX_DAILY_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,
     "lang_id_ngram": _lang_id_sql(),
+    "classifier_calibration_ece": _ece_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
     "token_count_stats": _TOKEN_COUNT_SQL,
     "vocab_topk": _VOCAB_TOPK_SQL,

@@ -1171,6 +1171,345 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
+# Theta-sketch A-NOT-B — the third set operation of the mergeable-sketch
+# algebra (union = kmv_rolling_distinct, intersection =
+# kmv_audience_intersection, difference = this): "how many of audience
+# A are NOT in audience B", answered from the two K-row sketches alone.
+# With theta_pair = least(theta_a, theta_b):
+#   D = |{h in kmin_a : h < theta_pair AND h NOT IN kmin_b}|
+#   est = D * 2^60 / theta_pair       (Dasgupta et al., theta sketches)
+# (the anti-membership test against the FULL kmin_b is exact below
+# theta_pair: theta_pair <= theta_b, so B's sketch retains every B hash
+# below it). Unlike intersection, difference is DIRECTIONAL — both
+# ordered pairs are emitted. The exact side needs no anti-join:
+# |A \ B| = |A| - |A ∩ B| from the same distinct frame. -1-sentineled
+# err when the exact difference is empty, as the intersection op does.
+# Scale: identical to intersection — the per-type distinct + k-min
+# (WindowGroupLimit) is the only data-sized work; everything pairwise
+# runs over K-row frames.
+# ---------------------------------------------------------------------------
+def kmv_audience_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", _h60("user_id").alias("h"))
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = (
+        au.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_INTER_K)
+        .select("event_type", "h")
+        .persist()
+    )
+    sk = (
+        au.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        .join(
+            kmin.groupBy("event_type").agg(
+                F.max("h").alias("h_k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_in"),
+            ),
+            "event_type",
+        )
+        .withColumn(
+            "theta",
+            F.expr(
+                f"CASE WHEN n_in < {KMV_INTER_K} THEN {HASH_MOD}"
+                " ELSE h_k END"
+            ),
+        )
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("n_total").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("theta").alias("theta_b")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") != F.col("type_b"))
+        .withColumn("theta_min", F.least("theta_a", "theta_b"))
+    )
+    overlap = (
+        au.select(F.col("event_type").alias("type_a"), "h")
+        .join(au.select(F.col("event_type").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    d = (
+        kmin.select(F.col("event_type").alias("type_a"), "h")
+        .join(
+            F.broadcast(pairs.select("type_a", "type_b", "theta_min")),
+            "type_a",
+        )
+        .filter(F.col("h") < F.col("theta_min"))
+        .join(
+            kmin.select(F.col("event_type").alias("type_b"), "h"),
+            ["type_b", "h"],
+            "left_anti",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_below"))
+    )
+    return (
+        pairs.join(overlap, ["type_a", "type_b"], "left")
+        .join(d, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.expr("n_a - coalesce(n_overlap, 0)")
+            .cast("bigint")
+            .alias("exact_diff"),
+            F.coalesce("d_below", F.lit(0)).cast("bigint").alias("d_below"),
+            F.expr(
+                f"CAST(CAST(coalesce(d_below, 0) AS DECIMAL(38,0))"
+                f" * {HASH_MOD} div theta_min AS BIGINT)"
+            ).alias("est_diff"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "CASE WHEN exact_diff = 0 THEN -1"
+                " ELSE CAST(abs(est_diff - exact_diff) * 1000000"
+                " div exact_diff AS BIGINT) END"
+            ),
+        )
+    )
+
+
+_KMV_DIFF_SQL = f"""
+WITH au AS (
+    SELECT DISTINCT event_type,
+           {_H60_DUCK.format(col="user_id")} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+kmin AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM au
+    ) WHERE rn <= {KMV_INTER_K}
+),
+sk AS (
+    SELECT a.event_type, a.n_total, k.n_in, k.h_k,
+           CASE WHEN k.n_in < {KMV_INTER_K} THEN {HASH_MOD}
+                ELSE k.h_k END AS theta
+    FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+          FROM au GROUP BY 1) a
+    JOIN (SELECT event_type, max(h) AS h_k,
+                 CAST(count(*) AS BIGINT) AS n_in
+          FROM kmin GROUP BY 1) k USING (event_type)
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n_total AS n_a, least(a.theta, b.theta) AS theta_min
+    FROM sk a, sk b
+    WHERE a.event_type <> b.event_type
+),
+overlap AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_overlap
+    FROM au a JOIN au b ON a.h = b.h AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+),
+d AS (
+    SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS d_below
+    FROM pairs p
+    JOIN kmin a ON a.event_type = p.type_a AND a.h < p.theta_min
+    WHERE NOT EXISTS (
+        SELECT 1 FROM kmin b
+        WHERE b.event_type = p.type_b AND b.h = a.h
+    )
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_a - coalesce(o.n_overlap, 0) AS BIGINT) AS exact_diff,
+           CAST(coalesce(d.d_below, 0) AS BIGINT) AS d_below,
+           CAST(CAST(coalesce(d.d_below, 0) AS HUGEINT) * {HASH_MOD}
+                // p.theta_min AS BIGINT) AS est_diff
+    FROM pairs p
+    LEFT JOIN overlap o ON o.type_a = p.type_a AND o.type_b = p.type_b
+    LEFT JOIN d ON d.type_a = p.type_a AND d.type_b = p.type_b
+)
+SELECT type_a, type_b, exact_diff, d_below, est_diff,
+       CASE WHEN exact_diff = 0 THEN -1
+            ELSE CAST(abs(est_diff - exact_diff) * 1000000
+                 // exact_diff AS BIGINT) END AS err_ppm
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column-encoding choice audit — the write-path layout decision the
+# skipping/z-order audits don't cover: for each column of the fact
+# table, estimate PLAIN vs DICTIONARY vs RLE storage from one scan and
+# recommend an encoding (what a parquet writer's encoding heuristic
+# does; exposing it as a query lets a pipeline alarm when a column's
+# cardinality drifts past dictionary viability — the classic silent
+# 3x-file-size regression). All sizes are exact integer byte estimates:
+#   plain = sum of value byte lengths (8/value for int64 columns)
+#   dict  = distinct-value bytes + n * ceil(log2(ndv)) bits
+#   rle   = runs-in-natural-order * (value bytes + 4-byte run length)
+# Scale shape: ONE pass computes per-column (n, bytes) and the run
+# flags via a single (ts, event_id) window; distinct-value stats are a
+# per-column combine. Output is |columns| rows at any scale.
+# ---------------------------------------------------------------------------
+ENC_COLUMNS = ("event_type", "user_id", "v_cents", "props")
+
+
+def encoding_choice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import money_cents
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("user_id").cast("string").alias("user_id"),
+        money_cents("value").cast("string").alias("v_cents"),
+        F.col("props").cast("string").alias("props"),
+    )
+    # runs break at day boundaries on purpose: a global ORDER BY window
+    # is single-partition at scale, while the per-day window mirrors how
+    # a writer encodes per file/row-group anyway (runs never span files)
+    runs = ev.select(
+        *[
+            F.expr(
+                f"CASE WHEN {c} IS DISTINCT FROM"
+                f" lag({c}) OVER (PARTITION BY CAST(ts AS DATE)"
+                f" ORDER BY ts, event_id)"
+                f" THEN 1 ELSE 0 END"
+            ).alias(f"run_{c}")
+            for c in ENC_COLUMNS
+        ],
+        *[F.col(c) for c in ENC_COLUMNS],
+    ).persist()
+    parts = []
+    for c in ENC_COLUMNS:
+        # int64-backed columns store 8 bytes/value PLAIN; strings store
+        # their UTF-8 length (the cast to string above is only the audit
+        # frame's common type — width comes from the source type)
+        is_int = c in ("user_id", "v_cents")
+        vbytes = (
+            f"CASE WHEN {c} IS NULL THEN NULL ELSE 8 END"
+            if is_int
+            else f"octet_length({c})"
+        )
+        stats = runs.agg(
+            F.expr(f"CAST(count({c}) AS BIGINT)").alias("n_values"),
+            F.expr(f"CAST(count(DISTINCT {c}) AS BIGINT)").alias("ndv"),
+            F.expr(f"CAST(sum({vbytes}) AS BIGINT)").alias("plain_bytes"),
+            F.expr(f"CAST(sum(run_{c}) AS BIGINT)").alias("rle_runs"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_values",
+            "ndv",
+            "plain_bytes",
+            "rle_runs",
+        )
+        dict_vals = (
+            runs.select(F.col(c).alias("v"))
+            .filter("v IS NOT NULL")
+            .distinct()
+            .agg(
+                F.expr(
+                    f"CAST(sum({'8' if is_int else 'octet_length(v)'})"
+                    f" AS BIGINT)"
+                ).alias("dict_value_bytes")
+            )
+            .select(F.lit(c).alias("column_name"), "dict_value_bytes")
+        )
+        parts.append(stats.join(F.broadcast(dict_vals), "column_name"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_name",
+        "n_values",
+        "ndv",
+        "plain_bytes",
+        F.expr(
+            "CAST(coalesce(dict_value_bytes, 0)"
+            " + (n_values * greatest(length(bin(greatest(ndv - 1, 0))), 1)"
+            " + 7) div 8 AS BIGINT)"
+        ).alias("dict_bytes"),
+        "rle_runs",
+        F.expr(
+            "CAST(rle_runs * (CASE WHEN n_values = 0 THEN 0"
+            " ELSE plain_bytes div n_values END + 4) AS BIGINT)"
+        ).alias("rle_bytes"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN least(dict_bytes, rle_bytes) >= plain_bytes"
+            " THEN 'PLAIN'"
+            " WHEN dict_bytes <= rle_bytes THEN 'DICT' ELSE 'RLE' END"
+        ).alias("recommended"),
+    )
+
+
+def _encoding_sql() -> str:
+    parts = []
+    for c in ENC_COLUMNS:
+        is_int = c in ("user_id", "v_cents")
+        vexpr = (
+            "CAST(user_id AS VARCHAR)"
+            if c == "user_id"
+            else "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+            if c == "v_cents"
+            else c
+        )
+        vbytes = "8" if is_int else "strlen(v)"  # DuckDB: bytes
+        parts.append(
+            f"""sel_{c} AS (
+    SELECT {vexpr} AS v,
+           CASE WHEN {vexpr} IS DISTINCT FROM
+                lag({vexpr}) OVER (PARTITION BY CAST(ts AS DATE)
+                                   ORDER BY ts, event_id)
+           THEN 1 ELSE 0 END AS run
+    FROM events
+),
+stat_{c} AS (
+    SELECT '{c}' AS column_name,
+           CAST(count(v) AS BIGINT) AS n_values,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           CAST(sum(CASE WHEN v IS NULL THEN NULL ELSE {vbytes} END)
+                AS BIGINT) AS plain_bytes,
+           CAST(sum(run) AS BIGINT) AS rle_runs,
+           (SELECT CAST(sum({vbytes}) AS BIGINT) FROM
+               (SELECT DISTINCT v FROM sel_{c} WHERE v IS NOT NULL))
+               AS dict_value_bytes
+    FROM sel_{c}
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM stat_{c}" for c in ENC_COLUMNS)
+    return f"""
+WITH {", ".join(parts)},
+raw AS ({union}),
+sized AS (
+    SELECT column_name, n_values, ndv, plain_bytes,
+           CAST(coalesce(dict_value_bytes, 0)
+                + (n_values * greatest(length(bin(greatest(ndv - 1, 0))), 1)
+                   + 7) // 8 AS BIGINT) AS dict_bytes,
+           rle_runs,
+           CAST(rle_runs * (CASE WHEN n_values = 0 THEN 0
+                ELSE plain_bytes // n_values END + 4) AS BIGINT) AS rle_bytes
+    FROM raw
+)
+SELECT *,
+       CASE WHEN least(dict_bytes, rle_bytes) >= plain_bytes THEN 'PLAIN'
+            WHEN dict_bytes <= rle_bytes THEN 'DICT' ELSE 'RLE'
+       END AS recommended
+FROM sized
+"""
+
+
+# ---------------------------------------------------------------------------
 # Min-max file-skipping audit — the data-layout decision BEHIND parquet
 # predicate pushdown: per simulated file, the (min, max) of the probe
 # column; a file is SCANNED for a predicate iff [min, max] overlaps it.
@@ -1866,7 +2205,9 @@ QUERIES = {
     "phrase_search_positional": phrase_search_positional,
     "join_cardinality_estimate": join_cardinality_estimate,
     "kmv_audience_intersection": kmv_audience_intersection,
+    "kmv_audience_difference": kmv_audience_difference,
     "file_skipping_audit": file_skipping_audit,
+    "encoding_choice_audit": encoding_choice_audit,
     "cms_frequency_audit": cms_frequency_audit,
     "topk_merge_audit": topk_merge_audit,
     "watermark_lateness_audit": watermark_lateness_audit,
@@ -1882,7 +2223,9 @@ ORACLE = {
     "phrase_search_positional": _PHRASE_SQL,
     "join_cardinality_estimate": _CARD_SQL,
     "kmv_audience_intersection": _KMV_INTER_SQL,
+    "kmv_audience_difference": _KMV_DIFF_SQL,
     "file_skipping_audit": _SKIP_SQL,
+    "encoding_choice_audit": _encoding_sql(),
     "cms_frequency_audit": _CMS_SQL,
     "topk_merge_audit": _TOPK_MERGE_SQL,
     "watermark_lateness_audit": _LATENESS_SQL,

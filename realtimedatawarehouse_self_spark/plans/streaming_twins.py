@@ -2028,9 +2028,228 @@ FROM fin
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming incremental JOIN-view maintenance — the ONLINE half of
+# `plans/state_ops.incremental_join_maintenance` (which proves the
+# two-sided delta-join algebra in batch): order deltas arrive as real
+# micro-batches, each performs the stream-static broadcast join against
+# the customer dim (ΔO ⋈ C — the delta rule with a static right side)
+# and additively merges its partial aggregate into the crash-safe view
+# store, batch-id high-water mark riding in the swap's atomic meta
+# (exactly-once under replay, same contract as
+# streaming_incremental_rollup). The oracle computes the direct
+# full-join aggregate, with `n_batches` re-derived from the
+# deterministic slice residues — proving the maintained view equals a
+# from-scratch rebuild after any number of delta merges.
+# ---------------------------------------------------------------------------
+IVM_STREAM_SLICES = 3
+
+
+def streaming_ivm_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import money_cents
+    from realtimedatawarehouse_self_spark.streaming.sinks import (
+        read_table_meta,
+        upsert_parquet,
+    )
+
+    with _twin_confs(spark):
+        stage = _MicroBatchStage("rtdw-ivm-", extra_dirs=("store",))
+        store = stage.store
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey").isNotNull())
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                money_cents("o_totalprice").alias("cents"),
+            )
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        for i in range(IVM_STREAM_SLICES):
+            stage.stage_slice(
+                orders.filter(F.col("o_orderkey") % IVM_STREAM_SLICES == i)
+            )
+
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            seen = read_table_meta(store)
+            if seen is not None and batch_id <= seen["batch_id"]:
+                return  # replayed batch: its merge already committed
+            sess = batch_df.sparkSession
+            part = (
+                batch_df.join(
+                    F.broadcast(cust),
+                    batch_df["o_custkey"] == cust["c_custkey"],
+                )
+                .groupBy("c_nationkey")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                    F.sum("cents").cast("bigint").alias("total_cents"),
+                    F.lit(1).cast("bigint").alias("n_batches"),
+                )
+            )
+            if os.path.exists(store):
+                cur = sess.read.parquet(store).select(
+                    "c_nationkey",
+                    F.col("n_orders").alias("o0"),
+                    F.col("total_cents").alias("t0"),
+                    F.col("n_batches").alias("b0"),
+                )
+                # SUM-compatible NULL algebra: a partial whose cents were
+                # all NULL merges as 0 against existing values, but two
+                # NULL sides stay NULL — slice-invariant, equal to one
+                # global SUM.
+                part = part.join(cur, ["c_nationkey"], "full_outer").select(
+                    "c_nationkey",
+                    (F.coalesce("n_orders", F.lit(0)) + F.coalesce("o0", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_orders"),
+                    F.expr(
+                        "CASE WHEN total_cents IS NULL AND t0 IS NULL"
+                        " THEN NULL ELSE coalesce(total_cents, 0)"
+                        " + coalesce(t0, 0) END"
+                    )
+                    .cast("bigint")
+                    .alias("total_cents"),
+                    (F.coalesce("n_batches", F.lit(0)) + F.coalesce("b0", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_batches"),
+                )
+            upsert_parquet(
+                sess,
+                part,
+                store,
+                keys=["c_nationkey"],
+                meta={"batch_id": batch_id},
+            )
+
+        schema = "o_orderkey bigint, o_custkey bigint, cents bigint"
+        q = (
+            stage.read_stream(spark, schema)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", stage.cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        return spark.read.parquet(store).select(
+            "c_nationkey", "n_orders", "total_cents", "n_batches"
+        )
+
+
+_IVM_STREAM_SQL = f"""
+WITH joined AS (
+    SELECT c.c_nationkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o.o_orderkey % {IVM_STREAM_SLICES} AS slice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(count(DISTINCT slice) AS BIGINT) AS n_batches
+FROM joined
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# UPDATE-output-mode twin — every other twin runs append mode; this one
+# oracle-gates Spark's third emission contract: an un-watermarked
+# aggregation in update mode emits, AT EACH micro-batch, the current
+# cumulative value of exactly the groups that batch touched. The stream
+# is sliced by user hash (not by key), so most (type, day) groups are
+# touched by several batches and the sink receives their full emission
+# SEQUENCE — which the oracle re-derives as per-slice cumulative sums
+# (a group appears at slice s iff the slice holds >=1 of its rows, with
+# the running total over slices <= s). That is the dashboard-refresh
+# semantics (emit-on-change) the reference's per-window upserts produce,
+# proven against SQL. State note: update mode without a watermark keeps
+# all group state — correct here (bounded key domain: types x days);
+# production unbounded-key uses the watermarked variant the other twins
+# cover.
+# ---------------------------------------------------------------------------
+UPDATE_TWIN_SLICES = 3
+
+
+def streaming_update_mode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.sketches import _h60
+
+    with _twin_confs(spark):
+        stage = _MicroBatchStage("rtdw-upd-")
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+            .select(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+                "event_type",
+                (_h60("user_id") % UPDATE_TWIN_SLICES).alias("slice"),
+            )
+            .persist()
+        )
+        for i in range(UPDATE_TWIN_SLICES):
+            stage.stage_slice(
+                ev.filter(F.col("slice") == i).select("day", "event_type")
+            )
+
+        out_rows = os.path.join(stage.base, "emissions")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn(
+                "batch_seq", F.lit(batch_id).cast("bigint")
+            ).write.mode("append").parquet(out_rows)
+
+        agg = (
+            stage.read_stream(spark, "day string, event_type string")
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cum_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", stage.cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        ev.unpersist()
+        return spark.read.parquet(out_rows).select(
+            "day", "event_type", "batch_seq", "cum_events"
+        )
+
+
+def _update_twin_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.sketches import _H60_DUCK
+
+    return f"""
+WITH base AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           ({_H60_DUCK.format(col="user_id")}) % {UPDATE_TWIN_SLICES}
+               AS slice
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+per AS (
+    SELECT day, event_type, slice, CAST(count(*) AS BIGINT) AS n
+    FROM base GROUP BY 1, 2, 3
+)
+SELECT day, event_type,
+       CAST(slice AS BIGINT) AS batch_seq,
+       CAST(sum(n) OVER (PARTITION BY day, event_type ORDER BY slice
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+FROM per
+"""
+
+
 QUERIES = {
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_hll_merge_twin": streaming_hll_merge_twin,
+    "streaming_ivm_join_twin": streaming_ivm_join_twin,
+    "streaming_update_mode_twin": streaming_update_mode_twin,
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_topk_hitters": streaming_topk_hitters,
     "streaming_uv_daily": streaming_uv_daily,
@@ -2052,6 +2271,8 @@ QUERIES = {
 ORACLE = {
     "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
     "streaming_hll_merge_twin": _hll_stream_sql(),
+    "streaming_ivm_join_twin": _IVM_STREAM_SQL,
+    "streaming_update_mode_twin": _update_twin_sql(),
     "streaming_pv_hourly": _PV_SQL,
     "streaming_topk_hitters": _TOPK_STREAM_SQL,
     "streaming_uv_daily": _UV_SQL,

@@ -222,6 +222,18 @@ def null_duck(null_sf_dir):
         "pass_at_k_estimator",
         "conformal_calibration_audit",
         "incremental_join_maintenance",
+        # r8 wave 25: NULL users/ts must never become journey rows (the
+        # path window would otherwise fold them into one partition), and
+        # the theta-difference's distinct hash frame must drop them
+        # identically pre-sketch
+        "markov_removal_effect",
+        "kmv_audience_difference",
+        # r8 wave 26: the run windows and dictionary byte sums over
+        # columns with NULLs (count/ndv/plain bytes must all skip them
+        # identically), and the transition split where NULL users drop
+        # before chaining
+        "encoding_choice_audit",
+        "next_event_prediction_accuracy",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

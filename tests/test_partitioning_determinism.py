@@ -261,6 +261,23 @@ QUERIES = [
     #                                  the direct join under any plan
     "multimodal_phash_dedup",        # Arrow batch boundaries must not
     #                                  leak into dHash bands or pair sets
+    # round-8 wave-25 additions
+    "classifier_calibration_ece",    # per-row marker counting + 10-key
+    #                                  combine; ECE weighting exact
+    "kmv_audience_difference",       # k-min retention + anti-membership
+    #                                  under perturbed plans
+    "vocab_concentration_simpson",   # f(f-1) products associative under
+    #                                  combine reordering
+    "recsys_holdout_eval",           # time split a pure row map; top-K
+    #                                  and first-hit ranks tie-ordered
+    "markov_removal_effect",         # path windows + pivoted matrix +
+    #                                  fold: a pure function of events
+    # round-8 wave-26 additions
+    "encoding_choice_audit",         # per-day run windows + distinct-
+    #                                  value byte sums under any plan
+    "filter_ablation_matrix",        # in-row mask explode + 8-key combine
+    "next_event_prediction_accuracy",  # argmax model tie order + hash
+    #                                    split purity
 ]
 
 PERTURBED = {

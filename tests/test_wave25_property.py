@@ -1,0 +1,496 @@
+"""Property-based third opinions for the round-8 wave-25 operators.
+
+Same discipline as test_wave22/24_property.py: hypothesis fixtures vs
+pure-Python recounts. Focus:
+
+- `markov_removal_effect`: path splitting (journeys restart after each
+  conversion), explicit null exits, and the 8-step floored mass
+  iteration — recounted with a dict-based chain replay;
+- `recsys_holdout_eval`: the time cutoff, hub cap, cooc scoring,
+  owned-item exclusion, and the three tie-ordered metrics;
+- `kmv_audience_difference`: the theta A-NOT-B estimator recounted from
+  raw md5 hashes (k-min sets + anti-membership below theta_pair).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import os
+import tempfile
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+MICRO = 1_000_000
+_BASE = dt.datetime(2024, 1, 1)
+
+
+def _write_events(d: str, rows) -> None:
+    # rows: (event_id, user, etype, value)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [_BASE + dt.timedelta(minutes=r[0]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.sampled_from(["click", "view", "signup", "error", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_markov_removal_matches_python_replay(spark, ev):
+    from realtimedatawarehouse_self_spark.plans.behavior import (
+        MARKOV_CHANNELS,
+        MARKOV_STATES,
+        MARKOV_STEPS,
+        markov_removal_effect,
+    )
+
+    d = tempfile.mkdtemp(prefix="markovprop")
+    rows = [(i, u, t, 1.0) for i, (u, t) in enumerate(ev)]
+    _write_events(d, rows)
+
+    got = {
+        r["channel"]: (
+            r["conv_full_micro"],
+            r["conv_removed_micro"],
+            r["removal_micro"],
+            r["attribution_micro"],
+        )
+        for r in markov_removal_effect(spark, d).collect()
+    }
+
+    # replay: journeys per user split AFTER each purchase
+    paths = defaultdict(list)  # (user, path_id) -> [etype...]
+    pid = defaultdict(int)
+    for _i, u, t, _v in rows:  # event_id order == ts order by fixture
+        paths[(u, pid[u])].append(t)
+        if t == "purchase":
+            pid[u] += 1
+    trans = defaultdict(int)
+    for seq in paths.values():
+        src = "start"
+        for t in seq:
+            dst = "conv" if t == "purchase" else t
+            trans[(src, dst)] += 1
+            src = dst
+        if seq and seq[-1] != "purchase":
+            trans[(seq[-1], "null")] += 1
+    out_tot = defaultdict(int)
+    for (s, _t), n in trans.items():
+        out_tot[s] += n
+    p = {
+        (s, t): (trans.get((s, t), 0) * MICRO // out_tot[s])
+        if out_tot.get(s)
+        else 0
+        for s in MARKOV_STATES
+        for t in list(MARKOV_CHANNELS) + ["conv"]
+    }
+
+    def absorb(removed: str | None) -> int:
+        m = {s: (MICRO if s == "start" else 0) for s in MARKOV_STATES}
+        conv = 0
+        active = [s for s in MARKOV_STATES if s != removed]
+        for _ in range(MARKOV_STEPS):
+            new = {s: 0 for s in MARKOV_STATES}
+            for t in MARKOV_STATES:
+                if t == "start" or t == removed:
+                    continue
+                new[t] = sum(m[s] * p[(s, t)] // MICRO for s in active)
+            conv += sum(m[s] * p[(s, "conv")] // MICRO for s in active)
+            m = new
+        return conv
+
+    full = absorb(None)
+    removed = {c: absorb(c) for c in MARKOV_CHANNELS}
+    rsum = sum(max(full - v, 0) for v in removed.values())
+    want = {
+        c: (
+            full,
+            removed[c],
+            max(full - removed[c], 0),
+            (max(full - removed[c], 0) * MICRO // rsum) if rsum else -1,
+        )
+        for c in MARKOV_CHANNELS
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(0, 9),  # day offset (cutoff = min + days*4//5)
+            st.integers(1, 4),  # custkey
+            st.lists(st.integers(1, 6), min_size=1, max_size=4),  # parts
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_recsys_holdout_matches_python_replay(spark, orders):
+    from realtimedatawarehouse_self_spark.plans.behavior import (
+        CF_ITEM_CAP,
+        CF_MIN_COOC,
+        CF_NEIGHBORS,
+        EVAL_KS,
+        EVAL_TRAIN_PCT_DEN,
+        EVAL_TRAIN_PCT_NUM,
+        recsys_holdout_eval,
+    )
+
+    d = tempfile.mkdtemp(prefix="recsysprop")
+    o_rows, l_rows = [], []
+    for ok, (day, cust, parts) in enumerate(orders, start=1):
+        o_rows.append((ok, cust, 10.0, _BASE + dt.timedelta(days=day)))
+        for p in parts:
+            l_rows.append((ok, p))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in o_rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in o_rows], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(o_rows)),
+                "o_totalprice": pa.array(
+                    [r[2] for r in o_rows], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [r[3] for r in o_rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(o_rows)),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in l_rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in l_rows], pa.int64()),
+                "l_suppkey": pa.array([1] * len(l_rows), pa.int64()),
+                "l_quantity": pa.array([1.0] * len(l_rows), pa.float64()),
+                "l_extendedprice": pa.array(
+                    [1.0] * len(l_rows), pa.float64()
+                ),
+                "l_discount": pa.array([0.0] * len(l_rows), pa.float64()),
+                "l_tax": pa.array([0.0] * len(l_rows), pa.float64()),
+                "l_returnflag": pa.array(["N"] * len(l_rows)),
+                "l_linestatus": pa.array(["O"] * len(l_rows)),
+                "l_shipdate": pa.array(
+                    [_BASE] * len(l_rows), pa.timestamp("us")
+                ),
+                "l_shipmode": pa.array(["MAIL"] * len(l_rows)),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+
+    got = {
+        r["k"]: (
+            r["n_eval_users"],
+            r["n_hit_users"],
+            r["hitrate_micro"],
+            r["precision_micro"],
+            r["mrr_micro"],
+        )
+        for r in recsys_holdout_eval(spark, d).collect()
+    }
+
+    days = [day for day, _c, _p in orders]
+    cutoff = min(days) + (max(days) - min(days)) * (
+        EVAL_TRAIN_PCT_NUM
+    ) // EVAL_TRAIN_PCT_DEN
+    train, test = defaultdict(set), defaultdict(set)
+    for day, cust, parts in orders:
+        tgt = train if day < cutoff else test
+        tgt[cust].update(parts)
+    train = {
+        u: items for u, items in train.items() if len(items) <= CF_ITEM_CAP
+    }
+    cooc = defaultdict(int)
+    for items in train.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                cooc[(s[i], s[j])] += 1
+    sym_all = defaultdict(dict)
+    for (a, b), n in cooc.items():
+        if n >= CF_MIN_COOC:
+            sym_all[a][b] = n
+            sym_all[b][a] = n
+    # neighborhood cut: top CF_NEIGHBORS per item by (cooc DESC, cand ASC)
+    sym = {
+        it: dict(
+            sorted(nbrs.items(), key=lambda x: (-x[1], x[0]))[:CF_NEIGHBORS]
+        )
+        for it, nbrs in sym_all.items()
+    }
+    eval_users = sorted(set(train) & set(test))
+    want = {}
+    first_rank, hit_ranks = {}, {}
+    for u in eval_users:
+        scores = defaultdict(int)
+        for it in train[u]:
+            for cand, n in sym.get(it, {}).items():
+                scores[cand] += n
+        ranked = sorted(
+            ((s, c) for c, s in scores.items() if c not in train[u]),
+            key=lambda x: (-x[0], x[1]),
+        )[: max(EVAL_KS)]
+        hr = [
+            r + 1 for r, (_s, c) in enumerate(ranked) if c in test[u]
+        ]
+        hit_ranks[u] = hr
+        first_rank[u] = hr[0] if hr else None
+    if eval_users:
+        for k in EVAL_KS:
+            n = len(eval_users)
+            nh = sum(
+                1
+                for u in eval_users
+                if first_rank[u] is not None and first_rank[u] <= k
+            )
+            prec = sum(
+                len([r for r in hit_ranks[u] if r <= k]) for u in eval_users
+            )
+            mrr = sum(
+                MICRO // first_rank[u]
+                for u in eval_users
+                if first_rank[u] is not None and first_rank[u] <= k
+            )
+            want[k] = (
+                n,
+                nh,
+                nh * MICRO // n,
+                prec * MICRO // (k * n),
+                mrr // n,
+            )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(1, 60),  # user
+            st.sampled_from(["click", "view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_kmv_difference_matches_python_sketch(spark, ev):
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        HASH_MOD,
+        KMV_INTER_K,
+        kmv_audience_difference,
+    )
+
+    d = tempfile.mkdtemp(prefix="kmvdiffprop")
+    rows = [(i, u, t, 1.0) for i, (u, t) in enumerate(ev)]
+    _write_events(d, rows)
+
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["exact_diff"],
+            r["d_below"],
+            r["est_diff"],
+            r["err_ppm"],
+        )
+        for r in kmv_audience_difference(spark, d).collect()
+    }
+
+    def h60(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    audiences = defaultdict(set)
+    for _i, u, t, _v in rows:
+        audiences[t].add(h60(u))
+    types = sorted(audiences)
+    want = {}
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            ka = sorted(audiences[a])[:KMV_INTER_K]
+            kb = sorted(audiences[b])[:KMV_INTER_K]
+            theta_a = HASH_MOD if len(audiences[a]) < KMV_INTER_K else ka[-1]
+            theta_b = HASH_MOD if len(audiences[b]) < KMV_INTER_K else kb[-1]
+            theta = min(theta_a, theta_b)
+            d_below = sum(
+                1 for h in ka if h < theta and h not in set(kb)
+            )
+            exact = len(audiences[a] - audiences[b])
+            est = d_below * HASH_MOD // theta
+            err = (
+                abs(est - exact) * MICRO // exact if exact else -1
+            )
+            want[(a, b)] = (exact, d_below, est, err)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(1, 4),  # user
+            st.sampled_from(["a", "bb", "ccc"]),  # event_type pool
+            st.floats(0.5, 9.0, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_encoding_audit_matches_python_byte_math(spark, ev):
+    """Recount PLAIN/DICT/RLE byte estimates for the string event_type
+    column (the one whose widths aren't constant) from first principles."""
+    from realtimedatawarehouse_self_spark.plans.sketches import (
+        encoding_choice_audit,
+    )
+
+    d = tempfile.mkdtemp(prefix="encprop")
+    rows = [(i, u, t, float(v)) for i, (u, t, v) in enumerate(ev)]
+    _write_events(d, rows)
+
+    got = {
+        r["column_name"]: (
+            r["n_values"],
+            r["ndv"],
+            r["plain_bytes"],
+            r["dict_bytes"],
+            r["rle_runs"],
+            r["rle_bytes"],
+            r["recommended"],
+        )
+        for r in encoding_choice_audit(spark, d).collect()
+    }
+
+    # all fixture events land on one day, natural order = event_id
+    vals = [t for _i, _u, t, _v in rows]
+    n = len(vals)
+    ndv = len(set(vals))
+    plain = sum(len(v) for v in vals)
+    dict_vals = sum(len(v) for v in set(vals))
+    bits = max(len(bin(max(ndv - 1, 0))[2:]), 1) if ndv else 1
+    dict_b = dict_vals + (n * bits + 7) // 10 * 0  # placeholder, real below
+    dict_b = dict_vals + (n * bits + 7) // 8
+    runs = sum(
+        1 for i, v in enumerate(vals) if i == 0 or v != vals[i - 1]
+    )
+    rle_b = runs * ((plain // n if n else 0) + 4)
+    rec = (
+        "PLAIN"
+        if min(dict_b, rle_b) >= plain
+        else ("DICT" if dict_b <= rle_b else "RLE")
+    )
+    assert got["event_type"] == (n, ndv, plain, dict_b, runs, rle_b, rec)
+
+
+@settings(**_SETTINGS)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(1, 6),  # user
+            st.sampled_from(["click", "view", "purchase"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_next_event_accuracy_matches_python_replay(spark, ev):
+    from realtimedatawarehouse_self_spark.plans.behavior import (
+        next_event_prediction_accuracy,
+    )
+
+    d = tempfile.mkdtemp(prefix="nepprop")
+    rows = [(i, u, t, 1.0) for i, (u, t) in enumerate(ev)]
+    _write_events(d, rows)
+
+    got = {
+        r["prev_type"]: (
+            r["predicted_next"],
+            r["n_test"],
+            r["n_correct"],
+            r["accuracy_micro"],
+            r["baseline_accuracy_micro"],
+        )
+        for r in next_event_prediction_accuracy(spark, d).collect()
+    }
+
+    def is_train(u: int) -> bool:
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        return int(h[:15], 16) % 2 == 0
+
+    chains = defaultdict(list)
+    for _i, u, t, _v in rows:
+        chains[u].append(t)
+    trans_train, trans_test = [], []
+    for u, seq in chains.items():
+        for a, b in zip(seq, seq[1:]):
+            (trans_train if is_train(u) else trans_test).append((a, b))
+    counts = defaultdict(int)
+    base_counts = defaultdict(int)
+    for a, b in trans_train:
+        counts[(a, b)] += 1
+        base_counts[b] += 1
+    model = {}
+    for a in {a for a, _b in counts}:
+        model[a] = min(
+            ((-(counts[(a, b)]), b) for (x, b) in counts if x == a
+             for b in [b])
+        )[1]
+    baseline = (
+        min((-n, t) for t, n in base_counts.items())[1]
+        if base_counts
+        else None
+    )
+    want = {}
+    per_prev = defaultdict(list)
+    for a, b in trans_test:
+        per_prev[a].append(b)
+    for a, nexts in per_prev.items():
+        if a not in model or baseline is None:
+            continue
+        nt = len(nexts)
+        nc = sum(1 for b in nexts if b == model[a])
+        nb = sum(1 for b in nexts if b == baseline)
+        want[a] = (
+            model[a],
+            nt,
+            nc,
+            nc * MICRO // nt,
+            nb * MICRO // nt,
+        )
+    assert got == want
