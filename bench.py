@@ -317,6 +317,10 @@ HEADLINE = [
     "encoding_choice_audit",
     "filter_ablation_matrix",
     "next_event_prediction_accuracy",
+    # r8 wave 27: ranking-quality eval, graph assortativity, dataset card
+    "binary_classifier_auc",
+    "degree_assortativity",
+    "dataset_card_rollup",
     # streaming_hll_merge_twin is NOT benched (streaming-twin rule, as
     # streaming_dedup_incoming above: the register fold is the already-
     # benched hll_union_rolling arithmetic plus harness file-feed

@@ -1467,11 +1467,161 @@ GROUP BY m.mask, t.total_docs, t.total_tokens
 """
 
 
+# ---------------------------------------------------------------------------
+# Dataset-card rollup — the per-source one-stop summary a dataset SHIPS
+# (the "Datasheets for Datasets" / model-card practice, Gebru et al.
+# CACM'21): volume, token mass, language mix, exact-duplicate rate, and
+# quality-bucket shares, one row per source. Nothing here is a new
+# primitive — the point is the COMPOSED, release-ready artifact: the
+# row a consumer reads before mixing the source into a training run.
+# One scan feeds three combines (per-source, per-(source, lang) for the
+# top-language argmax, per-(source, md5) for the dup groups); output is
+# |sources| rows at any corpus size. All shares floored ppm.
+# ---------------------------------------------------------------------------
+def dataset_card_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+        .select(
+            "source",
+            "lang",
+            F.md5("text").alias("th"),
+            F.expr("CAST(size(tok_arr) AS BIGINT)").alias("n_tok"),
+            F.expr(
+                f"CASE WHEN size(tok_arr) < {ABL_MIN_TOKENS}"
+                " THEN 1 ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("is_short"),
+            F.expr(
+                f"CASE WHEN size(filter(tok_arr,"
+                f" x -> array_contains(array({stop_arr}), x)))"
+                f" * {ABL_STOP_DEN} > size(tok_arr) THEN 1 ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("is_lowq"),
+        )
+        .persist()
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("is_short").cast("bigint").alias("n_short"),
+        F.sum("is_lowq").cast("bigint").alias("n_lowq"),
+    )
+    wl = Window.partitionBy("source").orderBy(
+        F.col("lc").desc(), F.col("lang")
+    )
+    top_lang = (
+        docs.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lc"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter("rn = 1")
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    dups = (
+        docs.groupBy("source", "th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("CASE WHEN ct > 1 THEN ct ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_dup_docs")
+        )
+    )
+    return (
+        base.join(top_lang, "source", "left")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_tokens div n_docs AS BIGINT)").alias(
+                "avg_doc_tokens"
+            ),
+            "n_langs",
+            "top_lang",
+            F.expr("CAST(n_dup_docs * 1000000 div n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+            F.expr("CAST(n_short * 1000000 div n_docs AS BIGINT)").alias(
+                "short_ppm"
+            ),
+            F.expr("CAST(n_lowq * 1000000 div n_docs AS BIGINT)").alias(
+                "lowq_ppm"
+            ),
+        )
+    )
+
+
+def _dataset_card_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH d AS (
+    SELECT source, lang, md5(text) AS th,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           CASE WHEN len(toks) < {ABL_MIN_TOKENS} THEN 1 ELSE 0 END
+               AS is_short,
+           CASE WHEN len(list_filter(toks,
+                    x -> list_contains([{stop_arr}], x)))
+                * {ABL_STOP_DEN} > len(toks) THEN 1 ELSE 0 END AS is_lowq
+    FROM (
+        SELECT source, lang, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    )
+),
+base AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(is_short) AS BIGINT) AS n_short,
+           CAST(sum(is_lowq) AS BIGINT) AS n_lowq
+    FROM d GROUP BY 1
+),
+top_lang AS (
+    SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang) AS rn
+        FROM d WHERE lang IS NOT NULL GROUP BY source, lang
+    ) WHERE rn = 1
+),
+dups AS (
+    SELECT source,
+           CAST(sum(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS BIGINT)
+               AS n_dup_docs
+    FROM (SELECT source, th, CAST(count(*) AS BIGINT) AS ct
+          FROM d GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT b.source, b.n_docs, b.n_tokens,
+       CAST(b.n_tokens // b.n_docs AS BIGINT) AS avg_doc_tokens,
+       b.n_langs, t.top_lang,
+       CAST(u.n_dup_docs * 1000000 // b.n_docs AS BIGINT) AS dup_ppm,
+       CAST(b.n_short * 1000000 // b.n_docs AS BIGINT) AS short_ppm,
+       CAST(b.n_lowq * 1000000 // b.n_docs AS BIGINT) AS lowq_ppm
+FROM base b
+LEFT JOIN top_lang t USING (source)
+JOIN dups u USING (source)
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
     "importance_weight_selection": importance_weight_selection,
     "vocab_concentration_simpson": vocab_concentration_simpson,
     "filter_ablation_matrix": filter_ablation_matrix,
+    "dataset_card_rollup": dataset_card_rollup,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "repetition_filter": repetition_filter,
     "pii_scrub_stats": pii_scrub_stats,
@@ -1491,6 +1641,7 @@ ORACLE = {
     "importance_weight_selection": _DSIR_SQL,
     "vocab_concentration_simpson": _SIMPSON_SQL,
     "filter_ablation_matrix": _ablation_sql(),
+    "dataset_card_rollup": _dataset_card_sql(),
     "split_leakage_audit": _split_leakage_sql(),
     "contamination_longest_match": _LONGEST_MATCH_SQL,
     "ngram_novelty_rate": _NOVELTY_SQL,

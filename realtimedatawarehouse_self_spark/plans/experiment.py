@@ -1306,8 +1306,95 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# Binary-classifier AUC — the ROC area computed EXACTLY from the
+# Mann-Whitney rank-sum identity with tie-averaged ranks (Hanley &
+# McNeil '82), no curve sampling, no floats:
+#   avgrank2 = 2*min_rank + (tie_ct - 1)      (doubled to stay integer)
+#   2U = sum_{positives} avgrank2 - n_pos*(n_pos + 1)
+#   AUC = 2U / (2 * n_pos * n_neg)            (floored micro)
+# Scored per day over the conversion label (purchase vs rest) with the
+# event's cents as the score — the daily ranking-quality gate a
+# propensity pipeline runs on its scorer output. -1-sentineled when a
+# day has no positives or no negatives (AUC undefined). Scale shape:
+# one rank window + one tie-count window on the same (day) exchange,
+# one per-day combine; rank sums ride DECIMAL(38,0)/HUGEINT (sum of
+# ranks is O(n^2)).
+# ---------------------------------------------------------------------------
+def binary_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("score"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("label"),
+    )
+    wr = Window.partitionBy("day").orderBy("score")
+    wt = Window.partitionBy("day", "score")
+    ranked = base.select(
+        "day",
+        "label",
+        (
+            F.lit(2) * F.rank().over(wr).cast("bigint")
+            + F.count(F.lit(1)).over(wt).cast("bigint")
+            - F.lit(1)
+        ).alias("avgrank2"),
+    )
+    return ranked.groupBy("day").agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.expr("CAST(count(*) - sum(label) AS BIGINT)").alias("n_neg"),
+        F.expr(
+            "CASE WHEN sum(label) = 0 OR count(*) = sum(label) THEN -1"
+            " ELSE CAST((CAST(sum(CASE WHEN label = 1 THEN avgrank2"
+            " ELSE 0 END) AS DECIMAL(38,0))"
+            " - CAST(sum(label) AS DECIMAL(38,0)) * (sum(label) + 1))"
+            " * 1000000 div (CAST(2 AS DECIMAL(38,0)) * sum(label)"
+            " * (count(*) - sum(label))) AS BIGINT) END"
+        ).alias("auc_micro"),
+    )
+
+
+_AUC_SQL = """
+WITH base AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS score,
+           CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                AS BIGINT) AS label
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+ranked AS (
+    SELECT day, label,
+           2 * CAST(rank() OVER (PARTITION BY day ORDER BY score)
+               AS BIGINT)
+           + CAST(count(*) OVER (PARTITION BY day, score) AS BIGINT) - 1
+               AS avgrank2
+    FROM base
+)
+SELECT day,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+       CASE WHEN sum(label) = 0 OR count(*) = sum(label) THEN -1
+            ELSE CAST((CAST(sum(CASE WHEN label = 1 THEN avgrank2
+                 ELSE 0 END) AS HUGEINT)
+                 - CAST(sum(label) AS HUGEINT) * (sum(label) + 1))
+                 * 1000000 // (CAST(2 AS HUGEINT) * sum(label)
+                 * (count(*) - sum(label))) AS BIGINT) END AS auc_micro
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ab_experiment_lift": ab_experiment_lift,
+    "binary_classifier_auc": binary_classifier_auc,
     "cuped_variance_reduction": cuped_variance_reduction,
     "k_anonymity_audit": k_anonymity_audit,
     "diff_in_diff": diff_in_diff,
@@ -1323,6 +1410,7 @@ QUERIES = {
 
 ORACLE = {
     "ab_experiment_lift": _AB_LIFT_SQL,
+    "binary_classifier_auc": _AUC_SQL,
     "cuped_variance_reduction": _CUPED_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "diff_in_diff": _DID_SQL,

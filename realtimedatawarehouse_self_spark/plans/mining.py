@@ -1536,7 +1536,107 @@ FROM l{LPA_ROUNDS} l JOIN size_ s ON l.lbl = s.lbl
 """
 
 
+# ---------------------------------------------------------------------------
+# Degree assortativity — Newman's degree-correlation coefficient (Phys.
+# Rev. Lett. 89, 2002): does this graph wire hubs to hubs (r > 0, social
+# networks) or hubs to leaves (r < 0, infrastructure)? The number that
+# decides which sampling/partitioning strategies work on the graph. One
+# exact rational over integer edge sums (remote-degree products), with
+# the textbook Pearson-over-edges identity cross-multiplied so nothing
+# leaves integers until the final floored micro:
+#   r = (4M*S_jk - S_sum^2) / (2M*S_sq - S_sum^2)
+# where per undirected edge: S_jk += j*k, S_sum += j+k, S_sq += j^2+k^2.
+# Shares the minute-grain BUCKET_CAP edge frame with triangle/kcore/LPA
+# (its cost is already measured); the degree join is the only extra
+# shuffle and the output is ONE row. Sums ride DECIMAL(38,0)/HUGEINT
+# (S_sq is O(M * deg^2)); division truncates toward zero identically.
+# ---------------------------------------------------------------------------
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _minute_edges(spark, sf_dir).persist()
+    deg = (
+        und.select(F.col("ua").alias("id"))
+        .unionAll(und.select(F.col("ub").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("id").alias("ua"), F.col("deg").alias("ja")), "ua"
+    ).join(
+        deg.select(F.col("id").alias("ub"), F.col("deg").alias("kb")), "ub"
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_edges"),
+        F.sum(F.expr("CAST(ja AS DECIMAL(38,0)) * kb")).alias("_sjk"),
+        F.sum(F.expr("CAST(ja + kb AS DECIMAL(38,0))")).alias("_ssum"),
+        F.sum(
+            F.expr("CAST(ja AS DECIMAL(38,0)) * ja + CAST(kb AS DECIMAL(38,0)) * kb")
+        ).alias("_ssq"),
+    ).select(
+        "m_edges",
+        F.expr("CAST(_sjk AS BIGINT)").alias("s_jk"),
+        F.expr("CAST(_ssum AS BIGINT)").alias("s_sum"),
+        F.expr("CAST(_ssq AS BIGINT)").alias("s_sq"),
+        F.expr(
+            "CASE WHEN m_edges = 0 OR 2 * m_edges * _ssq - _ssum * _ssum = 0"
+            " THEN -1"
+            " ELSE CAST((CAST(4 AS DECIMAL(38,0)) * m_edges * _sjk"
+            " - _ssum * _ssum) * 1000000"
+            " div (CAST(2 AS DECIMAL(38,0)) * m_edges * _ssq"
+            " - _ssum * _ssum) AS BIGINT) END"
+        ).alias("assortativity_micro"),
+    )
+
+
+_ASSORT_SQL = f"""
+WITH b AS (
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+bn AS (
+    SELECT event_type, h, user_id,
+           count(*) OVER (PARTITION BY event_type, h) AS bucket_n
+    FROM b
+),
+bc AS (SELECT * FROM bn WHERE bucket_n <= {BUCKET_CAP}),
+und AS (
+    SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+    FROM bc a JOIN bc c
+      ON a.event_type = c.event_type AND a.h = c.h
+     AND a.user_id < c.user_id
+),
+deg AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT ua AS id FROM und UNION ALL SELECT ub AS id FROM und)
+    GROUP BY 1
+),
+e AS (
+    SELECT da.deg AS ja, db.deg AS kb
+    FROM und u
+    JOIN deg da ON da.id = u.ua
+    JOIN deg db ON db.id = u.ub
+),
+sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS m_edges,
+           sum(CAST(ja AS HUGEINT) * kb) AS sjk,
+           sum(CAST(ja + kb AS HUGEINT)) AS ssum,
+           sum(CAST(ja AS HUGEINT) * ja + CAST(kb AS HUGEINT) * kb) AS ssq
+    FROM e
+)
+SELECT m_edges,
+       CAST(sjk AS BIGINT) AS s_jk,
+       CAST(ssum AS BIGINT) AS s_sum,
+       CAST(ssq AS BIGINT) AS s_sq,
+       CASE WHEN m_edges = 0 OR 2 * m_edges * ssq - ssum * ssum = 0 THEN -1
+            ELSE CAST((CAST(4 AS HUGEINT) * m_edges * sjk - ssum * ssum)
+                 * 1000000
+                 // (CAST(2 AS HUGEINT) * m_edges * ssq - ssum * ssum)
+                 AS BIGINT) END AS assortativity_micro
+FROM sums
+"""
+
+
 QUERIES = {
+    "degree_assortativity": degree_assortativity,
     "community_label_propagation": community_label_propagation,
     "heavy_hitter_users": heavy_hitter_users,
     "degree_distribution_histogram": degree_distribution_histogram,
@@ -1553,6 +1653,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "degree_assortativity": _ASSORT_SQL,
     "community_label_propagation": _lpa_sql(),
     "heavy_hitter_users": _HH_SQL,
     "degree_distribution_histogram": _DEGREE_HIST_SQL,

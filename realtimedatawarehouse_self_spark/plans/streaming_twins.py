@@ -2245,11 +2245,109 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# COMPLETE-output-mode twin — the last of Spark's three emission
+# contracts (append: every windowed twin; update:
+# streaming_update_mode_twin; complete: this). A complete-mode
+# aggregation re-emits its ENTIRE result — every group seen so far —
+# at every micro-batch, including groups the batch did not touch. The
+# slicing makes that observable: slice 0 carries half of every type's
+# users, slice 1 the other half of every type EXCEPT 'click', slice 2
+# the remaining 'click' rows — so batch 1 must re-emit 'click' with an
+# UNCHANGED count (update mode would omit it; the oracle's grid is
+# exactly "every (type, batch >= first-appearance) pair with the
+# running total"). Complete mode requires a bounded key domain by
+# contract (full-state re-emission) — true here (|event types|).
+# ---------------------------------------------------------------------------
+_CMP_H60 = (
+    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+def streaming_complete_mode_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    with _twin_confs(spark):
+        stage = _MicroBatchStage("rtdw-cmp-")
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select(
+                "event_type",
+                F.expr(
+                    f"CASE WHEN {_CMP_H60} % 2 = 0"
+                    " THEN 0 WHEN event_type = 'click' THEN 2 ELSE 1 END"
+                ).alias("slice"),
+            )
+            .persist()
+        )
+        for i in range(3):
+            stage.stage_slice(
+                ev.filter(F.col("slice") == i).select("event_type")
+            )
+
+        out_rows = os.path.join(stage.base, "emissions")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn(
+                "batch_seq", F.lit(batch_id).cast("bigint")
+            ).write.mode("append").parquet(out_rows)
+
+        agg = (
+            stage.read_stream(spark, "event_type string")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cum_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", stage.cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        ev.unpersist()
+        return spark.read.parquet(out_rows).select(
+            "event_type", "batch_seq", "cum_events"
+        )
+
+
+def _complete_twin_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.sketches import _H60_DUCK
+
+    return f"""
+WITH base AS (
+    SELECT event_type,
+           CASE WHEN ({_H60_DUCK.format(col="user_id")}) % 2 = 0 THEN 0
+                WHEN event_type = 'click' THEN 2 ELSE 1 END AS slice
+    FROM events
+    WHERE user_id IS NOT NULL
+),
+per AS (
+    SELECT event_type, slice, CAST(count(*) AS BIGINT) AS n
+    FROM base GROUP BY 1, 2
+),
+grid AS (
+    SELECT p.event_type, CAST(u.b AS BIGINT) AS batch_seq,
+           CAST(sum(CASE WHEN p.slice <= u.b THEN p.n ELSE 0 END)
+                AS BIGINT) AS cum_events
+    FROM (SELECT DISTINCT event_type FROM per) t
+    JOIN per p USING (event_type), UNNEST(range(0, 3)) AS u(b)
+    GROUP BY 1, 2
+)
+SELECT event_type, batch_seq, cum_events
+FROM grid
+WHERE cum_events > 0
+"""
+
+
 QUERIES = {
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_hll_merge_twin": streaming_hll_merge_twin,
     "streaming_ivm_join_twin": streaming_ivm_join_twin,
     "streaming_update_mode_twin": streaming_update_mode_twin,
+    "streaming_complete_mode_twin": streaming_complete_mode_twin,
     "streaming_pv_hourly": streaming_pv_hourly,
     "streaming_topk_hitters": streaming_topk_hitters,
     "streaming_uv_daily": streaming_uv_daily,
@@ -2273,6 +2371,7 @@ ORACLE = {
     "streaming_hll_merge_twin": _hll_stream_sql(),
     "streaming_ivm_join_twin": _IVM_STREAM_SQL,
     "streaming_update_mode_twin": _update_twin_sql(),
+    "streaming_complete_mode_twin": _complete_twin_sql(),
     "streaming_pv_hourly": _PV_SQL,
     "streaming_topk_hitters": _TOPK_STREAM_SQL,
     "streaming_uv_daily": _UV_SQL,

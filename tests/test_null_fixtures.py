@@ -234,6 +234,10 @@ def null_duck(null_sf_dir):
         # before chaining
         "encoding_choice_audit",
         "next_event_prediction_accuracy",
+        # r8 wave 27: NULL values drop before ranking (AUC over the
+        # all-NULL 'error' day leg), NULL users never become graph nodes
+        "binary_classifier_auc",
+        "degree_assortativity",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -278,6 +278,12 @@ QUERIES = [
     "filter_ablation_matrix",        # in-row mask explode + 8-key combine
     "next_event_prediction_accuracy",  # argmax model tie order + hash
     #                                    split purity
+    # round-8 wave-27 additions
+    "binary_classifier_auc",         # rank/tie windows on one exchange;
+    #                                  rank-sum rationals exact
+    "degree_assortativity",          # DECIMAL edge sums associative
+    #                                  under combine reordering
+    "dataset_card_rollup",           # three combines + argmax tie order
 ]
 
 PERTURBED = {

@@ -494,3 +494,43 @@ def test_next_event_accuracy_matches_python_replay(spark, ev):
             nb * MICRO // nt,
         )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "view", "click"]),
+            st.integers(1, 20),  # score cents (small range -> many ties)
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_auc_matches_direct_pair_counting(spark, ev):
+    """The rank-sum identity vs the DEFINITION: AUC = (concordant +
+    0.5*tied) / (n_pos*n_neg) counted over all pos x neg pairs — a
+    derivation independent of both engines' windowed form."""
+    from realtimedatawarehouse_self_spark.plans.experiment import (
+        binary_classifier_auc,
+    )
+
+    d = tempfile.mkdtemp(prefix="aucprop")
+    # all on one day; score = value cents
+    rows = [(i, 1, t, c / 100.0) for i, (t, c) in enumerate(ev)]
+    _write_events(d, rows)
+
+    out = binary_classifier_auc(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    pos = [c for t, c in ev if t == "purchase"]
+    neg = [c for t, c in ev if t != "purchase"]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert r["auc_micro"] == -1
+        return
+    conc2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    assert r["auc_micro"] == conc2 * MICRO // (2 * len(pos) * len(neg))
