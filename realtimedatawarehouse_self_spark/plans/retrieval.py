@@ -444,6 +444,24 @@ wf0 AS (
 # compression are floored micro rationals over DECIMAL(38,0)/HUGEINT
 # (token counts at 100 TB exceed BIGINT·1e6 headroom).
 # ---------------------------------------------------------------------------
+def _bpe_apply_merge_safe(frame, top, keep: tuple[str, ...] = ("freq",)):
+    """Like _bpe_apply_merge, but survives an EXHAUSTED merge round: the
+    argmax frame is aggregated to exactly one row (NULL lhs/rhs when no
+    pair exists — a corpus whose vocabulary collapsed before
+    BPE_MERGE_ROUNDS), and a NULL merge is a no-op instead of a
+    vocabulary-wiping crossJoin against an empty frame (found by the
+    hypothesis recount: a single one-word document)."""
+    one = top.agg(F.max("lhs").alias("lhs"), F.max("rhs").alias("rhs"))
+    return frame.crossJoin(F.broadcast(one)).select(
+        *keep,
+        F.expr(
+            "CASE WHEN lhs IS NULL THEN sym"
+            " ELSE replace(sym, ' ' || lhs || ' ' || rhs || ' ',"
+            " ' ' || lhs || rhs || ' ') END"
+        ).alias("sym"),
+    )
+
+
 def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
     wl = (
@@ -463,13 +481,13 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(BPE_MERGE_ROUNDS):
         top = _bpe_pair_top1(cur).persist()
         tops.append(top)
-        cur = _bpe_apply_merge(cur, top)
+        cur = _bpe_apply_merge_safe(cur, top)
     # apply the learned merges to the distinct-word frame
     words = wl.select("word").distinct().select(
         "word", F.expr(_BPE_CHAR_SPLIT.format(col="word")).alias("sym")
     )
     for top in tops:
-        words = _bpe_apply_merge(words, top, keep=("word",))
+        words = _bpe_apply_merge_safe(words, top, keep=("word",))
     n_sym = words.select(
         "word",
         F.expr("CAST(size(split(trim(sym), ' ')) AS BIGINT)").alias("n_sym"),
@@ -515,19 +533,23 @@ def _bpe_apply_sql() -> str:
     GROUP BY 1, 2
 ),
 top{rnd} AS (
-    SELECT lhs, rhs FROM p{rnd}
-    ORDER BY pair_ct DESC, lhs, rhs LIMIT 1
+    SELECT max(lhs) AS lhs, max(rhs) AS rhs FROM (
+        SELECT lhs, rhs FROM p{rnd}
+        ORDER BY pair_ct DESC, lhs, rhs LIMIT 1
+    )
 ),
 wf{rnd} AS (
     SELECT w.freq,
-           replace(w.sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
-                   ' ' || t.lhs || t.rhs || ' ') AS sym
+           CASE WHEN t.lhs IS NULL THEN w.sym
+                ELSE replace(w.sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
+                     ' ' || t.lhs || t.rhs || ' ') END AS sym
     FROM {prev} w, top{rnd} t
 ),
 w{rnd} AS (
     SELECT w.word,
-           replace(w.sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
-                   ' ' || t.lhs || t.rhs || ' ') AS sym
+           CASE WHEN t.lhs IS NULL THEN w.sym
+                ELSE replace(w.sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
+                     ' ' || t.lhs || t.rhs || ' ') END AS sym
     FROM {wprev} w, top{rnd} t
 )"""
         )

@@ -427,3 +427,172 @@ def test_passk_numerator_guard_full_success_and_failure(spark):
     # mean of [1.0, 0.0] in micro
     assert r["pass_at_1_micro"] == MICRO // 2
     assert r[f"pass_at_{PASS_K}_micro"] == MICRO // 2
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(1, 6),  # words per doc
+            st.integers(1, 4),  # word pool size
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["s0", "s1"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_dsir_selection_matches_python_replay(spark, docs):
+    """Recount the smoothed-odds scoring, the lower-median threshold
+    under the (score, doc_id) total order, and the per-source yield."""
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        DSIR_TARGET_LANG,
+        importance_weight_selection,
+    )
+
+    d = tempfile.mkdtemp(prefix="dsirprop")
+    rows = []
+    for i, (n_words, pool, lang, src) in enumerate(docs):
+        words = [f"w{(i + j) % pool}" for j in range(n_words)]
+        rows.append((i, " ".join(words), lang, src))
+    _write_documents(d, rows)
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_selected"],
+            r["avg_score_micro"],
+            r["sel_ppm"],
+        )
+        for r in importance_weight_selection(spark, d).collect()
+    }
+
+    occ = []  # (doc_id, source, word, is_target)
+    for i, text, lang, src in rows:
+        for w in text.split(" "):
+            if w:
+                occ.append((i, src, w, lang == DSIR_TARGET_LANG))
+    raw_ct, tgt_ct = defaultdict(int), defaultdict(int)
+    for _i, _s, w, t in occ:
+        raw_ct[w] += 1
+        tgt_ct[w] += int(t)
+    r_tot, t_tot, v = sum(raw_ct.values()), sum(tgt_ct.values()), len(raw_ct)
+    odds = {
+        w: (tgt_ct[w] + 1) * (r_tot + v) * MICRO
+        // ((raw_ct[w] + 1) * (t_tot + v))
+        for w in raw_ct
+    }
+    per_doc = defaultdict(lambda: [0, 0, None])  # doc -> [sum, n, src]
+    for i, s, w, _t in occ:
+        per_doc[i][0] += odds[w]
+        per_doc[i][1] += 1
+        per_doc[i][2] = s
+    scores = {i: (a // n, s) for i, (a, n, s) in per_doc.items()}
+    ordered = sorted((sc, i) for i, (sc, _s) in scores.items())
+    thr = ordered[(len(ordered) + 1) // 2 - 1][0]
+    want = {}
+    by_src = defaultdict(list)
+    for i, (sc, s) in scores.items():
+        by_src[s].append(sc)
+    for s, scs in by_src.items():
+        n = len(scs)
+        nsel = sum(1 for x in scs if x >= thr)
+        want[s] = (n, nsel, sum(scs) // n, nsel * MICRO // n)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["ab", "abc", "aab", "bba", "cab"]),
+                min_size=1,
+                max_size=5,
+            ),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_apply_fertility_matches_python_replay(spark, docs):
+    """Recount the merge-table training (argmax under (ct DESC, lhs,
+    rhs)) and its application to the distinct-word frame, including the
+    leftmost non-overlapping replace's even-run under-merge."""
+    from realtimedatawarehouse_self_spark.plans.retrieval import (
+        BPE_MERGE_ROUNDS,
+        bpe_apply_fertility,
+    )
+
+    d = tempfile.mkdtemp(prefix="bpeprop")
+    rows = [
+        (i, " ".join(words), lang, "s0")
+        for i, (words, lang) in enumerate(docs)
+    ]
+    _write_documents(d, rows)
+
+    got = {
+        r["lang"]: (
+            r["n_vocab"],
+            r["n_tokens"],
+            r["sum_symbols"],
+            r["fertility_micro"],
+            r["compression_micro"],
+        )
+        for r in bpe_apply_fertility(spark, d).collect()
+    }
+
+    wl = defaultdict(int)  # (lang, word) -> freq
+    for _i, text, lang, _s in rows:
+        for w in text.split(" "):
+            if w:
+                wl[(lang, w)] += 1
+    wf = defaultdict(int)
+    for (_l, w), f in wl.items():
+        wf[w] += f
+
+    def sym0(w):
+        return " " + " ".join(w) + " "
+
+    vocab = {sym0(w): f for w, f in wf.items()}
+
+    def top_pair(vb):
+        cts = defaultdict(int)
+        for sym, f in vb.items():
+            parts = sym.split()
+            for a, b in zip(parts, parts[1:]):
+                cts[(a, b)] += f
+        if not cts:
+            return None
+        return min((-n, a, b) for (a, b), n in cts.items())[1:]
+
+    merges = []
+    cur = dict(vocab)
+    for _ in range(BPE_MERGE_ROUNDS):
+        tp = top_pair(cur)
+        if tp is None:
+            break
+        merges.append(tp)
+        a, b = tp
+        cur = {
+            s.replace(f" {a} {b} ", f" {a}{b} "): f for s, f in cur.items()
+        }
+
+    def n_sym(w):
+        s = sym0(w)
+        for a, b in merges:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.split())
+
+    want = {}
+    per_lang = defaultdict(lambda: [0, 0, 0, 0])  # vocab,tok,sym,chars
+    for (lang, w), f in wl.items():
+        a = per_lang[lang]
+        a[0] += 1
+        a[1] += f
+        a[2] += f * n_sym(w)
+        a[3] += f * len(w)
+    for lang, (nv, nt, ns, nc) in per_lang.items():
+        want[lang] = (nv, nt, ns, ns * MICRO // nt, ns * MICRO // nc)
+    assert got == want
