@@ -67,21 +67,38 @@ _CORE = {
 }
 
 
-def _green_rounds() -> dict[str, int]:
-    """name -> highest round number whose record proved it green."""
-    last: dict[str, int] = {}
+def _evidence() -> tuple[dict[str, int], set[str]]:
+    """Returns (last_green: name -> highest green round,
+    red_latest: names whose MOST RECENT driver record is a fail).
+
+    red_latest is the VERDICT r8 "record ends on a red" set: a query that
+    passed in some round but whose newest record (e.g. the r3 loader
+    outage) is a fail. The code is parity-green in-repo; the *evidence*
+    should not end on a red, so these outrank everything already proven.
+    """
+    last_green: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", rec)
         rnd = int(m.group(1))
         with open(rec) as f:
             for name, row in json.load(f).items():
-                if (
+                ok = bool(
                     row.get("rows_match")
                     and row.get("schema_match")
                     and row.get("hash_match") in (True, None)
-                ):
-                    last[name] = max(last.get(name, 0), rnd)
-    return last
+                )
+                if rnd >= latest.get(name, (0, False))[0]:
+                    latest[name] = (rnd, ok)
+                if ok:
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+    red_latest = {q for q, (_, ok) in latest.items() if not ok}
+    return last_green, red_latest
+
+
+def _green_rounds() -> dict[str, int]:
+    """name -> highest round number whose record proved it green."""
+    return _evidence()[0]
 
 
 def compute_order() -> list[str]:
@@ -91,13 +108,21 @@ def compute_order() -> list[str]:
     registry = list(plans.all_queries())
     current = plans._VERIFY_FIRST
     pos = {q: i for i, q in enumerate(current)}
-    last = _green_rounds()
+    last, red_latest = _evidence()
 
     def key(q: str):
-        # tier 0: never-proven (head); tier 1: reference-parity core;
-        # tier 2: the rest. Within a tier, stalest-first.
-        never = q not in last
-        tier = 0 if never else (1 if q in _CORE else 2)
+        # tier 0: never-proven (head); tier 1: latest driver record is a
+        # red (clear these so no query's record ends on a fail — VERDICT
+        # r8 #1); tier 2: reference-parity core; tier 3: the rest.
+        # Within a tier, stalest-first by last green round.
+        if q not in last:
+            tier = 0
+        elif q in red_latest:
+            tier = 1
+        elif q in _CORE:
+            tier = 2
+        else:
+            tier = 3
         return (tier, last.get(q, 0), pos.get(q, len(current)), q)
 
     return sorted(registry, key=key)

@@ -5,6 +5,7 @@ must never recur."""
 from __future__ import annotations
 
 import json
+import re
 
 
 def test_bench_summary_line_stays_small():
@@ -62,7 +63,12 @@ def test_rotation_advances_coverage():
     *contains* the uncovered names somewhere satisfies nothing (the r6
     regression); this test is positional: the first
     min(DRIVER_BUDGET, |uncovered|) entries must all be uncovered.
-    Renamed/removed queries in old records are ignored."""
+    With full coverage (zero uncovered, the r8 state) the invariant
+    extends to evidence *freshness* (VERDICT r8 #1): queries whose MOST
+    RECENT driver record is a fail (the r3 loader-outage reds) must
+    precede every query whose record already ends green, so no registry
+    row's evidence trail ends on a red once the driver's budget reaches
+    it. Renamed/removed queries in old records are ignored."""
     import glob
     import os
 
@@ -75,14 +81,19 @@ def test_rotation_advances_coverage():
     if not records:  # fresh clone without driver artifacts
         return
     ever_green: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     for rec in records:
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", rec).group(1))
         with open(rec) as f:
             for name, row in json.load(f).items():
-                if (
+                ok = bool(
                     row.get("rows_match")
                     and row.get("schema_match")
                     and row.get("hash_match") in (True, None)
-                ):
+                )
+                if rnd >= latest.get(name, (0, False))[0]:
+                    latest[name] = (rnd, ok)
+                if ok:
                     ever_green.add(name)
     registry = set(plans.all_queries())
     rotation = plans._VERIFY_FIRST
@@ -101,6 +112,25 @@ def test_rotation_advances_coverage():
         f"{len(stale_in_head)} already-driver-proven queries occupy the "
         f"rotation head while {len(uncovered)} queries still lack any "
         f"driver evidence: {stale_in_head}"
+    )
+    # freshness: red-latest queries (proven before, but newest record is
+    # a fail) fill the budget remaining after the uncovered tier, ahead
+    # of any query whose record already ends green.
+    red_latest = {
+        q
+        for q, (_, ok) in latest.items()
+        if not ok and q in registry and q in ever_green
+    }
+    m = min(DRIVER_BUDGET, len(uncovered) + len(red_latest))
+    green_in_priority_head = [
+        q
+        for q in rotation[:m]
+        if q in ever_green and q not in red_latest
+    ]
+    assert green_in_priority_head == [], (
+        f"{len(green_in_priority_head)} green-record queries occupy the "
+        f"rotation head while {len(red_latest)} queries' latest driver "
+        f"record is still a fail: {green_in_priority_head}"
     )
 
 
