@@ -311,7 +311,12 @@ HEADLINE = [
     "classifier_calibration_ece",
     "kmv_audience_difference",
     "vocab_concentration_simpson",
-    "recsys_holdout_eval",
+    # recsys_holdout_eval is NOT benched (double-count rule, VERDICT r8
+    # #3, same treatment as hard_negative_mining): its dominant stage is
+    # the hub-capped item-item pair build that item_cf_recommend already
+    # times in this list; the holdout-specific work (time split, ranking
+    # eval) runs on frames magnitudes smaller. It stays oracle-gated in
+    # queries().
     "markov_removal_effect",
     # r8 wave 26: layout planner, filter interactions, sequence eval
     "encoding_choice_audit",
@@ -325,6 +330,11 @@ HEADLINE = [
     # streaming_dedup_incoming above: the register fold is the already-
     # benched hll_union_rolling arithmetic plus harness file-feed
     # overhead that measures the rig, not the operator).
+    # r9: web-corpus front door (independent pipelines: the Arrow
+    # extraction pass and the canonicalize+cap window share no stage
+    # with any other benched query)
+    "html_text_extraction",
+    "domain_frequency_cap",
 ]
 
 

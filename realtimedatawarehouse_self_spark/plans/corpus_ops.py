@@ -1616,8 +1616,147 @@ JOIN dups u USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# Web-corpus front door (VERDICT r8 #2b): URL/host canonicalization +
+# per-domain frequency caps — the C4/RefinedWeb curation stage between
+# "crawl" and "dedup". A handful of hosts dominate any crawl; capping
+# docs-per-canonical-host bounds their share BEFORE the expensive
+# dedup/quality stages run.
+#
+# Scale design: canonicalization is pure JVM string expressions (scan-
+# bound, zero shuffle). The cap is row_number()<=K per host — Spark >=3.5
+# plans this as WindowGroupLimit: a per-input-partition partial top-K runs
+# BEFORE the shuffle, so a hot host moves at most K rows per upstream
+# partition instead of its full posting list; the full sort never
+# materializes. Keep-priority is (n_chars DESC, doc_id) — deterministic,
+# and "longest doc wins" is the standard C4 tie-break.
+#
+# `documents.source` is the corpus's domain proxy: the synthesized raw URL
+# (mixed-case scheme/host, www + default port, trailing slash, utm_*
+# params, fragment) gives the canonicalizer real work on every component;
+# the oracle mirrors each step in DuckDB SQL.
+
+DOMAIN_CAP = 20
+
+
+def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    # NULL source/lang must not swallow the whole URL through concat —
+    # an unknown domain still canonicalizes (to the bare zone host)
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.coalesce("source", F.lit(""))),
+        F.lit(".Example.COM:443/Articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.coalesce("lang", F.lit("")),
+        F.lit("&utm_campaign=sale#frag"),
+    )
+    parts = (
+        docs.withColumn("url", url)
+        # scheme, host:port, path?query are each extracted generically —
+        # the expressions hold for any http(s) URL, not just this shape
+        .withColumn(
+            "scheme",
+            F.lower(F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+        )
+        .withColumn(
+            "hostport", F.lower(F.regexp_extract("url", r"^[^/]+//([^/]+)", 1))
+        )
+        .withColumn(
+            "host",
+            F.regexp_replace(
+                F.regexp_replace("hostport", r"^www\.", ""), r":(443|80)$", ""
+            ),
+        )
+        .withColumn("pathq", F.regexp_extract("url", r"^[^/]+//[^/]+(/[^#]*)", 1))
+        .withColumn(
+            "path",
+            F.regexp_replace(F.regexp_extract("pathq", r"^([^?]*)", 1), r"/$", ""),
+        )
+        .withColumn("query", F.regexp_extract("pathq", r"\?(.*)$", 1))
+        # drop tracking params, sort the survivors (order-insensitive
+        # canonical form), keep path case (paths are case-sensitive)
+        .withColumn(
+            "qkeep",
+            F.array_sort(
+                F.filter(
+                    F.split("query", "&"),
+                    lambda x: (~x.startswith("utm_")) & (x != F.lit("")),
+                )
+            ),
+        )
+        .withColumn(
+            "canonical_url",
+            F.concat(
+                F.col("scheme"),
+                F.lit("://"),
+                F.col("host"),
+                F.when(F.col("path") == "", "/").otherwise(F.col("path")),
+                F.when(
+                    F.size("qkeep") > 0,
+                    F.concat(F.lit("?"), F.array_join("qkeep", "&")),
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        parts.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= DOMAIN_CAP)
+        .select("doc_id", "host", "canonical_url", "host_rank", "n_chars")
+    )
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'HTTPS://WWW.' || upper(coalesce(source, ''))
+           || '.Example.COM:443/Articles/'
+           || doc_id || '/?utm_source=feed&ref=' || coalesce(lang, '')
+           || '&utm_campaign=sale#frag' AS url
+  FROM documents WHERE text IS NOT NULL
+), parts AS (
+  SELECT doc_id, n_chars, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[^/]+//([^/]+)', 1)),
+           '^www\\.', ''), ':(443|80)$', '') AS host,
+         regexp_extract(url, '^[^/]+//[^/]+(/[^#]*)', 1) AS pathq
+  FROM u
+), canon AS (
+  SELECT doc_id, n_chars, host, scheme,
+         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') AS path,
+         list_sort(list_filter(
+           string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+           x -> x NOT LIKE 'utm!_%' ESCAPE '!' AND x <> '')) AS qkeep
+  FROM parts
+), ranked AS (
+  SELECT doc_id, n_chars, host,
+         scheme || '://' || host
+           || CASE WHEN path = '' THEN '/' ELSE path END
+           || CASE WHEN len(qkeep) > 0
+              THEN '?' || array_to_string(qkeep, '&') ELSE '' END
+           AS canonical_url,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id) AS host_rank
+  FROM canon
+)
+SELECT doc_id, host, canonical_url,
+       CAST(host_rank AS INTEGER) AS host_rank, n_chars
+FROM ranked WHERE host_rank <= {DOMAIN_CAP}
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
+    "domain_frequency_cap": domain_frequency_cap,
     "importance_weight_selection": importance_weight_selection,
     "vocab_concentration_simpson": vocab_concentration_simpson,
     "filter_ablation_matrix": filter_ablation_matrix,
@@ -1638,6 +1777,7 @@ QUERIES = {
 
 ORACLE = {
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
+    "domain_frequency_cap": _DOMAIN_CAP_SQL,
     "importance_weight_selection": _DSIR_SQL,
     "vocab_concentration_simpson": _SIMPSON_SQL,
     "filter_ablation_matrix": _ablation_sql(),

@@ -540,9 +540,95 @@ FROM buckets k LEFT JOIN pair_stats p USING (band_idx)
 """
 
 
+# ---------------------------------------------------------------------------
+# Web-corpus front door: HTML main-text extraction (VERDICT r8 #2a) — the
+# eighth quarantined Arrow path. Structural region pruning (head/nav/ads/
+# footer) + jusText-style block density classification over a
+# deterministic synthetic page; the oracle builds the identical page and
+# runs the identical prune/filter pipeline in SQL (regexp_extract_all +
+# list_filter), so the hash gate checks the full extraction arithmetic.
+# See functions/webtext.py for the trafilatura plug-in contract.
+
+
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.webtext import (
+        attach_html,
+        extract_main_text,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return extract_main_text(attach_html(docs))
+
+
+def _html_extraction_sql() -> str:
+    from realtimedatawarehouse_self_spark.functions import webtext as wt
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, coalesce(source, '') AS source,
+         string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT doc_id, source,
+         list_transform(
+           range(0, CAST(ceil(len(words) / {wt.PARA_WORDS}.0) AS INTEGER)),
+           i -> CASE WHEN i % 2 = 0
+                THEN regexp_replace(
+                       array_to_string(list_slice(words,
+                         i*{wt.PARA_WORDS}+1, i*{wt.PARA_WORDS}+{wt.PARA_WORDS}), ' '),
+                       '^(\\S+)',
+                       '<a href="#p' || i || '">\\1</a>')
+                ELSE array_to_string(list_slice(words,
+                       i*{wt.PARA_WORDS}+1, i*{wt.PARA_WORDS}+{wt.PARA_WORDS}), ' ')
+                END) AS paras
+  FROM w
+), h AS (
+  SELECT doc_id,
+         '{wt.HEAD_PRE}' || source || '{wt.HEAD_POST}{wt.NAV}<p>'
+           || array_to_string(paras, '</p><p>')
+           || '</p>{wt.AD}{wt.FOOT}' AS html
+  FROM p
+), x AS (
+  SELECT doc_id, html,
+         regexp_extract_all(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             '<head>.*?</head>', '', 'g'),
+             '<nav>.*?</nav>', '', 'g'),
+             '<div class="ad">.*?</div>', '', 'g'),
+             '<footer>.*?</footer>', '', 'g'),
+           '<p>(.*?)</p>', 1) AS blocks
+  FROM h
+), k AS (
+  SELECT doc_id, html, blocks,
+         list_transform(
+           list_filter(blocks,
+             b -> len(regexp_extract_all(
+                    regexp_replace(b, '<[^>]+>', '', 'g'), '\\S+'))
+                  >= {wt.MIN_BLOCK_WORDS}),
+           b -> regexp_replace(b, '<[^>]+>', '', 'g')) AS kept
+  FROM x
+)
+SELECT doc_id,
+       CAST(len(blocks) AS INTEGER) AS n_blocks,
+       CAST(len(kept) AS INTEGER) AS kept_blocks,
+       CAST(length(html) AS BIGINT) AS html_chars,
+       -- DuckDB's array_to_string on an EMPTY list is NULL, not '' — a
+       -- page with zero surviving blocks extracts to the empty string
+       CAST(length(coalesce(array_to_string(kept, ' '), '')) AS BIGINT)
+           AS content_chars,
+       coalesce(array_to_string(kept, ' '), '') AS extracted_text
+FROM k
+"""
+
+
+_HTML_EXTRACTION_SQL = _html_extraction_sql()
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "html_text_extraction": html_text_extraction,
     "multimodal_resize": multimodal_resize,
     "trimmed_mean_value_udaf": trimmed_mean_value_udaf,
     "keyword_page_view_udf": keyword_page_view_udf,
@@ -554,6 +640,7 @@ QUERIES = {
 ORACLE = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_phash_dedup": _PHASH_SQL,
+    "html_text_extraction": _HTML_EXTRACTION_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "trimmed_mean_value_udaf": _TRIMMED_MEAN_SQL,
     "keyword_page_view_udf": _KEYWORD_UDF_SQL,

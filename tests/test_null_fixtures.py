@@ -86,6 +86,32 @@ def null_sf_dir(tmp_path_factory):
         }
     )
     pq.write_table(customer, os.path.join(str(d), "customer.parquet"))
+    # a tiny documents table for the web-corpus front door (r9): NULL
+    # text must vanish from both engines, NULL source/lang must not
+    # swallow the synthesized page/URL through concat, a NULL n_chars row
+    # exercises DESC null ordering (Spark desc = NULLS LAST, DuckDB
+    # default NULLS LAST — must agree), and double spaces probe the
+    # word-count split on both sides
+    documents = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "one two three four five six seven eight nine ten "
+                    "eleven twelve thirteen",
+                    None,
+                    "short tail only",
+                    "a  b padded words here make five or so total count",
+                    "",
+                    "exactly five words here now",
+                ]
+            ),
+            "lang": pa.array(["en", "en", None, "de", "es", "en"]),
+            "source": pa.array(["srcA", "srcA", "srcB", None, "srcA", "srcB"]),
+            "n_chars": pa.array([64, 0, 15, None, 0, 28], pa.int64()),
+        }
+    )
+    pq.write_table(documents, os.path.join(str(d), "documents.parquet"))
     return str(d)
 
 
@@ -105,6 +131,10 @@ def null_duck(null_sf_dir):
     con.execute(
         "CREATE VIEW customer AS SELECT * FROM "
         f"'{os.path.join(null_sf_dir, 'customer.parquet')}'"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(null_sf_dir, 'documents.parquet')}'"
     )
     yield con
     con.close()
@@ -238,6 +268,12 @@ def null_duck(null_sf_dir):
         # all-NULL 'error' day leg), NULL users never become graph nodes
         "binary_classifier_auc",
         "degree_assortativity",
+        # r9 web-corpus front door: NULL text drops from both engines,
+        # NULL source/lang coalesce (concat would otherwise NULL the
+        # whole page/URL), NULL n_chars rides DESC null ordering, and
+        # empty/double-space texts probe the block word count
+        "html_text_extraction",
+        "domain_frequency_cap",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

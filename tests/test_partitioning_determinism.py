@@ -284,6 +284,11 @@ QUERIES = [
     "degree_assortativity",          # DECIMAL edge sums associative
     #                                  under combine reordering
     "dataset_card_rollup",           # three combines + argmax tie order
+    # round-9 web-corpus front door
+    "html_text_extraction",          # Arrow batch boundaries must not
+    #                                  leak into extraction output
+    "domain_frequency_cap",          # row_number()<=K keep-set must be
+    #                                  the same under any partitioning
 ]
 
 PERTURBED = {
