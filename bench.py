@@ -335,6 +335,13 @@ HEADLINE = [
     # with any other benched query)
     "html_text_extraction",
     "domain_frequency_cap",
+    # r9 wave 28 (independent pipelines: blocklist anti-join, the
+    # top-V vocab audit's own token aggregate, the md5 shard plan).
+    # streaming_domain_cap_twin is NOT benched (streaming-twin rule:
+    # file-feed harness overhead measures the rig, not the operator).
+    "robots_blocklist_filter",
+    "tokenizer_vocab_coverage",
+    "epoch_shard_plan",
 ]
 
 

@@ -1754,9 +1754,223 @@ FROM ranked WHERE host_rank <= {DOMAIN_CAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 28: the remaining web-curation + training-layout stages.
+#
+# robots_blocklist_filter — the C4 badlist/robots stage: the corpus is
+#   screened against a HOST blocklist. The list is tiny relative to the
+#   corpus (domains, not documents) → broadcast LEFT ANTI join, zero
+#   corpus shuffle. In production the list is an external table (robots
+#   disallow crawl, badwords domains); the stand-in derives membership
+#   from md5(host) — the repo's hash-gated-membership pattern — so both
+#   engines compute the identical set with no fixture file.
+#
+# tokenizer_vocab_coverage — the pre-training tokenizer audit: under a
+#   frequency-built top-V vocabulary, what fraction of each language's
+#   token occurrences is in-vocab vs OOV? Two aggregates: global token
+#   counts (one shuffle with map-side combine) → top-V (tiny, total-order
+#   tie-break) → broadcast semi-probe back over the per-lang counts.
+#   Exact integers + one micro division.
+#
+# epoch_shard_plan — deterministic training-data sharding: shard by
+#   md5(doc_id) so every epoch/restart assigns identically (no RNG), with
+#   the per-shard balance audit (share_micro) a layout planner reads
+#   before writing shards. Scan-bound; the audit is a 16-row aggregate.
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_HEX = ("0", "1", "2", "3")  # md5(host) first nibble → ~25% blocked
+# the synthetic corpus draws from ~31 distinct words — V=16 keeps a real
+# OOV tail at every SF (V >= corpus vocabulary would make coverage
+# constant 100%, a vacuous audit)
+VOCAB_TOP_V = 16
+EPOCH_SHARDS = 16
+
+_HOST_EXPR = "lower(coalesce(source, '')) || '.example.com'"
+
+
+def robots_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("host", F.expr(_HOST_EXPR))
+        .select("doc_id", "host", "n_chars")
+    )
+    blocklist = (
+        docs.select("host")
+        .distinct()
+        .where(F.substring(F.md5("host"), 1, 1).isin(*BLOCKLIST_HEX))
+    )
+    return docs.join(F.broadcast(blocklist), "host", "left_anti").select(
+        "doc_id", "host", "n_chars"
+    )
+
+
+_BLOCKLIST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_HOST_EXPR} AS host
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT DISTINCT host FROM d
+  WHERE substr(md5(host), 1, 1) IN {BLOCKLIST_HEX!r}
+)
+SELECT doc_id, host, n_chars
+FROM d WHERE host NOT IN (SELECT host FROM b)
+"""
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    toks = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", F.explode(tokens("text")).alias("tok"))
+    )
+    per_lang_tok = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    ).persist()
+    vocab = (
+        per_lang_tok.groupBy("tok")
+        .agg(F.sum("ct").cast("bigint").alias("gct"))
+        .orderBy(F.col("gct").desc(), "tok")  # total order: count, token
+        .limit(VOCAB_TOP_V)
+        .select("tok")
+    )
+    marked = per_lang_tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    out = marked.groupBy("lang").agg(
+        F.sum("ct").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("in_vocab") == 1, F.col("ct")).otherwise(0))
+        .cast("bigint")
+        .alias("invocab_tokens"),
+        F.countDistinct(
+            F.when(F.col("in_vocab") == 1, F.col("tok"))
+        ).cast("bigint").alias("vocab_hits"),
+    )
+    per_lang_tok.unpersist()
+    return out.select(
+        "lang",
+        "total_tokens",
+        "invocab_tokens",
+        (F.col("total_tokens") - F.col("invocab_tokens")).alias("oov_tokens"),
+        F.expr("invocab_tokens * 1000000 div total_tokens").alias(
+            "coverage_micro"
+        ),
+        "vocab_hits",
+    )
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (
+  SELECT lang, u.t AS tok
+  FROM (
+    SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+  ), UNNEST(ts) AS u(t)
+),
+plt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS ct
+  FROM tok GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, sum(ct) AS gct FROM plt GROUP BY 1
+    ORDER BY gct DESC, tok LIMIT {VOCAB_TOP_V}
+  )
+),
+agg AS (
+  SELECT p.lang,
+         CAST(sum(p.ct) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN v.tok IS NOT NULL THEN p.ct ELSE 0 END)
+              AS BIGINT) AS invocab_tokens,
+         CAST(count(DISTINCT CASE WHEN v.tok IS NOT NULL THEN p.tok END)
+              AS BIGINT) AS vocab_hits
+  FROM plt p LEFT JOIN vocab v USING (tok)
+  GROUP BY 1
+)
+SELECT lang, total_tokens, invocab_tokens,
+       total_tokens - invocab_tokens AS oov_tokens,
+       invocab_tokens * 1000000 // total_tokens AS coverage_micro,
+       vocab_hits
+FROM agg
+"""
+
+
+def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn(
+            "shard_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % EPOCH_SHARDS
+            ).cast("int"),
+        )
+    )
+    per_shard = docs.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+    total = per_shard.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs")
+    )
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        "shard_id",
+        "n_docs",
+        "n_chars_total",
+        "min_doc_id",
+        "max_doc_id",
+        F.expr("n_docs * 1000000 div total_docs").alias("share_micro"),
+    )
+
+
+_EPOCH_SHARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(TRY_CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % {EPOCH_SHARDS} AS INTEGER) AS shard_id
+  FROM documents WHERE text IS NOT NULL
+),
+per_shard AS (
+  SELECT shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+         CAST(max(doc_id) AS BIGINT) AS max_doc_id
+  FROM d GROUP BY 1
+)
+SELECT shard_id, n_docs, n_chars_total, min_doc_id, max_doc_id,
+       CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM per_shard)
+            AS BIGINT) AS share_micro
+FROM per_shard
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
+    "robots_blocklist_filter": robots_blocklist_filter,
+    "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
+    "epoch_shard_plan": epoch_shard_plan,
     "importance_weight_selection": importance_weight_selection,
     "vocab_concentration_simpson": vocab_concentration_simpson,
     "filter_ablation_matrix": filter_ablation_matrix,
@@ -1778,6 +1992,9 @@ QUERIES = {
 ORACLE = {
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "domain_frequency_cap": _DOMAIN_CAP_SQL,
+    "robots_blocklist_filter": _BLOCKLIST_SQL,
+    "tokenizer_vocab_coverage": _VOCAB_COVERAGE_SQL,
+    "epoch_shard_plan": _EPOCH_SHARD_SQL,
     "importance_weight_selection": _DSIR_SQL,
     "vocab_concentration_simpson": _SIMPSON_SQL,
     "filter_ablation_matrix": _ablation_sql(),

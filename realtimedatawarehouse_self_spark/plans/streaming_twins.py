@@ -2342,7 +2342,85 @@ WHERE cum_events > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming per-domain admission cap — the ingest-time twin of
+# plans/corpus_ops.py::domain_frequency_cap (wave 28): documents arrive
+# host-keyed in ascending doc_id micro-batches (a real ingest stream keys
+# arrival by log offset); keyed state carries ONE bigint per host (the
+# admitted count) and each batch admits only up to the remaining room, so
+# the cap is exact across batches. The oracle is the batch statement
+# "first DOMAIN_CAP docs per host by doc_id" — the twin must reproduce it
+# through real multi-micro-batch execution with carried state.
+# ---------------------------------------------------------------------------
+DOMCAP_BATCHES = 3
+
+
+def streaming_domain_cap_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        DOMAIN_CAP,
+        _HOST_EXPR,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        admit_first_k,
+    )
+
+    with _twin_confs(spark):
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .withColumn("host", F.expr(_HOST_EXPR))
+            .select("host", F.col("doc_id").cast("long").alias("doc_id"))
+        )
+        lo_hi = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if lo_hi["lo"] is None:
+            return spark.createDataFrame(
+                [], "host string, doc_id long, admit_seq long"
+            )
+        stage = _MicroBatchStage("rtdw-domcap-")
+        lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+        # ascending doc_id ranges → batch i holds strictly smaller ids
+        # than batch i+1 (the feeder's half of the arrival contract)
+        step = (hi - lo) // DOMCAP_BATCHES + 1
+        for b in range(DOMCAP_BATCHES):
+            part = docs.filter(
+                (F.col("doc_id") >= lo + b * step)
+                & (F.col("doc_id") < lo + (b + 1) * step)
+            )
+            stage.stage_slice(part)
+        schema = "host string, doc_id long"
+        return stage.run_to_parquet(
+            spark,
+            admit_first_k(
+                stage.read_stream(spark, schema), cap=DOMAIN_CAP
+            ),
+        )
+
+
+def _domcap_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        DOMAIN_CAP,
+        _HOST_EXPR,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_HOST_EXPR} AS host
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT host, doc_id,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+              AS BIGINT) AS admit_seq
+  FROM d
+)
+SELECT host, doc_id, admit_seq FROM r WHERE admit_seq <= {DOMAIN_CAP}
+"""
+
+
 QUERIES = {
+    "streaming_domain_cap_twin": streaming_domain_cap_twin,
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_hll_merge_twin": streaming_hll_merge_twin,
     "streaming_ivm_join_twin": streaming_ivm_join_twin,
@@ -2367,6 +2445,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_domain_cap_twin": _domcap_stream_sql(),
     "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
     "streaming_hll_merge_twin": _hll_stream_sql(),
     "streaming_ivm_join_twin": _IVM_STREAM_SQL,

@@ -586,3 +586,53 @@ def hll_register_merge(
     return events.groupBy("day").applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key streaming admission cap — the ingest-time half of the C4/
+# RefinedWeb per-domain frequency cap (plans/corpus_ops.py::
+# domain_frequency_cap is the batch side): as documents arrive, each host
+# may admit at most `cap` of them; everything after is dropped AT INGEST,
+# before any downstream (dedup/quality) work is spent on it. State per
+# host is ONE bigint (the admitted count) — fixed-width, mergeable-free
+# keyed state, the cheapest state class Structured Streaming has; at
+# 100 TB the state size is the number of distinct hosts, not documents.
+# ---------------------------------------------------------------------------
+def admit_first_k(
+    docs: DataFrame,
+    key: str = "host",
+    order_col: str = "doc_id",
+    cap: int = 20,
+) -> DataFrame:
+    """Admit the first `cap` rows per key, in `order_col` order within
+    each micro-batch; the carried count makes admission exact across
+    batches. Emits admitted rows stamped with their 1-based `admit_seq`.
+    The arrival-order contract (batch i holds smaller `order_col` values
+    than batch i+1) is the feeder's job — a real ingest stream keys this
+    by log offset.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField(order_col, LongType()),
+            StructField("admit_seq", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("admitted", LongType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        pdf = _sorted_concat(pdfs, [order_col])
+        room = max(0, cap - n)
+        take = pdf.iloc[:room]
+        take = take.assign(
+            admit_seq=pd.RangeIndex(n + 1, n + 1 + len(take)).astype("int64")
+        )
+        state.update((n + len(take),))
+        yield take[[key, order_col, "admit_seq"]]
+
+    return docs.groupBy(key).applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

@@ -274,6 +274,14 @@ def null_duck(null_sf_dir):
         # empty/double-space texts probe the block word count
         "html_text_extraction",
         "domain_frequency_cap",
+        # r9 wave 28: NULL text drops identically pre-blocklist/shard,
+        # NULL lang drops from the coverage audit on both engines, and
+        # the streaming cap twin must admit the same first-K per host
+        # with NULL-text rows never staged
+        "robots_blocklist_filter",
+        "tokenizer_vocab_coverage",
+        "epoch_shard_plan",
+        "streaming_domain_cap_twin",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -289,6 +289,10 @@ QUERIES = [
     #                                  leak into extraction output
     "domain_frequency_cap",          # row_number()<=K keep-set must be
     #                                  the same under any partitioning
+    # round-9 wave 28
+    "robots_blocklist_filter",       # broadcast anti-join keep-set
+    "tokenizer_vocab_coverage",      # top-V tie-break must be total-order
+    "epoch_shard_plan",              # md5 sharding, never hash()/RNG
 ]
 
 PERTURBED = {
