@@ -342,6 +342,13 @@ HEADLINE = [
     "robots_blocklist_filter",
     "tokenizer_vocab_coverage",
     "epoch_shard_plan",
+    # r9 wave 29: the WARC parse is its own scan-bound pipeline; the
+    # front-door recipe is the composed crawl-side headline number (its
+    # stages deliberately re-run the blocklist/cap logic over ONE shared
+    # scan — the composition is the thing being measured, exactly like
+    # pretrain_data_recipe on the curation side)
+    "warc_record_parse",
+    "web_front_door_recipe",
 ]
 
 

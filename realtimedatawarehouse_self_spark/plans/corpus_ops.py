@@ -1965,12 +1965,227 @@ FROM per_shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 29: WARC record parsing + the composed front-door recipe.
+#
+# warc_record_parse — the step BEFORE html extraction in a crawl pipeline:
+#   split the WARC envelope into typed headers + body and run the
+#   Content-Length integrity check (truncated fetches are the most common
+#   crawl corruption; they must be quarantined before extraction). The
+#   parse is pure JVM regexp + locate over the record string — no Python,
+#   scan-bound, zero shuffle. The envelope is synthesized deterministically
+#   per document (the fixture half); a deterministic subset is truncated
+#   one byte short so the validity leg is non-vacuous on both engines.
+#
+# web_front_door_recipe — the composed crawl-side counterpart of
+#   pretrain_data_recipe (which covers the curation back half: quality /
+#   dedup / mixture): per-stage survivor counts for
+#   raw -> fetched -> blocklist -> domain-cap -> length-floor.
+#   One scan feeds every stage; each stage is a 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+WARC_CORRUPT_MOD = 13  # doc_id % 13 == 0 → body truncated by one char
+FRONT_DOOR_MIN_TOKENS = 8
+
+_CRLF_SQL = "chr(13) || chr(10)"  # avoid literal control chars in SQL text
+
+
+def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    crlf = "\r\n"
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    body = F.when(
+        F.col("doc_id") % WARC_CORRUPT_MOD == 0,
+        F.expr("substring(text, 1, greatest(length(text) - 1, 0))"),
+    ).otherwise(F.col("text"))
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: https://"),
+        F.lower(F.coalesce("source", F.lit(""))),
+        F.lit(".example.com/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit(crlf + "WARC-Date: 2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z" + crlf + "Content-Length: "),
+        F.length("text").cast("string"),
+        F.lit(crlf + crlf),
+        body,
+    )
+    rec = docs.select("doc_id", record.alias("record"))
+    parsed = rec.select(
+        "doc_id",
+        F.regexp_extract("record", r"WARC-Type: ([^\r\n]+)", 1).alias(
+            "warc_type"
+        ),
+        F.regexp_extract("record", r"WARC-Target-URI: ([^\r\n]+)", 1).alias(
+            "target_uri"
+        ),
+        F.regexp_extract("record", r"WARC-Date: ([^\r\n]+)", 1).alias(
+            "warc_date"
+        ),
+        F.regexp_extract("record", r"Content-Length: ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("content_length"),
+        F.col("record")
+        .substr(F.locate(crlf + crlf, F.col("record")) + 4, F.length("record"))
+        .alias("body"),
+    )
+    return parsed.select(
+        "doc_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        F.length("body").cast("bigint").alias("body_len"),
+        (F.length("body") == F.col("content_length")).alias("is_valid"),
+    )
+
+
+_WARC_PARSE_SQL = f"""
+WITH rec AS (
+  SELECT doc_id,
+         'WARC/1.0' || {_CRLF_SQL} || 'WARC-Type: response' || {_CRLF_SQL}
+           || 'WARC-Target-URI: https://' || lower(coalesce(source, ''))
+           || '.example.com/articles/' || doc_id
+           || {_CRLF_SQL} || 'WARC-Date: 2024-01-'
+           || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || 'T00:00:00Z' || {_CRLF_SQL} || 'Content-Length: '
+           || length(text)
+           || {_CRLF_SQL} || {_CRLF_SQL}
+           || CASE WHEN doc_id % {WARC_CORRUPT_MOD} = 0
+              THEN substr(text, 1, greatest(length(text) - 1, 0))
+              ELSE text END AS record
+  FROM documents WHERE text IS NOT NULL
+),
+parsed AS (
+  SELECT doc_id,
+         regexp_extract(record, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+         regexp_extract(record, 'WARC-Target-URI: ([^\r\n]+)', 1)
+             AS target_uri,
+         regexp_extract(record, 'WARC-Date: ([^\r\n]+)', 1) AS warc_date,
+         CAST(regexp_extract(record, 'Content-Length: ([0-9]+)', 1)
+              AS BIGINT) AS content_length,
+         substr(record,
+                strpos(record, {_CRLF_SQL} || {_CRLF_SQL}) + 4) AS body
+  FROM rec
+)
+SELECT doc_id, warc_type, target_uri, warc_date, content_length,
+       CAST(length(body) AS BIGINT) AS body_len,
+       length(body) = content_length AS is_valid
+FROM parsed
+"""
+
+
+def web_front_door_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("tok_ct", F.size(tokens("text")))
+        .persist()
+    )
+    fetched = raw.where(F.col("text").isNotNull())
+    hosts = fetched.withColumn("host", F.expr(_HOST_EXPR))
+    blocklist = (
+        hosts.select("host")
+        .distinct()
+        .where(F.substring(F.md5("host"), 1, 1).isin(*BLOCKLIST_HEX))
+    )
+    unblocked = hosts.join(F.broadcast(blocklist), "host", "left_anti")
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+    capped = (
+        unblocked.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= DOMAIN_CAP)
+        .persist()
+    )
+    long_enough = capped.where(F.col("tok_ct") >= FRONT_DOOR_MIN_TOKENS)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("tok_ct") > 0, F.col("tok_ct")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+
+    out = stage("00_raw", raw)
+    for name, df in (
+        ("01_fetched", fetched),
+        ("02_blocklist", unblocked),
+        ("03_domain_cap", capped),
+        ("04_length_floor", long_enough),
+    ):
+        out = out.unionByName(stage(name, df))
+    return out
+
+
+_FRONT_DOOR_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, text, n_chars, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok_ct
+  FROM documents
+),
+fetched AS (
+  SELECT *, {_HOST_EXPR} AS host FROM raw WHERE text IS NOT NULL
+),
+b AS (
+  SELECT DISTINCT host FROM fetched
+  WHERE substr(md5(host), 1, 1) IN {BLOCKLIST_HEX!r}
+),
+unblocked AS (
+  SELECT * FROM fetched WHERE host NOT IN (SELECT host FROM b)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY n_chars DESC, doc_id) AS hr
+    FROM unblocked
+  ) WHERE hr <= {DOMAIN_CAP}
+),
+long_enough AS (
+  SELECT * FROM capped WHERE tok_ct >= {FRONT_DOOR_MIN_TOKENS}
+)
+SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN tok_ct > 0 THEN tok_ct ELSE 0 END), 0)
+            AS BIGINT) AS total_tokens FROM raw
+UNION ALL
+SELECT '01_fetched', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN tok_ct > 0 THEN tok_ct ELSE 0 END), 0)
+            AS BIGINT) FROM fetched
+UNION ALL
+SELECT '02_blocklist', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN tok_ct > 0 THEN tok_ct ELSE 0 END), 0)
+            AS BIGINT) FROM unblocked
+UNION ALL
+SELECT '03_domain_cap', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN tok_ct > 0 THEN tok_ct ELSE 0 END), 0)
+            AS BIGINT) FROM capped
+UNION ALL
+SELECT '04_length_floor', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN tok_ct > 0 THEN tok_ct ELSE 0 END), 0)
+            AS BIGINT) FROM long_enough
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
     "robots_blocklist_filter": robots_blocklist_filter,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
     "epoch_shard_plan": epoch_shard_plan,
+    "warc_record_parse": warc_record_parse,
+    "web_front_door_recipe": web_front_door_recipe,
     "importance_weight_selection": importance_weight_selection,
     "vocab_concentration_simpson": vocab_concentration_simpson,
     "filter_ablation_matrix": filter_ablation_matrix,
@@ -1995,6 +2210,8 @@ ORACLE = {
     "robots_blocklist_filter": _BLOCKLIST_SQL,
     "tokenizer_vocab_coverage": _VOCAB_COVERAGE_SQL,
     "epoch_shard_plan": _EPOCH_SHARD_SQL,
+    "warc_record_parse": _WARC_PARSE_SQL,
+    "web_front_door_recipe": _FRONT_DOOR_SQL,
     "importance_weight_selection": _DSIR_SQL,
     "vocab_concentration_simpson": _SIMPSON_SQL,
     "filter_ablation_matrix": _ablation_sql(),

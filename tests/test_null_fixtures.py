@@ -282,6 +282,11 @@ def null_duck(null_sf_dir):
         "tokenizer_vocab_coverage",
         "epoch_shard_plan",
         "streaming_domain_cap_twin",
+        # r9 wave 29: NULL text must vanish from the WARC envelope build,
+        # and the recipe's raw stage must count NULL-text/tok_ct hazards
+        # (Spark size()=-1 vs DuckDB NULL both fold to 0 tokens)
+        "warc_record_parse",
+        "web_front_door_recipe",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -293,6 +293,9 @@ QUERIES = [
     "robots_blocklist_filter",       # broadcast anti-join keep-set
     "tokenizer_vocab_coverage",      # top-V tie-break must be total-order
     "epoch_shard_plan",              # md5 sharding, never hash()/RNG
+    # round-9 wave 29
+    "warc_record_parse",             # scan-bound parse, no shuffle at all
+    "web_front_door_recipe",         # five chained keep-sets must agree
 ]
 
 PERTURBED = {
