@@ -562,3 +562,52 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     got = {str(r["dt"]): r["count"] for r in joined.collect()}
     assert set(got) == {"2024-01-01", "2024-01-02"}
+
+
+def test_domain_cap_partial_window_group_limit(spark, sf):
+    """r9 scale lock: the per-domain cap must show TWO WindowGroupLimit
+    nodes — the partial one BEFORE the exchange (a hot host then moves at
+    most K rows per upstream partition) and the final one after. Losing
+    the partial (e.g. by adding a non-rank-limit predicate) silently
+    reverts to shuffling every doc of every host."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["domain_frequency_cap"](spark, sf))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "PushedFilters: [IsNotNull(text)]" in plan, plan
+
+
+def test_html_extraction_shuffle_free(spark, sf):
+    """r9 scale lock: extraction is ONE Arrow pass. The only allowed
+    Exchange is the deliberate round-robin CPU fan-out from
+    load_table(fan_out=True) (few parquet files would otherwise starve
+    the Arrow stage); any key-based Exchange means a shuffle crept into
+    the embarrassingly-parallel stage."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["html_text_extraction"](spark, sf))
+    # tree entries look like "Exchange (3)"; each detail block carries the
+    # REPARTITION_BY_NUM tag iff it is the round-robin fan-out
+    assert plan.count("Exchange (") == plan.count("REPARTITION_BY_NUM"), plan
+    assert plan.count("MapInPandas (") == 1, plan
+
+
+def test_warc_parse_shuffle_free_and_codegen(spark, sf):
+    """r9 scale lock: the WARC parse is pure JVM expression work — no
+    Exchange, no Python stage, and the parse runs inside whole-stage
+    codegen (formatted explain marks nodes with `[codegen id : N]`)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["warc_record_parse"](spark, sf))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "codegen id" in plan, plan
+
+
+def test_blocklist_filter_broadcasts_anti_join(spark, sf):
+    """r9 scale lock: the corpus side of the blocklist screen must not
+    shuffle — the tiny host list broadcasts into a left-anti BHJ."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["robots_blocklist_filter"](spark, sf))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
