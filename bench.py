@@ -349,6 +349,8 @@ HEADLINE = [
     # pretrain_data_recipe on the curation side)
     "warc_record_parse",
     "web_front_door_recipe",
+    # r9 wave 30: its own one-scan token aggregate + |sources|-row math
+    "token_budget_mixture",
 ]
 
 

@@ -2178,6 +2178,76 @@ SELECT '04_length_floor', CAST(count(*) AS BIGINT),
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 30: token-budget mixture — the recipe TABLE behind temperature
+# sampling. domain_mixture_temperature SAMPLES documents to sqrt-
+# proportional doc counts; this op answers the planning question a
+# training run asks first: given a global token budget, how many tokens
+# does each source contribute and how many passes (epochs) over the
+# source does that imply (the "repeat small high-quality sources" math
+# from the Gopher/LLaMA data recipes). All integer arithmetic after the
+# floored IEEE sqrt weight (the proven _sqrt_targets shape): weights and
+# quotas are BIGINT micro-units, so both engines agree bit-for-bit.
+# Scale: one token-count aggregate (map-side combine), then |sources|-row
+# math — the corpus is scanned once.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 100_000
+
+
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    toks = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(tokens("text")))
+            .cast("bigint")
+            .alias("total_ct")  # _sqrt_targets' expected column name
+        )
+    )
+    quotas = _sqrt_targets(toks, TOKEN_BUDGET)
+    return quotas.select(
+        "source",
+        F.col("total_ct").alias("tokens_available"),
+        "w_micro",
+        F.col("target_ct").cast("bigint").alias("quota_tokens"),
+        F.expr("target_ct * 1000000 div total_ct").alias(
+            "repeat_epochs_micro"
+        ),
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH toks AS (
+    SELECT source,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS total_ct
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+),
+weighted AS (
+    SELECT source, total_ct,
+           CAST(floor(sqrt(CAST(total_ct AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w_micro
+    FROM toks
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM weighted)
+SELECT w.source,
+       w.total_ct AS tokens_available,
+       w.w_micro,
+       CAST(({TOKEN_BUDGET} * w.w_micro) // t.tot_w AS BIGINT)
+           AS quota_tokens,
+       CAST((({TOKEN_BUDGET} * w.w_micro) // t.tot_w) * 1000000
+            // w.total_ct AS BIGINT) AS repeat_epochs_micro
+FROM weighted w CROSS JOIN tot t
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
@@ -2186,6 +2256,7 @@ QUERIES = {
     "epoch_shard_plan": epoch_shard_plan,
     "warc_record_parse": warc_record_parse,
     "web_front_door_recipe": web_front_door_recipe,
+    "token_budget_mixture": token_budget_mixture,
     "importance_weight_selection": importance_weight_selection,
     "vocab_concentration_simpson": vocab_concentration_simpson,
     "filter_ablation_matrix": filter_ablation_matrix,
@@ -2212,6 +2283,7 @@ ORACLE = {
     "epoch_shard_plan": _EPOCH_SHARD_SQL,
     "warc_record_parse": _WARC_PARSE_SQL,
     "web_front_door_recipe": _FRONT_DOOR_SQL,
+    "token_budget_mixture": _TOKEN_BUDGET_SQL,
     "importance_weight_selection": _DSIR_SQL,
     "vocab_concentration_simpson": _SIMPSON_SQL,
     "filter_ablation_matrix": _ablation_sql(),

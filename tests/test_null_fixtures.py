@@ -287,6 +287,9 @@ def null_duck(null_sf_dir):
         # (Spark size()=-1 vs DuckDB NULL both fold to 0 tokens)
         "warc_record_parse",
         "web_front_door_recipe",
+        # r9 wave 30: the NULL-source group must carry its own sqrt
+        # weight identically, NULL text drops pre-count
+        "token_budget_mixture",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -296,6 +296,9 @@ QUERIES = [
     # round-9 wave 29
     "warc_record_parse",             # scan-bound parse, no shuffle at all
     "web_front_door_recipe",         # five chained keep-sets must agree
+    # round-9 wave 30
+    "token_budget_mixture",          # floored IEEE sqrt weights + integer
+    #                                  quotas under combine reordering
 ]
 
 PERTURBED = {
