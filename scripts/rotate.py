@@ -16,15 +16,17 @@ Ordering policy (matches the tripwire
    these head the rotation so the driver's budget always buys new
    coverage. Among themselves they keep their current rotation order
    (new waves are appended there on arrival).
-2. The reference-parity CORE queries (SURVEY.md §2: the dws/dwd
-   windows, sessionize, visitor repair, funnel, SCD2, and the r2
-   streaming twins) stalest-first — these carry the reference's own
-   semantics, so their evidence freshness outranks generic registry
-   rows of equal staleness (VERDICT r7 "Next round" #3).
+2. Queries whose MOST RECENT driver record is a fail (e.g. the r3
+   loader-outage reds): the evidence trail must not end on a red
+   (VERDICT r8 #1).
 3. Everything else stalest-first: ascending by the LAST round that
-   proved the query green, ties broken by current rotation order. If
-   the driver's budget ever grows, it automatically reaches the
-   next-most-valuable evidence.
+   proved the query green. The reference-parity CORE queries
+   (SURVEY.md §2: the dws/dwd windows, sessionize, visitor repair,
+   funnel, SCD2, the r2 streaming twins) win ties at EQUAL staleness
+   (VERDICT r7 "Next round" #3, as stated: equal staleness only — a
+   core row proven green in the latest recorded round must not starve
+   the r1/r2-stale tail, which was the r8→r9 policy refinement).
+   Remaining ties break by current rotation order.
 
 Usage:  python scripts/rotate.py          # rewrite plans/__init__.py
         python scripts/rotate.py --check  # exit 1 if a rewrite is needed
@@ -113,17 +115,27 @@ def compute_order() -> list[str]:
     def key(q: str):
         # tier 0: never-proven (head); tier 1: latest driver record is a
         # red (clear these so no query's record ends on a fail — VERDICT
-        # r8 #1); tier 2: reference-parity core; tier 3: the rest.
-        # Within a tier, stalest-first by last green round.
+        # r8 #1); tier 2: everything else, stalest-first by last green
+        # round. Reference-parity CORE rows win ties at EQUAL staleness
+        # (the r7 #3 policy as stated: core outranks generic rows *of
+        # equal staleness*) but do not jump ahead of much-staler generic
+        # rows — a core row proven green in the latest recorded round
+        # must not eat a budget slot that an r1/r2-stale row needs
+        # (r9 refinement: the previous tier form re-proved all 16
+        # just-green core rows every round, starving the stale tail).
         if q not in last:
             tier = 0
         elif q in red_latest:
             tier = 1
-        elif q in _CORE:
-            tier = 2
         else:
-            tier = 3
-        return (tier, last.get(q, 0), pos.get(q, len(current)), q)
+            tier = 2
+        return (
+            tier,
+            last.get(q, 0),
+            0 if q in _CORE else 1,
+            pos.get(q, len(current)),
+            q,
+        )
 
     return sorted(registry, key=key)
 
