@@ -351,6 +351,20 @@ HEADLINE = [
     "web_front_door_recipe",
     # r9 wave 30: its own one-scan token aggregate + |sources|-row math
     "token_budget_mixture",
+    # r9 waves 31-33: curation recipes / preference data / sequence eval.
+    # pairwise_preference_matrix is NOT benched (double-count rule): its
+    # per-(user,day) count scan + pair explode is the first stage of
+    # bradley_terry_strength, which is benched below and strictly
+    # supersets it. perplexity_bucket_assign is NOT benched (double-count
+    # rule): its dominant stage is the corpus-bigram LM build that
+    # lm_quality_probability already times in this list; the bucketing
+    # adds one |docs|-row window.
+    "semdedup_eps_sweep",
+    "fasttext_hash_quality",
+    "bradley_terry_strength",
+    "dawid_skene_vote",
+    "episode_discounted_returns",
+    "rouge_bigram_eval",
 ]
 
 

@@ -1,0 +1,945 @@
+"""Curation-recipe operators, round 3 (r9 waves 31-33): the published
+pretrain/posttrain recipes between "dedup" and "train" that the earlier
+families stopped short of — SemDeDup-style embedding-prune tuning, CCNet
+perplexity bucketing, fastText-style hashed linear quality scoring,
+preference-pair aggregation + Bradley-Terry strengths for reward-model
+data, Dawid-Skene-style weighted label aggregation, discounted episode
+returns for RL logs, and ROUGE-style n-gram overlap eval.
+
+All beyond the reference surface (BASELINE.json north-star); each operator
+cites the published recipe it re-expresses. Scale notes inline per
+operator; the module-wide rules are the repo's standing ones: candidates
+are always blocked/bucketed (never all-pairs), arithmetic that must match
+the oracle bit-for-bit is integer micro/milli-units, doubles appear only
+as single divisions of the same two integers on both engines, and every
+iterative method runs a FIXED unrolled round count so the whole job is one
+declarative DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtimedatawarehouse_self_spark.functions.exprs import (
+    cosine,
+    ordered_pair_structs,
+    tokens,
+)
+from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "events", fan_out=True)
+
+
+# ---------------------------------------------------------------------------
+# Wave 31a: SemDeDup epsilon sweep (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication").
+# SemDeDup clusters embeddings with k-means and drops all but one of every
+# within-cluster epsilon-similar group. The load-bearing decision is
+# epsilon; this operator produces the tuning table the threshold is picked
+# from: for each candidate epsilon, how many within-cell pairs exceed it,
+# how many vectors the keep-first rule drops, and the corpus retention.
+# Drop rule (documented): a vector is dropped at epsilon if ANY lower-id
+# vector in its cell is > epsilon similar — the one-pass superset of the
+# sequential greedy (identical when similarity is transitive inside an
+# epsilon-ball, the regime SemDeDup targets). The actioning/tuning sibling
+# of `dedup_embedding_cosine` (which emits the pair list at one threshold,
+# blocked on (label, cell)); here blocking is cell-only, as in the paper.
+# Scale: pairs live inside coarse-quantizer cells (llm_ops._cells: K grows
+# with n, per-cell population ~IVF_TARGET_CELL), so pair volume is
+# n·IVF_TARGET_CELL/2 — linear in n. The sweep reuses ONE pair frame and
+# ONE per-vector max-similarity frame for every epsilon (conditional
+# aggregates), so adding thresholds costs nothing but arithmetic.
+# ---------------------------------------------------------------------------
+SEMDEDUP_EPS = (0.4, 0.6, 0.8)
+
+
+def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import _cells
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cells = _cells(emb)
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.vec_id").alias("later_vec"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+    )
+    # one pass over the pair frame: pair counts per eps + per-vector max
+    pair_aggs = [
+        F.sum(F.when(F.col("score") > F.lit(e), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"p{i}")
+        for i, e in enumerate(SEMDEDUP_EPS)
+    ]
+    vmax = pairs.groupBy("later_vec").agg(F.max("score").alias("m"))
+    drop_aggs = [
+        F.sum(F.when(F.col("m") > F.lit(e), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"d{i}")
+        for i, e in enumerate(SEMDEDUP_EPS)
+    ]
+    one = (
+        pairs.agg(*pair_aggs)
+        .crossJoin(F.broadcast(vmax.agg(*drop_aggs)))
+        .crossJoin(
+            F.broadcast(
+                emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+            )
+        )
+    )
+    rows = ", ".join(
+        f"struct({int(e * 1000)}L AS eps_milli, coalesce(p{i}, 0L) AS "
+        f"n_pairs_over, coalesce(d{i}, 0L) AS n_dropped)"
+        for i, e in enumerate(SEMDEDUP_EPS)
+    )
+    return (
+        one.select(
+            "n_vecs", F.explode(F.expr(f"array({rows})")).alias("r")
+        )
+        .select(
+            F.col("r.eps_milli").alias("eps_milli"),
+            "n_vecs",
+            F.col("r.n_pairs_over").alias("n_pairs_over"),
+            F.col("r.n_dropped").alias("n_dropped"),
+            F.expr(
+                "CASE WHEN n_vecs = 0 THEN 1000000L"
+                " ELSE (n_vecs - r.n_dropped) * 1000000 div n_vecs END"
+            ).alias("retention_micro"),
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        IVF_ASSIGN_CTE,
+        _COSINE_SQL,
+    )
+
+    per_eps = "\nUNION ALL\n".join(
+        f"""SELECT CAST({int(e * 1000)} AS BIGINT) AS eps_milli,
+       (SELECT CAST(count(*) AS BIGINT) FROM emb) AS n_vecs,
+       (SELECT CAST(coalesce(sum(CASE WHEN score > {e} THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM pairs) AS n_pairs_over,
+       (SELECT CAST(coalesce(sum(CASE WHEN m > {e} THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM vmax) AS n_dropped"""
+        for e in SEMDEDUP_EPS
+    )
+    return f"""
+WITH {IVF_ASSIGN_CTE},
+pairs AS (
+    SELECT b.vec_id AS later_vec,
+           {_COSINE_SQL.format(a="a.vec", b="b.vec")} AS score
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+vmax AS (SELECT later_vec, max(score) AS m FROM pairs GROUP BY 1),
+sweep AS ({per_eps})
+SELECT eps_milli, n_vecs, n_pairs_over, n_dropped,
+       CASE WHEN n_vecs = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE (n_vecs - n_dropped) * 1000000 // n_vecs END
+           AS retention_micro
+FROM sweep
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 31b: CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet:
+# Extracting high quality monolingual datasets from web crawl data").
+# CCNet scores every document with a per-language LM and splits each
+# language into head/middle/tail perplexity terciles; training recipes then
+# keep head(+middle). Here the LM score is the repo's oracle-proven
+# corpus-bigram fluency score (`mining.lm_quality_probability` — HIGHER
+# mean bigram probability = more fluent = "head"), and the split is the
+# deterministic 30/40/30 rank rule: within each language, rank docs by
+# (score DESC, doc_id) and cut at 3/10 and 7/10 of the language's doc
+# count — pure integer comparisons, no percentile interpolation to drift
+# between engines. Only docs the LM can score (>= 1 bigram) participate,
+# exactly as CCNet scores only LM-scorable text.
+# Scale: the LM build is the proven lm_quality shape (vocab-bounded
+# broadcast table); bucketing adds one per-language window over doc-level
+# rows — |docs| window rows, no corpus re-shuffle.
+# ---------------------------------------------------------------------------
+def perplexity_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.mining import (
+        lm_quality_probability,
+    )
+
+    scored = lm_quality_probability(spark, sf_dir).select(
+        "doc_id", "mean_prob_micro"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_prob_micro").desc(), F.col("doc_id")
+    )
+    ranked = j.select(
+        "doc_id",
+        "lang",
+        "mean_prob_micro",
+        F.row_number().over(w).cast("bigint").alias("lang_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .cast("bigint")
+        .alias("lang_n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "mean_prob_micro",
+        "lang_rank",
+        F.when(F.col("lang_rank") * 10 <= F.col("lang_n") * 3, "head")
+        .when(F.col("lang_rank") * 10 <= F.col("lang_n") * 7, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def _perplexity_bucket_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.mining import _LM_PROB_SQL
+
+    return f"""
+WITH lm AS ({_LM_PROB_SQL}),
+ranked AS (
+    SELECT l.doc_id, d.lang, l.mean_prob_micro,
+           CAST(row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY l.mean_prob_micro DESC, l.doc_id) AS BIGINT)
+               AS lang_rank,
+           CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS lang_n
+    FROM lm l JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, mean_prob_micro, lang_rank,
+       CASE WHEN lang_rank * 10 <= lang_n * 3 THEN 'head'
+            WHEN lang_rank * 10 <= lang_n * 7 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 31c: fastText-style hashed linear quality scorer (Joulin et al.
+# 2017 "Bag of Tricks for Efficient Text Classification"; the filter shape
+# CCNet/RefinedWeb/FineWeb-Edu run over every crawl document). The real
+# thing is: tokens -> hashing-trick feature ids -> linear layer -> keep/
+# drop. Here the PLUMBING is real and the weights are a deterministic
+# stand-in (weight(token) = 60-bit-md5 bucket mod 2001, range 0..2000
+# milli with 1000 = neutral — swap the expression for a broadcast join
+# against a trained weight table and nothing else changes). Weights are
+# kept NON-NEGATIVE so the score is a floor division of non-negatives —
+# Spark `div` truncates toward zero while DuckDB `//` floors, and they
+# only agree when the dividend can't be negative (the repo's standing
+# sign-robustness rule).
+# Scale: per-row codegen over the token array (hash + sum inside one
+# `aggregate`), zero shuffle, zero Python — the classifier runs at scan
+# speed, which is the entire point of the fastText filter at 100 TB.
+# ---------------------------------------------------------------------------
+FT_WEIGHT_MOD = 2001  # weights 0..2000 milli; 1000 = neutral
+FT_KEEP_MILLI = 1000  # keep iff mean token weight >= neutral
+
+
+def fasttext_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    w_expr = (
+        "aggregate(transform(tok_arr, x -> "
+        f"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
+        f" % {FT_WEIGHT_MOD}), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = docs.filter(F.size("tok_arr") > 0).select(
+        "doc_id",
+        "lang",
+        F.size("tok_arr").cast("bigint").alias("n_tokens"),
+        F.expr(w_expr).alias("sum_w_milli"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "sum_w_milli",
+        F.expr("sum_w_milli div n_tokens").alias("score_milli"),
+        F.when(
+            F.expr("sum_w_milli div n_tokens") >= FT_KEEP_MILLI, "keep"
+        )
+        .otherwise("drop")
+        .alias("decision"),
+    )
+
+
+_FASTTEXT_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+s AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x ->
+                TRY_CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                % {FT_WEIGHT_MOD})) AS BIGINT) AS sum_w_milli
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, lang, n_tokens, sum_w_milli,
+       sum_w_milli // n_tokens AS score_milli,
+       CASE WHEN sum_w_milli // n_tokens >= {FT_KEEP_MILLI}
+            THEN 'keep' ELSE 'drop' END AS decision
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 32a: pairwise preference matrix — the aggregation a reward-model /
+# RLHF data pipeline runs over raw comparisons before ANY modeling: for
+# every pair of alternatives, how many times was each preferred. The
+# deterministic comparison source here: within each (user, day), event
+# type A "beats" event type B when the user did A more often (ties
+# recorded, excluded from wins) — the implicit-feedback analogue of a
+# human A-vs-B vote.
+# Scale: per-(user, day) counts are one map-side-combinable aggregate; the
+# pair explode runs over each user-day's DISTINCT-TYPE list (bounded by
+# |event types|, so <= T(T-1)/2 pairs per user-day regardless of event
+# volume); the final matrix is a tiny (type_a, type_b) combine.
+# `ordered_pair_structs` is the same codegen pair primitive the overlap/
+# co-engagement family uses.
+# ---------------------------------------------------------------------------
+def _user_day_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+
+
+def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _user_day_type_counts(spark, sf_dir)
+    arr = counts.groupBy("user_id", "day").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "ct"))).alias(
+            "tc"
+        )
+    )
+    return (
+        arr.select(
+            F.explode(ordered_pair_structs("tc", "pa", "pb")).alias("p")
+        )
+        .select(
+            F.col("p.pa.event_type").alias("type_a"),
+            F.col("p.pb.event_type").alias("type_b"),
+            F.col("p.pa.ct").alias("ca"),
+            F.col("p.pb.ct").alias("cb"),
+        )
+    )
+
+
+def pairwise_preference_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _preference_pairs(spark, sf_dir)
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comparisons"),
+        F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_wins"),
+        F.sum(F.when(F.col("cb") > F.col("ca"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_wins"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties"),
+    )
+
+
+_PREF_PAIRS_CTE = """counts AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+pp AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.ct AS ca, b.ct AS cb
+    FROM counts a JOIN counts b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+)"""
+
+_PREF_MATRIX_SQL = f"""
+WITH {_PREF_PAIRS_CTE}
+SELECT type_a, type_b,
+       CAST(count(*) AS BIGINT) AS n_comparisons,
+       CAST(sum(CASE WHEN ca > cb THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+       CAST(sum(CASE WHEN cb > ca THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+       CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS ties
+FROM pp
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 32b: Bradley-Terry strengths via the MM algorithm (Hunter 2004,
+# "MM algorithms for generalized Bradley-Terry models") — THE model behind
+# reward-model training pairs, chatbot-arena-style leaderboards, and
+# preference-data quality checks. Fixed BT_ITERS minorization-maximization
+# updates, unrolled declaratively:
+#     s_i <- W_i * 1e12 // SUM_j ( n_ij * 1e12 // (s_i + s_j) )
+# with strengths in integer micro-units (s0 = 1e6 flat), W_i = decisive
+# wins of i, n_ij = decisive comparisons between i and j (ties excluded,
+# the standard BT treatment). Every division is a floor over NON-NEGATIVE
+# integers, so both engines agree bit-for-bit. Magnitudes: n_ij <= 1e5 at
+# sf0.1 -> n_ij * 1e12 <= 1e17 < 2^63; D_i <= sum(n)*5e5 ~ 1e11; W*1e12
+# <= 1e17 — all inside int64 with headroom (document before raising
+# BT_ITERS past ~4 at larger n).
+# Scale: the win matrix is |event types|^2 rows — driver-side tiny; each
+# MM round is two joins on that tiny frame. The expensive part (the
+# comparison scan) is the SAME one aggregate as the preference matrix.
+# ---------------------------------------------------------------------------
+BT_ITERS = 2
+_BT_ONE = 1_000_000  # micro-unit strength scale
+_BT_KK = 1_000_000_000_000  # 1e12: micro * micro
+
+
+def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _preference_pairs(spark, sf_dir)
+    matrix = pairs.groupBy("type_a", "type_b").agg(
+        F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ij"),
+        F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wins_a"),
+    )
+    # directed edges: (i, j, n_ij, wins of i over j) both ways
+    edges = (
+        matrix.select(
+            F.col("type_a").alias("i"),
+            F.col("type_b").alias("j"),
+            "n_ij",
+            F.col("wins_a").alias("w"),
+        )
+        .unionAll(
+            matrix.select(
+                F.col("type_b").alias("i"),
+                F.col("type_a").alias("j"),
+                "n_ij",
+                (F.col("n_ij") - F.col("wins_a")).alias("w"),
+            )
+        )
+        .filter(F.col("n_ij") > 0)
+        .persist()
+    )
+    wins = edges.groupBy("i").agg(
+        F.sum("w").cast("bigint").alias("w_total"),
+        F.sum("n_ij").cast("bigint").alias("n_total"),
+    )
+    s = wins.select(
+        "i", F.lit(_BT_ONE).cast("bigint").alias("s")
+    )
+    for _ in range(BT_ITERS):
+        si = s.select(F.col("i"), F.col("s").alias("s_i"))
+        sj = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+        denom = (
+            edges.join(si, "i")
+            .join(sj, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(f"n_ij * CAST({_BT_KK} AS BIGINT) div (s_i + s_j)")
+                )
+                .cast("bigint")
+                .alias("d")
+            )
+        )
+        # greatest(., 1): a zero-win item floors to strength 1 micro so
+        # (s_i + s_j) stays positive for the next round's division
+        s = (
+            wins.join(denom, "i")
+            .select(
+                "i",
+                F.expr(
+                    f"CASE WHEN d > 0 THEN greatest(w_total"
+                    f" * CAST({_BT_KK} AS BIGINT) div d, 1L)"
+                    f" ELSE CAST({_BT_ONE} AS BIGINT) END"
+                ).alias("s"),
+            )
+        )
+    out = wins.join(s, "i")
+    w = Window.orderBy(F.col("s").desc(), F.col("i"))
+    return out.select(
+        F.col("i").alias("event_type"),
+        F.col("w_total").alias("n_wins"),
+        F.col("n_total").alias("n_comparisons"),
+        F.col("s").alias("strength_micro"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+def _bt_sql() -> str:
+    ctes = [
+        _PREF_PAIRS_CTE,
+        """matrix AS (
+    SELECT type_a, type_b,
+           CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) AS n_ij,
+           CAST(sum(CASE WHEN ca > cb THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+    FROM pp GROUP BY 1, 2
+)""",
+        """edges AS (
+    SELECT type_a AS i, type_b AS j, n_ij, wins_a AS w
+    FROM matrix WHERE n_ij > 0
+    UNION ALL
+    SELECT type_b AS i, type_a AS j, n_ij, n_ij - wins_a AS w
+    FROM matrix WHERE n_ij > 0
+)""",
+        """wins AS (
+    SELECT i, CAST(sum(w) AS BIGINT) AS w_total,
+           CAST(sum(n_ij) AS BIGINT) AS n_total
+    FROM edges GROUP BY 1
+)""",
+        f"s0 AS (SELECT i, CAST({_BT_ONE} AS BIGINT) AS s FROM wins)",
+    ]
+    for k in range(BT_ITERS):
+        ctes.append(f"""d{k} AS (
+    SELECT e.i,
+           CAST(sum(e.n_ij * CAST({_BT_KK} AS BIGINT) // (si.s + sj.s))
+                AS BIGINT) AS d
+    FROM edges e
+    JOIN s{k} si ON e.i = si.i
+    JOIN s{k} sj ON e.j = sj.i
+    GROUP BY 1
+)""")
+        ctes.append(f"""s{k + 1} AS (
+    SELECT w.i,
+           CAST(CASE WHEN d.d > 0
+                THEN greatest(w.w_total * CAST({_BT_KK} AS BIGINT) // d.d, 1)
+                ELSE {_BT_ONE} END AS BIGINT) AS s
+    FROM wins w JOIN d{k} d ON w.i = d.i
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT w.i AS event_type,
+       w.w_total AS n_wins,
+       w.n_total AS n_comparisons,
+       s.s AS strength_micro,
+       CAST(row_number() OVER (ORDER BY s.s DESC, w.i) AS INTEGER) AS rnk
+FROM wins w JOIN s{BT_ITERS} s ON w.i = s.i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 32c: Dawid-Skene-style weighted label aggregation (Dawid & Skene
+# 1979; the one-EM-round accuracy-weighted variant every label pipeline
+# starts from). Three deterministic annotators label every document
+# (A: length rule, B: lexical-diversity rule — the two kappa annotators —
+# plus C: token-count rule); the majority vote initializes truth, each
+# annotator's accuracy against the majority is estimated globally in
+# micro-units, then labels are re-aggregated with accuracy weights
+# (final = 1 iff sum of accuracies of 1-voters > sum of accuracies of
+# 0-voters; exact tie keeps the majority). Output is the per-source audit:
+# majority vs weighted positives and the flip count — the signal that a
+# low-accuracy annotator was overruling better ones.
+# Scale: one scan with per-row codegen labeling, one global 1-row accuracy
+# aggregate (broadcast back), one per-source combine. No iteration beyond
+# the single documented EM round; more rounds = repeat the same two tiny
+# aggregates.
+# ---------------------------------------------------------------------------
+DS_LEN_THRESH = 200  # annotator A (= kappa's length rule)
+DS_DIV_NUM, DS_DIV_DEN = 3, 10  # annotator B (= kappa's diversity rule)
+DS_TOK_THRESH = 40  # annotator C: long-token-count rule
+
+_DS_TOKS = "filter(split(text, ' '), x -> x != '')"
+_DS_A = f"CASE WHEN n_chars >= {DS_LEN_THRESH} THEN 1 ELSE 0 END"
+_DS_B = (
+    f"CASE WHEN CAST(size(array_distinct({_DS_TOKS})) AS BIGINT)"
+    f" * {DS_DIV_DEN} >= CAST(size({_DS_TOKS}) AS BIGINT)"
+    f" * {DS_DIV_NUM} THEN 1 ELSE 0 END"
+)
+_DS_C = f"CASE WHEN size({_DS_TOKS}) >= {DS_TOK_THRESH} THEN 1 ELSE 0 END"
+
+
+def dawid_skene_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    labeled = docs.select(
+        "source",
+        F.expr(_DS_A).cast("bigint").alias("a"),
+        F.expr(_DS_B).cast("bigint").alias("b"),
+        F.expr(_DS_C).cast("bigint").alias("c"),
+    ).withColumn(
+        "m", F.expr("CASE WHEN a + b + c >= 2 THEN 1 ELSE 0 END")
+    )
+    acc = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN a = m THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ka"),
+        F.sum(F.expr("CASE WHEN b = m THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("kb"),
+        F.sum(F.expr("CASE WHEN c = m THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("kc"),
+    ).select(
+        F.expr("ka * 1000000 div nullif(n, 0)").alias("acc_a"),
+        F.expr("kb * 1000000 div nullif(n, 0)").alias("acc_b"),
+        F.expr("kc * 1000000 div nullif(n, 0)").alias("acc_c"),
+    )
+    rev = labeled.crossJoin(F.broadcast(acc)).withColumn(
+        "f",
+        F.expr(
+            "CASE WHEN a * acc_a + b * acc_b + c * acc_c"
+            " > (1 - a) * acc_a + (1 - b) * acc_b + (1 - c) * acc_c"
+            " THEN 1 WHEN a * acc_a + b * acc_b + c * acc_c"
+            " < (1 - a) * acc_a + (1 - b) * acc_b + (1 - c) * acc_c"
+            " THEN 0 ELSE m END"
+        ),
+    )
+    return rev.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("m").cast("bigint").alias("majority_pos"),
+        F.sum("f").cast("bigint").alias("weighted_pos"),
+        F.sum(F.expr("CASE WHEN f <> m THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_flips"),
+        F.max(F.expr("acc_a")).alias("acc_a_micro"),
+        F.max(F.expr("acc_b")).alias("acc_b_micro"),
+        F.max(F.expr("acc_c")).alias("acc_c_micro"),
+    )
+
+
+_DS_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_DS_SQL = f"""
+WITH labeled AS (
+    SELECT source,
+           CAST(CASE WHEN n_chars >= {DS_LEN_THRESH} THEN 1 ELSE 0 END
+                AS BIGINT) AS a,
+           CAST(CASE WHEN CAST(len(list_distinct({_DS_TOKS_SQL})) AS BIGINT)
+                          * {DS_DIV_DEN}
+                     >= CAST(len({_DS_TOKS_SQL}) AS BIGINT) * {DS_DIV_NUM}
+                THEN 1 ELSE 0 END AS BIGINT) AS b,
+           CAST(CASE WHEN len({_DS_TOKS_SQL}) >= {DS_TOK_THRESH}
+                THEN 1 ELSE 0 END AS BIGINT) AS c
+    FROM documents WHERE text IS NOT NULL
+),
+lm AS (
+    SELECT *, CASE WHEN a + b + c >= 2 THEN 1 ELSE 0 END AS m FROM labeled
+),
+acc AS (
+    SELECT CAST(sum(CASE WHEN a = m THEN 1 ELSE 0 END) * 1000000
+                // nullif(count(*), 0) AS BIGINT) AS acc_a,
+           CAST(sum(CASE WHEN b = m THEN 1 ELSE 0 END) * 1000000
+                // nullif(count(*), 0) AS BIGINT) AS acc_b,
+           CAST(sum(CASE WHEN c = m THEN 1 ELSE 0 END) * 1000000
+                // nullif(count(*), 0) AS BIGINT) AS acc_c
+    FROM lm
+),
+rev AS (
+    SELECT lm.*, acc.acc_a, acc.acc_b, acc.acc_c,
+           CASE WHEN a * acc_a + b * acc_b + c * acc_c
+                     > (1 - a) * acc_a + (1 - b) * acc_b + (1 - c) * acc_c
+                THEN 1
+                WHEN a * acc_a + b * acc_b + c * acc_c
+                     < (1 - a) * acc_a + (1 - b) * acc_b + (1 - c) * acc_c
+                THEN 0 ELSE m END AS f
+    FROM lm CROSS JOIN acc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m) AS BIGINT) AS majority_pos,
+       CAST(sum(f) AS BIGINT) AS weighted_pos,
+       CAST(sum(CASE WHEN f <> m THEN 1 ELSE 0 END) AS BIGINT) AS n_flips,
+       CAST(max(acc_a) AS BIGINT) AS acc_a_micro,
+       CAST(max(acc_b) AS BIGINT) AS acc_b_micro,
+       CAST(max(acc_c) AS BIGINT) AS acc_c_micro
+FROM rev
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 33a: discounted episode returns — the first aggregate an RL /
+# agentic-trace pipeline computes over logged episodes (returns-to-go for
+# decision-transformer-style training, episode value for filtering).
+# Episode = (user, day); steps ordered by (ts, event_id); reward = the
+# event's cent value; gamma = 1/2 EXACTLY, so the return is
+#     G = SUM_t  r_t_cents // 2^t      (per-term floor, documented)
+# computed with arithmetic right-shifts — bit-identical across engines
+# (arithmetic shift = floor division by 2^t for int64, matching DuckDB's
+# flooring //; the repo's decayed_user_score sign-robustness precedent).
+# Terms past t >= 40 are exactly 0 for any cent value that fits the table
+# (and Java shift semantics wrap the shift amount mod 64, so the guard is
+# correctness-critical, not just an optimization).
+# Scale: one per-(user, day) window sort — the same shuffle sessionize
+# pays — then a per-episode combine; output is |user-days| rows.
+# ---------------------------------------------------------------------------
+_GAMMA_MAX_T = 40
+
+
+def episode_discounted_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    rr = F.expr("CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT)")
+    # ordering is (ts, event_id, reward): NULL event_ids coalesce to -1 and
+    # the reward tie-break makes the step sequence RESULT-deterministic —
+    # rows that still tie are interchangeable, so the discounted sum is
+    # identical on both engines regardless of their NULL-sort defaults
+    w = Window.partitionBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd")
+    ).orderBy("ts", F.coalesce("event_id", F.lit(-1)), rr)
+    steps = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        rr.alias("r"),
+        (F.row_number().over(w) - 1).cast("int").alias("t"),
+    )
+    return steps.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("r").cast("bigint").alias("total_reward_cents"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN t >= {_GAMMA_MAX_T} THEN 0L"
+                " ELSE shiftright(r, t) END"
+            )
+        )
+        .cast("bigint")
+        .alias("discounted_return_cents"),
+    )
+
+
+_EPISODE_SQL = f"""
+WITH steps AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT) AS r,
+           CAST(row_number() OVER (
+               PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, coalesce(event_id, -1),
+                        CAST(floor(coalesce(value, 0.0) * 100 + 0.5)
+                             AS BIGINT)) - 1 AS INTEGER) AS t
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, day,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(sum(r) AS BIGINT) AS total_reward_cents,
+       CAST(sum(CASE WHEN t >= {_GAMMA_MAX_T} THEN 0
+                     ELSE r // (CAST(1 AS BIGINT) << t) END) AS BIGINT)
+           AS discounted_return_cents
+FROM steps
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 33b: ROUGE-style bigram overlap eval (Lin 2004, "ROUGE: A Package
+# for Automatic Evaluation of Summaries") — clipped n-gram precision/
+# recall/F1 of a candidate against a reference, THE summarization/
+# generation eval a data pipeline batch-scores model outputs with. Here
+# every document is scored against its group's deterministic reference
+# (the lowest-doc_id bigram-bearing document of the same (source, lang)).
+# Counts are CLIPPED (multiset intersection: sum of min(candidate count,
+# reference count) per bigram) exactly as ROUGE defines them; P/R/F1 in
+# integer micro-units (f1 = 2pr // (p+r), p,r <= 1e6 so 2pr <= 2e12 —
+# int64-safe).
+# Scale: reference bigram tables are one row per (group, bigram) for ONE
+# doc per group — tiny, broadcast; candidates join on (source, lang,
+# bigram), so the corpus-side work is one explode + one combine, never a
+# doc-by-doc pairing.
+# ---------------------------------------------------------------------------
+def rouge_bigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    bi = docs.filter(F.size("tok_arr") >= 2).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tok_arr) - 2),"
+                " i -> concat(tok_arr[i], ' ', tok_arr[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    counts = bi.groupBy("doc_id", "source", "lang", "bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    counts = counts.persist()
+    ref_ids = counts.groupBy("source", "lang").agg(
+        F.min("doc_id").alias("ref_doc_id")
+    )
+    ref = (
+        counts.select(
+            F.col("doc_id").alias("ref_doc_id"),
+            F.col("source").alias("rsource"),
+            F.col("lang").alias("rlang"),
+            F.col("bg").alias("rbg"),
+            F.col("ct").alias("rct"),
+        )
+        .join(
+            ref_ids.select(
+                "ref_doc_id",
+                F.col("source").alias("rsource"),
+                F.col("lang").alias("rlang"),
+            ),
+            ["ref_doc_id", "rsource", "rlang"],
+        )
+    )
+    ref_tot = ref.groupBy("rsource", "rlang", "ref_doc_id").agg(
+        F.sum("rct").cast("bigint").alias("n_ref_bigrams")
+    )
+    cand_tot = counts.groupBy("doc_id", "source", "lang").agg(
+        F.sum("ct").cast("bigint").alias("n_cand_bigrams")
+    )
+    ov = (
+        counts.join(
+            F.broadcast(ref),
+            (counts.source == ref.rsource)
+            & (counts.lang == ref.rlang)
+            & (counts.bg == ref.rbg)
+            & (counts.doc_id != ref.ref_doc_id),
+        )
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum(F.least("ct", "rct")).cast("bigint").alias("overlap_ct")
+        )
+    )
+    out = (
+        cand_tot.join(
+            F.broadcast(ref_tot),
+            (cand_tot.source == ref_tot.rsource)
+            & (cand_tot.lang == ref_tot.rlang),
+        )
+        .filter(F.col("doc_id") != F.col("ref_doc_id"))
+        .join(ov, ["doc_id", "source", "lang"], "left")
+        .withColumn("ovc", F.coalesce("overlap_ct", F.lit(0)))
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "lang",
+        "ref_doc_id",
+        "n_cand_bigrams",
+        "n_ref_bigrams",
+        F.col("ovc").alias("overlap_ct"),
+        F.expr("ovc * 1000000 div n_cand_bigrams").alias("precision_micro"),
+        F.expr("ovc * 1000000 div n_ref_bigrams").alias("recall_micro"),
+        F.expr(
+            "CASE WHEN (ovc * 1000000 div n_cand_bigrams)"
+            " + (ovc * 1000000 div n_ref_bigrams) = 0 THEN 0L ELSE"
+            " 2 * (ovc * 1000000 div n_cand_bigrams)"
+            " * (ovc * 1000000 div n_ref_bigrams)"
+            " div ((ovc * 1000000 div n_cand_bigrams)"
+            " + (ovc * 1000000 div n_ref_bigrams)) END"
+        ).alias("f1_micro"),
+    )
+
+
+_ROUGE_SQL = """
+WITH bi AS (
+    SELECT doc_id, source, lang, t[i] || ' ' || t[i+1] AS bg
+    FROM (
+        SELECT doc_id, source, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+counts AS (
+    SELECT doc_id, source, lang, bg, CAST(count(*) AS BIGINT) AS ct
+    FROM bi GROUP BY 1, 2, 3, 4
+),
+ref_ids AS (
+    SELECT source, lang, min(doc_id) AS ref_doc_id
+    FROM counts GROUP BY 1, 2
+),
+ref AS (
+    SELECT c.source, c.lang, r.ref_doc_id, c.bg, c.ct AS rct
+    FROM counts c JOIN ref_ids r
+      ON c.doc_id = r.ref_doc_id AND c.source = r.source
+     AND c.lang = r.lang
+),
+ref_tot AS (
+    SELECT source, lang, ref_doc_id,
+           CAST(sum(rct) AS BIGINT) AS n_ref_bigrams
+    FROM ref GROUP BY 1, 2, 3
+),
+cand_tot AS (
+    SELECT doc_id, source, lang, CAST(sum(ct) AS BIGINT) AS n_cand_bigrams
+    FROM counts GROUP BY 1, 2, 3
+),
+ov AS (
+    SELECT c.doc_id, c.source, c.lang,
+           CAST(sum(least(c.ct, r.rct)) AS BIGINT) AS overlap_ct
+    FROM counts c JOIN ref r
+      ON c.source = r.source AND c.lang = r.lang AND c.bg = r.bg
+     AND c.doc_id <> r.ref_doc_id
+    GROUP BY 1, 2, 3
+),
+out AS (
+    SELECT ct.doc_id, ct.source, ct.lang, rt.ref_doc_id,
+           ct.n_cand_bigrams, rt.n_ref_bigrams,
+           coalesce(o.overlap_ct, 0) AS ovc
+    FROM cand_tot ct
+    JOIN ref_tot rt ON ct.source = rt.source AND ct.lang = rt.lang
+    LEFT JOIN ov o ON ct.doc_id = o.doc_id AND ct.source = o.source
+                  AND ct.lang = o.lang
+    WHERE ct.doc_id <> rt.ref_doc_id
+)
+SELECT doc_id, source, lang, ref_doc_id, n_cand_bigrams, n_ref_bigrams,
+       CAST(ovc AS BIGINT) AS overlap_ct,
+       ovc * 1000000 // n_cand_bigrams AS precision_micro,
+       ovc * 1000000 // n_ref_bigrams AS recall_micro,
+       CAST(CASE WHEN (ovc * 1000000 // n_cand_bigrams)
+                      + (ovc * 1000000 // n_ref_bigrams) = 0 THEN 0 ELSE
+            2 * (ovc * 1000000 // n_cand_bigrams)
+              * (ovc * 1000000 // n_ref_bigrams)
+            // ((ovc * 1000000 // n_cand_bigrams)
+                + (ovc * 1000000 // n_ref_bigrams)) END AS BIGINT)
+           AS f1_micro
+FROM out
+"""
+
+
+QUERIES = {
+    "semdedup_eps_sweep": semdedup_eps_sweep,
+    "perplexity_bucket_assign": perplexity_bucket_assign,
+    "fasttext_hash_quality": fasttext_hash_quality,
+    "pairwise_preference_matrix": pairwise_preference_matrix,
+    "bradley_terry_strength": bradley_terry_strength,
+    "dawid_skene_vote": dawid_skene_vote,
+    "episode_discounted_returns": episode_discounted_returns,
+    "rouge_bigram_eval": rouge_bigram_eval,
+}
+
+ORACLE = {
+    "semdedup_eps_sweep": _semdedup_sql(),
+    "perplexity_bucket_assign": _perplexity_bucket_sql(),
+    "fasttext_hash_quality": _FASTTEXT_SQL,
+    "pairwise_preference_matrix": _PREF_MATRIX_SQL,
+    "bradley_terry_strength": _bt_sql(),
+    "dawid_skene_vote": _DS_SQL,
+    "episode_discounted_returns": _EPISODE_SQL,
+    "rouge_bigram_eval": _ROUGE_SQL,
+}

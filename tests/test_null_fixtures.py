@@ -290,6 +290,20 @@ def null_duck(null_sf_dir):
         # r9 wave 30: the NULL-source group must carry its own sqrt
         # weight identically, NULL text drops pre-count
         "token_budget_mixture",
+        # r9 waves 31-33: NULL text drops pre-scoring on both engines
+        # (fasttext/DS/perplexity/rouge); NULL (source, lang) groups are
+        # equality-joined away in rouge but kept as window partitions in
+        # the perplexity bucketing — both engines must agree on both
+        # treatments; NULL users/ts never become preference votes or
+        # episode steps; the all-NULL 'error' value group rides
+        # coalesce-to-0 rewards through the shift decay
+        "fasttext_hash_quality",
+        "dawid_skene_vote",
+        "perplexity_bucket_assign",
+        "rouge_bigram_eval",
+        "pairwise_preference_matrix",
+        "bradley_terry_strength",
+        "episode_discounted_returns",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -299,6 +299,15 @@ QUERIES = [
     # round-9 wave 30
     "token_budget_mixture",          # floored IEEE sqrt weights + integer
     #                                  quotas under combine reordering
+    # round-9 waves 31-33
+    "semdedup_eps_sweep",            # cell-blocked float-cosine compares:
+    #                                  threshold counts must not see batching
+    "perplexity_bucket_assign",      # per-lang rank cut: tie-break must be
+    #                                  total (score DESC, doc_id)
+    "bradley_terry_strength",        # unrolled MM integer divisions over a
+    #                                  shuffled win matrix
+    "episode_discounted_returns",    # per-episode window sort + shift decay
+    "rouge_bigram_eval",             # clipped-count join + floored micros
 ]
 
 PERTURBED = {
