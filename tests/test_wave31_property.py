@@ -1,0 +1,554 @@
+"""Property-based third opinions for the round-9 wave-31-33 operators.
+
+Same discipline as test_wave22/24/25/28_property.py: hypothesis fixtures
+vs pure-Python recounts — a reference independent of BOTH the Spark plans
+and the DuckDB oracles. Focus:
+
+- `bradley_terry_strength` (+ the preference matrix it supersets): the
+  per-(user, day) implicit comparisons, tie exclusion, and the unrolled
+  integer MM updates, recounted with a dict-based Python loop;
+- `episode_discounted_returns`: the (ts, event_id, reward) step ordering
+  and the per-term shift decay vs a Python loop with `>>`;
+- `rouge_bigram_eval`: clipped multiset overlap vs collections.Counter;
+- `dawid_skene_vote`: majority init -> accuracy estimate -> weighted
+  re-vote -> flip audit, all in plain Python;
+- `fasttext_hash_quality`: md5 hashing-trick weights via hashlib;
+- `perplexity_bucket_assign`: the bigram LM score AND the 30/40/30
+  per-lang rank cut, recounted from raw text;
+- `semdedup_eps_sweep`: cell assignment (argmax cosine, tie -> lowest
+  cid), within-cell pair sweep and keep-first drop counts on tiny
+  exactly-representable vectors.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import os
+import tempfile
+from collections import Counter, defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+MICRO = 1_000_000
+KK = 1_000_000_000_000
+_BASE = dt.datetime(2024, 1, 1)
+
+_WORDS = ["spark", "join", "merge", "row", "the", "a", "data", "value"]
+_LANGS = ["en", "de"]
+_SRCS = ["srcA", "srcB"]
+_TYPES = ["view", "click", "purchase", "error"]
+
+
+def _write_events(d: str, rows) -> None:
+    # rows: (event_id, minute_offset, user, etype, value)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [_BASE + dt.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+def _write_docs(d: str, rows) -> None:
+    # rows: (doc_id, text_or_None, lang, source, n_chars)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3000),  # minute offset: spans 3 calendar days
+        st.integers(1, 4),  # user
+        st.sampled_from(_TYPES),
+        st.one_of(st.none(), st.floats(0, 50, allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_docs_strategy = st.lists(
+    st.tuples(
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=20).map(
+                " ".join
+            ),
+        ),
+        st.sampled_from(_LANGS),
+        st.sampled_from(_SRCS),
+        st.integers(0, 400),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _day(minute: int) -> str:
+    return (_BASE + dt.timedelta(minutes=minute)).strftime("%Y-%m-%d")
+
+
+def _pref_structures(rows):
+    """rows: (event_id, minute, user, etype, value) -> (matrix, edges)."""
+    counts = Counter()
+    for _eid, minute, user, etype, _v in rows:
+        counts[(user, _day(minute), etype)] += 1
+    per_ud = defaultdict(dict)
+    for (user, day, etype), ct in counts.items():
+        per_ud[(user, day)][etype] = ct
+    matrix = defaultdict(lambda: [0, 0, 0, 0])  # n_comp, a_wins, b_wins, ties
+    for tc in per_ud.values():
+        types = sorted(tc)
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                a, b = types[i], types[j]
+                m = matrix[(a, b)]
+                m[0] += 1
+                if tc[a] > tc[b]:
+                    m[1] += 1
+                elif tc[b] > tc[a]:
+                    m[2] += 1
+                else:
+                    m[3] += 1
+    return matrix
+
+
+@settings(**_SETTINGS)
+@given(rows=_events_strategy)
+def test_preference_matrix_matches_python(spark, rows):
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        pairwise_preference_matrix,
+    )
+
+    d = tempfile.mkdtemp(prefix="prefprop")
+    ev = [(i, m, u, t, v) for i, (m, u, t, v) in enumerate(rows)]
+    _write_events(d, ev)
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_comparisons"],
+            r["a_wins"],
+            r["b_wins"],
+            r["ties"],
+        )
+        for r in pairwise_preference_matrix(spark, d).collect()
+    }
+    want = {k: tuple(v) for k, v in _pref_structures(ev).items()}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=_events_strategy)
+def test_bradley_terry_matches_python_mm(spark, rows):
+    from realtimedatawarehouse_self_spark.plans import curation as cu
+
+    d = tempfile.mkdtemp(prefix="btprop")
+    ev = [(i, m, u, t, v) for i, (m, u, t, v) in enumerate(rows)]
+    _write_events(d, ev)
+    got = {
+        r["event_type"]: (
+            r["n_wins"],
+            r["n_comparisons"],
+            r["strength_micro"],
+            r["rnk"],
+        )
+        for r in cu.bradley_terry_strength(spark, d).collect()
+    }
+
+    matrix = _pref_structures(ev)
+    edges = defaultdict(dict)  # i -> j -> (n_ij, wins of i over j)
+    for (a, b), (_nc, aw, bw, _t) in matrix.items():
+        n_ij = aw + bw
+        if n_ij > 0:
+            edges[a][b] = (n_ij, aw)
+            edges[b][a] = (n_ij, bw)
+    wins = {
+        i: (
+            sum(w for _n, w in edges[i].values()),
+            sum(n for n, _w in edges[i].values()),
+        )
+        for i in edges
+    }
+    s = {i: MICRO for i in edges}
+    for _ in range(cu.BT_ITERS):
+        ns = {}
+        for i in edges:
+            den = sum(
+                n * KK // (s[i] + s[j]) for j, (n, _w) in edges[i].items()
+            )
+            ns[i] = (
+                max(wins[i][0] * KK // den, 1) if den > 0 else MICRO
+            )
+        s = ns
+    order = sorted(edges, key=lambda i: (-s[i], i))
+    want = {
+        i: (wins[i][0], wins[i][1], s[i], order.index(i) + 1)
+        for i in edges
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=_events_strategy)
+def test_episode_returns_match_python_loop(spark, rows):
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        _GAMMA_MAX_T,
+        episode_discounted_returns,
+    )
+
+    d = tempfile.mkdtemp(prefix="episprop")
+    ev = [(i, m, u, t, v) for i, (m, u, t, v) in enumerate(rows)]
+    _write_events(d, ev)
+    got = {
+        (r["user_id"], r["day"]): (
+            r["n_steps"],
+            r["total_reward_cents"],
+            r["discounted_return_cents"],
+        )
+        for r in episode_discounted_returns(spark, d).collect()
+    }
+
+    episodes = defaultdict(list)
+    for eid, minute, user, _t, v in ev:
+        r = math.floor((v if v is not None else 0.0) * 100 + 0.5)
+        episodes[(user, _day(minute))].append((minute, eid, r))
+    want = {}
+    for key, steps in episodes.items():
+        steps.sort()  # (ts, event_id, r) — the documented total order
+        disc = sum(
+            r >> t for t, (_m, _e, r) in enumerate(steps) if t < _GAMMA_MAX_T
+        )
+        want[key] = (len(steps), sum(r for _m, _e, r in steps), disc)
+    assert got == want
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_rouge_matches_counter_recount(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        rouge_bigram_eval,
+    )
+
+    d = tempfile.mkdtemp(prefix="rougeprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        r["doc_id"]: (
+            r["ref_doc_id"],
+            r["n_cand_bigrams"],
+            r["n_ref_bigrams"],
+            r["overlap_ct"],
+            r["precision_micro"],
+            r["recall_micro"],
+            r["f1_micro"],
+        )
+        for r in rouge_bigram_eval(spark, d).collect()
+    }
+
+    bigrams = {}
+    groups = defaultdict(list)
+    for doc_id, text, lg, src, _nc in rows:
+        if text is None or lg is None or src is None:
+            continue
+        toks = _toks(text)
+        if len(toks) < 2:
+            continue
+        bigrams[doc_id] = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        groups[(src, lg)].append(doc_id)
+    want = {}
+    for (_src, _lg), ids in groups.items():
+        ref = min(ids)
+        rc = bigrams[ref]
+        n_ref = sum(rc.values())
+        for doc_id in ids:
+            if doc_id == ref:
+                continue
+            cc = bigrams[doc_id]
+            n_cand = sum(cc.values())
+            ovc = sum(min(ct, rc[bg]) for bg, ct in cc.items())
+            p = ovc * MICRO // n_cand
+            r = ovc * MICRO // n_ref
+            f1 = 0 if p + r == 0 else 2 * p * r // (p + r)
+            want[doc_id] = (ref, n_cand, n_ref, ovc, p, r, f1)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_dawid_skene_matches_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans import curation as cu
+
+    d = tempfile.mkdtemp(prefix="dsprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["majority_pos"],
+            r["weighted_pos"],
+            r["n_flips"],
+            r["acc_a_micro"],
+            r["acc_b_micro"],
+            r["acc_c_micro"],
+        )
+        for r in cu.dawid_skene_vote(spark, d).collect()
+    }
+
+    labeled = []
+    for _doc_id, text, _lg, src, nc in rows:
+        if text is None:
+            continue
+        toks = _toks(text)
+        a = 1 if nc >= cu.DS_LEN_THRESH else 0
+        b = (
+            1
+            if len(set(toks)) * cu.DS_DIV_DEN >= len(toks) * cu.DS_DIV_NUM
+            else 0
+        )
+        c = 1 if len(toks) >= cu.DS_TOK_THRESH else 0
+        m = 1 if a + b + c >= 2 else 0
+        labeled.append((src, a, b, c, m))
+    if not labeled:
+        assert got == {}
+        return
+    n = len(labeled)
+    acc_a = sum(1 for _s, a, _b, _c, m in labeled if a == m) * MICRO // n
+    acc_b = sum(1 for _s, _a, b, _c, m in labeled if b == m) * MICRO // n
+    acc_c = sum(1 for _s, _a, _b, c, m in labeled if c == m) * MICRO // n
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for src, a, b, c, m in labeled:
+        v1 = a * acc_a + b * acc_b + c * acc_c
+        v0 = (1 - a) * acc_a + (1 - b) * acc_b + (1 - c) * acc_c
+        f = 1 if v1 > v0 else (0 if v1 < v0 else m)
+        w = want[src]
+        w[0] += 1
+        w[1] += m
+        w[2] += f
+        w[3] += 1 if f != m else 0
+    assert got == {
+        src: (w[0], w[1], w[2], w[3], acc_a, acc_b, acc_c)
+        for src, w in want.items()
+    }
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_fasttext_weights_match_hashlib(spark, docs):
+    from realtimedatawarehouse_self_spark.plans import curation as cu
+
+    d = tempfile.mkdtemp(prefix="ftprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["sum_w_milli"],
+            r["score_milli"],
+            r["decision"],
+        )
+        for r in cu.fasttext_hash_quality(spark, d).collect()
+    }
+
+    def weight(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return h % cu.FT_WEIGHT_MOD
+
+    want = {}
+    for doc_id, text, _lg, _src, _nc in rows:
+        if text is None:
+            continue
+        toks = _toks(text)
+        if not toks:
+            continue
+        sw = sum(weight(t) for t in toks)
+        score = sw // len(toks)
+        want[doc_id] = (
+            len(toks),
+            sw,
+            score,
+            "keep" if score >= cu.FT_KEEP_MILLI else "drop",
+        )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_perplexity_buckets_match_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        perplexity_bucket_assign,
+    )
+    from realtimedatawarehouse_self_spark.plans.mining import LM_MIN_CT
+
+    d = tempfile.mkdtemp(prefix="pplprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        r["doc_id"]: (
+            r["lang"],
+            r["mean_prob_micro"],
+            r["lang_rank"],
+            r["bucket"],
+        )
+        for r in perplexity_bucket_assign(spark, d).collect()
+    }
+
+    pairs = []
+    for doc_id, text, _lg, _src, _nc in rows:
+        if text is None:
+            continue
+        toks = _toks(text)
+        for i in range(len(toks) - 1):
+            pairs.append((doc_id, toks[i], toks[i + 1]))
+    uni = Counter(lhs for _d, lhs, _r in pairs)
+    big = Counter((lhs, rhs) for _d, lhs, rhs in pairs)
+    lm = {
+        k: ct * MICRO // uni[k[0]]
+        for k, ct in big.items()
+        if ct >= LM_MIN_CT
+    }
+    per_doc = defaultdict(lambda: [0, 0])
+    for doc_id, lhs, rhs in pairs:
+        pd = per_doc[doc_id]
+        pd[0] += 1
+        pd[1] += lm.get((lhs, rhs), 0)
+    lang = {doc_id: lg for doc_id, _t, lg, _s, _n in rows}
+    scored = {
+        doc_id: sp // nb for doc_id, (nb, sp) in per_doc.items()
+    }
+    by_lang = defaultdict(list)
+    for doc_id, mean in scored.items():
+        by_lang[lang[doc_id]].append((doc_id, mean))
+    want = {}
+    for lg, items in by_lang.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        n = len(items)
+        for rank0, (doc_id, mean) in enumerate(items):
+            rank = rank0 + 1
+            bucket = (
+                "head"
+                if rank * 10 <= n * 3
+                else ("middle" if rank * 10 <= n * 7 else "tail")
+            )
+            want[doc_id] = (lg, mean, rank, bucket)
+    assert got == want
+
+
+def _write_embeddings(d: str, vecs) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(-4, 4), st.integers(-4, 4), st.integers(1, 4)
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_semdedup_sweep_matches_python(spark, vecs):
+    # third component >= 1 keeps every vector non-zero (cosine defined);
+    # integer components are exactly representable in float32/float64
+    from realtimedatawarehouse_self_spark.plans import curation as cu
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        IVF_TARGET_CELL,
+        MIN_CENTROIDS,
+    )
+
+    d = tempfile.mkdtemp(prefix="semprop")
+    _write_embeddings(d, vecs)
+    got = {
+        r["eps_milli"]: (
+            r["n_vecs"],
+            r["n_pairs_over"],
+            r["n_dropped"],
+            r["retention_micro"],
+        )
+        for r in cu.semdedup_eps_sweep(spark, d).collect()
+    }
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    n = len(vecs)
+    k = max(MIN_CENTROIDS, n // IVF_TARGET_CELL)
+    cents = [(cid, vecs[cid]) for cid in range(min(k, n))]
+    cell = {
+        i: max(cents, key=lambda c: (cos(vecs[i], c[1]), -c[0]))[0]
+        for i in range(n)
+    }
+    pair_scores = [
+        (j, cos(vecs[i], vecs[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cell[i] == cell[j]
+    ]
+    want = {}
+    for eps in cu.SEMDEDUP_EPS:
+        over = [s for _j, s in pair_scores if s > eps]
+        dropped = len({j for j, s in pair_scores if s > eps})
+        retention = (
+            MICRO if n == 0 else (n - dropped) * MICRO // n
+        )
+        want[int(eps * 1000)] = (n, len(over), dropped, retention)
+    assert got == want
