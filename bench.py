@@ -365,6 +365,15 @@ HEADLINE = [
     "dawid_skene_vote",
     "episode_discounted_returns",
     "rouge_bigram_eval",
+    # r9 wave 34: confident-learning label audit is its own scan +
+    # |classes|-bounded explode. The other three follow the double-count
+    # rule: importance_weight_ess re-runs the DSIR weight build that
+    # importance_weight_selection already times; episode_advantage_
+    # baseline re-runs episode_discounted_returns' window plus a
+    # |days|-row combine; pack_attention_waste re-runs doc_pack_greedy's
+    # prefix window plus |packs|-row math. All three stay oracle-gated
+    # in queries().
+    "confident_learning_audit",
 ]
 
 

@@ -1130,7 +1130,10 @@ FROM per_bucket, gstats g
 DSIR_TARGET_LANG = "en"
 
 
-def importance_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR per-document importance weights (doc_id, source,
+    score_micro) — shared by the selection roll-up below and the ESS
+    diagnostic (`curation.importance_weight_ess`)."""
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     occ = docs.select(
         "doc_id", "source", "lang", F.explode(tokens("text")).alias("word")
@@ -1162,7 +1165,7 @@ def importance_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (t_tot + v)) AS BIGINT)"
         ).alias("odds_micro"),
     )
-    scores = (
+    return (
         occ.join(odds, "word")
         .groupBy("doc_id", "source")
         .agg(
@@ -1172,6 +1175,10 @@ def importance_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+
+
+def importance_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _dsir_scores(spark, sf_dir)
     n_docs = scores.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = Window.orderBy("score_micro", "doc_id")
     thr = (
@@ -1199,8 +1206,10 @@ def importance_weight_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_SQL = f"""
-WITH occ AS (
+# The DSIR weight-building CTE chain (occ -> vocab -> totals -> odds ->
+# scores) — shared verbatim by the selection oracle below and the ESS
+# oracle in plans/curation.py so the two cannot drift.
+_DSIR_SCORES_CTE = f"""occ AS (
     SELECT doc_id, source, lang, unnest(list_filter(
                string_split(text, ' '), x -> x <> '')) AS word
     FROM documents
@@ -1231,7 +1240,10 @@ scores AS (
            CAST(sum(d.odds_micro) // count(*) AS BIGINT) AS score_micro
     FROM occ o JOIN odds d USING (word)
     GROUP BY 1, 2
-),
+)"""
+
+_DSIR_SQL = f"""
+WITH {_DSIR_SCORES_CTE},
 thr AS (
     SELECT score_micro AS thr
     FROM (

@@ -922,6 +922,376 @@ FROM out
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Wave 34a: confident-learning label-issue matrix (Northcutt et al. 2021,
+# "Confident Learning: Estimating Uncertainty in Dataset Labels" — the
+# Cleanlab recipe). Given labels = documents.lang; predicted class
+# probabilities = the engine's own lang-ID marker scores normalized to
+# integer micro probabilities (prob_c = score_c * 1e6 // total). Per-class
+# confidence threshold t_c = MEAN prob_c over docs GIVEN-labeled c; the
+# confident joint counts C[i][j] = docs given i whose prob_j clears t_j,
+# assigned to the argmax qualifying class (ties -> lowest LANG_ORDER
+# index, total order). Off-diagonal cells are the estimated label issues
+# — the audit that decides whether `lang` can be trusted as a training
+# target. Completes the label-quality family (kappa, Dawid-Skene, ECE,
+# AUC) with the noise-DETECTION step.
+# Scale: per-row codegen scoring, one |classes|-row threshold aggregate
+# (broadcast back), one explode bounded by |classes| per doc, one tiny
+# (given, class) combine.
+# ---------------------------------------------------------------------------
+def confident_learning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        LANG_MARKERS,
+        LANG_ORDER,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    score_cols = []
+    for lang in LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            F.expr(
+                f"size(filter(tok_arr, x ->"
+                f" array_contains(array({markers}), x)))"
+            )
+            .cast("bigint")
+            .alias(f"s_{lang}")
+        )
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("given_lang"), *score_cols
+    ).withColumn(
+        "total", F.expr(" + ".join(f"s_{c}" for c in LANG_ORDER))
+    )
+    probs = scored.filter(F.col("total") > 0).select(
+        "doc_id",
+        "given_lang",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct('{c}' AS cls, {i} AS idx,"
+                    f" s_{c} * 1000000 div total AS prob)"
+                    for i, c in enumerate(LANG_ORDER)
+                )
+                + ")"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "given_lang", "p.cls", "p.idx", "p.prob"
+    )
+    probs = probs.persist()
+    thr = (
+        probs.filter(F.col("cls") == F.col("given_lang"))
+        .groupBy("cls")
+        .agg(F.expr("sum(prob) div count(*)").alias("t"))
+    )
+    confident = (
+        probs.join(F.broadcast(thr), "cls")
+        .filter(F.col("prob") >= F.col("t"))
+        .groupBy("doc_id", "given_lang")
+        .agg(
+            F.max_by(
+                "cls", F.struct(F.col("prob"), (-F.col("idx")).alias("ni"))
+            ).alias("confident_cls")
+        )
+    )
+    return confident.groupBy("given_lang", "confident_cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max(
+            F.expr(
+                "CASE WHEN given_lang <> confident_cls THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("is_label_issue"),
+    )
+
+
+def _confident_learning_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        LANG_MARKERS,
+        LANG_ORDER,
+    )
+
+    score_exprs = ",\n           ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[c])
+        + f"], x))) AS BIGINT) AS s_{c}"
+        for c in LANG_ORDER
+    )
+    total = " + ".join(f"s_{c}" for c in LANG_ORDER)
+    unpivot = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, given_lang, '{c}' AS cls, {i} AS idx,"
+        f" s_{c} * 1000000 // total AS prob FROM scored"
+        for i, c in enumerate(LANG_ORDER)
+    )
+    return f"""
+WITH t0 AS (
+    SELECT doc_id, lang AS given_lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+raw AS (
+    SELECT doc_id, given_lang,
+           {score_exprs}
+    FROM t0
+),
+scored AS (
+    SELECT *, {total} AS total FROM raw WHERE {total} > 0
+),
+probs AS (
+    {unpivot}
+),
+thr AS (
+    SELECT cls, sum(prob) // count(*) AS t
+    FROM probs WHERE cls = given_lang GROUP BY 1
+),
+confident AS (
+    SELECT doc_id, given_lang, cls AS confident_cls
+    FROM (
+        SELECT p.doc_id, p.given_lang, p.cls,
+               row_number() OVER (PARTITION BY p.doc_id
+                                  ORDER BY p.prob DESC, p.idx) AS rn
+        FROM probs p JOIN thr ON p.cls = thr.cls AND p.prob >= thr.t
+    ) WHERE rn = 1
+)
+SELECT given_lang, confident_cls,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN given_lang <> confident_cls THEN 1 ELSE 0 END)
+            AS BIGINT) AS is_label_issue
+FROM confident
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 34b: effective sample size of the DSIR importance weights (Kong
+# 1992's ESS = (SUM w)^2 / SUM w^2 — the diagnostic every importance-
+# resampling selection run checks BEFORE trusting the weights: ESS near n
+# means the weights are flat and selection is near-uniform; ESS << n
+# means a few documents dominate and the resample will collapse onto
+# them). Weights are the exact micro odds-scores `importance_weight_
+# selection` already computes (double-count rule: the weight build is
+# that query's benched work; this audit adds two tiny combines).
+# Wide arithmetic: (SUM w)^2 and SUM w^2 ride DECIMAL(38,0)/HUGEINT
+# internally (w ~ 1e6 micro, so w^2 ~ 1e12 per doc — BIGINT dies at
+# ~1e6 docs); the output boundary is the ESS itself in milli-units,
+# always <= n * 1000.
+# Scale: reuses the DSIR scoring shape (vocab-frame join, per-doc
+# combine), then ONE per-source aggregate + one global row.
+# ---------------------------------------------------------------------------
+def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        _dsir_scores,
+    )
+
+    scores = _dsir_scores(spark, sf_dir)
+    per_source = scores.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("score_micro").cast("decimal(38,0)")).alias("sw"),
+        F.sum(
+            (
+                F.col("score_micro").cast("decimal(38,0)")
+                * F.col("score_micro")
+            )
+        ).alias("sw2"),
+    )
+    both = per_source.unionAll(
+        scores.groupBy(F.lit("__all__").alias("source")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("score_micro").cast("decimal(38,0)")).alias("sw"),
+            F.sum(
+                (
+                    F.col("score_micro").cast("decimal(38,0)")
+                    * F.col("score_micro")
+                )
+            ).alias("sw2"),
+        )
+    )
+    return both.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(CASE WHEN sw2 > 0 THEN sw * sw * 1000 div sw2"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ess_milli"),
+        F.expr(
+            "CAST(CASE WHEN sw2 > 0 THEN sw * sw * 1000 div sw2"
+            " ELSE 0 END * 1000 div n_docs AS BIGINT)"
+        ).alias("ess_ratio_micro"),
+    )
+
+
+def _ess_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        _DSIR_SCORES_CTE,
+    )
+
+    return f"""
+WITH {_DSIR_SCORES_CTE},
+per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           sum(CAST(score_micro AS HUGEINT)) AS sw,
+           sum(CAST(score_micro AS HUGEINT) * score_micro) AS sw2
+    FROM scores GROUP BY 1
+    UNION ALL
+    SELECT '__all__', CAST(count(*) AS BIGINT),
+           sum(CAST(score_micro AS HUGEINT)),
+           sum(CAST(score_micro AS HUGEINT) * score_micro)
+    FROM scores
+)
+SELECT source, n_docs,
+       CAST(CASE WHEN sw2 > 0 THEN sw * sw * 1000 // sw2
+            ELSE 0 END AS BIGINT) AS ess_milli,
+       CAST((CASE WHEN sw2 > 0 THEN sw * sw * 1000 // sw2
+             ELSE 0 END) * 1000 // n_docs AS BIGINT) AS ess_ratio_micro
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 34c: group-relative advantage baseline (the GRPO/RLOO shape:
+# advantage = episode return minus the MEAN return of its comparison
+# group, no learned critic). Groups = calendar day; returns = the
+# gamma=1/2 discounted episode returns above. Baseline is the floored
+# integer mean over the day's episodes; advantages are exact cent
+# differences. Rewards are non-negative by the events contract
+# (value >= 0, NULLs coalesce to 0), so every division operand is
+# non-negative and Spark `div` == DuckDB `//`.
+# Scale: reuses the episode frame (double-count rule: the window sort is
+# episode_discounted_returns' benched work), then one per-day combine
+# broadcast back — |days| rows of state.
+# ---------------------------------------------------------------------------
+def episode_advantage_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ep = episode_discounted_returns(spark, sf_dir).select(
+        "user_id", "day", "n_steps", "discounted_return_cents"
+    )
+    day_stats = ep.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        F.expr(
+            "sum(discounted_return_cents) div count(*)"
+        ).alias("baseline_cents"),
+    )
+    return ep.join(F.broadcast(day_stats), "day").select(
+        "user_id",
+        "day",
+        "n_steps",
+        "discounted_return_cents",
+        "n_episodes",
+        "baseline_cents",
+        (F.col("discounted_return_cents") - F.col("baseline_cents")).alias(
+            "advantage_cents"
+        ),
+    )
+
+
+_ADVANTAGE_SQL = f"""
+WITH ep AS (
+    SELECT user_id, day, n_steps, discounted_return_cents
+    FROM ({_EPISODE_SQL})
+),
+day_stats AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(sum(discounted_return_cents) // count(*) AS BIGINT)
+               AS baseline_cents
+    FROM ep GROUP BY 1
+)
+SELECT e.user_id, e.day, e.n_steps, e.discounted_return_cents,
+       d.n_episodes, d.baseline_cents,
+       e.discounted_return_cents - d.baseline_cents AS advantage_cents
+FROM ep e JOIN day_stats d USING (day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 34d: packing-efficiency audit of the shipped context-window
+# packer — per language: pack count, overflow packs (the prefix rule
+# lets a boundary-spanning doc overflow its pack), padding tokens across
+# CLOSED packs (the last pack per lang is legitimately partial and
+# excluded), mean closed-pack fill in micro, and cross-document
+# boundaries (n_docs - n_packs: every extra doc in a pack is one
+# attention boundary a masking-aware trainer must cut). The tuning
+# artifact the PACK_BUDGET constant is picked from — the packing
+# sibling of minhash_band_tuning.
+# Scale: re-derives the pack assignment (double-count rule: the per-lang
+# prefix window is doc_pack_greedy's benched work), then |packs|-row and
+# |langs|-row combines.
+# ---------------------------------------------------------------------------
+def pack_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        PACK_BUDGET,
+        doc_pack_greedy,
+    )
+
+    packs = doc_pack_greedy(spark, sf_dir)
+    # window, not an equi-join: PARTITION BY groups NULL langs together
+    # on both engines, where a join on lang would drop the NULL group
+    j = packs.withColumn(
+        "max_pack", F.max("pack_id").over(Window.partitionBy("lang"))
+    ).withColumn(
+        "closed", F.expr("CASE WHEN pack_id < max_pack THEN 1 ELSE 0 END")
+    )
+    return j.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum(
+            F.expr(f"CASE WHEN tok_sum > {PACK_BUDGET} THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("overflow_packs"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN closed = 1 AND tok_sum < {PACK_BUDGET}"
+                f" THEN {PACK_BUDGET} - tok_sum ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("closed_pad_tokens"),
+        F.expr(
+            f"CAST(sum(CASE WHEN closed = 1 THEN tok_sum ELSE 0 END)"
+            f" * 1000000 div nullif(sum(closed) * {PACK_BUDGET}, 0)"
+            f" AS BIGINT)"
+        ).alias("closed_fill_micro"),
+        (F.sum("n_docs") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("attention_boundaries"),
+    )
+
+
+def _pack_waste_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        PACK_BUDGET,
+        _PACK_SQL,
+    )
+
+    return f"""
+WITH packs AS ({_PACK_SQL}),
+j AS (
+    SELECT *,
+           CASE WHEN pack_id < max(pack_id) OVER (PARTITION BY lang)
+                THEN 1 ELSE 0 END AS closed
+    FROM packs
+)
+SELECT lang,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(CASE WHEN tok_sum > {PACK_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS overflow_packs,
+       CAST(sum(CASE WHEN closed = 1 AND tok_sum < {PACK_BUDGET}
+                THEN {PACK_BUDGET} - tok_sum ELSE 0 END) AS BIGINT)
+           AS closed_pad_tokens,
+       CAST(sum(CASE WHEN closed = 1 THEN tok_sum ELSE 0 END) * 1000000
+            // nullif(sum(closed) * {PACK_BUDGET}, 0) AS BIGINT)
+           AS closed_fill_micro,
+       CAST(sum(n_docs) - count(*) AS BIGINT) AS attention_boundaries
+FROM j
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "semdedup_eps_sweep": semdedup_eps_sweep,
     "perplexity_bucket_assign": perplexity_bucket_assign,
@@ -931,6 +1301,10 @@ QUERIES = {
     "dawid_skene_vote": dawid_skene_vote,
     "episode_discounted_returns": episode_discounted_returns,
     "rouge_bigram_eval": rouge_bigram_eval,
+    "confident_learning_audit": confident_learning_audit,
+    "importance_weight_ess": importance_weight_ess,
+    "episode_advantage_baseline": episode_advantage_baseline,
+    "pack_attention_waste": pack_attention_waste,
 }
 
 ORACLE = {
@@ -942,4 +1316,8 @@ ORACLE = {
     "dawid_skene_vote": _DS_SQL,
     "episode_discounted_returns": _EPISODE_SQL,
     "rouge_bigram_eval": _ROUGE_SQL,
+    "confident_learning_audit": _confident_learning_sql(),
+    "importance_weight_ess": _ess_sql(),
+    "episode_advantage_baseline": _ADVANTAGE_SQL,
+    "pack_attention_waste": _pack_waste_sql(),
 }

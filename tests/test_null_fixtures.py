@@ -304,6 +304,16 @@ def null_duck(null_sf_dir):
         "pairwise_preference_matrix",
         "bradley_terry_strength",
         "episode_discounted_returns",
+        # r9 wave 34: NULL text drops pre-scoring (confident learning /
+        # DSIR weights); the NULL source and NULL lang groups must carry
+        # their own ESS / pack-audit rows identically on both engines
+        # (group-by keeps NULL keys; the pack oracle's max-pack join
+        # needs the explicit IS NULL arm); NULL users/ts never become
+        # episodes so the day baseline is unaffected
+        "confident_learning_audit",
+        "importance_weight_ess",
+        "episode_advantage_baseline",
+        "pack_attention_waste",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

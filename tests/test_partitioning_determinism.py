@@ -308,6 +308,12 @@ QUERIES = [
     #                                  shuffled win matrix
     "episode_discounted_returns",    # per-episode window sort + shift decay
     "rouge_bigram_eval",             # clipped-count join + floored micros
+    # round-9 wave 34
+    "confident_learning_audit",      # threshold means + argmax tie-break
+    "importance_weight_ess",         # DECIMAL(38,0) weight sums under
+    #                                  combine reordering
+    "episode_advantage_baseline",    # floored day-mean baseline
+    "pack_attention_waste",          # per-lang prefix window re-derivation
 ]
 
 PERTURBED = {

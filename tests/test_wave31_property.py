@@ -552,3 +552,231 @@ def test_semdedup_sweep_matches_python(spark, vecs):
         )
         want[int(eps * 1000)] = (n, len(over), dropped, retention)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Wave 34 recounts
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_confident_learning_matches_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        confident_learning_audit,
+    )
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        LANG_MARKERS,
+        LANG_ORDER,
+    )
+
+    d = tempfile.mkdtemp(prefix="clprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        (r["given_lang"], r["confident_cls"]): (
+            r["n_docs"],
+            r["is_label_issue"],
+        )
+        for r in confident_learning_audit(spark, d).collect()
+    }
+
+    probs = {}  # doc_id -> (given, {cls: prob_micro})
+    for doc_id, text, lg, _src, _nc in rows:
+        if text is None:
+            continue
+        toks = _toks(text)
+        scores = {
+            c: sum(1 for t in toks if t in LANG_MARKERS[c])
+            for c in LANG_ORDER
+        }
+        total = sum(scores.values())
+        if total == 0:
+            continue
+        probs[doc_id] = (
+            lg,
+            {c: scores[c] * MICRO // total for c in LANG_ORDER},
+        )
+    thr = {}
+    for c in LANG_ORDER:
+        vals = [p[c] for given, p in probs.values() if given == c]
+        if vals:
+            thr[c] = sum(vals) // len(vals)
+    want = defaultdict(lambda: [0, 0])
+    for given, p in probs.values():
+        qual = [
+            (p[c], -i, c)
+            for i, c in enumerate(LANG_ORDER)
+            if c in thr and p[c] >= thr[c]
+        ]
+        if not qual:
+            continue
+        cls = max(qual)[2]
+        w = want[(given, cls)]
+        w[0] += 1
+        w[1] = max(w[1], 1 if given != cls else 0)
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_importance_ess_matches_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        importance_weight_ess,
+    )
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        DSIR_TARGET_LANG,
+    )
+
+    d = tempfile.mkdtemp(prefix="essprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        r["source"]: (r["n_docs"], r["ess_milli"], r["ess_ratio_micro"])
+        for r in importance_weight_ess(spark, d).collect()
+    }
+
+    occ = []  # (doc_id, source, word, is_target)
+    for doc_id, text, lg, src, _nc in rows:
+        if text is None:
+            continue
+        for w in _toks(text):
+            occ.append((doc_id, src, w, lg == DSIR_TARGET_LANG))
+    raw = Counter(w for _d, _s, w, _t in occ)
+    tgt = Counter(w for _d, _s, w, is_t in occ if is_t)
+    r_tot, t_tot, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    odds = {
+        w: (tgt[w] + 1) * (r_tot + v) * MICRO // ((raw[w] + 1) * (t_tot + v))
+        for w in raw
+    }
+    per_doc = defaultdict(lambda: [0, 0, None])
+    for doc_id, src, w, _t in occ:
+        pd = per_doc[doc_id]
+        pd[0] += 1
+        pd[1] += odds[w]
+        pd[2] = src
+    weights = defaultdict(list)
+    for _doc, (n, s, src) in per_doc.items():
+        wv = s // n
+        weights[src].append(wv)
+        weights["__all__"].append(wv)
+    want = {}
+    for src, ws in weights.items():
+        sw, sw2 = sum(ws), sum(x * x for x in ws)
+        ess = sw * sw * 1000 // sw2 if sw2 > 0 else 0
+        want[src] = (len(ws), ess, ess * 1000 // len(ws))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=_events_strategy)
+def test_episode_advantage_matches_python(spark, rows):
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        _GAMMA_MAX_T,
+        episode_advantage_baseline,
+    )
+
+    d = tempfile.mkdtemp(prefix="advprop")
+    ev = [(i, m, u, t, v) for i, (m, u, t, v) in enumerate(rows)]
+    _write_events(d, ev)
+    got = {
+        (r["user_id"], r["day"]): (
+            r["n_episodes"],
+            r["baseline_cents"],
+            r["advantage_cents"],
+        )
+        for r in episode_advantage_baseline(spark, d).collect()
+    }
+
+    episodes = defaultdict(list)
+    for eid, minute, user, _t, v in ev:
+        r = math.floor((v if v is not None else 0.0) * 100 + 0.5)
+        episodes[(user, _day(minute))].append((minute, eid, r))
+    G = {}
+    for key, steps in episodes.items():
+        steps.sort()
+        G[key] = sum(
+            r >> t for t, (_m, _e, r) in enumerate(steps) if t < _GAMMA_MAX_T
+        )
+    by_day = defaultdict(list)
+    for (user, day), g in G.items():
+        by_day[day].append(g)
+    want = {}
+    for (user, day), g in G.items():
+        gs = by_day[day]
+        baseline = sum(gs) // len(gs)
+        want[(user, day)] = (len(gs), baseline, g - baseline)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_pack_waste_matches_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import PACK_BUDGET
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        pack_attention_waste,
+    )
+
+    d = tempfile.mkdtemp(prefix="packprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_packs"],
+            r["overflow_packs"],
+            r["closed_pad_tokens"],
+            r["closed_fill_micro"],
+            r["attention_boundaries"],
+        )
+        for r in pack_attention_waste(spark, d).collect()
+    }
+
+    # NULL-text docs ride the parent doc_pack_greedy semantics: ANSI
+    # size(NULL)=NULL -> pack_id NULL -> they form a lang's NULL pack
+    # (both engines agree; the NULL-fixture parity row pins it)
+    by_lang = defaultdict(list)
+    for doc_id, text, lg, _src, _nc in rows:
+        by_lang[lg].append(
+            (doc_id, len(_toks(text)) if text is not None else None)
+        )
+    want = {}
+    for lg, ds in by_lang.items():
+        ds.sort()
+        packs = defaultdict(lambda: [0, 0, False])  # [n_docs, sum, has_ct]
+        prefix = 0
+        for _doc_id, ct in ds:
+            if ct is None:
+                packs[None][0] += 1
+                continue
+            pid = prefix // PACK_BUDGET
+            packs[pid][0] += 1
+            packs[pid][1] += ct
+            packs[pid][2] = True
+            prefix += ct
+        real = [p for p in packs if p is not None]
+        max_pack = max(real) if real else None
+        n_docs = sum(n for n, _s, _h in packs.values())
+        closed = {
+            p: v
+            for p, v in packs.items()
+            if p is not None and max_pack is not None and p < max_pack
+        }
+        pad = sum(
+            PACK_BUDGET - s
+            for _n, s, _h in closed.values()
+            if s < PACK_BUDGET
+        )
+        fill = (
+            sum(s for _n, s, _h in closed.values()) * MICRO
+            // (len(closed) * PACK_BUDGET)
+            if closed
+            else None
+        )
+        want[lg] = (
+            n_docs,
+            len(packs),
+            sum(1 for _n, s, h in packs.values() if h and s > PACK_BUDGET),
+            pad,
+            fill,
+            n_docs - len(packs),
+        )
+    assert got == want
