@@ -374,6 +374,13 @@ HEADLINE = [
     # prefix window plus |packs|-row math. All three stay oracle-gated
     # in queries().
     "confident_learning_audit",
+    # r9 wave 35: preference_holdout_accuracy is NOT benched
+    # (double-count rule, same as recsys_holdout_eval): its dominant
+    # stage is the comparison scan + pair explode bradley_terry_strength
+    # already times; the holdout adds train-slice MM and |types|-bounded
+    # eval joins. streaming_episode_return_twin follows the
+    # streaming-twin rule (the fold is episode_discounted_returns'
+    # already-benched arithmetic plus harness file-feed overhead).
 ]
 
 

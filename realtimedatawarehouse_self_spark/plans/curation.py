@@ -344,9 +344,11 @@ def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         arr.select(
-            F.explode(ordered_pair_structs("tc", "pa", "pb")).alias("p")
+            "day",
+            F.explode(ordered_pair_structs("tc", "pa", "pb")).alias("p"),
         )
         .select(
+            "day",
             F.col("p.pa.event_type").alias("type_a"),
             F.col("p.pb.event_type").alias("type_b"),
             F.col("p.pa.ct").alias("ca"),
@@ -381,7 +383,7 @@ _PREF_PAIRS_CTE = """counts AS (
     GROUP BY 1, 2, 3
 ),
 pp AS (
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
+    SELECT a.day, a.event_type AS type_a, b.event_type AS type_b,
            a.ct AS ca, b.ct AS cb
     FROM counts a JOIN counts b
       ON a.user_id = b.user_id AND a.day = b.day
@@ -423,8 +425,11 @@ _BT_ONE = 1_000_000  # micro-unit strength scale
 _BT_KK = 1_000_000_000_000  # 1e12: micro * micro
 
 
-def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _preference_pairs(spark, sf_dir)
+def _bt_strengths(pairs: DataFrame) -> DataFrame:
+    """The MM core over a (type_a, type_b, ca, cb) comparison frame:
+    returns (i, w_total, n_total, s) after BT_ITERS unrolled updates —
+    shared by the full-data strengths below and the time-split holdout
+    eval (`preference_holdout_accuracy`)."""
     matrix = pairs.groupBy("type_a", "type_b").agg(
         F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0))
         .cast("bigint")
@@ -475,7 +480,11 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # greatest(., 1): a zero-win item floors to strength 1 micro so
-        # (s_i + s_j) stays positive for the next round's division
+        # (s_i + s_j) stays positive for the next round's division.
+        # No localCheckpoint here, deliberately: the strengths frame is
+        # |types| rows and the persisted `pairs` ancestor already caps
+        # re-expansion; an EAGER checkpoint would shift the MM work into
+        # untimed query-build and silently flatter the benched number.
         s = (
             wins.join(denom, "i")
             .select(
@@ -487,7 +496,11 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
             )
         )
-    out = wins.join(s, "i")
+    return wins.join(s, "i")
+
+
+def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _bt_strengths(_preference_pairs(spark, sf_dir))
     w = Window.orderBy(F.col("s").desc(), F.col("i"))
     return out.select(
         F.col("i").alias("event_type"),
@@ -498,14 +511,16 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bt_sql() -> str:
+def _bt_cte_chain(src: str) -> list[str]:
+    """The MM CTE chain (matrix -> edges -> wins -> s0..sN) over a pair
+    source CTE named `src` — shared by the full-data oracle and the
+    holdout eval's train-slice oracle. Final strengths CTE: s{BT_ITERS}."""
     ctes = [
-        _PREF_PAIRS_CTE,
-        """matrix AS (
+        f"""matrix AS (
     SELECT type_a, type_b,
            CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) AS n_ij,
            CAST(sum(CASE WHEN ca > cb THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
-    FROM pp GROUP BY 1, 2
+    FROM {src} GROUP BY 1, 2
 )""",
         """edges AS (
     SELECT type_a AS i, type_b AS j, n_ij, wins_a AS w
@@ -538,7 +553,11 @@ def _bt_sql() -> str:
                 ELSE {_BT_ONE} END AS BIGINT) AS s
     FROM wins w JOIN d{k} d ON w.i = d.i
 )""")
-    joined = ",\n".join(ctes)
+    return ctes
+
+
+def _bt_sql() -> str:
+    joined = ",\n".join([_PREF_PAIRS_CTE] + _bt_cte_chain("pp"))
     return f"""
 WITH {joined}
 SELECT w.i AS event_type,
@@ -547,6 +566,160 @@ SELECT w.i AS event_type,
        s.s AS strength_micro,
        CAST(row_number() OVER (ORDER BY s.s DESC, w.i) AS INTEGER) AS rnk
 FROM wins w JOIN s{BT_ITERS} s ON w.i = s.i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 35a: time-split holdout accuracy of the Bradley-Terry strengths —
+# the eval the preference family ships with (the reward-model analogue of
+# `recsys_holdout_eval`): fit strengths on the FIRST 4/5 of calendar days
+# (deterministic day-rank split, integer rank*5 <= n*4 rule), then score
+# every decisive held-out comparison whose pair has decisive TRAIN
+# evidence. Two predictors on the SAME eval set: the BT strengths
+# (higher s wins; exact tie -> type_a, the lexicographically smaller by
+# construction) and the per-pair train majority (wins_a*2 vs n_ij; tie ->
+# type_a) — BT beating majority is the signal the transitive strength
+# model adds value over memorized pair win-rates.
+# Scale: the comparison scan + pair explode is the one data-sized stage
+# (shared shape with the matrix/BT); strengths and the train matrix are
+# |types|-bounded broadcasts; output is |test days| rows.
+# ---------------------------------------------------------------------------
+def preference_holdout_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _preference_pairs(spark, sf_dir).persist()
+    days = (
+        pairs.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.row_number()
+            .over(Window.orderBy("day"))
+            .cast("bigint")
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy())
+            .cast("bigint")
+            .alias("n"),
+        )
+    )
+    train_days = days.filter(F.expr("rn * 5 <= n * 4")).select("day")
+    test_days = days.filter(F.expr("rn * 5 > n * 4")).select("day")
+    train = pairs.join(F.broadcast(train_days), "day")
+    strengths = _bt_strengths(train)
+    tmaj = (
+        train.groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ij"),
+            F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("wins_a"),
+        )
+        .filter(F.col("n_ij") > 0)
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                "CASE WHEN wins_a * 2 >= n_ij THEN type_a"
+                " ELSE type_b END"
+            ).alias("maj_pred"),
+        )
+    )
+    sa = strengths.select(
+        F.col("i").alias("type_a"), F.col("s").alias("s_a")
+    )
+    sb = strengths.select(
+        F.col("i").alias("type_b"), F.col("s").alias("s_b")
+    )
+    ev = (
+        pairs.join(F.broadcast(test_days), "day")
+        .filter(F.col("ca") != F.col("cb"))
+        .join(F.broadcast(tmaj), ["type_a", "type_b"])
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "day",
+            F.expr(
+                "CASE WHEN ca > cb THEN type_a ELSE type_b END"
+            ).alias("actual"),
+            F.expr(
+                "CASE WHEN s_a >= s_b THEN type_a ELSE type_b END"
+            ).alias("bt_pred"),
+            "maj_pred",
+        )
+    )
+    return ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.expr("CASE WHEN bt_pred = actual THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("bt_correct"),
+        F.sum(F.expr("CASE WHEN maj_pred = actual THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("maj_correct"),
+        F.expr(
+            "sum(CASE WHEN bt_pred = actual THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("bt_acc_micro"),
+        F.expr(
+            "sum(CASE WHEN maj_pred = actual THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("maj_acc_micro"),
+    )
+
+
+def _pref_holdout_sql() -> str:
+    chain = ",\n".join(_bt_cte_chain("train"))
+    return f"""
+WITH {_PREF_PAIRS_CTE},
+days AS (
+    SELECT day,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM (SELECT DISTINCT day FROM pp)
+),
+train AS (
+    SELECT pp.* FROM pp JOIN days d ON pp.day = d.day
+    WHERE d.rn * 5 <= d.n * 4
+),
+{chain},
+tmaj AS (
+    SELECT type_a, type_b,
+           CASE WHEN wins_a * 2 >= n_ij THEN type_a ELSE type_b END
+               AS maj_pred
+    FROM matrix WHERE n_ij > 0
+),
+ev AS (
+    SELECT pp.day,
+           CASE WHEN pp.ca > pp.cb THEN pp.type_a ELSE pp.type_b END
+               AS actual,
+           CASE WHEN sa.s >= sb.s THEN pp.type_a ELSE pp.type_b END
+               AS bt_pred,
+           m.maj_pred
+    FROM pp
+    JOIN days d ON pp.day = d.day AND d.rn * 5 > d.n * 4
+    JOIN tmaj m ON pp.type_a = m.type_a AND pp.type_b = m.type_b
+    JOIN s{BT_ITERS} sa ON pp.type_a = sa.i
+    JOIN s{BT_ITERS} sb ON pp.type_b = sb.i
+    WHERE pp.ca <> pp.cb
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN bt_pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+           AS bt_correct,
+       CAST(sum(CASE WHEN maj_pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+           AS maj_correct,
+       CAST(sum(CASE WHEN bt_pred = actual THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bt_acc_micro,
+       CAST(sum(CASE WHEN maj_pred = actual THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS maj_acc_micro
+FROM ev
+GROUP BY 1
 """
 
 
@@ -1305,6 +1478,7 @@ QUERIES = {
     "importance_weight_ess": importance_weight_ess,
     "episode_advantage_baseline": episode_advantage_baseline,
     "pack_attention_waste": pack_attention_waste,
+    "preference_holdout_accuracy": preference_holdout_accuracy,
 }
 
 ORACLE = {
@@ -1320,4 +1494,5 @@ ORACLE = {
     "importance_weight_ess": _ess_sql(),
     "episode_advantage_baseline": _ADVANTAGE_SQL,
     "pack_attention_waste": _pack_waste_sql(),
+    "preference_holdout_accuracy": _pref_holdout_sql(),
 }

@@ -2419,7 +2419,115 @@ SELECT host, doc_id, admit_seq FROM r WHERE admit_seq <= {DOMAIN_CAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming discounted episode returns — the RL-log fold as a real keyed-
+# custom-state job: the gamma=1/2 per-term shift decay of
+# `curation.episode_discounted_returns` executed across hour-banded
+# micro-batches, with (step index, running total, running return)
+# carrying in the state store. Episodes deliberately SPAN batches (three
+# 8-hour bands per day), so the driver row proves the fold's state carry
+# and the within/across-batch ordering contract — not just the
+# arithmetic. Emission is cumulative per batch; the final row per
+# episode (max n_steps, strictly increasing) must equal the batch
+# operator bit-for-bit, so the oracle is _EPISODE_SQL verbatim.
+# ---------------------------------------------------------------------------
+EPISODE_HOUR_BAND = 8
+
+
+def streaming_episode_return_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        episode_returns,
+    )
+
+    events = None
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-episode-")
+            events = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                )
+                .select(
+                    "user_id",
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                    F.expr(
+                        "CAST(unix_micros(ts) AS BIGINT)"
+                    ).alias("ts_micro"),
+                    F.coalesce("event_id", F.lit(-1))
+                    .cast("bigint")
+                    .alias("ord_eid"),
+                    F.expr(
+                        "CAST(floor(coalesce(value, 0.0) * 100 + 0.5)"
+                        " AS BIGINT)"
+                    ).alias("r"),
+                    F.hour("ts").alias("hr"),
+                )
+                .persist()
+            )
+            if events.limit(1).count() == 0:
+                return spark.createDataFrame(
+                    [],
+                    "user_id bigint, day string, n_steps bigint, "
+                    "total_reward_cents bigint, "
+                    "discounted_return_cents bigint",
+                )
+            # three hour bands, staged in order: every key's later-hour
+            # rows land in strictly later micro-batches
+            for lo in range(0, 24, EPISODE_HOUR_BAND):
+                stage.stage_slice(
+                    events.filter(
+                        (F.col("hr") >= lo)
+                        & (F.col("hr") < lo + EPISODE_HOUR_BAND)
+                    ).drop("hr")
+                )
+            sunk = stage.run_to_parquet(
+                spark,
+                episode_returns(
+                    stage.read_stream(
+                        spark, events.drop("hr").schema
+                    )
+                ),
+            )
+            return (
+                sunk.groupBy("user_id", "day")
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            "n_steps",
+                            "total_reward_cents",
+                            "discounted_return_cents",
+                        ),
+                        "n_steps",
+                    ).alias("fin")
+                )
+                .select(
+                    "user_id",
+                    "day",
+                    F.col("fin.n_steps").alias("n_steps"),
+                    F.col("fin.total_reward_cents").alias(
+                        "total_reward_cents"
+                    ),
+                    F.col("fin.discounted_return_cents").alias(
+                        "discounted_return_cents"
+                    ),
+                )
+            )
+        finally:
+            if events is not None:
+                events.unpersist()
+
+
+def _episode_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.curation import _EPISODE_SQL
+
+    return _EPISODE_SQL
+
+
 QUERIES = {
+    "streaming_episode_return_twin": streaming_episode_return_twin,
     "streaming_domain_cap_twin": streaming_domain_cap_twin,
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_hll_merge_twin": streaming_hll_merge_twin,
@@ -2445,6 +2553,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_episode_return_twin": _episode_stream_sql(),
     "streaming_domain_cap_twin": _domcap_stream_sql(),
     "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
     "streaming_hll_merge_twin": _hll_stream_sql(),

@@ -636,3 +636,70 @@ def admit_first_k(
     return docs.groupBy(key).applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def episode_returns(events: DataFrame) -> DataFrame:
+    """Per-(user, day) discounted-return fold — the keyed-state streaming
+    twin of ``plans/curation.episode_discounted_returns`` (gamma = 1/2,
+    per-term arithmetic right shift; identical integer arithmetic, so the
+    final per-episode rows are bit-equal to the batch operator).
+
+    Input rows carry (user_id, day, ts_micro, ord_eid, r) — one row per
+    event, reward already in cents, ord_eid = coalesce(event_id, -1).
+    Each micro-batch's rows are sorted by the batch operator's total
+    order (ts, ord_eid, r); the fold state (next step index t, running
+    total, running discounted return) carries across micro-batches as
+    three bigints. Every emission is the key's cumulative row; n_steps
+    strictly increases per emission, so the final row per key is the one
+    with max n_steps.
+
+    Contract: slices must arrive in non-decreasing (per-key) ts order
+    across micro-batches — the twin harness stages hour-banded slices
+    with increasing mtimes, so every key's later-hour rows land in later
+    batches. State is O(1) per open episode at any scale; a production
+    job would add an event-time timeout to retire closed days.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("day", StringType()),
+            StructField("n_steps", LongType()),
+            StructField("total_reward_cents", LongType()),
+            StructField("discounted_return_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t", LongType()),
+            StructField("total", LongType()),
+            StructField("g", LongType()),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        t, total, g = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_micro", "ord_eid", "r"])
+        for r in pdf["r"]:
+            r = int(r)
+            total += r
+            if t < 40:
+                g += r >> t
+            t += 1
+        state.update((t, total, g))
+        yield pd.DataFrame(
+            [(key_tuple[0], key_tuple[1], t, total, g)],
+            columns=[
+                "user_id",
+                "day",
+                "n_steps",
+                "total_reward_cents",
+                "discounted_return_cents",
+            ],
+        )
+
+    return events.groupBy("user_id", "day").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

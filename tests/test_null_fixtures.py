@@ -314,6 +314,12 @@ def null_duck(null_sf_dir):
         "importance_weight_ess",
         "episode_advantage_baseline",
         "pack_attention_waste",
+        # r9 wave 35: the day-rank split and both predictors must drop
+        # NULL users/types identically; the streaming fold must stage
+        # exactly the batch operator's NULL-filtered step set (NULL
+        # event_ids ride ord_eid = -1 through the state fold)
+        "preference_holdout_accuracy",
+        "streaming_episode_return_twin",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

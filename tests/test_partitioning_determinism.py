@@ -314,6 +314,9 @@ QUERIES = [
     #                                  combine reordering
     "episode_advantage_baseline",    # floored day-mean baseline
     "pack_attention_waste",          # per-lang prefix window re-derivation
+    # round-9 wave 35
+    "preference_holdout_accuracy",   # day-rank split + tie-broken argmax
+    #                                  predictions under shuffled pairs
 ]
 
 PERTURBED = {

@@ -780,3 +780,119 @@ def test_pack_waste_matches_python(spark, docs):
             n_docs - len(packs),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Wave 35 recounts
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(rows=_events_strategy)
+def test_preference_holdout_matches_python(spark, rows):
+    from realtimedatawarehouse_self_spark.plans import curation as cu
+
+    d = tempfile.mkdtemp(prefix="pholdprop")
+    ev = [(i, m, u, t, v) for i, (m, u, t, v) in enumerate(rows)]
+    _write_events(d, ev)
+    got = {
+        r["day"]: (
+            r["n_eval"],
+            r["bt_correct"],
+            r["maj_correct"],
+            r["bt_acc_micro"],
+            r["maj_acc_micro"],
+        )
+        for r in cu.preference_holdout_accuracy(spark, d).collect()
+    }
+
+    # day-carrying pair recount (the _pref_structures shape + day)
+    counts = Counter()
+    for _eid, minute, user, etype, _v in ev:
+        counts[(user, _day(minute), etype)] += 1
+    per_ud = defaultdict(dict)
+    for (user, day, etype), ct in counts.items():
+        per_ud[(user, day)][etype] = ct
+    pairs = []  # (day, a, b, ca, cb)
+    for (user, day), tc in per_ud.items():
+        types = sorted(tc)
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                a, b = types[i], types[j]
+                pairs.append((day, a, b, tc[a], tc[b]))
+    days = sorted({p[0] for p in pairs})
+    n = len(days)
+    train_days = {d_ for r, d_ in enumerate(days, 1) if r * 5 <= n * 4}
+    train = [p for p in pairs if p[0] in train_days]
+    test = [p for p in pairs if p[0] not in train_days]
+
+    matrix = defaultdict(lambda: [0, 0])  # (a,b) -> [n_ij, wins_a]
+    for _d, a, b, ca, cb in train:
+        if ca != cb:
+            m = matrix[(a, b)]
+            m[0] += 1
+            m[1] += 1 if ca > cb else 0
+    edges = defaultdict(dict)
+    for (a, b), (n_ij, aw) in matrix.items():
+        if n_ij > 0:
+            edges[a][b] = (n_ij, aw)
+            edges[b][a] = (n_ij, n_ij - aw)
+    wins = {
+        i: sum(w for _n, w in edges[i].values()) for i in edges
+    }
+    s = {i: MICRO for i in edges}
+    for _ in range(cu.BT_ITERS):
+        ns = {}
+        for i in edges:
+            den = sum(
+                nn * KK // (s[i] + s[j])
+                for j, (nn, _w) in edges[i].items()
+            )
+            ns[i] = max(wins[i] * KK // den, 1) if den > 0 else MICRO
+        s = ns
+    want = defaultdict(lambda: [0, 0, 0])
+    for day, a, b, ca, cb in test:
+        if ca == cb or (a, b) not in matrix or matrix[(a, b)][0] == 0:
+            continue
+        actual = a if ca > cb else b
+        bt_pred = a if s[a] >= s[b] else b
+        n_ij, aw = matrix[(a, b)]
+        maj_pred = a if aw * 2 >= n_ij else b
+        w = want[day]
+        w[0] += 1
+        w[1] += 1 if bt_pred == actual else 0
+        w[2] += 1 if maj_pred == actual else 0
+    assert got == {
+        day: (
+            w[0],
+            w[1],
+            w[2],
+            w[1] * MICRO // w[0],
+            w[2] * MICRO // w[0],
+        )
+        for day, w in want.items()
+    }
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=[
+    HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(rows=_events_strategy)
+def test_streaming_episode_twin_equals_batch(spark, rows):
+    """The multi-micro-batch state fold must equal the batch operator
+    bit-for-bit on arbitrary event layouts (episodes spanning hour
+    bands, NULL values, duplicate timestamps)."""
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        episode_discounted_returns,
+    )
+    from realtimedatawarehouse_self_spark.plans.streaming_twins import (
+        streaming_episode_return_twin,
+    )
+
+    d = tempfile.mkdtemp(prefix="sepiprop")
+    ev = [(i, m, u, t, v) for i, (m, u, t, v) in enumerate(rows)]
+    _write_events(d, ev)
+    batch = sorted(
+        map(tuple, episode_discounted_returns(spark, d).collect())
+    )
+    twin = sorted(
+        map(tuple, streaming_episode_return_twin(spark, d).collect())
+    )
+    assert twin == batch
