@@ -374,6 +374,12 @@ HEADLINE = [
     # prefix window plus |packs|-row math. All three stay oracle-gated
     # in queries().
     "confident_learning_audit",
+    # r9 wave 36: the temperature sweep and the negative-sampling table
+    # are each ONE token aggregate + bounded arithmetic; RAKE is its own
+    # per-document pipeline (posexplode + two per-doc combines + top-K)
+    "mixture_temperature_sweep",
+    "negative_sampling_table",
+    "keyphrase_rake",
     # r9 wave 35: preference_holdout_accuracy is NOT benched
     # (double-count rule, same as recsys_holdout_eval): its dominant
     # stage is the comparison scan + pair explode bradley_terry_strength

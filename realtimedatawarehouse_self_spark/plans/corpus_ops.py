@@ -2260,6 +2260,170 @@ FROM weighted w CROSS JOIN tot t
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 36a: mixture temperature sweep — the tuning table behind the
+# sqrt-temperature mixture family (domain_mixture_temperature /
+# token_budget_mixture fix tau = 1/2; published recipes sweep tau before
+# committing — e.g. the multilingual sampling-temperature grids). Exact-
+# arithmetic trick that keeps the whole sweep bit-identical across
+# engines WITHOUT trusting pow(): every swept tau is a composition of
+# IEEE-754 correctly-rounded ops only —
+#   tau=1/4: sqrt(sqrt(c));  tau=1/2: sqrt(c);
+#   tau=3/4: sqrt(c)*sqrt(sqrt(c));  tau=1: c
+# (sqrt and * are correctly rounded by both JVM and C; pow is NOT
+# guaranteed and never appears). Weights floor to micro BEFORE the
+# normalizing sum, quotas are integer division — the proven
+# _sqrt_targets shape swept across four temperatures from ONE token
+# aggregate.
+# Scale: one corpus token-count combine (map-side), then 4*|sources|
+# rows of arithmetic; the per-tau normalizer is a window over a
+# |sources|-bounded frame.
+# ---------------------------------------------------------------------------
+SWEEP_BUDGET = 100_000
+_TAU_EXPRS = {
+    250: "sqrt(sqrt(CAST(total_ct AS DOUBLE)))",
+    500: "sqrt(CAST(total_ct AS DOUBLE))",
+    750: "sqrt(CAST(total_ct AS DOUBLE)) * sqrt(sqrt(CAST(total_ct AS DOUBLE)))",
+    1000: "CAST(total_ct AS DOUBLE)",
+}
+
+
+def mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).cast("bigint").alias("total_ct"))
+    )
+    rows = ", ".join(
+        f"struct({tau}L AS tau_milli,"
+        f" CAST(floor(({expr}) * 1000000.0) AS BIGINT) AS w_micro)"
+        for tau, expr in _TAU_EXPRS.items()
+    )
+    swept = toks.select(
+        "source",
+        "total_ct",
+        F.explode(F.expr(f"array({rows})")).alias("t"),
+    ).select(
+        F.col("t.tau_milli").alias("tau_milli"),
+        "source",
+        F.col("total_ct").alias("tokens_available"),
+        F.col("t.w_micro").alias("w_micro"),
+    )
+    return swept.select(
+        "tau_milli",
+        "source",
+        "tokens_available",
+        "w_micro",
+        F.expr(
+            f"CAST({SWEEP_BUDGET} * w_micro div"
+            f" (sum(w_micro) OVER (PARTITION BY tau_milli)) AS BIGINT)"
+        ).alias("quota_tokens"),
+    )
+
+
+def _mixture_sweep_sql() -> str:
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({tau} AS BIGINT) AS tau_milli, source,"
+        f" total_ct AS tokens_available,"
+        f" CAST(floor(({expr}) * 1000000.0) AS BIGINT) AS w_micro FROM toks"
+        for tau, expr in _TAU_EXPRS.items()
+    )
+    return f"""
+WITH toks AS (
+    SELECT source,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS total_ct
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+),
+swept AS (
+    {arms}
+)
+SELECT tau_milli, source, tokens_available, w_micro,
+       CAST({SWEEP_BUDGET} * w_micro //
+            (sum(w_micro) OVER (PARTITION BY tau_milli)) AS BIGINT)
+           AS quota_tokens
+FROM swept
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 36b: word2vec-style negative-sampling table (Mikolov et al. 2013:
+# unigram counts raised to the 3/4 power) — the token-level artifact a
+# contrastive/embedding training run draws negatives from. Same exact-
+# sqrt composition as the sweep above (c^(3/4) = sqrt(c)*sqrt(sqrt(c)),
+# never pow); the table is top-V by (count DESC, token ASC) so the
+# output is vocab-bounded at any corpus size; probabilities are micro
+# units normalized WITHIN the table (as word2vec normalizes over its
+# vocab), the w*1e6 product riding DECIMAL(38,0) (w ~ c^0.75 * 1e6
+# exceeds BIGINT*1e6 headroom past ~1e12-token corpora).
+# Scale: one (token) combine with map-side partials, one top-V rank on
+# the vocab-bounded frame, |V| rows of arithmetic.
+# ---------------------------------------------------------------------------
+NEG_TABLE_V = 64
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    w = Window.orderBy(F.col("ct").desc(), "token")
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= NEG_TABLE_V)
+        .withColumn(
+            "w_micro",
+            F.expr(
+                "CAST(floor(sqrt(CAST(ct AS DOUBLE))"
+                " * sqrt(sqrt(CAST(ct AS DOUBLE))) * 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    tot = Window.partitionBy()
+    return top.select(
+        "token",
+        "ct",
+        "rnk",
+        "w_micro",
+        F.expr(
+            "CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000"
+            " div (sum(w_micro) OVER ()) AS BIGINT)"
+        ).alias("prob_micro"),
+    )
+
+
+_NEG_TABLE_SQL = f"""
+WITH counts AS (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token,
+           1 AS one
+    FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS ct FROM counts GROUP BY 1
+),
+top AS (
+    SELECT token, ct,
+           CAST(row_number() OVER (ORDER BY ct DESC, token) AS INTEGER)
+               AS rnk,
+           CAST(floor(sqrt(CAST(ct AS DOUBLE))
+                * sqrt(sqrt(CAST(ct AS DOUBLE))) * 1000000.0) AS BIGINT)
+               AS w_micro
+    FROM agg
+    QUALIFY rnk <= {NEG_TABLE_V}
+)
+SELECT token, ct, rnk, w_micro,
+       CAST(CAST(w_micro AS HUGEINT) * 1000000
+            // (sum(w_micro) OVER ()) AS BIGINT) AS prob_micro
+FROM top
+"""
+
+
 QUERIES = {
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
@@ -2269,6 +2433,8 @@ QUERIES = {
     "warc_record_parse": warc_record_parse,
     "web_front_door_recipe": web_front_door_recipe,
     "token_budget_mixture": token_budget_mixture,
+    "mixture_temperature_sweep": mixture_temperature_sweep,
+    "negative_sampling_table": negative_sampling_table,
     "importance_weight_selection": importance_weight_selection,
     "vocab_concentration_simpson": vocab_concentration_simpson,
     "filter_ablation_matrix": filter_ablation_matrix,
@@ -2296,6 +2462,8 @@ ORACLE = {
     "warc_record_parse": _WARC_PARSE_SQL,
     "web_front_door_recipe": _FRONT_DOOR_SQL,
     "token_budget_mixture": _TOKEN_BUDGET_SQL,
+    "mixture_temperature_sweep": _mixture_sweep_sql(),
+    "negative_sampling_table": _NEG_TABLE_SQL,
     "importance_weight_selection": _DSIR_SQL,
     "vocab_concentration_simpson": _SIMPSON_SQL,
     "filter_ablation_matrix": _ablation_sql(),

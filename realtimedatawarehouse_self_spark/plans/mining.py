@@ -1635,6 +1635,140 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 36c: RAKE keyphrase extraction (Rose et al. 2010, "Automatic
+# Keyword Extraction from Individual Documents") — the document-LOCAL
+# keyword extractor complementing the corpus-level `tfidf_doc_keywords`:
+# candidate phrases are maximal stopword-free token runs (the classic
+# gaps-and-islands construction: island id = pos - row_number over
+# non-stop positions), each word scores degree/frequency (degree = sum
+# of the lengths of the islands its occurrences sit in), and a phrase
+# scores the sum of its member-word scores. Integer micro arithmetic
+# throughout (word score = degree * 1e6 // freq); identical duplicate
+# phrases within a doc collapse (same members -> same score) before the
+# top-K rank — (score DESC, phrase ASC) total order, WindowGroupLimit.
+# Scale: everything is per-document — one posexplode, two per-doc
+# combines, one per-doc top-K window. No corpus-level state at all, so
+# the operator is embarrassingly parallel at any corpus size.
+# ---------------------------------------------------------------------------
+RAKE_TOP_K = 3
+
+
+def keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("tok_arr").alias("pos", "token")
+    )
+    nonstop = pos.filter(
+        ~F.expr(f"array_contains(array({stop_arr}), token)")
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    islands = nonstop.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w_isl)
+    ).persist()
+    phr = islands.groupBy("doc_id", "isl").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda t: t["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("L"),
+    )
+    wstat = (
+        islands.join(phr.select("doc_id", "isl", "L"), ["doc_id", "isl"])
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("L").cast("bigint").alias("deg"),
+        )
+        .withColumn("wscore", F.expr("deg * 1000000 div freq"))
+    )
+    pscore = (
+        islands.join(
+            wstat.select("doc_id", "token", "wscore"), ["doc_id", "token"]
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.sum("wscore").cast("bigint").alias("score_micro"))
+        .join(phr, ["doc_id", "isl"])
+        .select("doc_id", "phrase", "L", "score_micro")
+        .distinct()
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "phrase"
+    )
+    return (
+        pscore.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= RAKE_TOP_K)
+        .select(
+            "doc_id",
+            "phrase",
+            F.col("L").alias("n_words"),
+            "score_micro",
+            "rnk",
+        )
+    )
+
+
+def _rake_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+    SELECT doc_id, i AS pos, t[i] AS token
+    FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+islands AS (
+    SELECT doc_id, pos, token,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+    FROM pos WHERE token NOT IN ({stop_list})
+),
+phr AS (
+    SELECT doc_id, isl,
+           string_agg(token, ' ' ORDER BY pos) AS phrase,
+           CAST(count(*) AS BIGINT) AS L
+    FROM islands GROUP BY 1, 2
+),
+wstat AS (
+    SELECT i.doc_id, i.token,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(p.L) AS BIGINT) AS deg
+    FROM islands i JOIN phr p ON i.doc_id = p.doc_id AND i.isl = p.isl
+    GROUP BY 1, 2
+),
+pscore AS (
+    SELECT DISTINCT i.doc_id, p.phrase, p.L,
+           CAST(sum(w.deg * 1000000 // w.freq) AS BIGINT) AS score_micro
+    FROM islands i
+    JOIN wstat w ON i.doc_id = w.doc_id AND i.token = w.token
+    JOIN phr p ON i.doc_id = p.doc_id AND i.isl = p.isl
+    GROUP BY i.doc_id, i.isl, p.phrase, p.L
+)
+SELECT doc_id, phrase, L AS n_words, score_micro,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_micro DESC, phrase) AS rnk
+    FROM pscore
+) WHERE rnk <= {RAKE_TOP_K}
+"""
+
+
 QUERIES = {
     "degree_assortativity": degree_assortativity,
     "community_label_propagation": community_label_propagation,
@@ -1650,6 +1784,7 @@ QUERIES = {
     "embedding_power_iteration": embedding_power_iteration,
     "lm_bigram_coverage": lm_bigram_coverage,
     "lm_quality_probability": lm_quality_probability,
+    "keyphrase_rake": keyphrase_rake,
 }
 
 ORACLE = {
@@ -1667,4 +1802,5 @@ ORACLE = {
     "embedding_power_iteration": _power_iter_sql(),
     "lm_bigram_coverage": _LM_SQL,
     "lm_quality_probability": _LM_PROB_SQL,
+    "keyphrase_rake": _rake_sql(),
 }

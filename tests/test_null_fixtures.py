@@ -320,6 +320,12 @@ def null_duck(null_sf_dir):
         # event_ids ride ord_eid = -1 through the state fold)
         "preference_holdout_accuracy",
         "streaming_episode_return_twin",
+        # r9 wave 36: NULL text drops pre-count on both engines; the
+        # NULL-source group carries its own swept weights; RAKE's
+        # islands construction must skip NULL-text docs identically
+        "mixture_temperature_sweep",
+        "negative_sampling_table",
+        "keyphrase_rake",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -317,6 +317,11 @@ QUERIES = [
     # round-9 wave 35
     "preference_holdout_accuracy",   # day-rank split + tie-broken argmax
     #                                  predictions under shuffled pairs
+    # round-9 wave 36
+    "mixture_temperature_sweep",     # sqrt-composition weights + windowed
+    #                                  normalizer under combine reordering
+    "negative_sampling_table",       # top-V total order + DECIMAL normalize
+    "keyphrase_rake",                # islands + per-doc top-K tie-break
 ]
 
 PERTURBED = {

@@ -896,3 +896,143 @@ def test_streaming_episode_twin_equals_batch(spark, rows):
         map(tuple, streaming_episode_return_twin(spark, d).collect())
     )
     assert twin == batch
+
+
+# ---------------------------------------------------------------------------
+# Wave 36 recounts
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_mixture_sweep_matches_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        SWEEP_BUDGET,
+        mixture_temperature_sweep,
+    )
+
+    d = tempfile.mkdtemp(prefix="sweepprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        (r["tau_milli"], r["source"]): (
+            r["tokens_available"],
+            r["w_micro"],
+            r["quota_tokens"],
+        )
+        for r in mixture_temperature_sweep(spark, d).collect()
+    }
+
+    toks = defaultdict(int)
+    for _doc_id, text, _lg, src, _nc in rows:
+        if text is None:
+            continue
+        toks[src] += len(_toks(text))
+    funcs = {
+        250: lambda c: math.sqrt(math.sqrt(float(c))),
+        500: lambda c: math.sqrt(float(c)),
+        750: lambda c: math.sqrt(float(c)) * math.sqrt(math.sqrt(float(c))),
+        1000: lambda c: float(c),
+    }
+    want = {}
+    for tau, f in funcs.items():
+        ws = {src: math.floor(f(c) * 1000000.0) for src, c in toks.items()}
+        tot = sum(ws.values())
+        for src, c in toks.items():
+            want[(tau, src)] = (
+                c,
+                ws[src],
+                SWEEP_BUDGET * ws[src] // tot,
+            )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_negative_sampling_matches_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        NEG_TABLE_V,
+        negative_sampling_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="negprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        r["token"]: (r["ct"], r["rnk"], r["w_micro"], r["prob_micro"])
+        for r in negative_sampling_table(spark, d).collect()
+    }
+
+    counts = Counter()
+    for _doc_id, text, _lg, _src, _nc in rows:
+        if text is None:
+            continue
+        counts.update(_toks(text))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :NEG_TABLE_V
+    ]
+    ws = {
+        tok: math.floor(
+            math.sqrt(float(c)) * math.sqrt(math.sqrt(float(c))) * 1000000.0
+        )
+        for tok, c in top
+    }
+    tot = sum(ws.values())
+    want = {
+        tok: (c, rnk + 1, ws[tok], ws[tok] * 1000000 // tot)
+        for rnk, (tok, c) in enumerate(top)
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_strategy)
+def test_rake_matches_python(spark, docs):
+    from realtimedatawarehouse_self_spark.plans.llm_ops import STOPWORDS
+    from realtimedatawarehouse_self_spark.plans.mining import (
+        RAKE_TOP_K,
+        keyphrase_rake,
+    )
+
+    d = tempfile.mkdtemp(prefix="rakeprop")
+    rows = [(i, t, lg, s, nc) for i, (t, lg, s, nc) in enumerate(docs)]
+    _write_docs(d, rows)
+    got = {
+        (r["doc_id"], r["rnk"]): (r["phrase"], r["n_words"], r["score_micro"])
+        for r in keyphrase_rake(spark, d).collect()
+    }
+
+    want = {}
+    for doc_id, text, _lg, _src, _nc in rows:
+        if text is None:
+            continue
+        toks = _toks(text)
+        # islands of consecutive non-stopword tokens
+        islands, cur = [], []
+        for t in toks:
+            if t in STOPWORDS:
+                if cur:
+                    islands.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            islands.append(cur)
+        if not islands:
+            continue
+        freq, deg = Counter(), Counter()
+        for isl in islands:
+            for t in isl:
+                freq[t] += 1
+                deg[t] += len(isl)
+        wscore = {t: deg[t] * MICRO // freq[t] for t in freq}
+        phrases = {}
+        for isl in islands:
+            phrases[" ".join(isl)] = (
+                len(isl),
+                sum(wscore[t] for t in isl),
+            )
+        ranked = sorted(
+            phrases.items(), key=lambda kv: (-kv[1][1], kv[0])
+        )[:RAKE_TOP_K]
+        for rnk, (phrase, (L, sc)) in enumerate(ranked, 1):
+            want[(doc_id, rnk)] = (phrase, L, sc)
+    assert got == want
