@@ -462,7 +462,14 @@ def main() -> None:
     # Full per-query detail goes to a file; stdout gets ONE SHORT line.
     # (A 77-entry queries map is ~3 kB — longer than the harness's stdout
     # tail buffer, so the line gets head-truncated and fails to parse.)
-    with open(os.path.join(REPO_ROOT, "BENCH_FULL.json"), "w") as f:
+    # BENCH_FULL.json is the COMMITTED sf0.1 record — a dev/verify run at
+    # another scale factor must not clobber it (it did once, r9: three
+    # wave commits swept an sf0.001 verify artifact into history), so
+    # non-default scales write to BENCH_FULL_dev.json instead.
+    full_name = (
+        "BENCH_FULL.json" if sf_val == 0.1 else "BENCH_FULL_dev.json"
+    )
+    with open(os.path.join(REPO_ROOT, full_name), "w") as f:
         json.dump(
             {
                 "metric": "headline_query_wall_time",

@@ -972,10 +972,12 @@ def rouge_bigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ct").alias("rct"),
         )
         .join(
-            ref_ids.select(
-                "ref_doc_id",
-                F.col("source").alias("rsource"),
-                F.col("lang").alias("rlang"),
+            F.broadcast(
+                ref_ids.select(
+                    "ref_doc_id",
+                    F.col("source").alias("rsource"),
+                    F.col("lang").alias("rlang"),
+                )
             ),
             ["ref_doc_id", "rsource", "rlang"],
         )
