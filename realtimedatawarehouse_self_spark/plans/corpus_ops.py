@@ -2221,6 +2221,10 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("total_ct")  # _sqrt_targets' expected column name
         )
+        # a zero-token source (every doc tokenizes empty) contributes no
+        # quota AND would zero the repeat-epochs denominator — drop it
+        # before the weight math, identically on both engines
+        .filter(F.col("total_ct") > 0)
     )
     quotas = _sqrt_targets(toks, TOKEN_BUDGET)
     return quotas.select(
@@ -2241,6 +2245,7 @@ WITH toks AS (
                 AS BIGINT) AS total_ct
     FROM documents WHERE text IS NOT NULL
     GROUP BY 1
+    HAVING sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) > 0
 ),
 weighted AS (
     SELECT source, total_ct,
@@ -2310,14 +2315,22 @@ def mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_ct").alias("tokens_available"),
         F.col("t.w_micro").alias("w_micro"),
     )
+    # quota product rides DECIMAL(38,0): the tau=1 arm's w_micro is
+    # total_ct * 1e6, so BUDGET * w_micro blows int64 past ~9.2e7 tokens
+    # per source (w_micro itself holds to ~9.2e12 — document before
+    # raising SWEEP_BUDGET). Zero normalizer (every doc tokenizes empty)
+    # -> quota 0, identically on both engines.
     return swept.select(
         "tau_milli",
         "source",
         "tokens_available",
         "w_micro",
         F.expr(
-            f"CAST({SWEEP_BUDGET} * w_micro div"
-            f" (sum(w_micro) OVER (PARTITION BY tau_milli)) AS BIGINT)"
+            f"CAST(CASE WHEN sum(w_micro)"
+            f" OVER (PARTITION BY tau_milli) = 0 THEN 0"
+            f" ELSE CAST({SWEEP_BUDGET} AS DECIMAL(38,0)) * w_micro div"
+            f" (sum(w_micro) OVER (PARTITION BY tau_milli)) END"
+            f" AS BIGINT)"
         ).alias("quota_tokens"),
     )
 
@@ -2341,9 +2354,11 @@ swept AS (
     {arms}
 )
 SELECT tau_milli, source, tokens_available, w_micro,
-       CAST({SWEEP_BUDGET} * w_micro //
-            (sum(w_micro) OVER (PARTITION BY tau_milli)) AS BIGINT)
-           AS quota_tokens
+       CAST(CASE WHEN sum(w_micro) OVER (PARTITION BY tau_milli) = 0
+            THEN 0
+            ELSE CAST({SWEEP_BUDGET} AS HUGEINT) * w_micro //
+                 (sum(w_micro) OVER (PARTITION BY tau_milli)) END
+            AS BIGINT) AS quota_tokens
 FROM swept
 """
 
@@ -2384,7 +2399,6 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tot = Window.partitionBy()
     return top.select(
         "token",
         "ct",
@@ -2400,8 +2414,7 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEG_TABLE_SQL = f"""
 WITH counts AS (
     SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS token,
-           1 AS one
+               AS token
     FROM documents WHERE text IS NOT NULL
 ),
 agg AS (

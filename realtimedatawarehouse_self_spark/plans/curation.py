@@ -81,7 +81,9 @@ def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("b.vec_id").alias("later_vec"),
         cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
-    )
+    ).persist()  # two aggregation branches below; without the persist the
+    #              within-cell cosine self-join (the operator's dominant
+    #              cost) would evaluate twice per action
     # one pass over the pair frame: pair counts per eps + per-vector max
     pair_aggs = [
         F.sum(F.when(F.col("score") > F.lit(e), 1).otherwise(0))
@@ -322,9 +324,17 @@ FROM s
 # ---------------------------------------------------------------------------
 def _user_day_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    # ts IS NOT NULL matters for ENGINE PARITY, not just hygiene: Spark's
+    # groupBy would keep a (user, NULL-day) group and explode comparisons
+    # from it, while the oracle's self-join on a.day = b.day can never
+    # match NULL = NULL — the repo-wide contract is that NULL-ts events
+    # are not sequence evidence (episode_discounted_returns filters
+    # identically).
     return (
         ev.filter(
-            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
         )
         .groupBy(
             "user_id",
@@ -380,6 +390,7 @@ _PREF_PAIRS_CTE = """counts AS (
            CAST(count(*) AS BIGINT) AS ct
     FROM events
     WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      AND ts IS NOT NULL
     GROUP BY 1, 2, 3
 ),
 pp AS (
