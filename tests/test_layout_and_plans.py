@@ -611,3 +611,70 @@ def test_blocklist_filter_broadcasts_anti_join(spark, sf):
 
     plan = _plan(e.queries()["robots_blocklist_filter"](spark, sf))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ---- round-9 wave 31-36 plan-shape pins (PLANS.md r9 tables) ----
+
+
+def test_rake_top_k_uses_window_group_limit(spark, sf):
+    """r9 scale lock: RAKE's per-doc top-K must plan as WindowGroupLimit
+    (partial rank-limit before the exchange), not a full per-doc sort of
+    every candidate phrase."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["keyphrase_rake"](spark, sf))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_rouge_reference_side_broadcasts(spark, sf):
+    """r9 scale lock: the ROUGE reference side is ONE doc per
+    (source, lang) — every join against it must be a broadcast, so the
+    candidate corpus never shuffles on the bigram key."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["rouge_bigram_eval"](spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semdedup_pairs_inside_cells(spark, sf):
+    """r9 scale lock: the SemDeDup sweep's self-join condition must keep
+    the cell-equality conjunct (pairs only form INSIDE coarse cells); a
+    dropped conjunct degenerates to the all-pairs O(n^2) join. The pair
+    frame is persisted (InMemoryRelation) so the two aggregation
+    branches — epsilon counts and per-vector max — share one evaluation."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["semdedup_eps_sweep"](spark, sf))
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert "cell" in plan, plan
+
+
+def test_bt_strengths_join_small_frames_broadcast(spark, sf):
+    """r9 scale lock: every MM-iteration join runs on |types|-bounded
+    frames — the plan must contain no SortMergeJoin anywhere (a SMJ here
+    means a tiny strengths frame stopped broadcasting and the win matrix
+    started shuffling)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bradley_terry_strength"](spark, sf))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_fasttext_scorer_is_scan_bound(spark, sf):
+    """r9 scale lock: the hashed linear scorer is per-row codegen work —
+    no Exchange beyond the deliberate fan-out repartition, no Python
+    stage."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["fasttext_hash_quality"](spark, sf))
+    assert plan.count("Exchange (") == plan.count("REPARTITION_BY_NUM"), plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_episode_advantage_baseline_broadcasts_day_stats(spark, sf):
+    """r9 scale lock: the |days|-row baseline joins back by broadcast —
+    the episode frame must not shuffle a second time for the join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["episode_advantage_baseline"](spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
