@@ -481,7 +481,13 @@ def window_frames_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", money_cents("value").alias("v_c")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # explicit NULLS LAST: a NULL-ts event still carries spend, so it
+    # stays in the frame — but Spark's ASC default is NULLS FIRST while
+    # DuckDB's is NULLS LAST, so the position must be pinned (r9 NULL-ts
+    # fixture class); event_id breaks ties inside the NULL group
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-3, Window.currentRow)
     return ev.select(
@@ -504,9 +510,9 @@ SELECT event_id, user_id,
 FROM (SELECT event_id, user_id, ts,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
       FROM events)
-WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+WINDOW run AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       mov AS (PARTITION BY user_id ORDER BY ts, event_id
+       mov AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
@@ -531,7 +537,11 @@ WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
 # ---------------------------------------------------------------------------
 def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    # the calendar frame has no NULL day: a NULL-ts event would form a
+    # NULL-day group whose position in the (ct, d) orderings diverges
+    # between engines (Spark NULLS FIRST vs DuckDB NULLS LAST) — filter
+    # identically on both sides (r9 NULL-ts fixture class)
+    daily = ev.filter(F.col("ts").isNotNull()).groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
     wv = Window.partitionBy("event_type").orderBy("ct")
@@ -583,7 +593,7 @@ _RANK_SURFACE_SQL = """
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS d,
            CAST(count(*) AS BIGINT) AS ct
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 r AS (
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, ct,

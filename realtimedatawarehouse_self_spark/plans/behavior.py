@@ -434,7 +434,12 @@ JOURNEY_TOPK = 20
 
 
 def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    # ts IS NOT NULL: a NULL-ts event has no sequence position, and the
+    # engines disagree on where it would sort (Spark window ASC = NULLS
+    # FIRST, DuckDB = NULLS LAST) — caught by the r9 NULL-ts fixture rows
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     grams = (
         ev.withColumn("e2", F.lead("event_type", 1).over(w))
@@ -464,6 +469,7 @@ WITH g AS (
            lead(event_type, 1) OVER w AS e2,
            lead(event_type, 2) OVER w AS e3
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 counts AS (

@@ -41,6 +41,14 @@ def null_sf_dir(tmp_path_factory):
     rows.append((16, base + dt.timedelta(minutes=16), None, "view", 1.0))
     rows.append((17, base + dt.timedelta(minutes=17), None, "purchase", 2.0))
     rows.append((18, base + dt.timedelta(minutes=18), None, "click", None))
+    # NULL-ts rows (r9 code-review class): Spark groupBy/window keeps a
+    # NULL-day/NULL-window group while SQL equi-joins and date functions
+    # drop or NULL it — every time-keyed operator must treat these rows
+    # identically on both engines. One with a real user + value (the
+    # dangerous case: it would join/aggregate if not filtered), one
+    # NULL-everything.
+    rows.append((19, None, 1, "view", 5.0))
+    rows.append((20, None, None, "click", None))
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -349,5 +357,7 @@ def test_null_values_actually_exercise_the_hazard(spark, null_sf_dir):
     ev = load_table(spark, null_sf_dir, "events")
     n_null = ev.filter("value IS NULL").count()
     # 4 in 'view' + 4 in 'error' + 3 in 'purchase' + 1 NULL-user 'click'
-    assert n_null == 12
-    assert ev.filter("user_id IS NULL").count() == 3
+    # + 1 NULL-everything NULL-ts row
+    assert n_null == 13
+    assert ev.filter("user_id IS NULL").count() == 4
+    assert ev.filter("ts IS NULL").count() == 2
