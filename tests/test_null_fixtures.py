@@ -49,6 +49,10 @@ def null_sf_dir(tmp_path_factory):
     # NULL-everything.
     rows.append((19, None, 1, "view", 5.0))
     rows.append((20, None, None, "click", None))
+    # NULL event_type with a real user/ts/value: groupBy keeps the NULL
+    # type group on both engines, but equi-joins/filters on event_type
+    # must drop it identically
+    rows.append((21, base + dt.timedelta(minutes=21), 1, None, 4.0))
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
