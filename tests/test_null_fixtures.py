@@ -104,9 +104,13 @@ def null_sf_dir(tmp_path_factory):
     # exercises DESC null ordering (Spark desc = NULLS LAST, DuckDB
     # default NULLS LAST — must agree), and double spaces probe the
     # word-count split on both sides
+    # rows 6-7 (r9 hardening): a whitespace-only text (tokenizes to [])
+    # and a stopword-only text (tokens but zero RAKE islands / zero
+    # non-stop content) — the degenerate shapes every text operator must
+    # fold identically on both engines
     documents = pa.table(
         {
-            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7], pa.int64()),
             "text": pa.array(
                 [
                     "one two three four five six seven eight nine ten "
@@ -116,11 +120,20 @@ def null_sf_dir(tmp_path_factory):
                     "a  b padded words here make five or so total count",
                     "",
                     "exactly five words here now",
+                    "   ",
+                    "the a the a",
                 ]
             ),
-            "lang": pa.array(["en", "en", None, "de", "es", "en"]),
-            "source": pa.array(["srcA", "srcA", "srcB", None, "srcA", "srcB"]),
-            "n_chars": pa.array([64, 0, 15, None, 0, 28], pa.int64()),
+            "lang": pa.array(
+                ["en", "en", None, "de", "es", "en", "en", "de"]
+            ),
+            "source": pa.array(
+                ["srcA", "srcA", "srcB", None, "srcA", "srcB", "srcB",
+                 "srcA"]
+            ),
+            "n_chars": pa.array(
+                [64, 0, 15, None, 0, 28, 3, 11], pa.int64()
+            ),
         }
     )
     pq.write_table(documents, os.path.join(str(d), "documents.parquet"))
