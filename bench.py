@@ -9,6 +9,22 @@ collect overhead). Timing is steady-state: each query runs once untimed
 (codegen compilation, parquet footer/OS page cache) and the second
 execution is timed — measuring the engine's plan, not JIT warmup. The
 JVM gets one trivial warmup job up front.
+
+CANONICAL COMPARISON PROTOCOL (VERDICT r9 #3). Two timing protocols
+exist and differ 1.5-6x on identical code (BENCH_VARIANCE
+focused_r9_waves31_36: semdedup 2.9-3.7 s cold vs 0.59 s in-map), so
+cross-round comparisons must never mix them:
+
+1. Cross-round PER-QUERY regression calls use committed full-map rows
+   only — BENCH_r{N}.json / BENCH_FULL.json, i.e. this script run over
+   the whole HEADLINE list in one process, where JVM warmup, OS page
+   cache, and codegen reuse are amortized identically every round.
+2. Fresh-process bands (scripts/variance.py, the BENCH_VARIANCE
+   focused_* entries) are for SAME-CODE drift adjudication only: when a
+   full-map row moves >1.5x and >0.5 s across rounds on untouched code,
+   five fresh-process passes bracket the machine's same-code spread; a
+   walk inside the band is session noise, outside it is a real change.
+Never compare a focused_* number against a full-map number.
 """
 
 from __future__ import annotations
