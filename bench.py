@@ -139,6 +139,7 @@ HEADLINE = [
     "bm25_doc_search",
     "bpe_pair_counts",
     "span_dedup_stats",
+    "dedup_duplicated_spans",
     "user_retention_cohorts",
     "incremental_hourly_rollup",
     "domain_mixture_temperature",

@@ -678,3 +678,26 @@ def test_episode_advantage_baseline_broadcasts_day_stats(spark, sf):
 
     plan = _plan(e.queries()["episode_advantage_baseline"](spark, sf))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_duplicated_spans_anchor_join_shape(spark, sf):
+    """r10 scale lock (VERDICT r9 #4): the Lee-2022-class span detector's
+    candidate generation must stay bucketed — pairs fan out INSIDE the
+    per-anchor-hash grouped row (one Exchange on the hash, C(CAP,2)
+    bounded), never via a cartesian / unkeyed self-join; the tokenized
+    scan is persisted and reused by the verify joins (one parquet scan
+    total); run detection is the windowed gaps-and-islands, not an
+    iterative loop."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["dedup_duplicated_spans"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # tokenized scan persisted once, consumed three times (anchors + the
+    # two verify sides); formatted explain prints each node in the tree
+    # AND the detail section, so every marker appears twice
+    assert plan.count("InMemoryTableScan") == 6, plan
+    assert "Window" in plan, plan
+    # anchor grouping is the collect_list ObjectHashAggregate pair with a
+    # map-side partial (partial + final, x2 for the detail section)
+    assert plan.count("ObjectHashAggregate") == 4, plan

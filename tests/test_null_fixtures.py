@@ -351,6 +351,11 @@ def null_duck(null_sf_dir):
         "mixture_temperature_sweep",
         "negative_sampling_table",
         "keyphrase_rake",
+        # r10 wave 37: NULL / whitespace-only text must yield zero
+        # anchors on both engines (Spark: size(NULL) = -1 < K filter;
+        # DuckDB: len(NULL) >= K is NULL -> dropped), never a NULL-keyed
+        # anchor group
+        "dedup_duplicated_spans",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -322,6 +322,9 @@ QUERIES = [
     #                                  normalizer under combine reordering
     "negative_sampling_table",       # top-V total order + DECIMAL normalize
     "keyphrase_rake",                # islands + per-doc top-K tie-break
+    # round-10 wave 37
+    "dedup_duplicated_spans",        # anchor collect_list order + diagonal
+    #                                  islands must not leak partitioning
 ]
 
 PERTURBED = {
