@@ -1515,8 +1515,16 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = tok.select(F.col("doc_id").alias("da"), F.col("tok_arr").alias("ta"))
     tb = tok.select(F.col("doc_id").alias("db"), F.col("tok_arr").alias("tb"))
+    # Verify joins are SHUFFLE_HASH-pinned with the span side as build:
+    # left to itself the planner broadcast the token-array CORPUS side
+    # (driver OOM at 10x sf0.1 — caught by the r10 stress run), and the
+    # span side, while the smaller of the two, is duplication-sized (data-
+    # sized at constant dup rate), so no side is broadcast-safe at 100 TB.
+    # Both joins key on doc_id — even keys, bounded rows per key.
     ver = (
-        spans.join(ta, "da")
+        spans.hint("shuffle_hash")
+        .join(ta, "da")
+        .hint("shuffle_hash")
         .join(tb, "db")
         .withColumn(
             "span_a",

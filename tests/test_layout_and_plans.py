@@ -693,6 +693,10 @@ def test_duplicated_spans_anchor_join_shape(spark, sf):
     plan = _plan(e.queries()["dedup_duplicated_spans"](spark, sf))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the verify joins must stay SHUFFLE_HASH-pinned: the unhinted plan
+    # broadcast the token-array CORPUS side (driver OOM at 10x sf0.1)
+    assert plan.count("ShuffledHashJoin") == 4, plan
+    assert "BroadcastExchange" not in plan, plan
     # tokenized scan persisted once, consumed three times (anchors + the
     # two verify sides); formatted explain prints each node in the tree
     # AND the detail section, so every marker appears twice
