@@ -2002,20 +2002,16 @@ FRONT_DOOR_MIN_TOKENS = 8
 _CRLF_SQL = "chr(13) || chr(10)"  # avoid literal control chars in SQL text
 
 
-def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
-    from realtimedatawarehouse_self_spark.sources.tables import load_table
-
-    apply_runtime_confs(spark)
+def _warc_record_col() -> "F.Column":
+    """The synthesized WARC envelope as a Column over a documents frame
+    (doc_id, text, source) — the fixture half shared by warc_record_parse
+    and crawl_to_train_funnel so the envelope cannot drift between them."""
     crlf = "\r\n"
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    )
     body = F.when(
         F.col("doc_id") % WARC_CORRUPT_MOD == 0,
         F.expr("substring(text, 1, greatest(length(text) - 1, 0))"),
     ).otherwise(F.col("text"))
-    record = F.concat(
+    return F.concat(
         F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
         F.lit("WARC-Target-URI: https://"),
         F.lower(F.coalesce("source", F.lit(""))),
@@ -2028,7 +2024,18 @@ def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(crlf + crlf),
         body,
     )
-    rec = docs.select("doc_id", record.alias("record"))
+
+
+def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    crlf = "\r\n"
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    rec = docs.select("doc_id", _warc_record_col().alias("record"))
     parsed = rec.select(
         "doc_id",
         F.regexp_extract("record", r"WARC-Type: ([^\r\n]+)", 1).alias(
@@ -2058,9 +2065,11 @@ def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WARC_PARSE_SQL = f"""
-WITH rec AS (
-  SELECT doc_id,
+def _warc_rec_cte(cols: str = "") -> str:
+    """SQL twin of _warc_record_col as the `rec` CTE (carrying `cols`)."""
+    c = f", {cols}" if cols else ""
+    return f"""rec AS (
+  SELECT doc_id{c},
          'WARC/1.0' || {_CRLF_SQL} || 'WARC-Type: response' || {_CRLF_SQL}
            || 'WARC-Target-URI: https://' || lower(coalesce(source, ''))
            || '.example.com/articles/' || doc_id
@@ -2073,7 +2082,11 @@ WITH rec AS (
               THEN substr(text, 1, greatest(length(text) - 1, 0))
               ELSE text END AS record
   FROM documents WHERE text IS NOT NULL
-),
+)"""
+
+
+_WARC_PARSE_SQL = f"""
+WITH {_warc_rec_cte()},
 parsed AS (
   SELECT doc_id,
          regexp_extract(record, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
@@ -2187,6 +2200,292 @@ UNION ALL
 SELECT '04_length_floor', CAST(count(*) AS BIGINT),
        CAST(coalesce(sum(CASE WHEN tok_ct > 0 THEN tok_ct ELSE 0 END), 0)
             AS BIGINT) FROM long_enough
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (VERDICT r9 #5): the FULL crawl -> train-ready funnel as one
+# driver row. web_front_door_recipe covers raw -> cap and
+# pretrain_data_recipe covers quality -> mixture; this composes the whole
+# chain one level up — WARC parse -> HTML extraction -> quality gate ->
+# blocklist -> domain cap -> exact dedup -> MinHash-LSH near dedup ->
+# sqrt-temperature mixture -> epoch shard plan -> greedy context packing —
+# with per-stage survivor counts in ONE oracle, so a drift at ANY stage
+# seam breaks the gate. Every stage is the SHARED primitive, not a copy:
+# the WARC envelope from `_warc_record_col`/`_warc_rec_cte`, extraction
+# from `webtext.attach_html`/`extract_main_text` (+ its
+# `html_extract_sql_ctes` SQL twin), the quality gate and exact dedup from
+# `llm_ops.quality_gate`/`exact_dedup_first` (+ `quality_q_ctes`/
+# `exact_dedup_ctes`), near-dup candidates from `llm_ops._minhash_pairs`
+# (+ `_minhash_tail_cte`), blocklist/cap/shard constants from the
+# front-door ops, mixture from `_sqrt_targets`/`_mixture_keep_pred`,
+# packing from doc_pack_greedy's prefix-sum rule — tuning any threshold
+# retunes both the standalone query and this composition.
+#
+# Output: (stage, n_docs, total_tokens, n_units) where n_units is the
+# stage's natural unit — docs for filters, kept text blocks for
+# extraction, surviving hosts for blocklist/cap, sources for mixture,
+# shards for the shard plan, packs for packing.
+#
+# Scale: one corpus scan; every frame feeding two consumers (valid ->
+# extraction + funnel row; extracted/q/unblocked/capped/kept/neardup/
+# sampled/sharded likewise) is persisted so each stage materializes once.
+# The data-sized shuffles are each stage's own proven shape: the Arrow
+# extraction pass is shuffle-free, quality/blocklist are scan + broadcast
+# anti, the cap and packing are keyed windows, exact dedup is one window
+# on the content hash, LSH is the banded candidate join. The extraction
+# join back to (source, lang) keys on doc_id.
+# ---------------------------------------------------------------------------
+def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import word_shingles
+    from realtimedatawarehouse_self_spark.functions.webtext import (
+        attach_html,
+        extract_main_text,
+    )
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        _minhash_pairs,
+        exact_dedup_first,
+        quality_gate,
+    )
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    crlf = "\r\n"
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    rec = docs.select(
+        "doc_id", "source", "lang", _warc_record_col().alias("record")
+    )
+    parsed = rec.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.regexp_extract("record", r"Content-Length: ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("content_length"),
+        F.col("record")
+        .substr(F.locate(crlf + crlf, F.col("record")) + 4, F.length("record"))
+        .alias("body"),
+    )
+    valid = (
+        parsed.filter(F.length("body") == F.col("content_length"))
+        .select("doc_id", "source", "lang", F.col("body").alias("text"))
+        .persist()
+    )
+    extracted = extract_main_text(attach_html(valid)).select(
+        "doc_id",
+        "kept_blocks",
+        F.col("extracted_text").alias("text"),
+    )
+    ex = (
+        valid.drop("text")
+        .join(extracted, "doc_id")
+        .withColumn("tok_arr", tokens("text"))
+        .persist()
+    )
+    q = quality_gate(ex).persist()
+    hosts = q.withColumn("host", F.expr(_HOST_EXPR))
+    blocklist = (
+        hosts.select("host")
+        .distinct()
+        .where(F.substring(F.md5("host"), 1, 1).isin(*BLOCKLIST_HEX))
+    )
+    unblocked = hosts.join(
+        F.broadcast(blocklist), "host", "left_anti"
+    ).persist()
+    w = Window.partitionBy("host").orderBy(
+        F.length("text").desc(), "doc_id"
+    )
+    capped = (
+        unblocked.withColumn("hr", F.row_number().over(w))
+        .where(F.col("hr") <= DOMAIN_CAP)
+        .drop("hr")
+        .persist()
+    )
+    kept = exact_dedup_first(capped).persist()
+    sh = kept.select(
+        "doc_id", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
+    ).distinct()
+    dropped = (
+        _minhash_pairs(sh).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    neardup = kept.join(dropped, "doc_id", "left_anti").persist()
+    counts = neardup.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ct")
+    )
+    targets = _sqrt_targets(counts, MIX_SAMPLE_TOTAL)
+    sampled = (
+        neardup.join(F.broadcast(targets), "source")
+        .filter(_mixture_keep_pred())
+        .persist()
+    )
+    sharded = sampled.withColumn(
+        "shard_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % EPOCH_SHARDS
+        ).cast("int"),
+    ).persist()
+    wp = Window.partitionBy("shard_id").orderBy("doc_id")
+    packed = sharded.withColumn(
+        "tok_ct", F.size("tok_arr").cast("bigint")
+    ).withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("tok_ct").over(wp) - F.col("tok_ct")) / F.lit(PACK_BUDGET)
+        ).cast("bigint"),
+    )
+
+    def stage(name: str, df: DataFrame, units) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.size(tokens("text")).cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+            units.cast("bigint").alias("n_units"),
+        )
+
+    n_rows = F.count(F.lit(1))
+    out = stage("00_warc_valid", valid, n_rows)
+    for name, df, units in (
+        ("01_html_extract", ex, F.coalesce(F.sum("kept_blocks"), F.lit(0))),
+        ("02_quality", q, n_rows),
+        ("03_blocklist", unblocked, F.countDistinct("host")),
+        ("04_domain_cap", capped, F.countDistinct("host")),
+        ("05_exact_dedup", kept, n_rows),
+        ("06_near_dedup", neardup, n_rows),
+        ("07_mixture", sampled, F.countDistinct("source")),
+        ("08_shard_plan", sharded, F.countDistinct("shard_id")),
+        ("09_packing", packed, F.countDistinct("shard_id", "pack_id")),
+    ):
+        out = out.unionByName(stage(name, df, units))
+    return out
+
+
+def _crawl_funnel_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        _minhash_tail_cte,
+        exact_dedup_ctes,
+        quality_q_ctes,
+    )
+    from realtimedatawarehouse_self_spark.plans.python_path import (
+        html_extract_sql_ctes,
+    )
+
+    return f"""
+WITH {_warc_rec_cte("source, lang")},
+parsed AS (
+  SELECT doc_id, source, lang,
+         CAST(regexp_extract(record, 'Content-Length: ([0-9]+)', 1)
+              AS BIGINT) AS content_length,
+         substr(record, strpos(record, {_CRLF_SQL} || {_CRLF_SQL}) + 4)
+             AS body
+  FROM rec
+),
+valid AS (
+  SELECT doc_id, source, lang, body AS text FROM parsed
+  WHERE length(body) = content_length
+),
+{html_extract_sql_ctes("valid", "source, lang")},
+extracted AS (
+  SELECT doc_id, source, lang,
+         CAST(len(kept) AS BIGINT) AS kept_blocks,
+         coalesce(array_to_string(kept, ' '), '') AS text
+  FROM hk
+),
+{quality_q_ctes("source, kept_blocks", "extracted")},
+hosts AS (
+  SELECT *, {_HOST_EXPR} AS host FROM q
+),
+b AS (
+  SELECT DISTINCT host FROM hosts
+  WHERE substr(md5(host), 1, 1) IN {BLOCKLIST_HEX!r}
+),
+unblocked AS (
+  SELECT * FROM hosts WHERE host NOT IN (SELECT host FROM b)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY length(text) DESC, doc_id) AS hr
+    FROM unblocked
+  ) WHERE hr <= {DOMAIN_CAP}
+),
+{exact_dedup_ctes("capped")},
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM kept, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+{_minhash_tail_cte()},
+neardup AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+),
+{_mixture_sql_ctes("neardup", MIX_SAMPLE_TOTAL)},
+sampled AS (
+  SELECT d.* FROM neardup d JOIN targets g ON d.source = g.source
+  WHERE {_MIXTURE_KEEP_SQL}
+),
+sharded AS (
+  SELECT *,
+         CAST(TRY_CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % {EPOCH_SHARDS} AS INTEGER) AS shard_id
+  FROM sampled
+),
+packed AS (
+  SELECT *,
+         CAST(floor((sum(len(t)) OVER (PARTITION BY shard_id ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - len(t))
+                    / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM sharded
+)
+SELECT '00_warc_valid' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(list_filter(string_split(text, ' '),
+                                         x -> x <> ''))), 0) AS BIGINT)
+           AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_units FROM valid
+UNION ALL
+SELECT '01_html_extract', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(coalesce(sum(kept_blocks), 0) AS BIGINT) FROM tok
+UNION ALL
+SELECT '02_quality', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM q
+UNION ALL
+SELECT '03_blocklist', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(DISTINCT host) AS BIGINT) FROM unblocked
+UNION ALL
+SELECT '04_domain_cap', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(DISTINCT host) AS BIGINT) FROM capped
+UNION ALL
+SELECT '05_exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM kept
+UNION ALL
+SELECT '06_near_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM neardup
+UNION ALL
+SELECT '07_mixture', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT) FROM sampled
+UNION ALL
+SELECT '08_shard_plan', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(DISTINCT shard_id) AS BIGINT) FROM sharded
+UNION ALL
+SELECT '09_packing', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(t)), 0) AS BIGINT),
+       CAST(count(DISTINCT (shard_id, pack_id)) AS BIGINT) FROM packed
 """
 
 
@@ -2445,6 +2744,7 @@ QUERIES = {
     "epoch_shard_plan": epoch_shard_plan,
     "warc_record_parse": warc_record_parse,
     "web_front_door_recipe": web_front_door_recipe,
+    "crawl_to_train_funnel": crawl_to_train_funnel,
     "token_budget_mixture": token_budget_mixture,
     "mixture_temperature_sweep": mixture_temperature_sweep,
     "negative_sampling_table": negative_sampling_table,
@@ -2474,6 +2774,7 @@ ORACLE = {
     "epoch_shard_plan": _EPOCH_SHARD_SQL,
     "warc_record_parse": _WARC_PARSE_SQL,
     "web_front_door_recipe": _FRONT_DOOR_SQL,
+    "crawl_to_train_funnel": _crawl_funnel_sql(),
     "token_budget_mixture": _TOKEN_BUDGET_SQL,
     "mixture_temperature_sweep": _mixture_sweep_sql(),
     "negative_sampling_table": _NEG_TABLE_SQL,

@@ -1108,6 +1108,220 @@ FROM out
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 39a: BLEU-style n-gram eval (Papineni et al. 2002) — the clipped
+# 1..4-gram precision geometric mean against the same deterministic
+# per-(source, lang) reference rouge_bigram_eval uses (lowest-doc_id
+# group member), completing the generation-eval pair (ROUGE = recall
+# view, BLEU = precision view). Exact-arithmetic notes:
+#   * each p_n is ONE double division of two exact bigints — identical
+#     bits on both engines;
+#   * the 4-way geometric mean is sqrt(sqrt(p1*p2*p3*p4)) with a fixed
+#     multiply order — sqrt and * are IEEE-754 correctly rounded on both
+#     engines (the mixture_temperature_sweep doctrine); pow()/exp()/ln()
+#     never appear;
+#   * the brevity penalty needs exp(1 - r/c), which is NOT correctly-
+#     rounded-portable, so the op emits the BP INPUTS instead — exact
+#     cand_len / ref_len and the bp_applies flag (cand shorter than ref);
+#     a consumer applies exp on its own numerics. bleu_micro is the
+#     floored micro GM WITHOUT the penalty, the standard smoothing-free
+#     "BLEU-4 (no BP)" table.
+# Docs with fewer than 4 tokens have no 4-gram and are excluded (as is a
+# group whose reference is shorter than 4 tokens) — BLEU-4 is undefined
+# there, identically on both engines.
+# Scale: the reference side is ONE doc per (source, lang) — broadcast at
+# every scale; the corpus side is one explode (4 n-gram streams tagged by
+# n in a single Generate) + one (doc, n, gram) combine; the clipped
+# overlap joins candidate grams against the broadcast reference table.
+# ---------------------------------------------------------------------------
+def bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    grams = docs.filter(F.size("tok_arr") >= 4).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size("tok_arr").cast("bigint").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 4), n ->"
+                " transform(sequence(0, size(tok_arr) - n),"
+                " i -> struct(n AS n, array_join(slice(tok_arr, i + 1, n),"
+                " ' ') AS gram))))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy(
+        "doc_id", "source", "lang", "n_tokens", F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    counts = counts.persist()
+    ref_ids = counts.groupBy("source", "lang").agg(
+        F.min("doc_id").alias("ref_doc_id")
+    )
+    ref = counts.select(
+        F.col("doc_id").alias("ref_doc_id"),
+        F.col("source").alias("rsource"),
+        F.col("lang").alias("rlang"),
+        F.col("n_tokens").alias("ref_len"),
+        F.col("n").alias("rn"),
+        F.col("gram").alias("rgram"),
+        F.col("ct").alias("rct"),
+    ).join(
+        F.broadcast(
+            ref_ids.select(
+                "ref_doc_id",
+                F.col("source").alias("rsource"),
+                F.col("lang").alias("rlang"),
+            )
+        ),
+        ["ref_doc_id", "rsource", "rlang"],
+    )
+    ov = (
+        counts.join(
+            F.broadcast(ref),
+            (counts.source == ref.rsource)
+            & (counts.lang == ref.rlang)
+            & (counts.n == ref.rn)
+            & (counts.gram == ref.rgram)
+            & (counts.doc_id != ref.ref_doc_id),
+        )
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.least("ct", "rct")).cast("bigint").alias("clip_ct"))
+    )
+    tots = counts.groupBy("doc_id", "source", "lang", "n_tokens", "n").agg(
+        F.sum("ct").cast("bigint").alias("tot_ct")
+    )
+    per_n = tots.join(ov, ["doc_id", "n"], "left").withColumn(
+        "clip", F.coalesce("clip_ct", F.lit(0))
+    )
+    per_doc = per_n.groupBy("doc_id", "source", "lang", "n_tokens").agg(
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("clip")))
+            .cast("bigint")
+            .alias(f"clip{i}")
+            for i in range(1, 5)
+        ],
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("tot_ct")))
+            .cast("bigint")
+            .alias(f"tot{i}")
+            for i in range(1, 5)
+        ],
+    )
+    ref_meta = ref.groupBy("rsource", "rlang", "ref_doc_id").agg(
+        F.first("ref_len").alias("ref_len")
+    )
+    out = per_doc.join(
+        F.broadcast(ref_meta),
+        (per_doc.source == ref_meta.rsource)
+        & (per_doc.lang == ref_meta.rlang),
+    ).filter(F.col("doc_id") != F.col("ref_doc_id"))
+    gm = (
+        "sqrt(sqrt(((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))"
+        " * (CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))"
+        " * ((CAST(clip3 AS DOUBLE) / CAST(tot3 AS DOUBLE))"
+        " * (CAST(clip4 AS DOUBLE) / CAST(tot4 AS DOUBLE)))))"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "lang",
+        "ref_doc_id",
+        F.col("n_tokens").alias("cand_len"),
+        "ref_len",
+        "clip1",
+        "clip2",
+        "clip3",
+        "clip4",
+        F.expr(f"CAST(floor({gm} * 1000000.0) AS BIGINT)").alias(
+            "bleu_micro"
+        ),
+        (F.col("n_tokens") < F.col("ref_len")).alias("bp_applies"),
+        F.expr("ref_len * 1000000 div n_tokens").alias("len_ratio_micro"),
+    )
+
+
+_BLEU_GM_SQL = (
+    "sqrt(sqrt(((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))"
+    " * (CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))"
+    " * ((CAST(clip3 AS DOUBLE) / CAST(tot3 AS DOUBLE))"
+    " * (CAST(clip4 AS DOUBLE) / CAST(tot4 AS DOUBLE)))))"
+)
+
+_BLEU_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id, source, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+           n, array_to_string(t[i:i+n-1], ' ') AS gram
+    FROM tok,
+         UNNEST(range(1, 5)) AS un(n),
+         UNNEST(range(1, len(t) - n + 2)) AS ui(i)
+    WHERE len(t) >= 4
+),
+counts AS (
+    SELECT doc_id, source, lang, n_tokens, n, gram,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM grams GROUP BY 1, 2, 3, 4, 5, 6
+),
+ref_ids AS (
+    SELECT source, lang, min(doc_id) AS ref_doc_id
+    FROM counts GROUP BY 1, 2
+),
+ref AS (
+    SELECT c.source, c.lang, r.ref_doc_id, c.n_tokens AS ref_len,
+           c.n, c.gram, c.ct AS rct
+    FROM counts c JOIN ref_ids r
+      ON c.doc_id = r.ref_doc_id AND c.source = r.source
+     AND c.lang = r.lang
+),
+ov AS (
+    SELECT c.doc_id, c.n, CAST(sum(least(c.ct, r.rct)) AS BIGINT) AS clip
+    FROM counts c JOIN ref r
+      ON c.source = r.source AND c.lang = r.lang
+     AND c.n = r.n AND c.gram = r.gram AND c.doc_id <> r.ref_doc_id
+    GROUP BY 1, 2
+),
+tots AS (
+    SELECT doc_id, source, lang, n_tokens, n,
+           CAST(sum(ct) AS BIGINT) AS tot_ct
+    FROM counts GROUP BY 1, 2, 3, 4, 5
+),
+per_n AS (
+    SELECT t.doc_id, t.source, t.lang, t.n_tokens, t.n, t.tot_ct,
+           coalesce(o.clip, 0) AS clip
+    FROM tots t LEFT JOIN ov o ON t.doc_id = o.doc_id AND t.n = o.n
+),
+per_doc AS (
+    SELECT doc_id, source, lang, n_tokens,
+           CAST(sum(CASE WHEN n = 1 THEN clip END) AS BIGINT) AS clip1,
+           CAST(sum(CASE WHEN n = 2 THEN clip END) AS BIGINT) AS clip2,
+           CAST(sum(CASE WHEN n = 3 THEN clip END) AS BIGINT) AS clip3,
+           CAST(sum(CASE WHEN n = 4 THEN clip END) AS BIGINT) AS clip4,
+           CAST(sum(CASE WHEN n = 1 THEN tot_ct END) AS BIGINT) AS tot1,
+           CAST(sum(CASE WHEN n = 2 THEN tot_ct END) AS BIGINT) AS tot2,
+           CAST(sum(CASE WHEN n = 3 THEN tot_ct END) AS BIGINT) AS tot3,
+           CAST(sum(CASE WHEN n = 4 THEN tot_ct END) AS BIGINT) AS tot4
+    FROM per_n GROUP BY 1, 2, 3, 4
+),
+ref_meta AS (
+    SELECT source, lang, ref_doc_id, any_value(ref_len) AS ref_len
+    FROM ref GROUP BY 1, 2, 3
+)
+SELECT d.doc_id, d.source, d.lang, m.ref_doc_id,
+       d.n_tokens AS cand_len, m.ref_len,
+       d.clip1, d.clip2, d.clip3, d.clip4,
+       CAST(floor({_BLEU_GM_SQL} * 1000000.0) AS BIGINT) AS bleu_micro,
+       d.n_tokens < m.ref_len AS bp_applies,
+       m.ref_len * 1000000 // d.n_tokens AS len_ratio_micro
+FROM per_doc d
+JOIN ref_meta m ON d.source = m.source AND d.lang = m.lang
+WHERE d.doc_id <> m.ref_doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Wave 34a: confident-learning label-issue matrix (Northcutt et al. 2021,
@@ -1487,6 +1701,7 @@ QUERIES = {
     "dawid_skene_vote": dawid_skene_vote,
     "episode_discounted_returns": episode_discounted_returns,
     "rouge_bigram_eval": rouge_bigram_eval,
+    "bleu_ngram_eval": bleu_ngram_eval,
     "confident_learning_audit": confident_learning_audit,
     "importance_weight_ess": importance_weight_ess,
     "episode_advantage_baseline": episode_advantage_baseline,
@@ -1503,6 +1718,7 @@ ORACLE = {
     "dawid_skene_vote": _DS_SQL,
     "episode_discounted_returns": _EPISODE_SQL,
     "rouge_bigram_eval": _ROUGE_SQL,
+    "bleu_ngram_eval": _BLEU_SQL,
     "confident_learning_audit": _confident_learning_sql(),
     "importance_weight_ess": _ess_sql(),
     "episode_advantage_baseline": _ADVANTAGE_SQL,

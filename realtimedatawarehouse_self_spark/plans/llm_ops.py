@@ -3082,23 +3082,37 @@ def exact_dedup_first(q: DataFrame) -> DataFrame:
     )
 
 
-def quality_sql_ctes(extra_cols: str = "") -> str:
-    """DuckDB twin of quality_gate + exact_dedup_first: CTEs tok/q/keep/
-    kept over `documents`. `extra_cols` adds projected columns to tok."""
+def quality_q_ctes(extra_cols: str = "", src: str = "documents") -> str:
+    """DuckDB twin of quality_gate alone: CTEs tok/q over `src`.
+    `extra_cols` adds projected columns to tok. Split out of
+    quality_sql_ctes so compositions that interpose stages between the
+    quality gate and exact dedup (crawl_to_train_funnel) reuse the SAME
+    gate SQL."""
     cols = f", {extra_cols}" if extra_cols else ""
     return f"""tok AS (
     SELECT doc_id, lang, text{cols},
            list_filter(string_split(text, ' '), x -> x <> '') AS t
-    FROM documents
+    FROM {src}
 ),
 q AS (
     SELECT * FROM tok
     WHERE len(t) >= {MIN_TOKENS}
       AND 4 * len(list_filter(t, x -> list_contains([{_STOP_LIST}], x)))
           <= len(t)
-),
-keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-kept AS (SELECT q.* FROM q JOIN keep USING (doc_id))"""
+)"""
+
+
+def exact_dedup_ctes(src: str = "q") -> str:
+    """DuckDB twin of exact_dedup_first: CTEs keep/kept over `src`."""
+    return f"""keep AS (SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(text)),
+kept AS (SELECT {src}.* FROM {src} JOIN keep USING (doc_id))"""
+
+
+def quality_sql_ctes(extra_cols: str = "") -> str:
+    """DuckDB twin of quality_gate + exact_dedup_first: CTEs tok/q/keep/
+    kept over `documents`. `extra_cols` adds projected columns to tok."""
+    return f"""{quality_q_ctes(extra_cols)},
+{exact_dedup_ctes("q")}"""
 
 
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

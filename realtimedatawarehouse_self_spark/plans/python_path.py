@@ -561,16 +561,21 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(attach_html(docs))
 
 
-def _html_extraction_sql() -> str:
+def html_extract_sql_ctes(src: str = "documents", cols: str = "") -> str:
+    """DuckDB twin of attach_html + extract_main_text as reusable CTEs
+    w/p/h/x/hk over `src` (carrying `cols` through each stage), shared by
+    the standalone html_text_extraction oracle and the composed
+    crawl_to_train_funnel so the extraction SQL cannot drift between
+    them. `hk` exposes doc_id{{, cols}}, html, blocks, kept."""
     from realtimedatawarehouse_self_spark.functions import webtext as wt
 
-    return f"""
-WITH w AS (
-  SELECT doc_id, coalesce(source, '') AS source,
+    c = f", {cols}" if cols else ""
+    return f"""w AS (
+  SELECT doc_id{c}, coalesce(source, '') AS src_title,
          string_split(text, ' ') AS words
-  FROM documents WHERE text IS NOT NULL
+  FROM {src} WHERE text IS NOT NULL
 ), p AS (
-  SELECT doc_id, source,
+  SELECT doc_id{c}, src_title,
          list_transform(
            range(0, CAST(ceil(len(words) / {wt.PARA_WORDS}.0) AS INTEGER)),
            i -> CASE WHEN i % 2 = 0
@@ -584,13 +589,13 @@ WITH w AS (
                 END) AS paras
   FROM w
 ), h AS (
-  SELECT doc_id,
-         '{wt.HEAD_PRE}' || source || '{wt.HEAD_POST}{wt.NAV}<p>'
+  SELECT doc_id{c},
+         '{wt.HEAD_PRE}' || src_title || '{wt.HEAD_POST}{wt.NAV}<p>'
            || array_to_string(paras, '</p><p>')
            || '</p>{wt.AD}{wt.FOOT}' AS html
   FROM p
 ), x AS (
-  SELECT doc_id, html,
+  SELECT doc_id{c}, html,
          regexp_extract_all(
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
              '<head>.*?</head>', '', 'g'),
@@ -599,8 +604,8 @@ WITH w AS (
              '<footer>.*?</footer>', '', 'g'),
            '<p>(.*?)</p>', 1) AS blocks
   FROM h
-), k AS (
-  SELECT doc_id, html, blocks,
+), hk AS (
+  SELECT doc_id{c}, html, blocks,
          list_transform(
            list_filter(blocks,
              b -> len(regexp_extract_all(
@@ -608,7 +613,12 @@ WITH w AS (
                   >= {wt.MIN_BLOCK_WORDS}),
            b -> regexp_replace(b, '<[^>]+>', '', 'g')) AS kept
   FROM x
-)
+)"""
+
+
+def _html_extraction_sql() -> str:
+    return f"""
+WITH {html_extract_sql_ctes()}
 SELECT doc_id,
        CAST(len(blocks) AS INTEGER) AS n_blocks,
        CAST(len(kept) AS INTEGER) AS kept_blocks,
@@ -618,7 +628,7 @@ SELECT doc_id,
        CAST(length(coalesce(array_to_string(kept, ' '), '')) AS BIGINT)
            AS content_chars,
        coalesce(array_to_string(kept, ' '), '') AS extracted_text
-FROM k
+FROM hk
 """
 
 

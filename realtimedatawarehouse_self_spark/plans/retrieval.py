@@ -1602,6 +1602,169 @@ WHERE span_a = span_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 39b: content-defined-chunking dedup (the FastCDC/rsync family —
+# Muthitacharoen et al. 2001 LBFS; the storage- and crawl-dedup shape for
+# data whose duplication is SHIFTED rather than aligned). Fixed-window
+# chunking (span_dedup_stats) misses a duplicate that slides by one
+# token; CDC cuts chunk boundaries where a rolling CONTENT hash matches a
+# pattern, so identical content produces identical chunks at ANY offset:
+#
+#   * boundary rule: a cut falls after token b+K-1 whenever the K-token
+#     window at position b hashes (md5) to a first hex digit in
+#     CDC_CUT_HEX — cut probability 2/16, expected chunk ~K + 8 tokens;
+#   * chunks = the slices between consecutive cuts (doc start / end
+#     close the first / last chunk); built entirely inside codegen from
+#     ONE cuts array per document (starts = shift(cuts), ends = cuts) —
+#     O(doc length) work, no per-position prefix rescans;
+#   * dedup accounting: chunk md5 -> distinct-doc count; per doc, the
+#     chunks (and tokens) whose content appears in >= 2 documents.
+#
+# vs dedup_duplicated_spans: spans finds the exact maximal shared
+# REGIONS (pairwise, positional); CDC measures global SHARED-CONTENT
+# MASS with storage-dedup semantics (each chunk either dedups or not) at
+# strictly lower cost — one shuffle on the chunk hash, no pair fan-out
+# at all. Both are standard members of the production dedup toolbox.
+# Scale: everything keys on chunk md5 or doc_id; chunk count is
+# len/~(K+8) per doc; no joins besides the chunk-stats re-join keyed on
+# the hash.
+# ---------------------------------------------------------------------------
+CDC_K = 4                 # rolling-window width (tokens)
+CDC_CUT_HEX = ("0", "1")  # md5 first hex in set -> boundary (p = 1/8)
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = CDC_K
+    cut_set = ", ".join(f"'{h}'" for h in CDC_CUT_HEX)
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    # cuts: token positions after which a boundary falls (window end
+    # b+K-1 for every matching window start b), strictly inside the doc
+    chunks = (
+        docs.filter(F.size("tok_arr") >= K)
+        .withColumn(
+            "cuts",
+            F.expr(
+                f"filter(transform(filter(sequence(1, size(tok_arr) - {K} + 1),"
+                f" b -> substring(md5(array_join(slice(tok_arr, b, {K}), ' ')),"
+                f" 1, 1) IN ({cut_set})), b -> b + {K} - 1),"
+                f" c -> c < size(tok_arr))"
+            ),
+        )
+        .withColumn(
+            "chunk",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(cuts)), i -> struct("
+                    " CAST(i AS BIGINT) AS chunk_idx,"
+                    " CAST(CASE WHEN i = size(cuts)"
+                    "   THEN size(tok_arr) - (CASE WHEN i = 0 THEN 0"
+                    "        ELSE cuts[i - 1] END)"
+                    "   ELSE cuts[i] - (CASE WHEN i = 0 THEN 0"
+                    "        ELSE cuts[i - 1] END) END AS BIGINT)"
+                    "   AS chunk_len,"
+                    " md5(array_join(slice(tok_arr,"
+                    "   (CASE WHEN i = 0 THEN 0 ELSE cuts[i - 1] END) + 1,"
+                    "   CASE WHEN i = size(cuts)"
+                    "     THEN size(tok_arr) - (CASE WHEN i = 0 THEN 0"
+                    "          ELSE cuts[i - 1] END)"
+                    "     ELSE cuts[i] - (CASE WHEN i = 0 THEN 0"
+                    "          ELSE cuts[i - 1] END) END), ' '))"
+                    "   AS chunk_md5))"
+                )
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk.chunk_idx").alias("chunk_idx"),
+            F.col("chunk.chunk_len").alias("chunk_len"),
+            F.col("chunk.chunk_md5").alias("chunk_md5"),
+        )
+    )
+    chunks = chunks.persist()
+    stats = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("chunk_docs")
+    )
+    flagged = chunks.join(stats, "chunk_md5")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("total_tokens"),
+        F.sum((F.col("chunk_docs") >= 2).cast("bigint"))
+        .cast("bigint")
+        .alias("dup_chunks"),
+        F.sum(
+            F.when(F.col("chunk_docs") >= 2, F.col("chunk_len")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "total_tokens",
+        "dup_chunks",
+        "dup_tokens",
+        F.expr("dup_tokens * 1000000 div total_tokens").alias(
+            "dup_mass_micro"
+        ),
+    )
+
+
+_CDC_CUT_SQL = ", ".join(f"'{h}'" for h in CDC_CUT_HEX)
+
+_CDC_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+cutdocs AS (
+    SELECT doc_id, t,
+           list_filter(
+             list_transform(
+               list_filter(range(1, len(t) - {CDC_K} + 2),
+                 b -> substr(md5(array_to_string(t[b:b+{CDC_K}-1], ' ')),
+                             1, 1) IN ({_CDC_CUT_SQL})),
+               b -> b + {CDC_K} - 1),
+             c -> c < len(t)) AS cuts
+    FROM tok WHERE len(t) >= {CDC_K}
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(CASE WHEN i = len(cuts)
+                THEN len(t) - (CASE WHEN i = 0 THEN 0 ELSE cuts[i] END)
+                ELSE cuts[i + 1] - (CASE WHEN i = 0 THEN 0
+                     ELSE cuts[i] END) END AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+             t[(CASE WHEN i = 0 THEN 0 ELSE cuts[i] END) + 1
+               : CASE WHEN i = len(cuts) THEN len(t)
+                 ELSE cuts[i + 1] END], ' ')) AS chunk_md5
+    FROM cutdocs, UNNEST(range(0, len(cuts) + 1)) AS u(i)
+),
+stats AS (
+    SELECT chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS chunk_docs
+    FROM chunks GROUP BY 1
+),
+agg AS (
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.chunk_len) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN s.chunk_docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_chunks,
+           CAST(sum(CASE WHEN s.chunk_docs >= 2 THEN c.chunk_len
+                    ELSE 0 END) AS BIGINT) AS dup_tokens
+    FROM chunks c JOIN stats s USING (chunk_md5)
+    GROUP BY 1
+)
+SELECT doc_id, n_chunks, total_tokens, dup_chunks, dup_tokens,
+       dup_tokens * 1000000 // total_tokens AS dup_mass_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "cooccurrence_window_pmi": cooccurrence_window_pmi,
     "bm25_doc_search": bm25_doc_search,
@@ -1613,6 +1776,7 @@ QUERIES = {
     "collocation_pmi": collocation_pmi,
     "span_dedup_stats": span_dedup_stats,
     "dedup_duplicated_spans": dedup_duplicated_spans,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "tfidf_doc_keywords": tfidf_doc_keywords,
     "mmr_diversified_topk": mmr_diversified_topk,
 }
@@ -1628,6 +1792,7 @@ ORACLE = {
     "collocation_pmi": _PMI_SQL,
     "span_dedup_stats": _SPAN_SQL,
     "dedup_duplicated_spans": _DUP_SPANS_SQL,
+    "cdc_chunk_dedup": _CDC_SQL,
     "tfidf_doc_keywords": _TFIDF_SQL,
     "mmr_diversified_topk": _mmr_sql(),
 }

@@ -356,6 +356,11 @@ def null_duck(null_sf_dir):
         # DuckDB: len(NULL) >= K is NULL -> dropped), never a NULL-keyed
         # anchor group
         "dedup_duplicated_spans",
+        # r10 wave 38: NULL text drops at the WARC door on both engines;
+        # NULL source must become the ''-titled page AND the
+        # '.example.com' host (coalesce on both), and the NULL-source
+        # group must ride the mixture hash gate identically
+        "crawl_to_train_funnel",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -325,6 +325,11 @@ QUERIES = [
     # round-10 wave 37
     "dedup_duplicated_spans",        # anchor collect_list order + diagonal
     #                                  islands must not leak partitioning
+    # round-10 wave 38
+    "crawl_to_train_funnel",         # ten stage seams (Arrow extraction,
+    #                                  cap/pack windows, LSH candidates,
+    #                                  hash-gated mixture) under perturbed
+    #                                  scans must give identical counts
 ]
 
 PERTURBED = {
