@@ -140,6 +140,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "span_dedup_stats",
     "dedup_duplicated_spans",
+    "cdc_chunk_dedup",
     "user_retention_cohorts",
     "incremental_hourly_rollup",
     "domain_mixture_temperature",
@@ -148,6 +149,12 @@ HEADLINE = [
     "anomaly_zscore_daily",
     "active_users_rolling",
     "pretrain_data_recipe",
+    # r10: the composed crawl->train funnel is deliberately timed like the
+    # other two recipe rows (it IS the end-to-end deliverable); its stages
+    # are also timed standalone, so treat overlaps per the double-count
+    # rule when summing family costs
+    "crawl_to_train_funnel",
+    "bleu_ngram_eval",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

@@ -127,6 +127,10 @@ def _python_path_queries():
         # candidate ids only; the exact recount that determines the
         # ANSWER is JVM-side.
         "heavy_hitter_users",
+        # composed crawl->train funnel (plans/corpus_ops.py): stage 01 IS
+        # python_path's html_text_extraction (the quarantined Arrow
+        # extraction pass); every other stage is JVM-side.
+        "crawl_to_train_funnel",
     }
 
 
@@ -705,3 +709,50 @@ def test_duplicated_spans_anchor_join_shape(spark, sf):
     # anchor grouping is the collect_list ObjectHashAggregate pair with a
     # map-side partial (partial + final, x2 for the detail section)
     assert plan.count("ObjectHashAggregate") == 4, plan
+
+
+def test_crawl_funnel_no_cartesian_and_stage_reuse(spark, sf):
+    """r10 scale lock: the composed crawl->train funnel must never plan a
+    cartesian product across its ten stage seams; the only nested-loop
+    joins are the two crossJoin(broadcast(1-row-agg)) totals inside the
+    mixture primitive; every stage frame feeding two consumers is
+    persisted (InMemoryTableScan present). Raw marker counts are display-
+    inflated here (each persist layer re-prints its ancestors), so the
+    lock pins invariants, not counts — each stage's own physical shape is
+    pinned by its standalone query's lock."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["crawl_to_train_funnel"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "MapInPandas" in plan, plan  # the Arrow extraction stage
+
+
+def test_bleu_reference_side_broadcasts(spark, sf):
+    """r10 scale lock: BLEU's reference table is ONE doc per (source,
+    lang) — the clipped-overlap and ref-meta joins must broadcast it, and
+    the 4 n-gram streams ride ONE Generate pipeline (tagged structs), not
+    four per-n corpus rescans."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bleu_ngram_eval"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # persisted gram counts
+
+
+def test_cdc_chunking_is_codegen_single_pass(spark, sf):
+    """r10 scale lock: content-defined chunking runs entirely inside
+    codegen (cuts array + chunk structs in one Generate pipeline — no
+    Python stage, no window, no self-join); the chunk frame persists once
+    for its two consumers (stats + flag join)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["cdc_chunk_dedup"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("InMemoryTableScan") == 4, plan
+    assert "Generate" in plan, plan

@@ -361,6 +361,11 @@ def null_duck(null_sf_dir):
         # '.example.com' host (coalesce on both), and the NULL-source
         # group must ride the mixture hash gate identically
         "crawl_to_train_funnel",
+        # r10 wave 39: NULL text drops at the tok CTE on both engines;
+        # the NULL source group carries its own BLEU reference and its
+        # own CDC chunk population
+        "bleu_ngram_eval",
+        "cdc_chunk_dedup",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -330,6 +330,12 @@ QUERIES = [
     #                                  cap/pack windows, LSH candidates,
     #                                  hash-gated mixture) under perturbed
     #                                  scans must give identical counts
+    # round-10 wave 39
+    "bleu_ngram_eval",               # fixed-order double GM (sqrt∘sqrt)
+    #                                  must not see combine reordering
+    "cdc_chunk_dedup",               # content-defined cut set is per-doc
+    #                                  codegen — partitioning must not
+    #                                  move any boundary
 ]
 
 PERTURBED = {
