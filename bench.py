@@ -141,6 +141,8 @@ HEADLINE = [
     "span_dedup_stats",
     "dedup_duplicated_spans",
     "cdc_chunk_dedup",
+    "duplicated_span_removal",
+    "curriculum_order_plan",
     "user_retention_cohorts",
     "incremental_hourly_rollup",
     "domain_mixture_temperature",

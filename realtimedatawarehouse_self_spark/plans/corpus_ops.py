@@ -2369,6 +2369,99 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Wave 40c: curriculum ordering plan (Bengio et al. 2009 curriculum
+# learning, the data-ordering artifact) — rank documents easy -> hard
+# within each language and cut the ranking into CURR_PHASES equal-count
+# phases (integer rank cut, the CCNet 30/40/30 idiom generalized), then
+# assign each phase's docs to the md5 epoch shards. Difficulty proxy =
+# lexical diversity in micro units (distinct tokens / tokens — the
+# doc_lexical_diversity signal): repetitive text trains first, diverse
+# text later. Deterministic total order: (difficulty, doc_id).
+# Scale: the rank window partitions by lang (per-lang volumes are
+# corpus-sized but the window is ONE shuffle, the perplexity-bucket
+# shape); phase/shard summary is a tiny-key combine.
+# ---------------------------------------------------------------------------
+CURR_PHASES = 4
+
+
+def curriculum_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tok_arr", tokens("text"))
+        .filter(F.size("tok_arr") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("tok_arr").cast("bigint").alias("tok_ct"),
+            F.expr(
+                "size(array_distinct(tok_arr)) * 1000000"
+                " div size(tok_arr)"
+            ).alias("difficulty_micro"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("difficulty_micro", "doc_id")
+    ranked = docs.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    phased = ranked.withColumn(
+        "phase",
+        F.expr(f"CAST({CURR_PHASES} * (r - 1) div n AS INT)"),
+    ).withColumn(
+        "shard_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % EPOCH_SHARDS
+        ).cast("int"),
+    )
+    return phased.groupBy("lang", "phase", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok_ct").cast("bigint").alias("total_tokens"),
+        F.min("difficulty_micro").alias("min_difficulty_micro"),
+        F.max("difficulty_micro").alias("max_difficulty_micro"),
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(t) AS BIGINT) AS tok_ct,
+           CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+               AS difficulty_micro
+    FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ) WHERE len(t) >= 1
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY difficulty_micro, doc_id) AS r,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM d
+),
+phased AS (
+    SELECT *,
+           CAST({CURR_PHASES} * (r - 1) // n AS INTEGER) AS phase,
+           CAST(TRY_CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % {EPOCH_SHARDS} AS INTEGER) AS shard_id
+    FROM ranked
+)
+SELECT lang, phase, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok_ct) AS BIGINT) AS total_tokens,
+       CAST(min(difficulty_micro) AS BIGINT) AS min_difficulty_micro,
+       CAST(max(difficulty_micro) AS BIGINT) AS max_difficulty_micro
+FROM phased
+GROUP BY 1, 2, 3
+"""
+
+
 def _crawl_funnel_sql() -> str:
     from realtimedatawarehouse_self_spark.plans.llm_ops import (
         _minhash_tail_cte,
@@ -2745,6 +2838,7 @@ QUERIES = {
     "warc_record_parse": warc_record_parse,
     "web_front_door_recipe": web_front_door_recipe,
     "crawl_to_train_funnel": crawl_to_train_funnel,
+    "curriculum_order_plan": curriculum_order_plan,
     "token_budget_mixture": token_budget_mixture,
     "mixture_temperature_sweep": mixture_temperature_sweep,
     "negative_sampling_table": negative_sampling_table,
@@ -2775,6 +2869,7 @@ ORACLE = {
     "warc_record_parse": _WARC_PARSE_SQL,
     "web_front_door_recipe": _FRONT_DOOR_SQL,
     "crawl_to_train_funnel": _crawl_funnel_sql(),
+    "curriculum_order_plan": _CURRICULUM_SQL,
     "token_budget_mixture": _TOKEN_BUDGET_SQL,
     "mixture_temperature_sweep": _mixture_sweep_sql(),
     "negative_sampling_table": _NEG_TABLE_SQL,

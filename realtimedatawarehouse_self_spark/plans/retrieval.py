@@ -1455,7 +1455,13 @@ SPAN_MIN_LEN = 16   # emit maximal spans of at least this many tokens
 SPAN_DF_CAP = 64    # drop anchor hashes occurring more often than this
 
 
-def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_spans(spark: SparkSession, sf_dir: str):
+    """Shared core of the Lee-2022 span family: returns (tok, ver) where
+    tok is the persisted tokenized scan and ver the exact-verified maximal
+    duplicated spans (da, db, start_a, start_b, span_len, span_a). Both
+    dedup_duplicated_spans (the report) and duplicated_span_removal (the
+    action) consume this, so the anchor/cap/island/verify semantics cannot
+    drift between them."""
     K, L, CAP = SPAN_ANCHOR_K, SPAN_MIN_LEN, SPAN_DF_CAP
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
     # The tokenized scan feeds BOTH the anchor build and the final verify
@@ -1536,6 +1542,11 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_a") == F.col("span_b"))
     )
+    return tok, ver
+
+
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tok, ver = _verified_spans(spark, sf_dir)
     return ver.select(
         F.col("da").cast("bigint").alias("doc_a"),
         F.col("db").cast("bigint").alias("doc_b"),
@@ -1546,8 +1557,88 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_SPANS_SQL = f"""
-WITH tok AS (
+# ---------------------------------------------------------------------------
+# Wave 40a: the ACTION half of exact-substring dedup (Lee et al. 2022
+# keep-one-occurrence policy): every verified duplicated span is removed
+# from the HIGHER doc_id of its pair (the lower doc keeps its copy —
+# deterministic survivor election matching the family's keep-lowest
+# rule). A document's removal intervals from different partners overlap,
+# so the removed-token count is the size of their INTERVAL UNION — the
+# classic sweep: sort intervals, new island when start exceeds the
+# running max end (one keyed window), then min/max per island. Output is
+# the per-document removal accounting a corpus build records before
+# rewriting shards: tokens before/removed/after.
+# Scale: the span frame is duplication-sized; the union sweep windows on
+# doc_id (per-doc interval counts are document-bounded); the final join
+# back to per-doc token counts keys on doc_id.
+# ---------------------------------------------------------------------------
+def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok, ver = _verified_spans(spark, sf_dir)
+    iv = ver.select(
+        F.col("db").cast("bigint").alias("doc_id"),
+        F.col("start_b").cast("bigint").alias("s"),
+        (F.col("start_b") + F.col("span_len") - 1).cast("bigint").alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    iv2 = iv.withColumn(
+        "prev_max",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "new_isl",
+        (
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max"))
+        ).cast("int"),
+    )
+    isl = iv2.withColumn(
+        "isl",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    rem = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("removed_intervals"),
+        F.sum(F.col("me") - F.col("ms") + 1)
+        .cast("bigint")
+        .alias("removed_tokens"),
+    )
+    # every tokenizable doc gets a row (NULL text never tokenizes: size()
+    # of a NULL array is -1, so the >= 0 filter matches DuckDB's t IS NOT
+    # NULL); zero-token docs guard the micro division
+    base = tok.filter(F.size("tok_arr") >= 0).select(
+        "doc_id", F.size("tok_arr").cast("bigint").alias("n_tokens")
+    )
+    # same doctrine as the verify joins: rem is duplication-sized (data-
+    # sized at constant dup rate), so pin the keyed shuffle join rather
+    # than letting the planner broadcast it
+    out = base.hint("shuffle_hash").join(rem, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("removed_intervals", F.lit(0))
+        .cast("bigint")
+        .alias("removed_intervals"),
+        F.coalesce("removed_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("removed_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "removed_intervals",
+        "removed_tokens",
+        (F.col("n_tokens") - F.col("removed_tokens"))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0L"
+            " ELSE removed_tokens * 1000000 div n_tokens END"
+        ).alias("removed_micro"),
+    )
+
+
+# Shared CTE chain for the span family (twin of _verified_spans): ends in
+# `vspans` (doc_a, doc_b, start_a, start_b, span_len, span_md5), verified.
+_DUP_SPAN_CTES = f"""tok AS (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS t
     FROM documents
@@ -1594,11 +1685,63 @@ ver AS (
     FROM spans s
     JOIN tok ta ON s.da = ta.doc_id
     JOIN tok tb ON s.db = tb.doc_id
+),
+vspans AS (
+    SELECT doc_a, doc_b, start_a, start_b, span_len,
+           md5(array_to_string(span_a, ' ')) AS span_md5
+    FROM ver
+    WHERE span_a = span_b
+)"""
+
+_DUP_SPANS_SQL = f"""
+WITH {_DUP_SPAN_CTES}
+SELECT doc_a, doc_b, start_a, start_b, span_len, span_md5 FROM vspans
+"""
+
+_SPAN_REMOVAL_SQL = f"""
+WITH {_DUP_SPAN_CTES},
+iv AS (
+    SELECT doc_b AS doc_id, start_b AS s,
+           start_b + span_len - 1 AS e
+    FROM vspans
+),
+iv2 AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM iv
+),
+isl AS (
+    SELECT doc_id, s, e,
+           sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS isl
+    FROM iv2
+),
+merged AS (
+    SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+    FROM isl GROUP BY 1, 2
+),
+rem AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS removed_intervals,
+           CAST(sum(me - ms + 1) AS BIGINT) AS removed_tokens
+    FROM merged GROUP BY 1
 )
-SELECT doc_a, doc_b, start_a, start_b, span_len,
-       md5(array_to_string(span_a, ' ')) AS span_md5
-FROM ver
-WHERE span_a = span_b
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.removed_intervals, 0) AS BIGINT)
+           AS removed_intervals,
+       CAST(coalesce(r.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.t) - coalesce(r.removed_tokens, 0) AS BIGINT)
+           AS kept_tokens,
+       CAST(CASE WHEN len(t.t) = 0 THEN 0
+            ELSE coalesce(r.removed_tokens, 0) * 1000000 // len(t.t)
+            END AS BIGINT) AS removed_micro
+FROM tok t LEFT JOIN rem r USING (doc_id)
+WHERE t.t IS NOT NULL
 """
 
 
@@ -1777,6 +1920,7 @@ QUERIES = {
     "span_dedup_stats": span_dedup_stats,
     "dedup_duplicated_spans": dedup_duplicated_spans,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "duplicated_span_removal": duplicated_span_removal,
     "tfidf_doc_keywords": tfidf_doc_keywords,
     "mmr_diversified_topk": mmr_diversified_topk,
 }
@@ -1793,6 +1937,7 @@ ORACLE = {
     "span_dedup_stats": _SPAN_SQL,
     "dedup_duplicated_spans": _DUP_SPANS_SQL,
     "cdc_chunk_dedup": _CDC_SQL,
+    "duplicated_span_removal": _SPAN_REMOVAL_SQL,
     "tfidf_doc_keywords": _TFIDF_SQL,
     "mmr_diversified_topk": _mmr_sql(),
 }

@@ -201,3 +201,21 @@ def test_python_path_ascii_corpus_contract(duck):
             "side; re-derive those oracles over encode(text) or drop "
             "them to rows-only checks"
         )
+
+
+def test_no_duplicate_query_names_across_modules():
+    """Two plan modules registering the same query name silently shadow
+    each other in all_queries()/all_oracles() (dict update order), which
+    can pair one module's Spark query with the OTHER module's oracle —
+    caught live in r10 when a second k_anonymity_audit landed in
+    corpus_ops while experiment.py already owned the name."""
+    from collections import Counter
+
+    from realtimedatawarehouse_self_spark import plans
+
+    for attr in ("QUERIES", "ORACLE"):
+        names = Counter()
+        for mod in plans._MODULES:
+            names.update(getattr(mod, attr, {}).keys())
+        dups = sorted(n for n, c in names.items() if c > 1)
+        assert dups == [], f"{attr} names registered by >1 module: {dups}"

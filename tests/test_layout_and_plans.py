@@ -756,3 +756,30 @@ def test_cdc_chunking_is_codegen_single_pass(spark, sf):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("InMemoryTableScan") == 4, plan
     assert "Generate" in plan, plan
+
+
+def test_span_removal_inherits_shuffle_hash_doctrine(spark, sf):
+    """r10 scale lock: the removal op reuses _verified_spans (so the
+    verify joins stay SHUFFLE_HASH-pinned) and its own base-join against
+    the duplication-sized removal frame is likewise pinned — zero
+    BroadcastExchange anywhere; the interval-union sweep is one keyed
+    Window, not a self-join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["duplicated_span_removal"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_curriculum_rank_is_one_window_no_join(spark, sf):
+    """r10 scale lock: the curriculum plan is scan -> per-lang window ->
+    tiny-key combine; no join may appear (a join would mean the rank and
+    count were computed as separate aggregations and reassembled)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["curriculum_order_plan"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan

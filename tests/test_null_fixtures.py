@@ -366,6 +366,11 @@ def null_duck(null_sf_dir):
         # own CDC chunk population
         "bleu_ngram_eval",
         "cdc_chunk_dedup",
+        # r10 wave 40: NULL text is excluded from the removal base on
+        # both engines (size(NULL)=-1 vs t IS NOT NULL); the NULL lang
+        # group gets its own curriculum ranking
+        "duplicated_span_removal",
+        "curriculum_order_plan",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -336,6 +336,11 @@ QUERIES = [
     "cdc_chunk_dedup",               # content-defined cut set is per-doc
     #                                  codegen — partitioning must not
     #                                  move any boundary
+    # round-10 wave 40
+    "duplicated_span_removal",       # interval-union sweep: the running
+    #                                  max end needs the (s, e) total order
+    "curriculum_order_plan",         # per-lang rank cut: (difficulty,
+    #                                  doc_id) total order under shuffles
 ]
 
 PERTURBED = {

@@ -223,3 +223,59 @@ def test_duplicated_spans_df_cap_is_the_documented_loss(spark):
         for r in rows:
             assert r["span_len"] == 20
             assert r["start_a"] == 3 and r["start_b"] == 3
+
+
+def _union_size(intervals):
+    """Size of the union of closed integer intervals [(s, e), ...]."""
+    merged = []
+    for s, e in sorted(intervals):
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return len(merged), sum(e - s + 1 for s, e in merged)
+
+
+@settings(**_SETTINGS)
+@given(texts=_corpus())
+def test_span_removal_matches_python_recount(spark, texts):
+    """Wave 40a: the removal accounting equals an interval-union recount
+    over the recounted span set — every span is removed from the HIGHER
+    doc of its pair, overlaps union, keepers keep."""
+    from realtimedatawarehouse_self_spark.plans.retrieval import (
+        duplicated_span_removal,
+    )
+
+    d = tempfile.mkdtemp(prefix="spanrem")
+    _write_docs(d, texts)
+    _, _, spans = _recount_spans(
+        texts, SPAN_ANCHOR_K, SPAN_MIN_LEN, SPAN_DF_CAP
+    )
+    per_doc = defaultdict(list)
+    for _da, db, _sa, sb, ln, _md5 in spans:
+        per_doc[db].append((sb, sb + ln - 1))
+    toks = {i: _toks(t) for i, t in enumerate(texts)}
+    want = {}
+    for doc, t in toks.items():
+        if texts[doc] is None:
+            continue
+        n_iv, rm = _union_size(per_doc[doc]) if per_doc[doc] else (0, 0)
+        n = len(t)
+        want[doc] = (
+            n,
+            n_iv,
+            rm,
+            n - rm,
+            0 if n == 0 else rm * 1000000 // n,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["removed_intervals"],
+            r["removed_tokens"],
+            r["kept_tokens"],
+            r["removed_micro"],
+        )
+        for r in duplicated_span_removal(spark, d).collect()
+    }
+    assert got == want
