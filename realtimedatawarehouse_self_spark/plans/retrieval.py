@@ -1776,7 +1776,9 @@ CDC_K = 4                 # rolling-window width (tokens)
 CDC_CUT_HEX = ("0", "1")  # md5 first hex in set -> boundary (p = 1/8)
 
 
-def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_len, chunk_md5) — the CDC chunk stream
+    shared by cdc_chunk_dedup and the streaming owner-election twin."""
     K = CDC_K
     cut_set = ", ".join(f"'{h}'" for h in CDC_CUT_HEX)
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
@@ -1823,7 +1825,11 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk.chunk_md5").alias("chunk_md5"),
         )
     )
-    chunks = chunks.persist()
+    return chunks
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _cdc_chunk_frame(spark, sf_dir).persist()
     stats = chunks.groupBy("chunk_md5").agg(
         F.countDistinct("doc_id").cast("bigint").alias("chunk_docs")
     )
@@ -1856,8 +1862,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_CUT_SQL = ", ".join(f"'{h}'" for h in CDC_CUT_HEX)
 
-_CDC_SQL = f"""
-WITH tok AS (
+_CDC_CHUNK_CTES = f"""tok AS (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS t
     FROM documents
@@ -1885,7 +1890,10 @@ chunks AS (
                : CASE WHEN i = len(cuts) THEN len(t)
                  ELSE cuts[i + 1] END], ' ')) AS chunk_md5
     FROM cutdocs, UNNEST(range(0, len(cuts) + 1)) AS u(i)
-),
+)"""
+
+_CDC_SQL = f"""
+WITH {_CDC_CHUNK_CTES},
 stats AS (
     SELECT chunk_md5,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS chunk_docs

@@ -2526,8 +2526,112 @@ def _episode_stream_sql() -> str:
     return _EPISODE_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming CDC-chunk owner election — the 24th twin (r10): the
+# ingest-time half of `retrieval.cdc_chunk_dedup`. Documents arrive in
+# ascending-doc_id micro-batches (the domain-cap feeder contract, keyed
+# by log offset in production); each document's content-defined chunks
+# fan out batch-side (the shared `_cdc_chunk_frame` arithmetic), and the
+# keyed state elects each chunk hash's owner (first doc seen == batch
+# min under the arrival contract) while counting distinct docs and
+# occurrences in O(1) state per hash — run-length on the nondecreasing
+# doc stream, never a doc set. The oracle recomputes owners/counts from
+# the batch chunk CTEs, so the driver row proves state carry ACROSS
+# batches (hashes recur in later batches by construction: duplicated
+# content spans the doc_id range).
+# ---------------------------------------------------------------------------
+CHUNK_OWNER_BATCHES = 4
+
+
+def streaming_chunk_owner_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.retrieval import (
+        _cdc_chunk_frame,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        chunk_owner_election,
+    )
+
+    chunks = None
+    with _twin_confs(spark):
+        try:
+            chunks = (
+                _cdc_chunk_frame(spark, sf_dir)
+                .select("chunk_md5", F.col("doc_id").cast("long"))
+                .persist()
+            )
+            lo_hi = chunks.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).collect()[0]
+            if lo_hi["lo"] is None:
+                return spark.createDataFrame(
+                    [],
+                    "chunk_md5 string, owner_doc long, n_docs long, "
+                    "n_occurrences long",
+                )
+            stage = _MicroBatchStage("rtdw-chunkown-")
+            lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+            step = (hi - lo) // CHUNK_OWNER_BATCHES + 1
+            for b in range(CHUNK_OWNER_BATCHES):
+                stage.stage_slice(
+                    chunks.filter(
+                        (F.col("doc_id") >= lo + b * step)
+                        & (F.col("doc_id") < lo + (b + 1) * step)
+                    )
+                )
+            sunk = stage.run_to_parquet(
+                spark,
+                chunk_owner_election(
+                    stage.read_stream(
+                        spark, "chunk_md5 string, doc_id long"
+                    )
+                ),
+            )
+            # cumulative emissions: final row per hash = max occurrences;
+            # report duplicated chunks only (n_docs >= 2), matching the
+            # batch op's dup semantics
+            fin = (
+                sunk.groupBy("chunk_md5")
+                .agg(
+                    F.max_by(
+                        F.struct("owner_doc", "n_docs", "n_occurrences"),
+                        "n_occurrences",
+                    ).alias("fin")
+                )
+                .select(
+                    "chunk_md5",
+                    F.col("fin.owner_doc").alias("owner_doc"),
+                    F.col("fin.n_docs").alias("n_docs"),
+                    F.col("fin.n_occurrences").alias("n_occurrences"),
+                )
+            )
+            return fin.filter(F.col("n_docs") >= 2)
+        finally:
+            if chunks is not None:
+                chunks.unpersist()
+
+
+def _chunk_owner_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.retrieval import (
+        _CDC_CHUNK_CTES,
+    )
+
+    return f"""
+WITH {_CDC_CHUNK_CTES}
+SELECT chunk_md5,
+       CAST(min(doc_id) AS BIGINT) AS owner_doc,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM chunks
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 QUERIES = {
     "streaming_episode_return_twin": streaming_episode_return_twin,
+    "streaming_chunk_owner_twin": streaming_chunk_owner_twin,
     "streaming_domain_cap_twin": streaming_domain_cap_twin,
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_hll_merge_twin": streaming_hll_merge_twin,
@@ -2554,6 +2658,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_episode_return_twin": _episode_stream_sql(),
+    "streaming_chunk_owner_twin": _chunk_owner_stream_sql(),
     "streaming_domain_cap_twin": _domcap_stream_sql(),
     "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
     "streaming_hll_merge_twin": _hll_stream_sql(),

@@ -703,3 +703,65 @@ def episode_returns(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id", "day").applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def chunk_owner_election(chunks: DataFrame) -> DataFrame:
+    """Per-chunk-hash owner election — the ingest-time half of
+    ``plans/retrieval.cdc_chunk_dedup``: as CDC chunk occurrences stream
+    in, each hash's state carries (owner = first doc seen, last doc,
+    distinct-doc count, occurrence count). Under the twins' arrival
+    contract (batches hold ascending doc_id ranges; rows sorted by doc_id
+    within each batch), first-seen == min(doc_id), and the distinct-doc
+    count is exact via run-length on the nondecreasing doc stream — so
+    state stays FOUR bigint-ish fields per hash at any corpus size, never
+    a doc set. Emission is cumulative: each batch a hash appears in emits
+    its current row; n_occurrences strictly increases, so the final row
+    per hash is the max-n_occurrences one (the twin filters post-sink).
+
+    Input rows: (chunk_md5 string, doc_id long), one per occurrence.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField("chunk_md5", StringType()),
+            StructField("owner_doc", LongType()),
+            StructField("n_docs", LongType()),
+            StructField("n_occurrences", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("owner", LongType()),
+            StructField("last_doc", LongType()),
+            StructField("n_docs", LongType()),
+            StructField("n_occ", LongType()),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        owner, last_doc, n_docs, n_occ = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        pdf = _sorted_concat(pdfs, ["doc_id"])
+        for d in pdf["doc_id"]:
+            d = int(d)
+            if owner is None:
+                owner = d
+            if last_doc is None or d != last_doc:
+                n_docs += 1
+                last_doc = d
+            n_occ += 1
+        state.update((owner, last_doc, n_docs, n_occ))
+        yield pd.DataFrame(
+            {
+                "chunk_md5": [key_tuple[0]],
+                "owner_doc": pd.array([owner], dtype="int64"),
+                "n_docs": pd.array([n_docs], dtype="int64"),
+                "n_occurrences": pd.array([n_occ], dtype="int64"),
+            }
+        )
+
+    return chunks.groupBy("chunk_md5").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

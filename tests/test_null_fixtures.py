@@ -371,6 +371,9 @@ def null_duck(null_sf_dir):
         # group gets its own curriculum ranking
         "duplicated_span_removal",
         "curriculum_order_plan",
+        # the 24th twin: NULL text yields no chunks on either engine;
+        # dup-chunk election must agree on the remaining rows
+        "streaming_chunk_owner_twin",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

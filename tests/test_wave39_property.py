@@ -241,3 +241,34 @@ def test_cdc_is_shift_invariant(spark):
     assert shared, "fixture must produce at least one aligned chunk"
     assert rows[0]["dup_chunks"] >= len(shared)
     assert rows[1]["dup_chunks"] >= len(shared)
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=[
+    HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(rows=_docs_strategy)
+def test_streaming_chunk_owner_equals_batch(spark, rows):
+    """The 24th twin's multi-batch election must equal the pure-Python
+    chunk recount: owner = lowest doc_id per duplicated chunk hash,
+    distinct-doc and occurrence counts exact — whatever the doc_id
+    banding splits into micro-batches."""
+    from realtimedatawarehouse_self_spark.plans.streaming_twins import (
+        streaming_chunk_owner_twin,
+    )
+
+    d = tempfile.mkdtemp(prefix="chunkown")
+    _write_docs(d, rows)
+    toks = {i: _toks(t) for i, (t, _s) in enumerate(rows)}
+    occ = defaultdict(list)
+    for doc, t in toks.items():
+        for _ln, h in _cdc_chunks(t):
+            occ[h].append(doc)
+    want = {
+        h: (min(ds), len(set(ds)), len(ds))
+        for h, ds in occ.items()
+        if len(set(ds)) >= 2
+    }
+    got = {
+        r["chunk_md5"]: (r["owner_doc"], r["n_docs"], r["n_occurrences"])
+        for r in streaming_chunk_owner_twin(spark, d).collect()
+    }
+    assert got == want
