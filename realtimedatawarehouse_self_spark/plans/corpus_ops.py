@@ -1797,6 +1797,25 @@ BLOCKLIST_HEX = ("0", "1", "2", "3")  # md5(host) first nibble → ~25% blocked
 VOCAB_TOP_V = 16
 EPOCH_SHARDS = 16
 
+
+def _epoch_shard_col() -> "F.Column":
+    """THE md5 epoch-shard assignment (doc_id -> shard), shared by
+    epoch_shard_plan, crawl_to_train_funnel, and curriculum_order_plan so
+    the hash-prefix width / modulus cannot drift per call site (r10
+    code-review finding: three inline copies). SQL twin below."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % EPOCH_SHARDS
+    ).cast("int")
+
+
+_EPOCH_SHARD_SQL_EXPR = (
+    "CAST(TRY_CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) "
+    f"AS BIGINT) % {EPOCH_SHARDS} AS INTEGER)"
+)
+
 _HOST_EXPR = "lower(coalesce(source, '')) || '.example.com'"
 
 
@@ -1926,14 +1945,7 @@ def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .withColumn(
             "shard_id",
-            (
-                F.conv(
-                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                    16,
-                    10,
-                ).cast("bigint")
-                % EPOCH_SHARDS
-            ).cast("int"),
+            _epoch_shard_col(),
         )
     )
     per_shard = docs.groupBy("shard_id").agg(
@@ -1958,8 +1970,7 @@ def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_SHARD_SQL = f"""
 WITH d AS (
   SELECT doc_id, n_chars,
-         CAST(TRY_CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-              AS BIGINT) % {EPOCH_SHARDS} AS INTEGER) AS shard_id
+         {_EPOCH_SHARD_SQL_EXPR} AS shard_id
   FROM documents WHERE text IS NOT NULL
 ),
 per_shard AS (
@@ -2323,14 +2334,7 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sharded = sampled.withColumn(
         "shard_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                16,
-                10,
-            ).cast("bigint")
-            % EPOCH_SHARDS
-        ).cast("int"),
+        _epoch_shard_col(),
     ).persist()
     wp = Window.partitionBy("shard_id").orderBy("doc_id")
     packed = sharded.withColumn(
@@ -2343,10 +2347,19 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stage(name: str, df: DataFrame, units) -> DataFrame:
+        # frames from 01 on carry the materialized tok_arr — re-running
+        # tokens("text") there would re-split data-sized text ten times
+        # for one benched row (r10 code-review finding); only the WARC
+        # stage tokenizes, because it precedes the tok_arr column
+        tok_sz = (
+            F.size(tokens("text"))
+            if "tok_arr" not in df.columns
+            else F.size("tok_arr")
+        )
         return df.agg(
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum(F.size(tokens("text")).cast("bigint")), F.lit(0))
+            F.coalesce(F.sum(tok_sz.cast("bigint")), F.lit(0))
             .cast("bigint")
             .alias("total_tokens"),
             units.cast("bigint").alias("n_units"),
@@ -2394,8 +2407,11 @@ def curriculum_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.size("tok_arr").cast("bigint").alias("tok_ct"),
+            # CAST before the multiply: size() is 32-bit and ANSI mode
+            # throws ARITHMETIC_OVERFLOW past ~2147 distinct tokens
+            # (r10 code-review finding, verified live)
             F.expr(
-                "size(array_distinct(tok_arr)) * 1000000"
+                "CAST(size(array_distinct(tok_arr)) AS BIGINT) * 1000000"
                 " div size(tok_arr)"
             ).alias("difficulty_micro"),
         )
@@ -2406,17 +2422,12 @@ def curriculum_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     phased = ranked.withColumn(
         "phase",
-        F.expr(f"CAST({CURR_PHASES} * (r - 1) div n AS INT)"),
+        F.expr(
+            f"CAST({CURR_PHASES} * (CAST(r AS BIGINT) - 1) div n AS INT)"
+        ),
     ).withColumn(
         "shard_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                16,
-                10,
-            ).cast("bigint")
-            % EPOCH_SHARDS
-        ).cast("int"),
+        _epoch_shard_col(),
     )
     return phased.groupBy("lang", "phase", "shard_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2448,8 +2459,7 @@ ranked AS (
 phased AS (
     SELECT *,
            CAST({CURR_PHASES} * (r - 1) // n AS INTEGER) AS phase,
-           CAST(TRY_CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                AS BIGINT) % {EPOCH_SHARDS} AS INTEGER) AS shard_id
+           {_EPOCH_SHARD_SQL_EXPR} AS shard_id
     FROM ranked
 )
 SELECT lang, phase, shard_id,
@@ -2527,8 +2537,7 @@ sampled AS (
 ),
 sharded AS (
   SELECT *,
-         CAST(TRY_CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-              AS BIGINT) % {EPOCH_SHARDS} AS INTEGER) AS shard_id
+         {_EPOCH_SHARD_SQL_EXPR} AS shard_id
   FROM sampled
 ),
 packed AS (

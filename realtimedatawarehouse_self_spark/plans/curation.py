@@ -1126,14 +1126,25 @@ FROM out
 #     a consumer applies exp on its own numerics. bleu_micro is the
 #     floored micro GM WITHOUT the penalty, the standard smoothing-free
 #     "BLEU-4 (no BP)" table.
-# Docs with fewer than 4 tokens have no 4-gram and are excluded (as is a
-# group whose reference is shorter than 4 tokens) — BLEU-4 is undefined
-# there, identically on both engines.
+# Docs with fewer than 4 tokens have no 4-gram and are excluded, and the
+# reference is the lowest-doc_id doc AMONG THE BLEU-ELIGIBLE (>= 4-token)
+# group members — so when a group's overall-lowest bigram-bearing doc is
+# short, ROUGE scores against it while BLEU elects the next eligible doc
+# (the precision/recall pairing holds exactly when the shared reference
+# has >= 4 tokens). Identical on both engines by construction.
 # Scale: the reference side is ONE doc per (source, lang) — broadcast at
 # every scale; the corpus side is one explode (4 n-gram streams tagged by
 # n in a single Generate) + one (doc, n, gram) combine; the clipped
 # overlap joins candidate grams against the broadcast reference table.
 # ---------------------------------------------------------------------------
+_BLEU_GM_SQL = (
+    "sqrt(sqrt(((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))"
+    " * (CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))"
+    " * ((CAST(clip3 AS DOUBLE) / CAST(tot3 AS DOUBLE))"
+    " * (CAST(clip4 AS DOUBLE) / CAST(tot4 AS DOUBLE)))))"
+)
+
+
 def bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
     grams = docs.filter(F.size("tok_arr") >= 4).select(
@@ -1216,12 +1227,7 @@ def bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (per_doc.source == ref_meta.rsource)
         & (per_doc.lang == ref_meta.rlang),
     ).filter(F.col("doc_id") != F.col("ref_doc_id"))
-    gm = (
-        "sqrt(sqrt(((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))"
-        " * (CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))"
-        " * ((CAST(clip3 AS DOUBLE) / CAST(tot3 AS DOUBLE))"
-        " * (CAST(clip4 AS DOUBLE) / CAST(tot4 AS DOUBLE)))))"
-    )
+    gm = _BLEU_GM_SQL  # ONE definition of the fixed multiply order
     return out.select(
         "doc_id",
         "source",
@@ -1240,13 +1246,6 @@ def bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ref_len * 1000000 div n_tokens").alias("len_ratio_micro"),
     )
 
-
-_BLEU_GM_SQL = (
-    "sqrt(sqrt(((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))"
-    " * (CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))"
-    " * ((CAST(clip3 AS DOUBLE) / CAST(tot3 AS DOUBLE))"
-    " * (CAST(clip4 AS DOUBLE) / CAST(tot4 AS DOUBLE)))))"
-)
 
 _BLEU_SQL = f"""
 WITH tok AS (

@@ -1602,9 +1602,11 @@ def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("removed_tokens"),
     )
-    # every tokenizable doc gets a row (NULL text never tokenizes: size()
-    # of a NULL array is -1, so the >= 0 filter matches DuckDB's t IS NOT
-    # NULL); zero-token docs guard the micro division
+    # every tokenizable doc gets a row. NULL text never tokenizes: under
+    # this engine's ANSI runtime size(NULL array) is NULL (NOT the legacy
+    # -1), and a NULL >= 0 comparison is NULL, so the filter drops the
+    # row — matching DuckDB's t IS NOT NULL. Zero-token docs guard the
+    # micro division
     base = tok.filter(F.size("tok_arr") >= 0).select(
         "doc_id", F.size("tok_arr").cast("bigint").alias("n_tokens")
     )

@@ -63,6 +63,13 @@ def one_pass(names: list[str]) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(
+            "usage: variance.py ENTRY_NAME NOTE q1 [q2 ...]\n"
+            "       variance.py --one-pass q1 [q2 ...]",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     if sys.argv[1] == "--one-pass":
         one_pass(sys.argv[2:])
         return
@@ -91,7 +98,8 @@ def main() -> None:
         for n, v in per_query.items()
     }
     path = os.path.join(REPO, "BENCH_VARIANCE.json")
-    data = json.load(open(path))
+    # never lose a multi-minute measurement to a missing file
+    data = json.load(open(path)) if os.path.exists(path) else {}
     data[entry_name] = {"note": note, "per_query": per_query, "bands": bands}
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
