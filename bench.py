@@ -157,6 +157,9 @@ HEADLINE = [
     # rule when summing family costs
     "crawl_to_train_funnel",
     "bleu_ngram_eval",
+    "robots_rule_eval",
+    "crawl_frontier_plan",
+    "host_quality_shrinkage",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

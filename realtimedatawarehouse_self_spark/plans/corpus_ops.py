@@ -2472,6 +2472,341 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 41a: robots.txt RULE evaluation (RFC 9309 Robots Exclusion
+# Protocol) — the real longest-match semantics the crawl stack runs per
+# URL, one level deeper than robots_blocklist_filter's host-level badlist:
+# each host carries allow/disallow PATH-PREFIX rules; the most specific
+# (longest) matching rule decides, and at equal length allow wins (RFC
+# 9309 §2.2.2). No matching rule → allow (the RFC default).
+#
+# The rules table is host-level and tiny (≤3 rules/host here; dozens in
+# production) — in production it is parsed from fetched robots.txt
+# bodies; the stand-in derives each host's rule set from md5(host)
+# nibbles (the repo's hash-gated-membership pattern, robots_blocklist
+# precedent) so both engines build the identical table with no fixture.
+# Scale: broadcast the rules; the corpus side is ONE scan with a ≤
+# rules-per-host fan-out and a map-side-combinable per-doc max — the
+# longest-match pick is a single-BIGINT arg-max (score = 2*prefix_len +
+# is_allow: lengths are tie-broken by allow, exactly the RFC order), so
+# no window and no corpus-side sort anywhere.
+# ---------------------------------------------------------------------------
+ROBOTS_DISALLOW_SECTION_HEX = tuple("01234567")  # md5[1]: disallow /Articles
+ROBOTS_ALLOW_OVERRIDE_HEX = tuple("01234567")  # md5[2]: allow /Articles/1
+ROBOTS_SITE_BAN_HEX = tuple("0123")  # md5[3]: disallow /
+ROBOTS_ALLOW_PREFIX = "/Articles/1"
+
+
+def robots_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("host", F.expr(_HOST_EXPR))
+        .withColumn(
+            "path",
+            F.concat(F.lit("/Articles/"), F.col("doc_id").cast("string")),
+        )
+        .select("doc_id", "host", "path")
+    )
+    hosts = docs.select("host").distinct()
+
+    def _rules(hexes: tuple, nibble: int, rule_prefix: str, allow: int):
+        return hosts.where(
+            F.substring(F.md5("host"), nibble, 1).isin(*hexes)
+        ).select(
+            F.col("host").alias("rhost"),
+            F.lit(rule_prefix).alias("prefix"),
+            F.lit(allow).alias("is_allow"),
+            F.lit(len(rule_prefix)).alias("plen"),
+        )
+
+    rules = (
+        _rules(ROBOTS_DISALLOW_SECTION_HEX, 1, "/Articles", 0)
+        .unionByName(_rules(ROBOTS_ALLOW_OVERRIDE_HEX, 2, ROBOTS_ALLOW_PREFIX, 1))
+        .unionByName(_rules(ROBOTS_SITE_BAN_HEX, 3, "/", 0))
+    )
+    joined = docs.join(
+        F.broadcast(rules),
+        (docs.host == rules.rhost)
+        & (F.expr("substring(path, 1, plen) = prefix")),
+        "left",
+    ).withColumn(
+        # one orderable BIGINT encodes the RFC pick: longest prefix wins,
+        # allow beats disallow at equal length; 0 = no rule matched
+        "score",
+        F.coalesce(F.col("plen"), F.lit(0)) * 2
+        + F.coalesce(F.col("is_allow"), F.lit(0)),
+    )
+    agg = joined.groupBy("doc_id", "host", "path").agg(
+        F.max("score").cast("bigint").alias("best_score"),
+        F.max_by("prefix", "score").alias("best_prefix"),
+        F.max_by("is_allow", "score").alias("best_allow"),
+        F.max_by("plen", "score").alias("best_plen"),
+    )
+    return agg.select(
+        "doc_id",
+        "host",
+        "path",
+        F.when(F.col("best_score") <= 0, F.lit(None).cast("string"))
+        .otherwise(F.col("best_prefix"))
+        .alias("matched_prefix"),
+        F.when(F.col("best_score") <= 0, F.lit(0))
+        .otherwise(F.col("best_plen"))
+        .cast("bigint")
+        .alias("matched_len"),
+        F.when(
+            (F.col("best_score") <= 0) | (F.col("best_allow") == 1), "allow"
+        )
+        .otherwise("disallow")
+        .alias("decision"),
+    )
+
+
+_ROBOTS_RULE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_HOST_EXPR} AS host,
+         '/Articles/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents WHERE text IS NOT NULL
+),
+hosts AS (SELECT DISTINCT host FROM d),
+rules AS (
+  SELECT host AS rhost, '/Articles' AS prefix, 0 AS is_allow,
+         CAST(9 AS INTEGER) AS plen
+  FROM hosts WHERE substr(md5(host), 1, 1) IN {ROBOTS_DISALLOW_SECTION_HEX!r}
+  UNION ALL
+  SELECT host, '{ROBOTS_ALLOW_PREFIX}', 1, {len(ROBOTS_ALLOW_PREFIX)}
+  FROM hosts WHERE substr(md5(host), 2, 1) IN {ROBOTS_ALLOW_OVERRIDE_HEX!r}
+  UNION ALL
+  SELECT host, '/', 0, 1
+  FROM hosts WHERE substr(md5(host), 3, 1) IN {ROBOTS_SITE_BAN_HEX!r}
+),
+j AS (
+  SELECT d.doc_id, d.host, d.path,
+         r.prefix, r.is_allow, r.plen,
+         coalesce(r.plen, 0) * 2 + coalesce(r.is_allow, 0) AS score
+  FROM d LEFT JOIN rules r
+    ON d.host = r.rhost AND substr(d.path, 1, r.plen) = r.prefix
+),
+agg AS (
+  SELECT doc_id, host, path,
+         CAST(max(score) AS BIGINT) AS best_score,
+         arg_max(prefix, score) AS best_prefix,
+         arg_max(is_allow, score) AS best_allow,
+         arg_max(plen, score) AS best_plen
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT doc_id, host, path,
+       CASE WHEN best_score <= 0 THEN NULL ELSE best_prefix END
+           AS matched_prefix,
+       CAST(CASE WHEN best_score <= 0 THEN 0 ELSE best_plen END AS BIGINT)
+           AS matched_len,
+       CASE WHEN best_score <= 0 OR best_allow = 1
+            THEN 'allow' ELSE 'disallow' END AS decision
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 41b: crawl frontier politeness plan — the scheduler table between
+# URL discovery and fetching: every host is fetched at most
+# HOST_FETCH_RATE URLs per politeness epoch (crawl-delay semantics), so a
+# host's frontier of n URLs spans ceil(n / RATE) epochs. URLs are served
+# priority-first within each host ((n_chars DESC, doc_id) — the
+# domain-cap keep-priority reused as fetch priority), epoch = (rank-1)
+# div RATE. Unlike domain_frequency_cap (which KEEPS top-K and drops the
+# rest), the frontier schedules EVERY url — the output is the per-
+# (host, epoch) fetch batch with its backlog horizon.
+# Scale: one per-host rank window (the WindowGroupLimit-free full-rank
+# case — every row survives, so the window IS the work), one tiny-key
+# (host, epoch) combine; zero joins (plan-locked).
+# ---------------------------------------------------------------------------
+HOST_FETCH_RATE = 5
+
+
+def crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("host", F.expr(_HOST_EXPR))
+        .select("doc_id", "host", "n_chars")
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .withColumn("n_host", F.count(F.lit(1)).over(Window.partitionBy("host")))
+        .withColumn(
+            "fetch_epoch",
+            F.expr(f"CAST((rank - 1) div {HOST_FETCH_RATE} AS INT)"),
+        )
+    )
+    return ranked.groupBy("host", "fetch_epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.sum("n_chars").cast("bigint").alias("epoch_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        F.expr(
+            f"CAST(max((n_host - 1) div {HOST_FETCH_RATE}) + 1 AS BIGINT)"
+        ).alias("host_epochs"),
+    )
+
+
+_FRONTIER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_HOST_EXPR} AS host
+  FROM documents WHERE text IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, host, n_chars,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY host) AS n_host
+  FROM d
+)
+SELECT host,
+       CAST((r - 1) // {HOST_FETCH_RATE} AS INTEGER) AS fetch_epoch,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(n_chars) AS BIGINT) AS epoch_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(max((n_host - 1) // {HOST_FETCH_RATE}) + 1 AS BIGINT)
+           AS host_epochs
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 41c: per-host quality with empirical-Bayes shrinkage — the domain-
+# level curation signal (RefinedWeb/C4-class pipelines filter whole
+# domains, not just documents): a host's raw mean document quality is
+# unreliable at small n, so shrink it toward the corpus mean with a
+# conjugate-prior pseudo-count (James-Stein / add-K smoothing):
+#   shrunk = (sum_scores + K * global_mean) / (n_docs + K).
+# Quality signal = the fasttext_hash_quality per-doc score (milli units,
+# shared constants) so host decisions are consistent with the doc-level
+# filter. All arithmetic integer-exact (div).
+# Scale: per-doc scoring is scan-bound codegen; the host rollup is one
+# map-side-combinable combine; the global mean derives FROM the host
+# rollup (sum of sums / sum of counts — exactly the doc-level mean), so
+# it is an unpartitioned window over the |hosts|-sized frame: the corpus
+# is scanned ONCE and the plan has zero joins (locked). The token-hash
+# scoring is the honest linear term, shared with fasttext_hash_quality.
+# ---------------------------------------------------------------------------
+SHRINK_PRIOR_DOCS = 10  # K pseudo-docs at the global mean
+
+
+def host_quality_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        FT_KEEP_MILLI,
+        FT_WEIGHT_MOD,
+    )
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    w_expr = (
+        "aggregate(transform(tok_arr, x -> "
+        f"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
+        f" % {FT_WEIGHT_MOD}), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+        .filter(F.size("tok_arr") > 0)
+        .withColumn("host", F.expr(_HOST_EXPR))
+        .select(
+            "host",
+            F.expr(f"{w_expr} div size(tok_arr)").alias("score_milli"),
+        )
+    )
+    per_host = scored.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("score_milli").cast("bigint").alias("sum_score_milli"),
+    )
+    wall = Window.partitionBy()  # |hosts| rows — tiny at any corpus size
+    out = (
+        per_host.withColumn(
+            "global_sum", F.sum("sum_score_milli").over(wall).cast("bigint")
+        )
+        .withColumn("global_n", F.sum("n_docs").over(wall).cast("bigint"))
+        .withColumn(
+            "global_mean_milli", F.expr("global_sum div global_n")
+        )
+    )
+    return out.select(
+        "host",
+        "n_docs",
+        F.expr("sum_score_milli div n_docs").alias("mean_score_milli"),
+        F.expr(
+            f"(sum_score_milli + {SHRINK_PRIOR_DOCS} * global_mean_milli)"
+            f" div (n_docs + {SHRINK_PRIOR_DOCS})"
+        ).alias("shrunk_score_milli"),
+        "global_mean_milli",
+        F.when(
+            F.expr(
+                f"(sum_score_milli + {SHRINK_PRIOR_DOCS} * global_mean_milli)"
+                f" div (n_docs + {SHRINK_PRIOR_DOCS})"
+            )
+            >= FT_KEEP_MILLI,
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("decision"),
+    )
+
+
+def _host_quality_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        FT_KEEP_MILLI,
+        FT_WEIGHT_MOD,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT {_HOST_EXPR} AS host,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT host,
+         CAST(list_sum(list_transform(toks, x ->
+              TRY_CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+              % {FT_WEIGHT_MOD})) AS BIGINT) // len(toks) AS score_milli
+  FROM t WHERE len(toks) > 0
+),
+per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(score_milli) AS BIGINT) AS sum_score_milli
+  FROM scored GROUP BY 1
+),
+gmean AS (
+  SELECT host, n_docs, sum_score_milli,
+         CAST(CAST(sum(sum_score_milli) OVER () AS BIGINT)
+              // CAST(sum(n_docs) OVER () AS BIGINT) AS BIGINT)
+             AS global_mean_milli
+  FROM per_host
+)
+SELECT host, n_docs,
+       CAST(sum_score_milli // n_docs AS BIGINT) AS mean_score_milli,
+       CAST((sum_score_milli + {SHRINK_PRIOR_DOCS} * global_mean_milli)
+            // (n_docs + {SHRINK_PRIOR_DOCS}) AS BIGINT)
+           AS shrunk_score_milli,
+       global_mean_milli,
+       CASE WHEN (sum_score_milli + {SHRINK_PRIOR_DOCS} * global_mean_milli)
+                 // (n_docs + {SHRINK_PRIOR_DOCS}) >= {FT_KEEP_MILLI}
+            THEN 'keep' ELSE 'drop' END AS decision
+FROM gmean
+"""
+
+
 def _crawl_funnel_sql() -> str:
     from realtimedatawarehouse_self_spark.plans.llm_ops import (
         _minhash_tail_cte,
@@ -2848,6 +3183,9 @@ QUERIES = {
     "web_front_door_recipe": web_front_door_recipe,
     "crawl_to_train_funnel": crawl_to_train_funnel,
     "curriculum_order_plan": curriculum_order_plan,
+    "robots_rule_eval": robots_rule_eval,
+    "crawl_frontier_plan": crawl_frontier_plan,
+    "host_quality_shrinkage": host_quality_shrinkage,
     "token_budget_mixture": token_budget_mixture,
     "mixture_temperature_sweep": mixture_temperature_sweep,
     "negative_sampling_table": negative_sampling_table,
@@ -2879,6 +3217,9 @@ ORACLE = {
     "web_front_door_recipe": _FRONT_DOOR_SQL,
     "crawl_to_train_funnel": _crawl_funnel_sql(),
     "curriculum_order_plan": _CURRICULUM_SQL,
+    "robots_rule_eval": _ROBOTS_RULE_SQL,
+    "crawl_frontier_plan": _FRONTIER_SQL,
+    "host_quality_shrinkage": _host_quality_sql(),
     "token_budget_mixture": _TOKEN_BUDGET_SQL,
     "mixture_temperature_sweep": _mixture_sweep_sql(),
     "negative_sampling_table": _NEG_TABLE_SQL,

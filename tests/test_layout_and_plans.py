@@ -783,3 +783,48 @@ def test_curriculum_rank_is_one_window_no_join(spark, sf):
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_robots_rules_join_is_broadcast_only(spark, sf):
+    """r10 wave 41 scale lock: the RFC 9309 rules table is host-level —
+    tiny at any corpus size — so the rules join must be a
+    BroadcastHashJoin (host equi-key + prefix condition); a
+    SortMergeJoin or shuffled-hash here would shuffle the corpus on
+    host just to consult a dictionary."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["robots_rule_eval"](spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_frontier_plan_is_one_window_no_join(spark, sf):
+    """r10 wave 41 scale lock: the politeness schedule is scan ->
+    per-host rank window -> tiny-key combine; zero joins (the
+    curriculum_order_plan shape — rank and host count share ONE window
+    exchange)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["crawl_frontier_plan"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_host_quality_is_single_scan_no_join(spark, sf):
+    """r10 wave 41 scale lock: the global mean derives from the per-host
+    sums (sum-of-sums over the |hosts| frame), so the corpus is scanned
+    ONCE and the plan has ZERO joins — a join (or a second scan) means
+    the global mean was recomputed from the documents table; the 10x
+    stress caught exactly that double-scan shape costing 2x before this
+    lock was written."""
+    import __spark_entry__ as e
+
+    df = e.queries()["host_quality_shrinkage"](spark, sf)
+    plan = _plan(df)
+    # zero joins in a linear tree ⇒ exactly one scan by construction
+    assert "Join" not in plan, plan
+    assert "Union" not in plan, plan
+    assert "Window" in plan, plan

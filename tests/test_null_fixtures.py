@@ -374,6 +374,13 @@ def null_duck(null_sf_dir):
         # the 24th twin: NULL text yields no chunks on either engine;
         # dup-chunk election must agree on the remaining rows
         "streaming_chunk_owner_twin",
+        # r10 wave 41: NULL source coalesces to the '.example.com' host
+        # on both engines; NULL text drops before the rules join / rank
+        # window / quality scan; NULL doc_id paths match no rule and
+        # must fall through to the RFC default-allow identically
+        "robots_rule_eval",
+        "crawl_frontier_plan",
+        "host_quality_shrinkage",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -341,6 +341,13 @@ QUERIES = [
     #                                  max end needs the (s, e) total order
     "curriculum_order_plan",         # per-lang rank cut: (difficulty,
     #                                  doc_id) total order under shuffles
+    # round-10 wave 41
+    "robots_rule_eval",              # longest-match arg-max must pick the
+    #                                  same rule per URL under reordering
+    "crawl_frontier_plan",           # per-host (n_chars DESC, doc_id)
+    #                                  rank -> epoch cut under shuffles
+    "host_quality_shrinkage",        # integer div shrinkage: combine
+    #                                  order must not move any host sum
 ]
 
 PERTURBED = {
