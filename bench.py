@@ -160,6 +160,10 @@ HEADLINE = [
     "robots_rule_eval",
     "crawl_frontier_plan",
     "host_quality_shrinkage",
+    "chrf_char_eval",
+    "quality_threshold_sweep",
+    "distinct_ngram_diversity",
+    "vocab_growth_curve",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

@@ -2807,6 +2807,128 @@ FROM gmean
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 43a: vocabulary growth curve (Heaps/Herdan law) — the corpus-scale
+# statistic behind tokenizer sizing and dedup health: as the corpus is
+# consumed in arrival order, how fast does the set of distinct tokens
+# grow? A deduplicated, diverse corpus keeps discovering types; a
+# crawl-loop corpus flattens early. Arrival order = doc_id; the curve is
+# sampled at VOCAB_BANDS equal doc_id-range checkpoints:
+#   band(doc) = (doc_id - min_id) * B div (max_id - min_id + 1).
+# Scale design: NO global sort/rank anywhere — the band is pure
+# arithmetic off a (min, max) 1-row aggregate broadcast back (map-side
+# partials; the one extra corpus pass is the honest cost of a
+# data-dependent domain split). Type first-appearance = min(band) per
+# token (one token-keyed combine); everything after runs on B-row
+# frames, where the cumulative window is trivially safe.
+# ---------------------------------------------------------------------------
+VOCAB_BANDS = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+        .filter(F.size("tok_arr") >= 1)
+        .select("doc_id", "tok_arr")
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id")
+    )
+    banded = docs.crossJoin(F.broadcast(bounds)).withColumn(
+        "band",
+        F.expr(
+            f"CAST((doc_id - min_id) * {VOCAB_BANDS}"
+            " div (max_id - min_id + 1) AS INT)"
+        ),
+    )
+    band_docs = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("tok_arr")).cast("bigint").alias("band_tokens"),
+    )
+    first_seen = (
+        banded.select("band", F.explode("tok_arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("band").alias("first_band"))
+    )
+    new_types = first_seen.groupBy(F.col("first_band").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    curve = band_docs.join(new_types, "band", "left").withColumn(
+        "new_types", F.coalesce("new_types", F.lit(0)).cast("bigint")
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        curve.withColumn(
+            "cum_tokens", F.sum("band_tokens").over(wcum).cast("bigint")
+        )
+        .withColumn("cum_vocab", F.sum("new_types").over(wcum).cast("bigint"))
+        .select(
+            "band",
+            "n_docs",
+            "band_tokens",
+            "cum_tokens",
+            "new_types",
+            "cum_vocab",
+            F.expr("cum_vocab * 1000000 div cum_tokens").alias(
+                "type_token_micro"
+            ),
+        )
+    )
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+docs AS (SELECT doc_id, t FROM d WHERE len(t) >= 1),
+bounds AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM docs),
+banded AS (
+    SELECT CAST((doc_id - min_id) * {VOCAB_BANDS}
+                // (max_id - min_id + 1) AS INTEGER) AS band, t
+    FROM docs, bounds
+),
+band_docs AS (
+    SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(t)) AS BIGINT) AS band_tokens
+    FROM banded GROUP BY 1
+),
+first_seen AS (
+    SELECT tok, min(band) AS first_band
+    FROM (SELECT band, UNNEST(t) AS tok FROM banded)
+    GROUP BY 1
+),
+new_types AS (
+    SELECT first_band AS band, CAST(count(*) AS BIGINT) AS new_types
+    FROM first_seen GROUP BY 1
+),
+curve AS (
+    SELECT b.band, b.n_docs, b.band_tokens,
+           coalesce(n.new_types, 0) AS new_types
+    FROM band_docs b LEFT JOIN new_types n ON b.band = n.band
+)
+SELECT band, n_docs, band_tokens,
+       CAST(sum(band_tokens) OVER (ORDER BY band) AS BIGINT) AS cum_tokens,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(sum(new_types) OVER (ORDER BY band) AS BIGINT) AS cum_vocab,
+       CAST(CAST(sum(new_types) OVER (ORDER BY band) AS BIGINT) * 1000000
+            // CAST(sum(band_tokens) OVER (ORDER BY band) AS BIGINT)
+            AS BIGINT) AS type_token_micro
+FROM curve
+"""
+
+
 def _crawl_funnel_sql() -> str:
     from realtimedatawarehouse_self_spark.plans.llm_ops import (
         _minhash_tail_cte,
@@ -3186,6 +3308,7 @@ QUERIES = {
     "robots_rule_eval": robots_rule_eval,
     "crawl_frontier_plan": crawl_frontier_plan,
     "host_quality_shrinkage": host_quality_shrinkage,
+    "vocab_growth_curve": vocab_growth_curve,
     "token_budget_mixture": token_budget_mixture,
     "mixture_temperature_sweep": mixture_temperature_sweep,
     "negative_sampling_table": negative_sampling_table,
@@ -3220,6 +3343,7 @@ ORACLE = {
     "robots_rule_eval": _ROBOTS_RULE_SQL,
     "crawl_frontier_plan": _FRONTIER_SQL,
     "host_quality_shrinkage": _host_quality_sql(),
+    "vocab_growth_curve": _VOCAB_GROWTH_SQL,
     "token_budget_mixture": _TOKEN_BUDGET_SQL,
     "mixture_temperature_sweep": _mixture_sweep_sql(),
     "negative_sampling_table": _NEG_TABLE_SQL,

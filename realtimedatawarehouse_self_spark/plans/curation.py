@@ -1691,6 +1691,415 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 42a: chrF character n-gram eval (Popović 2015) — the third member
+# of the generation-eval family (ROUGE = recall view, BLEU = precision
+# view, chrF = the character-level F-view that is robust to tokenization
+# and morphology). Same deterministic reference scheme: lowest-doc_id
+# ELIGIBLE group member per (source, lang). The char stream is the doc's
+# tokens joined with NO separator (the chrF convention of ignoring
+# whitespace); n = 1..4 (the standard uses up to 6 — 4 here bounds the
+# explode at the BLEU family's volume; the β=2 weighting is exact either
+# way). Exact-arithmetic doctrine (the BLEU/mixture precedent): every
+# P_n / R_n is ONE double division of two exact bigints; F_n and the
+# 4-way mean compose only +, *, / — all IEEE-754 correctly rounded, so
+# both engines agree bit-for-bit; pow()/exp()/ln() never appear.
+# Scale: reference side is ONE doc per (source, lang) — broadcast at any
+# scale; the candidate side is one explode (4 char-gram streams in a
+# single Generate) + one (doc, n, gram) map-side-combined shuffle.
+# ---------------------------------------------------------------------------
+CHRF_MAX_N = 4
+CHRF_BETA_SQ = 4  # β = 2
+
+
+def _chrf_f_sql(i: int) -> str:
+    """The per-n chrF F-score in IDENTICAL text for both engines:
+    F_n = (1+β²)·P·R / (β²·P + R), 0 when nothing clipped."""
+    p = f"(CAST(clip{i} AS DOUBLE) / CAST(tot{i} AS DOUBLE))"
+    r = f"(CAST(clip{i} AS DOUBLE) / CAST(rtot{i} AS DOUBLE))"
+    return (
+        f"CASE WHEN clip{i} = 0 THEN 0.0 ELSE "
+        f"({1 + CHRF_BETA_SQ}.0 * {p} * {r})"
+        f" / ({CHRF_BETA_SQ}.0 * {p} + {r}) END"
+    )
+
+
+_CHRF_MEAN_SQL = (
+    "CAST(floor(((({f1}) + ({f2})) + (({f3}) + ({f4}))) / 4.0"
+    " * 1000000.0) AS BIGINT)"
+).format(
+    f1=_chrf_f_sql(1), f2=_chrf_f_sql(2), f3=_chrf_f_sql(3), f4=_chrf_f_sql(4)
+)
+
+
+def chrf_char_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("s", F.array_join(tokens("text"), ""))
+        .filter(F.length("s") >= CHRF_MAX_N)
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("s").cast("bigint").alias("n_chars_stream"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {CHRF_MAX_N}), n ->"
+                " transform(sequence(0, length(s) - n),"
+                " i -> struct(n AS n, substring(s, i + 1, n) AS gram))))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars_stream",
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    counts = counts.persist()
+    ref_ids = counts.groupBy("source", "lang").agg(
+        F.min("doc_id").alias("ref_doc_id")
+    )
+    ref = counts.select(
+        F.col("doc_id").alias("ref_doc_id"),
+        F.col("source").alias("rsource"),
+        F.col("lang").alias("rlang"),
+        F.col("n_chars_stream").alias("ref_chars"),
+        F.col("n").alias("rn"),
+        F.col("gram").alias("rgram"),
+        F.col("ct").alias("rct"),
+    ).join(
+        F.broadcast(
+            ref_ids.select(
+                "ref_doc_id",
+                F.col("source").alias("rsource"),
+                F.col("lang").alias("rlang"),
+            )
+        ),
+        ["ref_doc_id", "rsource", "rlang"],
+    )
+    ov = (
+        counts.join(
+            F.broadcast(ref),
+            (counts.source == ref.rsource)
+            & (counts.lang == ref.rlang)
+            & (counts.n == ref.rn)
+            & (counts.gram == ref.rgram)
+            & (counts.doc_id != ref.ref_doc_id),
+        )
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.least("ct", "rct")).cast("bigint").alias("clip_ct"))
+    )
+    tots = counts.groupBy(
+        "doc_id", "source", "lang", "n_chars_stream", "n"
+    ).agg(F.sum("ct").cast("bigint").alias("tot_ct"))
+    per_n = tots.join(ov, ["doc_id", "n"], "left").withColumn(
+        "clip", F.coalesce("clip_ct", F.lit(0))
+    )
+    per_doc = per_n.groupBy("doc_id", "source", "lang", "n_chars_stream").agg(
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("clip")))
+            .cast("bigint")
+            .alias(f"clip{i}")
+            for i in range(1, CHRF_MAX_N + 1)
+        ],
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("tot_ct")))
+            .cast("bigint")
+            .alias(f"tot{i}")
+            for i in range(1, CHRF_MAX_N + 1)
+        ],
+    )
+    ref_meta = ref.groupBy("rsource", "rlang", "ref_doc_id").agg(
+        F.first("ref_chars").alias("ref_chars"),
+        *[
+            F.sum(F.when(F.col("rn") == i, F.col("rct")))
+            .cast("bigint")
+            .alias(f"rtot{i}")
+            for i in range(1, CHRF_MAX_N + 1)
+        ],
+    )
+    out = per_doc.join(
+        F.broadcast(ref_meta),
+        (per_doc.source == ref_meta.rsource)
+        & (per_doc.lang == ref_meta.rlang),
+    ).filter(F.col("doc_id") != F.col("ref_doc_id"))
+    return out.select(
+        "doc_id",
+        "source",
+        "lang",
+        "ref_doc_id",
+        F.col("n_chars_stream").alias("cand_chars"),
+        "ref_chars",
+        *[F.col(f"clip{i}") for i in range(1, CHRF_MAX_N + 1)],
+        F.expr(_CHRF_MEAN_SQL).alias("chrf_micro"),
+    )
+
+
+_CHRF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source, lang,
+           array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> ''), '') AS s
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id, source, lang,
+           CAST(len(s) AS BIGINT) AS n_chars_stream,
+           n, substr(s, i, n) AS gram
+    FROM tok,
+         UNNEST(range(1, {CHRF_MAX_N + 1})) AS un(n),
+         UNNEST(range(1, len(s) - n + 2)) AS ui(i)
+    WHERE len(s) >= {CHRF_MAX_N}
+),
+counts AS (
+    SELECT doc_id, source, lang, n_chars_stream, n, gram,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM grams GROUP BY 1, 2, 3, 4, 5, 6
+),
+ref_ids AS (
+    SELECT source, lang, min(doc_id) AS ref_doc_id
+    FROM counts GROUP BY 1, 2
+),
+ref AS (
+    SELECT c.source, c.lang, r.ref_doc_id, c.n_chars_stream AS ref_chars,
+           c.n, c.gram, c.ct AS rct
+    FROM counts c JOIN ref_ids r
+      ON c.doc_id = r.ref_doc_id AND c.source = r.source
+     AND c.lang = r.lang
+),
+ov AS (
+    SELECT c.doc_id, c.n, CAST(sum(least(c.ct, r.rct)) AS BIGINT) AS clip
+    FROM counts c JOIN ref r
+      ON c.source = r.source AND c.lang = r.lang
+     AND c.n = r.n AND c.gram = r.gram AND c.doc_id <> r.ref_doc_id
+    GROUP BY 1, 2
+),
+tots AS (
+    SELECT doc_id, source, lang, n_chars_stream, n,
+           CAST(sum(ct) AS BIGINT) AS tot_ct
+    FROM counts GROUP BY 1, 2, 3, 4, 5
+),
+per_n AS (
+    SELECT t.doc_id, t.source, t.lang, t.n_chars_stream, t.n, t.tot_ct,
+           coalesce(o.clip, 0) AS clip
+    FROM tots t LEFT JOIN ov o ON t.doc_id = o.doc_id AND t.n = o.n
+),
+per_doc AS (
+    SELECT doc_id, source, lang, n_chars_stream,
+           CAST(sum(CASE WHEN n = 1 THEN clip END) AS BIGINT) AS clip1,
+           CAST(sum(CASE WHEN n = 2 THEN clip END) AS BIGINT) AS clip2,
+           CAST(sum(CASE WHEN n = 3 THEN clip END) AS BIGINT) AS clip3,
+           CAST(sum(CASE WHEN n = 4 THEN clip END) AS BIGINT) AS clip4,
+           CAST(sum(CASE WHEN n = 1 THEN tot_ct END) AS BIGINT) AS tot1,
+           CAST(sum(CASE WHEN n = 2 THEN tot_ct END) AS BIGINT) AS tot2,
+           CAST(sum(CASE WHEN n = 3 THEN tot_ct END) AS BIGINT) AS tot3,
+           CAST(sum(CASE WHEN n = 4 THEN tot_ct END) AS BIGINT) AS tot4
+    FROM per_n GROUP BY 1, 2, 3, 4
+),
+ref_meta AS (
+    SELECT source, lang, ref_doc_id, any_value(ref_chars) AS ref_chars,
+           CAST(sum(CASE WHEN n = 1 THEN rct END) AS BIGINT) AS rtot1,
+           CAST(sum(CASE WHEN n = 2 THEN rct END) AS BIGINT) AS rtot2,
+           CAST(sum(CASE WHEN n = 3 THEN rct END) AS BIGINT) AS rtot3,
+           CAST(sum(CASE WHEN n = 4 THEN rct END) AS BIGINT) AS rtot4
+    FROM ref GROUP BY 1, 2, 3
+)
+SELECT p.doc_id, p.source, p.lang, m.ref_doc_id,
+       p.n_chars_stream AS cand_chars, m.ref_chars,
+       clip1, clip2, clip3, clip4,
+       {_CHRF_MEAN_SQL} AS chrf_micro
+FROM per_doc p JOIN ref_meta m
+  ON p.source = m.source AND p.lang = m.lang
+WHERE p.doc_id <> m.ref_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 42b: quality-threshold sweep — the tuning table every classifier-
+# filtered corpus ships with (the CCNet/ RefinedWeb "how much survives at
+# each cut" curve): for a grid of score thresholds, the per-language
+# surviving doc/token mass. One scored scan; the engine computes the
+# whole grid as CONDITIONAL AGGREGATES in a single per-lang combine
+# (the semdedup_eps_sweep doctrine — never one pass per threshold) and
+# unpivots the |langs|-sized result with stack(); the oracle recounts
+# via the simple docs × taus cross join (sf0.01-only cost).
+# ---------------------------------------------------------------------------
+SWEEP_TAUS = (980, 1000, 1020, 1040, 1060, 1080, 1100, 1120)
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
+    w_expr = (
+        "aggregate(transform(tok_arr, x -> "
+        f"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
+        f" % {FT_WEIGHT_MOD}), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = docs.filter(F.size("tok_arr") > 0).select(
+        "lang",
+        F.size("tok_arr").cast("bigint").alias("n_tokens"),
+        F.expr(f"{w_expr} div size(tok_arr)").alias("score_milli"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("score_milli") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{t}")
+            for t in SWEEP_TAUS
+        ],
+        *[
+            F.sum(
+                F.when(F.col("score_milli") >= t, F.col("n_tokens")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias(f"k{t}")
+            for t in SWEEP_TAUS
+        ],
+    )
+    stack_args = ", ".join(
+        f"{t}L, d{t}, k{t}" for t in SWEEP_TAUS
+    )
+    unp = agg.select(
+        "lang",
+        "total_docs",
+        "total_tokens",
+        F.expr(
+            f"stack({len(SWEEP_TAUS)}, {stack_args})"
+            " AS (tau_milli, surviving_docs, surviving_tokens)"
+        ),
+    )
+    return unp.select(
+        "lang",
+        "tau_milli",
+        "surviving_docs",
+        "surviving_tokens",
+        "total_docs",
+        "total_tokens",
+        F.expr("surviving_tokens * 1000000 div total_tokens").alias(
+            "token_share_micro"
+        ),
+    )
+
+
+_SWEEP_SQL = f"""
+WITH t AS (
+    SELECT lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+    SELECT lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x ->
+                TRY_CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                % {FT_WEIGHT_MOD})) AS BIGINT) // len(toks) AS score_milli
+    FROM t WHERE len(toks) > 0
+),
+taus AS (SELECT UNNEST({list(SWEEP_TAUS)}) AS tau_milli)
+SELECT s.lang, CAST(tau_milli AS BIGINT) AS tau_milli,
+       CAST(count(*) FILTER (s.score_milli >= tau_milli) AS BIGINT)
+           AS surviving_docs,
+       CAST(coalesce(sum(s.n_tokens)
+            FILTER (s.score_milli >= tau_milli), 0) AS BIGINT)
+           AS surviving_tokens,
+       CAST(count(*) AS BIGINT) AS total_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(s.n_tokens)
+            FILTER (s.score_milli >= tau_milli), 0) * 1000000
+            // sum(s.n_tokens) AS BIGINT) AS token_share_micro
+FROM scored s, taus
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 42c: distinct-n diversity (Li et al. 2016 "A Diversity-Promoting
+# Objective") — the standard within-set generation-diversity metric and
+# the synthetic-data health check (mode-collapsed generators crater
+# distinct-2/3 long before humans notice): per source, the ratio of
+# DISTINCT n-grams to total n-grams for n = 1..3.
+# Scale: one explode (3 gram streams) + the (source, n, gram) combine
+# with map-side partials, then a (source, n) rollup — the vocab-counting
+# shape; embarrassingly parallel, zero joins.
+# ---------------------------------------------------------------------------
+DISTINCT_NS = (1, 2, 3)
+
+
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tok_arr", tokens("text"))
+        .filter(F.size("tok_arr") >= 1)
+        .select("source", "tok_arr")
+    )
+    by_n = docs.select(
+        "source",
+        "tok_arr",
+        F.explode(F.array(*[F.lit(n) for n in DISTINCT_NS])).alias("n"),
+    ).filter(F.size("tok_arr") >= F.col("n"))
+    grams = by_n.select(
+        "source",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tok_arr) - n),"
+                " i -> array_join(slice(tok_arr, i + 1, n), ' '))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("source", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    return (
+        counts.groupBy("source", "n")
+        .agg(
+            F.sum("ct").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("int").alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr("distinct_ngrams * 1000000 div total_ngrams").alias(
+                "distinct_micro"
+            ),
+        )
+    )
+
+
+_DISTINCT_N_SQL = f"""
+WITH tok AS (
+    SELECT source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT source, n, array_to_string(t[i:i+n-1], ' ') AS gram
+    FROM tok,
+         UNNEST({list(DISTINCT_NS)}) AS un(n),
+         UNNEST(range(1, len(t) - n + 2)) AS ui(i)
+    WHERE len(t) >= 1
+),
+counts AS (
+    SELECT source, n, gram, CAST(count(*) AS BIGINT) AS ct
+    FROM grams GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n AS INTEGER) AS n,
+       CAST(sum(ct) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       CAST(count(*) * 1000000 // sum(ct) AS BIGINT) AS distinct_micro
+FROM counts GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "semdedup_eps_sweep": semdedup_eps_sweep,
     "perplexity_bucket_assign": perplexity_bucket_assign,
@@ -1706,6 +2115,9 @@ QUERIES = {
     "episode_advantage_baseline": episode_advantage_baseline,
     "pack_attention_waste": pack_attention_waste,
     "preference_holdout_accuracy": preference_holdout_accuracy,
+    "chrf_char_eval": chrf_char_eval,
+    "quality_threshold_sweep": quality_threshold_sweep,
+    "distinct_ngram_diversity": distinct_ngram_diversity,
 }
 
 ORACLE = {
@@ -1723,4 +2135,7 @@ ORACLE = {
     "episode_advantage_baseline": _ADVANTAGE_SQL,
     "pack_attention_waste": _pack_waste_sql(),
     "preference_holdout_accuracy": _pref_holdout_sql(),
+    "chrf_char_eval": _CHRF_SQL,
+    "quality_threshold_sweep": _SWEEP_SQL,
+    "distinct_ngram_diversity": _DISTINCT_N_SQL,
 }

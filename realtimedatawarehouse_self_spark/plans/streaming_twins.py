@@ -2629,9 +2629,135 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming vocabulary-growth twin — the 25th twin (r10): the Heaps-law
+# curve of `corpus_ops.vocab_growth_curve` computed as a real keyed-
+# custom-state job. Documents arrive in ascending doc_id-band
+# micro-batches (one batch per curve checkpoint — TEN batches, the
+# longest state carry in the twin suite); each token's state is ONE int
+# (the band it was first seen in, set once, never updated), so the
+# state store holds |vocab| ints at any corpus size. The per-band doc
+# and token masses are batch-side arithmetic over the same banded frame
+# (harness staging, the twins' standard split); the streamed half is
+# exactly the part that NEEDS cross-batch memory — type novelty. The
+# oracle is _VOCAB_GROWTH_SQL verbatim, so the driver row proves the
+# multi-batch election equals the batch curve bit-for-bit.
+# ---------------------------------------------------------------------------
+def streaming_vocab_growth_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import tokens
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        VOCAB_BANDS,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        vocab_first_seen,
+    )
+
+    banded = None
+    with _twin_confs(spark):
+        try:
+            docs = (
+                load_table(spark, sf_dir, "documents")
+                .where(
+                    F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+                )
+                .withColumn("tok_arr", tokens("text"))
+                .filter(F.size("tok_arr") >= 1)
+                .select("doc_id", "tok_arr")
+            )
+            lo_hi = docs.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).collect()[0]
+            if lo_hi["lo"] is None:
+                return spark.createDataFrame(
+                    [],
+                    "band int, n_docs bigint, band_tokens bigint, "
+                    "cum_tokens bigint, new_types bigint, cum_vocab bigint, "
+                    "type_token_micro bigint",
+                )
+            lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+            banded = docs.withColumn(
+                "band",
+                F.expr(
+                    f"CAST((doc_id - {lo}) * {VOCAB_BANDS}"
+                    f" div ({hi} - {lo} + 1) AS INT)"
+                ),
+            ).persist()
+            stage = _MicroBatchStage("rtdw-vocabgr-")
+            stream_rows = banded.select(
+                "band", F.explode("tok_arr").alias("tok")
+            ).distinct()
+            for b in range(VOCAB_BANDS):
+                stage.stage_slice(
+                    stream_rows.filter(F.col("band") == b).select(
+                        "tok", "band"
+                    )
+                )
+            sunk = stage.run_to_parquet(
+                spark,
+                vocab_first_seen(
+                    stage.read_stream(spark, "tok string, band int")
+                ),
+            )
+            # cumulative emissions re-state a constant row once set
+            new_types = (
+                sunk.select("tok", "first_band")
+                .distinct()
+                .groupBy(F.col("first_band").alias("band"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+            )
+            band_docs = banded.groupBy("band").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.size("tok_arr")).cast("bigint").alias("band_tokens"),
+            )
+            curve = band_docs.join(new_types, "band", "left").withColumn(
+                "new_types", F.coalesce("new_types", F.lit(0)).cast("bigint")
+            )
+            from pyspark.sql import Window as _W
+
+            wcum = (
+                _W.partitionBy()
+                .orderBy("band")
+                .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+            )
+            return (
+                curve.withColumn(
+                    "cum_tokens",
+                    F.sum("band_tokens").over(wcum).cast("bigint"),
+                )
+                .withColumn(
+                    "cum_vocab", F.sum("new_types").over(wcum).cast("bigint")
+                )
+                .select(
+                    "band",
+                    "n_docs",
+                    "band_tokens",
+                    "cum_tokens",
+                    "new_types",
+                    "cum_vocab",
+                    F.expr("cum_vocab * 1000000 div cum_tokens").alias(
+                        "type_token_micro"
+                    ),
+                )
+            )
+        finally:
+            if banded is not None:
+                banded.unpersist()
+
+
+def _vocab_growth_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        _VOCAB_GROWTH_SQL,
+    )
+
+    return _VOCAB_GROWTH_SQL
+
+
 QUERIES = {
     "streaming_episode_return_twin": streaming_episode_return_twin,
     "streaming_chunk_owner_twin": streaming_chunk_owner_twin,
+    "streaming_vocab_growth_twin": streaming_vocab_growth_twin,
     "streaming_domain_cap_twin": streaming_domain_cap_twin,
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_hll_merge_twin": streaming_hll_merge_twin,
@@ -2659,6 +2785,7 @@ QUERIES = {
 ORACLE = {
     "streaming_episode_return_twin": _episode_stream_sql(),
     "streaming_chunk_owner_twin": _chunk_owner_stream_sql(),
+    "streaming_vocab_growth_twin": _vocab_growth_stream_sql(),
     "streaming_domain_cap_twin": _domcap_stream_sql(),
     "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
     "streaming_hll_merge_twin": _hll_stream_sql(),

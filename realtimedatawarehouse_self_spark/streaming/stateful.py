@@ -765,3 +765,47 @@ def chunk_owner_election(chunks: DataFrame) -> DataFrame:
     return chunks.groupBy("chunk_md5").applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def vocab_first_seen(toks: DataFrame) -> DataFrame:
+    """Per-token first-appearance election — the ingest-time half of
+    ``plans/corpus_ops.vocab_growth_curve``: as (token, band) rows stream
+    in band order, each token's state carries only the band it was first
+    seen in (ONE long per type at any corpus size — the canonical
+    incremental corpus statistic). Under the twins' arrival contract
+    (batches hold ascending band slices), first-seen == min(band), so the
+    state never updates after it is set. Emission is cumulative: each
+    batch a token appears in re-emits its (token, first_band) row; the
+    twin de-duplicates post-sink (the row is constant once set).
+
+    Input rows: (tok string, band int), distinct per batch.
+    """
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType(
+        [
+            StructField("tok", StringType()),
+            StructField("first_band", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_band", IntegerType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (first_band,) = state.get
+        else:
+            first_band = None
+        pdf = _sorted_concat(pdfs, ["band"])
+        if len(pdf) and first_band is None:
+            first_band = int(pdf["band"].iloc[0])
+            state.update((first_band,))
+        yield pd.DataFrame(
+            {
+                "tok": [key_tuple[0]],
+                "first_band": pd.array([first_band], dtype="int32"),
+            }
+        )
+
+    return toks.groupBy("tok").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

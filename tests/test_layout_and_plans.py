@@ -828,3 +828,54 @@ def test_host_quality_is_single_scan_no_join(spark, sf):
     assert "Join" not in plan, plan
     assert "Union" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_chrf_reference_side_broadcasts(spark, sf):
+    """r10 wave 42 scale lock: chrF is the BLEU shape at character level —
+    the reference (ONE doc per (source, lang)) must broadcast into the
+    clipped-overlap and ref-meta joins, and the 4 char-gram streams ride
+    ONE Generate (tagged structs), never four per-n corpus rescans."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["chrf_char_eval"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # persisted gram counts
+
+
+def test_threshold_sweep_is_one_combine_no_join(spark, sf):
+    """r10 wave 42 scale lock: the whole 8-threshold grid must come out
+    of ONE per-lang conditional-aggregate combine + a stack() unpivot of
+    the |langs| frame (the semdedup_eps_sweep doctrine) — a join or a
+    second aggregate means the sweep re-scanned per threshold."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["quality_threshold_sweep"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan  # the stack() unpivot
+
+
+def test_distinct_n_diversity_has_no_join(spark, sf):
+    """r10 wave 42 scale lock: distinct-n is explode -> (source, n, gram)
+    combine -> (source, n) rollup; zero joins, zero windows."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["distinct_ngram_diversity"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_vocab_growth_has_no_global_sort(spark, sf):
+    """r10 wave 43 scale lock: the Heaps curve must NOT rank the corpus —
+    the band is arithmetic off a broadcast (min, max) 1-row aggregate, so
+    the only Window in the plan is the cumulative sum over the B-row
+    curve frame; a global Sort of the corpus (or a rank window over it)
+    means the checkpoint split was computed by ordering 100 TB."""
+    import __spark_entry__ as e
+
+    df = e.queries()["vocab_growth_curve"](spark, sf)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the bounds attach
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

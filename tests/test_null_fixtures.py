@@ -381,6 +381,17 @@ def null_duck(null_sf_dir):
         "robots_rule_eval",
         "crawl_frontier_plan",
         "host_quality_shrinkage",
+        # r10 wave 42: NULL text drops at the tok CTE on both engines;
+        # the NULL source/lang groups carry their own chrF reference,
+        # threshold rows, and distinct-n ratios
+        "chrf_char_eval",
+        "quality_threshold_sweep",
+        "distinct_ngram_diversity",
+        # r10 wave 43: NULL text and NULL doc_id are excluded from the
+        # banded corpus on both engines; the curve and its streaming
+        # twin must agree on the remaining band arithmetic
+        "vocab_growth_curve",
+        "streaming_vocab_growth_twin",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

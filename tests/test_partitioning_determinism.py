@@ -348,6 +348,16 @@ QUERIES = [
     #                                  rank -> epoch cut under shuffles
     "host_quality_shrinkage",        # integer div shrinkage: combine
     #                                  order must not move any host sum
+    # round-10 wave 42
+    "chrf_char_eval",                # fixed-order F mean over exact
+    #                                  clip/tot bigints under reshuffles
+    "quality_threshold_sweep",       # conditional-agg grid must not see
+    #                                  combine reordering
+    "distinct_ngram_diversity",      # two-level distinct count under
+    #                                  perturbed scans
+    # round-10 wave 43
+    "vocab_growth_curve",            # band arithmetic + min(band) first-
+    #                                  seen must survive scan perturbation
 ]
 
 PERTURBED = {
