@@ -164,6 +164,9 @@ HEADLINE = [
     "quality_threshold_sweep",
     "distinct_ngram_diversity",
     "vocab_growth_curve",
+    "code_switch_profile",
+    "mixture_shard_conformance",
+    "badword_ratio_filter",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

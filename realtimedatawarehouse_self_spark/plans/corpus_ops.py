@@ -2929,6 +2929,188 @@ FROM curve
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 44b: mixture-shard conformance — the pre-flight audit between the
+# mixture plan and the shard layout: hash sharding is supposed to
+# preserve the corpus's source mixture inside EVERY shard (so any shard
+# subset trains on the planned mix); this op measures it. For each
+# (shard, source): achieved token share within the shard vs the source's
+# corpus-wide share, the absolute deviation in micro units, and the
+# shard's worst deviation — the number a run gate thresholds on.
+# Scale: one (shard, source) token combine (map-side partials); the
+# share/deviation math runs on |shards|×|sources| rows; corpus share
+# attaches via a |sources|-row window, shard totals via a |shards|-row
+# window — no second corpus scan (the host_quality_shrinkage lesson).
+# ---------------------------------------------------------------------------
+def mixture_shard_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    cell = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .where(F.col("text").isNotNull())
+        .withColumn("n_toks", F.size(tokens("text")))
+        # zero-token docs carry no mixture mass and would zero a shard's
+        # share denominator (token_budget_mixture's guard, same reason)
+        .filter(F.col("n_toks") > 0)
+        .withColumn("shard_id", _epoch_shard_col())
+        .groupBy("shard_id", "source")
+        .agg(F.sum("n_toks").cast("bigint").alias("tokens"))
+    )
+    w_shard = Window.partitionBy("shard_id")
+    w_source = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    shares = (
+        cell.withColumn(
+            "shard_tokens", F.sum("tokens").over(w_shard).cast("bigint")
+        )
+        .withColumn(
+            "source_tokens", F.sum("tokens").over(w_source).cast("bigint")
+        )
+        .withColumn(
+            "corpus_tokens", F.sum("tokens").over(w_all).cast("bigint")
+        )
+        .withColumn(
+            "shard_share_micro",
+            F.expr("tokens * 1000000 div shard_tokens"),
+        )
+        .withColumn(
+            "corpus_share_micro",
+            F.expr("source_tokens * 1000000 div corpus_tokens"),
+        )
+        .withColumn(
+            "abs_dev_micro",
+            F.expr("abs(shard_share_micro - corpus_share_micro)"),
+        )
+    )
+    return shares.select(
+        "shard_id",
+        "source",
+        "tokens",
+        "shard_tokens",
+        "shard_share_micro",
+        "corpus_share_micro",
+        "abs_dev_micro",
+        F.max("abs_dev_micro")
+        .over(w_shard)
+        .cast("bigint")
+        .alias("shard_max_dev_micro"),
+    )
+
+
+def _shard_conformance_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT source,
+         {_EPOCH_SHARD_SQL_EXPR} AS shard_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_toks
+  FROM documents WHERE text IS NOT NULL
+),
+cell AS (
+  SELECT shard_id, source, CAST(sum(n_toks) AS BIGINT) AS tokens
+  FROM d WHERE n_toks > 0 GROUP BY 1, 2
+),
+shares AS (
+  SELECT shard_id, source, tokens,
+         CAST(sum(tokens) OVER (PARTITION BY shard_id) AS BIGINT)
+             AS shard_tokens,
+         CAST(tokens * 1000000
+              // sum(tokens) OVER (PARTITION BY shard_id) AS BIGINT)
+             AS shard_share_micro,
+         CAST(CAST(sum(tokens) OVER (PARTITION BY source) AS BIGINT)
+              * 1000000 // CAST(sum(tokens) OVER () AS BIGINT) AS BIGINT)
+             AS corpus_share_micro
+  FROM cell
+)
+SELECT shard_id, source, tokens, shard_tokens, shard_share_micro,
+       corpus_share_micro,
+       CAST(abs(shard_share_micro - corpus_share_micro) AS BIGINT)
+           AS abs_dev_micro,
+       CAST(max(abs(shard_share_micro - corpus_share_micro))
+            OVER (PARTITION BY shard_id) AS BIGINT) AS shard_max_dev_micro
+FROM shares
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 44c: badword-ratio filter — the C4-style lexicon gate (the "List
+# of Dirty, Naughty..." stage): a document drops when its share of
+# blocklisted tokens exceeds BAD_MAX_NUM/BAD_MAX_DEN. The lexicon is
+# tiny and static in production; the stand-in derives membership from
+# md5(token) nibbles (the robots_blocklist hash-gated-membership
+# pattern) so both engines gate the identical type set with no fixture.
+# Distinct from pii_scrub_stats (regex patterns) and fasttext quality
+# (weighted sum): this is the third published filter shape — exact
+# lexicon membership with a ratio threshold.
+# Scale: pure per-token codegen (membership test inside one aggregate()
+# over the token array) + per-doc arithmetic — scan-bound, zero shuffle,
+# the fasttext_hash_quality plan shape (locked).
+# ---------------------------------------------------------------------------
+BADWORD_HEX = ("0", "1")  # md5(token) first nibble → ~1/8 of types
+BAD_MAX_NUM, BAD_MAX_DEN = 1, 6  # drop iff bad_ct / n_tokens > 1/6
+
+
+def badword_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.session import apply_runtime_confs
+    from realtimedatawarehouse_self_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    hexes = ", ".join(f"'{h}'" for h in BADWORD_HEX)
+    bad_expr = (
+        "aggregate(transform(tok_arr, x -> "
+        f"IF(array_contains(array({hexes}), substring(md5(x), 1, 1)),"
+        " 1L, 0L)), 0L, (acc, v) -> acc + v)"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+        .filter(F.size("tok_arr") > 0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size("tok_arr").cast("bigint").alias("n_tokens"),
+        F.expr(bad_expr).alias("bad_ct"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "bad_ct",
+        F.expr("bad_ct * 1000000 div n_tokens").alias("bad_micro"),
+        F.when(
+            F.expr(f"bad_ct * {BAD_MAX_DEN} > n_tokens * {BAD_MAX_NUM}"),
+            "drop",
+        )
+        .otherwise("keep")
+        .alias("decision"),
+    )
+
+
+_BADWORD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x ->
+              list_contains({list(BADWORD_HEX)}, substr(md5(x), 1, 1))))
+              AS BIGINT) AS bad_ct
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, lang, n_tokens, bad_ct,
+       CAST(bad_ct * 1000000 // n_tokens AS BIGINT) AS bad_micro,
+       CASE WHEN bad_ct * {BAD_MAX_DEN} > n_tokens * {BAD_MAX_NUM}
+            THEN 'drop' ELSE 'keep' END AS decision
+FROM s
+"""
+
+
 def _crawl_funnel_sql() -> str:
     from realtimedatawarehouse_self_spark.plans.llm_ops import (
         _minhash_tail_cte,
@@ -3309,6 +3491,8 @@ QUERIES = {
     "crawl_frontier_plan": crawl_frontier_plan,
     "host_quality_shrinkage": host_quality_shrinkage,
     "vocab_growth_curve": vocab_growth_curve,
+    "mixture_shard_conformance": mixture_shard_conformance,
+    "badword_ratio_filter": badword_ratio_filter,
     "token_budget_mixture": token_budget_mixture,
     "mixture_temperature_sweep": mixture_temperature_sweep,
     "negative_sampling_table": negative_sampling_table,
@@ -3344,6 +3528,8 @@ ORACLE = {
     "crawl_frontier_plan": _FRONTIER_SQL,
     "host_quality_shrinkage": _host_quality_sql(),
     "vocab_growth_curve": _VOCAB_GROWTH_SQL,
+    "mixture_shard_conformance": _shard_conformance_sql(),
+    "badword_ratio_filter": _BADWORD_SQL,
     "token_budget_mixture": _TOKEN_BUDGET_SQL,
     "mixture_temperature_sweep": _mixture_sweep_sql(),
     "negative_sampling_table": _NEG_TABLE_SQL,

@@ -3560,6 +3560,192 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 44a: code-switching profile — the mixed-language document detector
+# (CCNet/mC4-class pipelines route mixed-language pages to split-or-drop
+# because a doc-level lang id mislabels them): slice each document into
+# CS_WINDOW-token windows, lang-id every window with the SAME marker
+# scoring + >=-chain argmax rule as `lang_id_ngram`, then profile the
+# per-window predictions — distinct predicted langs, the dominant
+# prediction and its share, and the number of adjacent-window SWITCH
+# points. The dominant pick is a single-BIGINT arg-max
+# (count * 8 + (7 - lang_index)) so ties break by LANG_ORDER identically
+# on both engines — the robots_rule_eval encoding trick.
+# Scale: one posexplode + a (doc, window) conditional-count combine, a
+# per-doc-bounded lag window for switch points, then TWO CHAINED
+# aggregations ((doc, pred) -> doc) — the dominant pick, the distinct-
+# pred count, the switch total, and the window total all come out of the
+# same chain, so no doc-keyed join of two corpus-sized frames exists
+# anywhere (plan-locked).
+# ---------------------------------------------------------------------------
+CS_WINDOW = 16
+
+
+def _cs_pred_case(score_fmt: str) -> str:
+    """The >=-chain argmax CASE (lang_id_ngram's rule) over per-window
+    scores; score_fmt like 's_{lang}' names the score columns."""
+    arms = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"{score_fmt.format(lang=lang)} >= {score_fmt.format(lang=o)}"
+            for o in LANG_ORDER
+            if o != lang
+        )
+        arms.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def code_switch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tok_arr", tokens("text"))
+        .filter(F.size("tok_arr") >= 1)
+    )
+    win_toks = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.posexplode("tok_arr").alias("pos", "tok"),
+    ).withColumn("win", F.expr(f"CAST(pos div {CS_WINDOW} AS INT)"))
+    score_aggs = []
+    for lang in LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_aggs.append(
+            F.sum(
+                F.when(
+                    F.expr(f"array_contains(array({markers}), tok)"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"s_{lang}")
+        )
+    wins = win_toks.groupBy("doc_id", "true_lang", "win").agg(*score_aggs)
+    preds = wins.withColumn(
+        "pred", F.expr(_cs_pred_case("s_{lang}"))
+    ).select("doc_id", "true_lang", "win", "pred")
+    lag_w = Window.partitionBy("doc_id").orderBy("win")
+    switched = preds.withColumn(
+        "switch",
+        F.when(
+            F.lag("pred").over(lag_w).isNotNull()
+            & (F.lag("pred").over(lag_w) != F.col("pred")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    idx_case = " ".join(
+        f"WHEN pred = '{lang}' THEN {i}"
+        for i, lang in enumerate(LANG_ORDER)
+    )
+    by_pred = switched.groupBy("doc_id", "true_lang", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("switch").cast("bigint").alias("sw"),
+    )
+    per_doc = (
+        by_pred.withColumn(
+            "pick", F.expr(f"cnt * 8 + (7 - (CASE {idx_case} END))")
+        )
+        .groupBy("doc_id", "true_lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_windows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pred_langs"),
+            F.sum("sw").cast("bigint").alias("n_switches"),
+            F.max("pick").alias("best"),
+        )
+        .withColumn("dom_idx", F.expr("7 - (best % 8)"))
+        .withColumn("dominant_cnt", F.expr("best div 8"))
+    )
+    lang_case = " ".join(
+        f"WHEN dom_idx = {i} THEN '{lang}'"
+        for i, lang in enumerate(LANG_ORDER)
+    )
+    return per_doc.select(
+        "doc_id",
+        "true_lang",
+        "n_windows",
+        "n_pred_langs",
+        "n_switches",
+        F.expr(f"CASE {lang_case} END").alias("dominant_pred"),
+        F.expr("dominant_cnt * 1000000 div n_windows").alias(
+            "dominant_share_micro"
+        ),
+        (F.col("n_pred_langs") >= 2).alias("is_mixed"),
+    )
+
+
+def _code_switch_sql() -> str:
+    score_cols = ", ".join(
+        "CAST(len(list_filter(toks, x -> list_contains([{m}], x)))"
+        " AS BIGINT) AS s_{lang}".format(
+            m=", ".join(f"'{x}'" for x in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in LANG_ORDER
+    )
+    idx_case = " ".join(
+        f"WHEN pred = '{lang}' THEN {i}"
+        for i, lang in enumerate(LANG_ORDER)
+    )
+    lang_case = " ".join(
+        f"WHEN dom_idx = {i} THEN '{lang}'"
+        for i, lang in enumerate(LANG_ORDER)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, lang AS true_lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+w AS (
+    SELECT doc_id, true_lang,
+           CAST((i - 1) // {CS_WINDOW} AS INTEGER) AS win,
+           list_slice(t,
+               ((i - 1) // {CS_WINDOW}) * {CS_WINDOW} + 1,
+               least(((i - 1) // {CS_WINDOW}) * {CS_WINDOW} + {CS_WINDOW},
+                     len(t))) AS toks
+    FROM tok, UNNEST(range(1, len(t) + 1, {CS_WINDOW})) AS u(i)
+    WHERE len(t) >= 1
+),
+scored AS (
+    SELECT doc_id, true_lang, win, {score_cols} FROM w
+),
+preds AS (
+    SELECT doc_id, true_lang, win,
+           {_cs_pred_case("s_{lang}")} AS pred
+    FROM scored
+),
+switched AS (
+    SELECT doc_id, true_lang, win, pred,
+           CASE WHEN lag(pred) OVER (PARTITION BY doc_id ORDER BY win)
+                     IS NOT NULL
+                 AND lag(pred) OVER (PARTITION BY doc_id ORDER BY win)
+                     <> pred
+                THEN 1 ELSE 0 END AS switch
+    FROM preds
+),
+by_pred AS (
+    SELECT doc_id, true_lang, pred,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(switch) AS BIGINT) AS sw
+    FROM switched GROUP BY 1, 2, 3
+),
+per_doc AS (
+    SELECT doc_id, true_lang,
+           CAST(sum(cnt) AS BIGINT) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_pred_langs,
+           CAST(sum(sw) AS BIGINT) AS n_switches,
+           max(cnt * 8 + (7 - (CASE {idx_case} END))) AS best
+    FROM by_pred GROUP BY 1, 2
+)
+SELECT doc_id, true_lang, n_windows, n_pred_langs, n_switches,
+       CASE {lang_case.replace("WHEN dom_idx =", "WHEN (7 - (best % 8)) =")}
+       END AS dominant_pred,
+       CAST((best // 8) * 1000000 // n_windows AS BIGINT)
+           AS dominant_share_micro,
+       n_pred_langs >= 2 AS is_mixed
+FROM per_doc
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3577,6 +3763,7 @@ QUERIES = {
     "approx_daily_users": approx_daily_users,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
+    "code_switch_profile": code_switch_profile,
     "classifier_calibration_ece": classifier_calibration_ece,
     "doc_fingerprint": doc_fingerprint,
     "token_count_stats": token_count_stats,
@@ -3627,6 +3814,7 @@ ORACLE = {
     "approx_daily_users": _APPROX_DAILY_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,
     "lang_id_ngram": _lang_id_sql(),
+    "code_switch_profile": _code_switch_sql(),
     "classifier_calibration_ece": _ece_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
     "token_count_stats": _TOKEN_COUNT_SQL,

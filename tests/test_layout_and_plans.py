@@ -879,3 +879,40 @@ def test_vocab_growth_has_no_global_sort(spark, sf):
     assert "BroadcastNestedLoopJoin" in plan, plan  # the bounds attach
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_code_switch_profile_has_no_doc_join(spark, sf):
+    """r10 wave 44 scale lock: the dominant pick, distinct-pred count,
+    switch total, and window total all come out of ONE chained
+    aggregation ((doc, pred) -> doc, single-BIGINT arg-max encoding) —
+    a join here would shuffle two corpus-sized doc frames against each
+    other; the lag window is per-doc bounded."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["code_switch_profile"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_shard_conformance_single_scan_windows_only(spark, sf):
+    """r10 wave 44 scale lock: shard totals / source totals / corpus
+    totals all attach as windows over the |shards|x|sources| cell frame
+    — no join and no second corpus scan (the host_quality_shrinkage
+    lesson applied at design time)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["mixture_shard_conformance"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_badword_filter_is_scan_bound(spark, sf):
+    """r10 wave 44 scale lock: the lexicon gate is per-token codegen
+    inside one aggregate() over the token array — zero shuffle, zero
+    join, zero window (the fasttext_hash_quality plan shape)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["badword_ratio_filter"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan

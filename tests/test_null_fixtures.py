@@ -392,6 +392,12 @@ def null_duck(null_sf_dir):
         # twin must agree on the remaining band arithmetic
         "vocab_growth_curve",
         "streaming_vocab_growth_twin",
+        # r10 wave 44: NULL text drops before windowing/scoring on both
+        # engines; NULL lang/source ride as their own groups through the
+        # code-switch profile, the shard cells, and the lexicon gate
+        "code_switch_profile",
+        "mixture_shard_conformance",
+        "badword_ratio_filter",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -358,6 +358,13 @@ QUERIES = [
     # round-10 wave 43
     "vocab_growth_curve",            # band arithmetic + min(band) first-
     #                                  seen must survive scan perturbation
+    # round-10 wave 44
+    "code_switch_profile",           # window lag + single-BIGINT argmax
+    #                                  must not see combine reordering
+    "mixture_shard_conformance",     # three stacked share windows over
+    #                                  the cell frame under perturbation
+    "badword_ratio_filter",          # per-token membership sum is pure
+    #                                  codegen — must be partition-blind
 ]
 
 PERTURBED = {
