@@ -167,6 +167,7 @@ HEADLINE = [
     "code_switch_profile",
     "mixture_shard_conformance",
     "badword_ratio_filter",
+    "bitext_margin_mining",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

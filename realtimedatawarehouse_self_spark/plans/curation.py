@@ -2100,6 +2100,185 @@ FROM counts GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 45a: margin-based bitext mining (Artetxe & Schwenk 2019; the
+# LASER/CCMatrix parallel-corpus miner): align two embedding spaces by
+# pairing each source vector with its best target neighbor, accepting
+# only pairs whose cosine stands out against BOTH sides' neighborhoods —
+#   margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)
+# (the "ratio" margin). The two "languages" here are a deterministic
+# md5 split of the embeddings table (the hash-gated-membership pattern);
+# in production they are the two monolingual corpora.
+# Exact-arithmetic doctrine: each pair cosine floors to BIGINT micro
+# IMMEDIATELY (one double expression, bit-identical per pair); every
+# rank, top-K average, and the margin ratio then run on integers, so
+# float-summation ORDER can never diverge between engines (avg of
+# doubles is NOT portable — this op never does it). Only positive-cosine
+# candidates participate (mining semantics, and it keeps the integer
+# division away from negative-floor edge cases).
+# Scale: candidates are within-IVF-cell pairs only (the semdedup
+# conjunct — linear pair volume, never all-pairs); the pair frame
+# persists once and feeds both sides' top-K passes; per-side windows are
+# cell-bounded.
+# ---------------------------------------------------------------------------
+BITEXT_K = 4
+BITEXT_MARGIN_MICRO = 1_050_000  # accept iff margin > 1.05
+_BITEXT_SRC_HEX = tuple("01234567")  # md5(vec_id) nibble -> source side
+
+
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import _cells
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    hexes = ", ".join(f"'{h}'" for h in _BITEXT_SRC_HEX)
+    cells = _cells(emb).withColumn(
+        "is_src",
+        F.expr(
+            f"array_contains(array({hexes}),"
+            " substring(md5(CAST(vec_id AS STRING)), 1, 1))"
+        ),
+    )
+    a = cells.filter(F.col("is_src")).select(
+        F.col("vec_id").alias("src_id"), F.col("vec").alias("svec"), "cell"
+    )
+    b = cells.filter(~F.col("is_src")).select(
+        F.col("vec_id").alias("tgt_id"), F.col("vec").alias("tvec"), "cell"
+    )
+    cands = (
+        a.join(b, "cell")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(
+                cosine(F.col("svec"), F.col("tvec")) * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+        .filter(F.col("s_micro") > 0)
+        .persist()
+    )
+    wx = Window.partitionBy("src_id").orderBy(
+        F.col("s_micro").desc(), "tgt_id"
+    )
+    topx = cands.withColumn("rnk", F.row_number().over(wx)).filter(
+        F.col("rnk") <= BITEXT_K
+    )
+    x_stats = topx.groupBy("src_id").agg(
+        F.sum("s_micro").cast("bigint").alias("sumk_x"),
+        F.count(F.lit(1)).cast("bigint").alias("kx"),
+        # rnk = 1 is unique per src (the deterministic window order), so
+        # max(CASE ...) just extracts the best pair's fields
+        F.max(F.when(F.col("rnk") == 1, F.col("tgt_id")))
+        .cast("bigint")
+        .alias("best_tgt"),
+        F.max(F.when(F.col("rnk") == 1, F.col("s_micro")))
+        .cast("bigint")
+        .alias("best_micro"),
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(
+        F.col("s_micro").desc(), "src_id"
+    )
+    y_stats = (
+        cands.withColumn("rnk", F.row_number().over(wy))
+        .filter(F.col("rnk") <= BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("s_micro").cast("bigint").alias("sumk_y"),
+            F.count(F.lit(1)).cast("bigint").alias("ky"),
+        )
+    )
+    out = (
+        x_stats.select(
+            "src_id",
+            F.col("best_tgt").alias("tgt_id"),
+            F.col("best_micro").alias("pair_score_micro"),
+            "sumk_x",
+            "kx",
+        )
+        .join(y_stats, "tgt_id")
+        .withColumn(
+            "denom_micro",
+            F.expr("(sumk_x div kx + sumk_y div ky) div 2"),
+        )
+        .withColumn(
+            "margin_micro",
+            F.expr("pair_score_micro * 1000000 div denom_micro"),
+        )
+    )
+    return out.select(
+        "src_id",
+        "tgt_id",
+        "pair_score_micro",
+        "denom_micro",
+        "margin_micro",
+        (F.col("margin_micro") > BITEXT_MARGIN_MICRO).alias("accepted"),
+    )
+
+
+def _bitext_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.llm_ops import (
+        IVF_ASSIGN_CTE,
+        _COSINE_SQL,
+    )
+
+    cos = _COSINE_SQL.format(a="a.vec", b="b.vec")
+    return f"""
+WITH {IVF_ASSIGN_CTE},
+sided AS (
+    SELECT vec_id, vec, cell,
+           substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+               IN {_BITEXT_SRC_HEX!r} AS is_src
+    FROM assigned
+),
+cands AS (
+    SELECT * FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               CAST(floor(({cos}) * 1000000.0) AS BIGINT) AS s_micro
+        FROM sided a JOIN sided b
+          ON a.cell = b.cell AND a.is_src AND NOT b.is_src
+    ) WHERE s_micro > 0
+),
+topx AS (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+                                 ORDER BY s_micro DESC, tgt_id) AS rnk
+    FROM cands QUALIFY rnk <= {BITEXT_K}
+),
+x_stats AS (
+    SELECT src_id,
+           CAST(sum(s_micro) AS BIGINT) AS sumk_x,
+           CAST(count(*) AS BIGINT) AS kx,
+           CAST(max(CASE WHEN rnk = 1 THEN tgt_id END) AS BIGINT) AS tgt_id,
+           CAST(max(CASE WHEN rnk = 1 THEN s_micro END) AS BIGINT)
+               AS pair_score_micro
+    FROM topx GROUP BY 1
+),
+y_stats AS (
+    SELECT tgt_id,
+           CAST(sum(s_micro) AS BIGINT) AS sumk_y,
+           CAST(count(*) AS BIGINT) AS ky
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                     ORDER BY s_micro DESC, src_id) AS rnk
+        FROM cands QUALIFY rnk <= {BITEXT_K}
+    ) GROUP BY 1
+)
+SELECT x.src_id, x.tgt_id, x.pair_score_micro,
+       CAST((x.sumk_x // x.kx + y.sumk_y // y.ky) // 2 AS BIGINT)
+           AS denom_micro,
+       CAST(x.pair_score_micro * 1000000
+            // ((x.sumk_x // x.kx + y.sumk_y // y.ky) // 2) AS BIGINT)
+           AS margin_micro,
+       x.pair_score_micro * 1000000
+           // ((x.sumk_x // x.kx + y.sumk_y // y.ky) // 2)
+           > {BITEXT_MARGIN_MICRO} AS accepted
+FROM x_stats x JOIN y_stats y USING (tgt_id)
+"""
+
+
 QUERIES = {
     "semdedup_eps_sweep": semdedup_eps_sweep,
     "perplexity_bucket_assign": perplexity_bucket_assign,
@@ -2118,6 +2297,7 @@ QUERIES = {
     "chrf_char_eval": chrf_char_eval,
     "quality_threshold_sweep": quality_threshold_sweep,
     "distinct_ngram_diversity": distinct_ngram_diversity,
+    "bitext_margin_mining": bitext_margin_mining,
 }
 
 ORACLE = {
@@ -2138,4 +2318,5 @@ ORACLE = {
     "chrf_char_eval": _CHRF_SQL,
     "quality_threshold_sweep": _SWEEP_SQL,
     "distinct_ngram_diversity": _DISTINCT_N_SQL,
+    "bitext_margin_mining": _bitext_sql(),
 }

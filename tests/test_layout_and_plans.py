@@ -916,3 +916,17 @@ def test_badword_filter_is_scan_bound(spark, sf):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_bitext_mining_candidates_are_cell_bounded_and_persisted(spark, sf):
+    """r10 wave 45 scale lock: the src x tgt candidate join must carry
+    the IVF cell-equality key (never a CartesianProduct — all-pairs
+    mining is quadratic), the pair frame must persist ONCE and feed both
+    sides' top-K passes (InMemoryTableScan), and the per-side top-K must
+    plan as WindowGroupLimit (partial top-K before the exchange)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bitext_margin_mining"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -398,6 +398,9 @@ def null_duck(null_sf_dir):
         "code_switch_profile",
         "mixture_shard_conformance",
         "badword_ratio_filter",
+        # (bitext_margin_mining is embeddings-only — the NULL fixture is
+        # a documents/events fixture, so like the rest of the embedding
+        # family it is covered by the empty-input + hypothesis suites)
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

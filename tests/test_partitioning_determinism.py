@@ -365,6 +365,9 @@ QUERIES = [
     #                                  the cell frame under perturbation
     "badword_ratio_filter",          # per-token membership sum is pure
     #                                  codegen — must be partition-blind
+    # round-10 wave 45
+    "bitext_margin_mining",          # micro-floored pair scores + integer
+    #                                  margin under perturbed scans
 ]
 
 PERTURBED = {
