@@ -168,6 +168,7 @@ HEADLINE = [
     "mixture_shard_conformance",
     "badword_ratio_filter",
     "bitext_margin_mining",
+    "episode_return_to_go",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

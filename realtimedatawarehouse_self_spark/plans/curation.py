@@ -2101,6 +2101,90 @@ FROM counts GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Wave 46: return-to-go accounting (Decision Transformer data prep,
+# Chen et al. 2021) — the conditioning target RvS/DT training attaches
+# to every step: rtg_t = sum of rewards from step t to the episode end.
+# Episodes and step order are EXACTLY episode_discounted_returns' (the
+# (ts, event_id, reward) deterministic order), so the two RL preps can
+# never disagree about what an episode is. The per-step frame is
+# corpus-sized, so the driver row emits the episode-level integrity
+# summary instead of every step: first/mid/max rtg plus the exact
+# sequence checksum sum_t rtg_t == sum_t (t+1)*r_t (an algebraic
+# identity the property test pins independently).
+# Scale: one episode-keyed suffix-sum window (per-key volume bounded by
+# a user-day of events — the proven episode exchange) + one combine.
+# ---------------------------------------------------------------------------
+def episode_return_to_go(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    rr = F.expr("CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT)")
+    w = Window.partitionBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd")
+    ).orderBy("ts", F.coalesce("event_id", F.lit(-1)), rr)
+    steps = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        rr.alias("r"),
+        (F.row_number().over(w) - 1).cast("int").alias("t"),
+    )
+    wsuf = (
+        Window.partitionBy("user_id", "day")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rtg = steps.withColumn(
+        "rtg", F.sum("r").over(wsuf).cast("bigint")
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "day"))
+    )
+    return rtg.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.max(F.when(F.col("t") == 0, F.col("rtg")))
+        .cast("bigint")
+        .alias("total_reward_cents"),
+        F.max("rtg").cast("bigint").alias("max_rtg_cents"),
+        F.max(F.when(F.expr("t = CAST(n div 2 AS INT)"), F.col("rtg")))
+        .cast("bigint")
+        .alias("mid_rtg_cents"),
+        F.sum("rtg").cast("bigint").alias("rtg_checksum_cents"),
+    )
+
+
+_RTG_SQL = """
+WITH steps AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT) AS r,
+           CAST(row_number() OVER (
+               PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, coalesce(event_id, -1),
+                        CAST(floor(coalesce(value, 0.0) * 100 + 0.5)
+                             AS BIGINT)) - 1 AS INTEGER) AS t
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+rtgs AS (
+    SELECT user_id, day, t, r,
+           CAST(sum(r) OVER (PARTITION BY user_id, day
+                             ORDER BY t DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS rtg,
+           count(*) OVER (PARTITION BY user_id, day) AS n
+    FROM steps
+)
+SELECT user_id, day,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(max(CASE WHEN t = 0 THEN rtg END) AS BIGINT)
+           AS total_reward_cents,
+       CAST(max(rtg) AS BIGINT) AS max_rtg_cents,
+       CAST(max(CASE WHEN t = CAST(n // 2 AS INTEGER) THEN rtg END)
+            AS BIGINT) AS mid_rtg_cents,
+       CAST(sum(rtg) AS BIGINT) AS rtg_checksum_cents
+FROM rtgs
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wave 45a: margin-based bitext mining (Artetxe & Schwenk 2019; the
 # LASER/CCMatrix parallel-corpus miner): align two embedding spaces by
 # pairing each source vector with its best target neighbor, accepting
@@ -2298,6 +2382,7 @@ QUERIES = {
     "quality_threshold_sweep": quality_threshold_sweep,
     "distinct_ngram_diversity": distinct_ngram_diversity,
     "bitext_margin_mining": bitext_margin_mining,
+    "episode_return_to_go": episode_return_to_go,
 }
 
 ORACLE = {
@@ -2319,4 +2404,5 @@ ORACLE = {
     "quality_threshold_sweep": _SWEEP_SQL,
     "distinct_ngram_diversity": _DISTINCT_N_SQL,
     "bitext_margin_mining": _bitext_sql(),
+    "episode_return_to_go": _RTG_SQL,
 }

@@ -930,3 +930,16 @@ def test_bitext_mining_candidates_are_cell_bounded_and_persisted(spark, sf):
     assert "CartesianProduct" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_return_to_go_is_windows_plus_one_combine(spark, sf):
+    """r10 wave 46 scale lock: rtg is the per-episode suffix-sum window
+    over the SAME episode exchange the discounted fold uses, then one
+    episode-keyed combine — zero joins; a join would mean the summary
+    stats were assembled from separate aggregations."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["episode_return_to_go"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -329,6 +329,9 @@ def null_duck(null_sf_dir):
         "pairwise_preference_matrix",
         "bradley_terry_strength",
         "episode_discounted_returns",
+        # r10 wave 46: same episode order contract; NULL ts/user drop,
+        # NULL event_id/value coalesce inside the step ordering
+        "episode_return_to_go",
         # r9 wave 34: NULL text drops pre-scoring (confident learning /
         # DSIR weights); the NULL source and NULL lang groups must carry
         # their own ESS / pack-audit rows identically on both engines

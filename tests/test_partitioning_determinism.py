@@ -307,6 +307,8 @@ QUERIES = [
     "bradley_terry_strength",        # unrolled MM integer divisions over a
     #                                  shuffled win matrix
     "episode_discounted_returns",    # per-episode window sort + shift decay
+    "episode_return_to_go",          # r10 wave 46: suffix-sum rtg over the
+    #                                  same episode order under shuffles
     "rouge_bigram_eval",             # clipped-count join + floored micros
     # round-9 wave 34
     "confident_learning_audit",      # threshold means + argmax tie-break

@@ -307,3 +307,83 @@ def test_badword_threshold_boundary_pinned(spark):
         for r in badword_ratio_filter(spark, d).collect()
     }
     assert got == {1: "keep", 2: "drop"}
+
+
+# ---------------------------------------------------------------------------
+# Wave 46 recount (kept here with the other events-free fixtures would be
+# wrong — rtg needs an events fixture, built inline below).
+# ---------------------------------------------------------------------------
+def _write_events(d, rows):
+    # rows: (event_id, user_id, ts_micros, value)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[2] for r in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["click"] * len(rows)),
+                "page_id": pa.array([0] * len(rows), pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        _os.path.join(d, "events.parquet"),
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.integers(1, 3),
+            st.integers(0, 10**8),
+            st.floats(0, 50, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_return_to_go_matches_python_recount(spark, rows):
+    import math
+    from collections import defaultdict
+
+    from realtimedatawarehouse_self_spark.plans.curation import (
+        episode_return_to_go,
+    )
+
+    d = tempfile.mkdtemp(prefix="rtgprop")
+    _write_events(d, rows)
+    got = {
+        (r["user_id"], r["day"]): (
+            r["n_steps"],
+            r["total_reward_cents"],
+            r["max_rtg_cents"],
+            r["mid_rtg_cents"],
+            r["rtg_checksum_cents"],
+        )
+        for r in episode_return_to_go(spark, d).collect()
+    }
+    import datetime as dt
+
+    eps = defaultdict(list)
+    for eid, uid, tsu, val in rows:
+        day = dt.datetime.utcfromtimestamp(tsu / 1e6).strftime("%Y-%m-%d")
+        r = math.floor(val * 100 + 0.5)
+        eps[(uid, day)].append((tsu, eid, r))
+    want = {}
+    for key, steps in eps.items():
+        steps.sort(key=lambda s: (s[0], s[1], s[2]))
+        rs = [r for _t, _e, r in steps]
+        n = len(rs)
+        rtg = [sum(rs[t:]) for t in range(n)]
+        want[key] = (n, rtg[0], max(rtg), rtg[n // 2], sum(rtg))
+        # the algebraic identity sum_t rtg_t == sum_t (t+1) * r_t
+        assert sum(rtg) == sum((t + 1) * r for t, r in enumerate(rs))
+    assert got == want
