@@ -2754,10 +2754,110 @@ def _vocab_growth_stream_sql() -> str:
     return _VOCAB_GROWTH_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming crawl-frontier twin — the 26th twin (r10): the politeness
+# scheduler of `corpus_ops.crawl_frontier_plan` as a real keyed-custom-
+# state job. URLs arrive priority-first (batches hold ascending per-host
+# rank slices — the production frontier drains its priority queue in
+# this order); each host's state carries ONE long (URLs already
+# scheduled) and every arrival takes epoch = count div HOST_FETCH_RATE —
+# so the assignment must equal the batch rank formula EXACTLY, proving
+# the counter's carry across batches. The oracle is _FRONTIER_SQL
+# verbatim.
+# ---------------------------------------------------------------------------
+FRONTIER_TWIN_BATCHES = 4
+
+
+def streaming_frontier_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        HOST_FETCH_RATE,
+        _HOST_EXPR,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        frontier_epoch_assign,
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = None
+    with _twin_confs(spark):
+        try:
+            docs = (
+                load_table(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull())
+                .withColumn("host", F.expr(_HOST_EXPR))
+                .select("doc_id", "host", "n_chars")
+            )
+            wr = _W.partitionBy("host").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+            ranked = docs.withColumn(
+                "rank", F.row_number().over(wr).cast("int")
+            ).persist()
+            mx = ranked.agg(F.max("rank").alias("m")).collect()[0]["m"]
+            if mx is None:
+                return spark.createDataFrame(
+                    [],
+                    "host string, fetch_epoch int, n_urls bigint, "
+                    "epoch_chars bigint, first_doc_id bigint, "
+                    "host_epochs bigint",
+                )
+            stage = _MicroBatchStage("rtdw-frontier-")
+            step = (int(mx) - 1) // FRONTIER_TWIN_BATCHES + 1
+            for b in range(FRONTIER_TWIN_BATCHES):
+                stage.stage_slice(
+                    ranked.filter(
+                        (F.col("rank") > b * step)
+                        & (F.col("rank") <= (b + 1) * step)
+                    ).select("host", "doc_id", "n_chars", "rank")
+                )
+            sunk = stage.run_to_parquet(
+                spark,
+                frontier_epoch_assign(
+                    stage.read_stream(
+                        spark,
+                        "host string, doc_id long, n_chars long, rank int",
+                    ),
+                    HOST_FETCH_RATE,
+                ),
+            )
+            per_cell = sunk.groupBy("host", "fetch_epoch").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+                F.sum("n_chars").cast("bigint").alias("epoch_chars"),
+                F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            )
+            wh = _W.partitionBy("host")
+            return per_cell.withColumn(
+                "host_epochs",
+                F.expr(
+                    f"CAST((sum(n_urls) OVER (PARTITION BY host) - 1)"
+                    f" div {HOST_FETCH_RATE} + 1 AS BIGINT)"
+                ),
+            ).select(
+                "host",
+                "fetch_epoch",
+                "n_urls",
+                "epoch_chars",
+                "first_doc_id",
+                "host_epochs",
+            )
+        finally:
+            if ranked is not None:
+                ranked.unpersist()
+
+
+def _frontier_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        _FRONTIER_SQL,
+    )
+
+    return _FRONTIER_SQL
+
+
 QUERIES = {
     "streaming_episode_return_twin": streaming_episode_return_twin,
     "streaming_chunk_owner_twin": streaming_chunk_owner_twin,
     "streaming_vocab_growth_twin": streaming_vocab_growth_twin,
+    "streaming_frontier_twin": streaming_frontier_twin,
     "streaming_domain_cap_twin": streaming_domain_cap_twin,
     "streaming_cdc_apply_twin": streaming_cdc_apply_twin,
     "streaming_hll_merge_twin": streaming_hll_merge_twin,
@@ -2786,6 +2886,7 @@ ORACLE = {
     "streaming_episode_return_twin": _episode_stream_sql(),
     "streaming_chunk_owner_twin": _chunk_owner_stream_sql(),
     "streaming_vocab_growth_twin": _vocab_growth_stream_sql(),
+    "streaming_frontier_twin": _frontier_stream_sql(),
     "streaming_domain_cap_twin": _domcap_stream_sql(),
     "streaming_cdc_apply_twin": _CDC_APPLY_SQL,
     "streaming_hll_merge_twin": _hll_stream_sql(),

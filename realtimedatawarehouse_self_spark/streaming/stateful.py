@@ -809,3 +809,53 @@ def vocab_first_seen(toks: DataFrame) -> DataFrame:
     return toks.groupBy("tok").applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def frontier_epoch_assign(urls: DataFrame, rate: int) -> DataFrame:
+    """Per-host politeness-epoch assignment — the ingest-time half of
+    ``plans/corpus_ops.crawl_frontier_plan``: as a host's URLs stream in
+    priority order, the keyed state carries only how many the host has
+    already scheduled (ONE long per host at any frontier size); each
+    arrival takes epoch = count div rate. Under the twins' arrival
+    contract (batches hold ascending per-host rank slices; rows sorted
+    by rank within each batch), the assignment equals the batch rank
+    formula exactly. Emission is append-per-row: every URL emits once,
+    in its arrival batch, with its assigned epoch.
+
+    Input rows: (host string, doc_id long, n_chars long, rank int).
+    """
+    from pyspark.sql.types import IntegerType, LongType
+
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("fetch_epoch", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        (n_seen,) = state.get if state.exists else (0,)
+        pdf = _sorted_concat(pdfs, ["rank"])
+        epochs = []
+        for _ in range(len(pdf)):
+            epochs.append(int(n_seen) // rate)
+            n_seen += 1
+        state.update((n_seen,))
+        yield pd.DataFrame(
+            {
+                "host": [key_tuple[0]] * len(pdf),
+                # nullable Int64: the NULL fixture carries NULL doc_id /
+                # n_chars rows, which schedule like any URL (the batch
+                # rank does not skip them) but must stay NULL in output
+                "doc_id": pd.array(pdf["doc_id"], dtype="Int64"),
+                "n_chars": pd.array(pdf["n_chars"], dtype="Int64"),
+                "fetch_epoch": pd.array(epochs, dtype="int32"),
+            }
+        )
+
+    return urls.groupBy("host").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

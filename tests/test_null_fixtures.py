@@ -395,6 +395,9 @@ def null_duck(null_sf_dir):
         # twin must agree on the remaining band arithmetic
         "vocab_growth_curve",
         "streaming_vocab_growth_twin",
+        # the 26th twin: per-host politeness counter across batches on
+        # the NULL-host/NULL-text fixture
+        "streaming_frontier_twin",
         # r10 wave 44: NULL text drops before windowing/scoring on both
         # engines; NULL lang/source ride as their own groups through the
         # code-switch profile, the shard cells, and the lexicon gate

@@ -162,3 +162,28 @@ def test_streaming_twin_equals_batch_curve(spark, rows):
         tuple(r) for r in streaming_vocab_growth_twin(spark, d).collect()
     )
     assert batch == stream
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=[
+    HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+])
+@given(rows=_rows_strategy)
+def test_streaming_frontier_twin_equals_batch_plan(spark, rows):
+    """r10 wave 46b: the per-host politeness counter carried across four
+    real micro-batches must reproduce the batch rank formula exactly."""
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        crawl_frontier_plan,
+    )
+    from realtimedatawarehouse_self_spark.plans.streaming_twins import (
+        streaming_frontier_twin,
+    )
+
+    d = tempfile.mkdtemp(prefix="frtwinprop")
+    _write_docs(d, rows)
+    batch = sorted(
+        tuple(r) for r in crawl_frontier_plan(spark, d).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in streaming_frontier_twin(spark, d).collect()
+    )
+    assert batch == stream
