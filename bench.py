@@ -169,6 +169,9 @@ HEADLINE = [
     "badword_ratio_filter",
     "bitext_margin_mining",
     "episode_return_to_go",
+    "sft_turn_structure_audit",
+    "sft_template_render_overhead",
+    "sft_loss_masking_plan",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

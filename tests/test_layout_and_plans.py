@@ -943,3 +943,41 @@ def test_return_to_go_is_windows_plus_one_combine(spark, sf):
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sft_turn_audit_single_conversation_exchange(spark, sf):
+    """r10 wave 47 scale lock: the lag/turn_no windows and the
+    per-conversation combine all key on (user_id, day), so the whole
+    audit is ONE Exchange — a second exchange or a join would mean the
+    structure counters were assembled from separate frames."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["sft_turn_structure_audit"](spark, sf))
+    assert "Join" not in plan, plan
+    # exactly one hash exchange (the fan_out roundrobin is a local[32]
+    # read artifact, not a keyed shuffle)
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_sft_template_render_single_exchange_no_window(spark, sf):
+    """r10 wave 47 scale lock: the ordered render is
+    sort_array(collect_list(...)) INSIDE the conversation combine —
+    one Exchange, no window, no join; groups are user-day bounded so
+    no collect_list can skew a partition at any corpus size."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["sft_template_render_overhead"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_sft_loss_masking_is_one_combine(spark, sf):
+    """r10 wave 47 scale lock: scan -> day-keyed partial+final combine;
+    no window, no join — the yield is map-side combinable everywhere."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["sft_loss_masking_plan"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan

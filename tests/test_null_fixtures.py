@@ -407,6 +407,14 @@ def null_duck(null_sf_dir):
         # (bitext_margin_mining is embeddings-only — the NULL fixture is
         # a documents/events fixture, so like the rest of the embedding
         # family it is covered by the empty-input + hypothesis suites)
+        # r10 wave 47: NULL ts/user_id/event_type rows have no sequence
+        # position / conversation / role and must drop identically
+        # (Spark NULLS FIRST vs DuckDB NULLS LAST window hazard); NULL
+        # props coalesces to the '_' content / 0-token payload on both
+        # engines
+        "sft_turn_structure_audit",
+        "sft_template_render_overhead",
+        "sft_loss_masking_plan",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

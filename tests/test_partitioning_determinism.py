@@ -370,6 +370,15 @@ QUERIES = [
     # round-10 wave 45
     "bitext_margin_mining",          # micro-floored pair scores + integer
     #                                  margin under perturbed scans
+    # round-10 wave 47
+    "sft_turn_structure_audit",      # lag/first/last depend on the
+    #                                  (ts, event_id) total order under
+    #                                  reshuffled scans
+    "sft_template_render_overhead",  # sort_array-ordered render must be
+    #                                  identical whatever order collect_
+    #                                  list saw the turns in
+    "sft_loss_masking_plan",         # day combine is order-free BIGINT
+    #                                  sums — must be partition-blind
 ]
 
 PERTURBED = {
