@@ -172,6 +172,10 @@ HEADLINE = [
     "sft_turn_structure_audit",
     "sft_template_render_overhead",
     "sft_loss_masking_plan",
+    # streaming_sft_gate_twin is NOT benched (streaming-twin rule: the
+    # data-sized work is sft_turn_structure_audit, already timed; the
+    # twin re-proves state carry, not throughput)
+    "unicode_normalization_audit",
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

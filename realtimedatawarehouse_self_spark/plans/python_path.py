@@ -635,7 +635,78 @@ FROM hk
 _HTML_EXTRACTION_SQL = _html_extraction_sql()
 
 
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization audit (wave 48) — the canonicalization screen
+# run before dedup/tokenization on any multilingual corpus (UAX #15;
+# C4/mC4 and CCNet normalize up front): decomposed sequences hash
+# differently from their precomposed equals, silently fragmenting exact
+# dedup, shingles, and vocab counts. Catalyst has no normalize()
+# expression, so this is the ninth quarantined Arrow path (one
+# mapInPandas pass, no shuffle). The corpus is pure ASCII (contract-
+# asserted), so non-NFC material is INJECTED deterministically by
+# doc_id residue — decomposed e+U+0301 (changes under NFC), precomposed
+# U+00E9 (non-ASCII but NFC-stable), decomposed n+U+0303, or nothing —
+# built identically in both engines; DuckDB mirrors the normalization
+# itself with nfc_normalize() (utf8proc) and the audit arithmetic in
+# SQL, so the hash gate checks the real normalization behavior.
+# The three injected sequences are Unicode-1.1-era canonical pairs —
+# stable across every utf8proc/CPython Unicode version in play.
+# ---------------------------------------------------------------------------
+_NFC_SUFFIX_DECOMPOSED_E = " caf\u0065\u0301"   # e + COMBINING ACUTE
+_NFC_SUFFIX_PRECOMPOSED = " caf\u00e9"           # é precomposed
+_NFC_SUFFIX_DECOMPOSED_N = " pi\u006e\u0303a"   # n + COMBINING TILDE
+
+
+def unicode_normalization_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.text import nfc_audit
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    res = F.col("doc_id") % 4
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(res == 0, F.lit(_NFC_SUFFIX_DECOMPOSED_E))
+            .when(res == 1, F.lit(_NFC_SUFFIX_PRECOMPOSED))
+            .when(res == 2, F.lit(_NFC_SUFFIX_DECOMPOSED_N))
+            .otherwise(F.lit("")),
+        ).alias("aug"),
+    )
+    return nfc_audit(aug)
+
+
+_NFC_AUDIT_SQL = """
+WITH a AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN ' caf' || 'e' || chr(769)
+           WHEN 1 THEN ' caf' || chr(233)
+           WHEN 2 THEN ' pi' || 'n' || chr(771) || 'a'
+           ELSE '' END AS aug
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(length(aug) AS BIGINT) AS n_chars_raw,
+       CAST(length(nfc_normalize(aug)) AS BIGINT) AS n_chars_nfc,
+       CAST(CASE WHEN nfc_normalize(aug) <> aug THEN 1 ELSE 0 END
+            AS BIGINT) AS nfc_changed,
+       CAST(CASE WHEN octet_length(encode(aug)) = length(aug)
+                 THEN 1 ELSE 0 END AS BIGINT) AS ascii_only,
+       CAST(length(aug) - length(regexp_replace(
+                aug, chr(769) || '|' || chr(771), '', 'g')) AS BIGINT)
+           AS combining_marks
+FROM a
+"""
+
+
 QUERIES = {
+    "unicode_normalization_audit": unicode_normalization_audit,
     "multimodal_decode": multimodal_decode,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "html_text_extraction": html_text_extraction,
@@ -648,6 +719,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "unicode_normalization_audit": _NFC_AUDIT_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_phash_dedup": _PHASH_SQL,
     "html_text_extraction": _HTML_EXTRACTION_SQL,

@@ -2853,7 +2853,112 @@ def _frontier_stream_sql() -> str:
     return _FRONTIER_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming SFT-gate twin — the 27th twin (r10 wave 48): the conversation
+# structure gate of `sft_ops.sft_turn_structure_audit` as a real keyed-
+# custom-state job. Turns arrive in hour-banded micro-batches (three
+# 8-hour bands, so conversations deliberately SPAN batches); each
+# conversation's state carries six small ints (counters + first/last
+# role codes), and cross-batch alternation violations are exact because
+# the state keeps the previous batch's last role. Emission is cumulative
+# per batch; the final row per key (max n_turns, strictly increasing)
+# must equal the batch operator bit-for-bit, so the oracle is
+# _TURN_STRUCTURE_SQL verbatim.
+# ---------------------------------------------------------------------------
+SFT_HOUR_BAND = 8
+
+
+def streaming_sft_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.plans.sft_ops import _USER_TYPES
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        sft_gate_fold,
+    )
+
+    turns = None
+    with _twin_confs(spark):
+        try:
+            stage = _MicroBatchStage("rtdw-sftgate-")
+            turns = (
+                load_table(spark, sf_dir, "events")
+                .filter(
+                    F.col("ts").isNotNull()
+                    & F.col("user_id").isNotNull()
+                    & F.col("event_type").isNotNull()
+                )
+                .select(
+                    "user_id",
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                    F.expr("CAST(unix_micros(ts) AS BIGINT)").alias(
+                        "ts_micro"
+                    ),
+                    F.coalesce("event_id", F.lit(-1))
+                    .cast("bigint")
+                    .alias("ord_eid"),
+                    F.when(
+                        F.col("event_type").isin(*_USER_TYPES), "user"
+                    )
+                    .otherwise("assistant")
+                    .alias("role"),
+                    F.hour("ts").alias("hr"),
+                )
+                .persist()
+            )
+            if turns.limit(1).count() == 0:
+                return spark.createDataFrame(
+                    [],
+                    "user_id bigint, day string, n_turns bigint, "
+                    "n_user_turns bigint, n_assistant_turns bigint, "
+                    "alternation_violations bigint, starts_user bigint, "
+                    "ends_assistant bigint, decision string",
+                )
+            for lo in range(0, 24, SFT_HOUR_BAND):
+                stage.stage_slice(
+                    turns.filter(
+                        (F.col("hr") >= lo)
+                        & (F.col("hr") < lo + SFT_HOUR_BAND)
+                    ).drop("hr")
+                )
+            sunk = stage.run_to_parquet(
+                spark,
+                sft_gate_fold(
+                    stage.read_stream(spark, turns.drop("hr").schema)
+                ),
+            )
+            fin_cols = [
+                "n_turns",
+                "n_user_turns",
+                "n_assistant_turns",
+                "alternation_violations",
+                "starts_user",
+                "ends_assistant",
+                "decision",
+            ]
+            return (
+                sunk.groupBy("user_id", "day")
+                .agg(
+                    F.max_by(F.struct(*fin_cols), "n_turns").alias("fin")
+                )
+                .select(
+                    "user_id",
+                    "day",
+                    *[F.col(f"fin.{c}").alias(c) for c in fin_cols],
+                )
+            )
+        finally:
+            if turns is not None:
+                turns.unpersist()
+
+
+def _sft_gate_stream_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.sft_ops import (
+        _TURN_STRUCTURE_SQL,
+    )
+
+    return _TURN_STRUCTURE_SQL
+
+
 QUERIES = {
+    "streaming_sft_gate_twin": streaming_sft_gate_twin,
     "streaming_episode_return_twin": streaming_episode_return_twin,
     "streaming_chunk_owner_twin": streaming_chunk_owner_twin,
     "streaming_vocab_growth_twin": streaming_vocab_growth_twin,
@@ -2883,6 +2988,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_sft_gate_twin": _sft_gate_stream_sql(),
     "streaming_episode_return_twin": _episode_stream_sql(),
     "streaming_chunk_owner_twin": _chunk_owner_stream_sql(),
     "streaming_vocab_growth_twin": _vocab_growth_stream_sql(),

@@ -859,3 +859,108 @@ def frontier_epoch_assign(urls: DataFrame, rate: int) -> DataFrame:
     return urls.groupBy("host").applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def sft_gate_fold(turns: DataFrame) -> DataFrame:
+    """Per-(user, day) conversation-structure fold — the keyed-state
+    streaming twin of ``plans/sft_ops.sft_turn_structure_audit``: as
+    turns stream in, each conversation's state carries SIX small ints
+    (n_turns, n_user, n_assistant, violations, first-role code,
+    last-role code; role codes 1=user 2=assistant, 0=unset) and every
+    batch emits the key's cumulative structure row with the gate
+    decision recomputed from the cumulative counters.
+
+    Input rows carry (user_id, day, ts_micro, ord_eid, role) with
+    ord_eid = coalesce(event_id, -1) — the batch operator's
+    (ts, event_id) total order (Spark windows sort NULL event_id first;
+    -1 sorts below every real id). Cross-batch alternation is exact
+    because the state keeps the previous batch's LAST role: a violation
+    spanning a batch boundary counts exactly once.
+
+    Contract: slices arrive in non-decreasing per-key ts order across
+    micro-batches (the hour-banded feeder). n_turns strictly increases
+    per emission, so the final row per key is the one with max n_turns.
+    State is O(1) per open conversation; production adds an event-time
+    timeout to retire closed days.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("day", StringType()),
+            StructField("n_turns", LongType()),
+            StructField("n_user_turns", LongType()),
+            StructField("n_assistant_turns", LongType()),
+            StructField("alternation_violations", LongType()),
+            StructField("starts_user", LongType()),
+            StructField("ends_assistant", LongType()),
+            StructField("decision", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("nu", LongType()),
+            StructField("na", LongType()),
+            StructField("viol", LongType()),
+            StructField("first_r", LongType()),
+            StructField("last_r", LongType()),
+        ]
+    )
+    # gate constants mirrored from the batch operator
+    from realtimedatawarehouse_self_spark.plans.sft_ops import MIN_TURNS
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        n, nu, na, viol, first_r, last_r = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_micro", "ord_eid"])
+        for role in pdf["role"]:
+            code = 1 if role == "user" else 2
+            if last_r != 0 and code == last_r:
+                viol += 1
+            if n == 0:
+                first_r = code
+            n += 1
+            nu += code == 1
+            na += code == 2
+            last_r = code
+        state.update((n, nu, na, viol, first_r, last_r))
+        keep = (
+            first_r == 1
+            and last_r == 2
+            and viol == 0
+            and n >= MIN_TURNS
+        )
+        yield pd.DataFrame(
+            [
+                (
+                    key_tuple[0],
+                    key_tuple[1],
+                    n,
+                    nu,
+                    na,
+                    viol,
+                    1 if first_r == 1 else 0,
+                    1 if last_r == 2 else 0,
+                    "keep" if keep else "drop",
+                )
+            ],
+            columns=[
+                "user_id",
+                "day",
+                "n_turns",
+                "n_user_turns",
+                "n_assistant_turns",
+                "alternation_violations",
+                "starts_user",
+                "ends_assistant",
+                "decision",
+            ],
+        )
+
+    return turns.groupBy("user_id", "day").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

@@ -981,3 +981,15 @@ def test_sft_loss_masking_is_one_combine(spark, sf):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_unicode_audit_is_shuffle_free_arrow_path(spark, sf):
+    """r10 wave 48 scale lock: the NFC audit is one Arrow-batched
+    mapInPandas pass over the scan — zero keyed shuffles, no join;
+    embarrassingly parallel at any corpus size."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["unicode_normalization_audit"](spark, sf))
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan

@@ -415,6 +415,11 @@ def null_duck(null_sf_dir):
         "sft_turn_structure_audit",
         "sft_template_render_overhead",
         "sft_loss_masking_plan",
+        # r10 wave 48: the 27th twin must drop the same NULL-key rows as
+        # its batch half; the NFC audit must treat NULL text (dropped)
+        # and whitespace-only docs (pure-ASCII, unchanged) identically
+        "streaming_sft_gate_twin",
+        "unicode_normalization_audit",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

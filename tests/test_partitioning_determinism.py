@@ -379,6 +379,9 @@ QUERIES = [
     #                                  list saw the turns in
     "sft_loss_masking_plan",         # day combine is order-free BIGINT
     #                                  sums — must be partition-blind
+    # round-10 wave 48
+    "unicode_normalization_audit",   # per-row Arrow transform is pure —
+    #                                  must be partition- and batch-blind
 ]
 
 PERTURBED = {

@@ -254,3 +254,86 @@ def test_turn_structure_gate_boundary_pinned(spark):
         3: (1, "drop"),  # error->purchase is also a same-role pair
         5: (0, "drop"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Wave 48 pins (kept with the SFT family: the twin shares this module's
+# fixtures; the NFC audit pins are events-free but tiny).
+# ---------------------------------------------------------------------------
+def test_sft_gate_twin_counts_cross_batch_violation(spark):
+    """A conversation whose same-role pair STRADDLES the hour-band
+    boundary (hour 7 -> hour 9 with 8-hour bands) must still count
+    exactly one violation — the state's last-role carry, the thing a
+    per-batch recount would miss."""
+    from realtimedatawarehouse_self_spark.plans.streaming_twins import (
+        streaming_sft_gate_twin,
+    )
+
+    h = 3600 * 10**6
+    rows = [
+        # uid 1: user@h1 (batch 0), assistant@h7 (batch 0),
+        # assistant@h9 (batch 1) -> violation crosses the band boundary
+        (1, 1, 1 * h, "click", 5),
+        (2, 1, 7 * h, "error", 5),
+        (3, 1, 9 * h, "signup", 5),
+        # uid 2: clean pair split across bands -> keep, zero violations
+        (4, 2, 7 * h, "view", 1),
+        (5, 2, 9 * h, "purchase", 1),
+    ]
+    d = tempfile.mkdtemp(prefix="sfttwin")
+    _write_events(d, rows)
+    got = {
+        r["user_id"]: (
+            r["n_turns"],
+            r["alternation_violations"],
+            r["decision"],
+        )
+        for r in streaming_sft_gate_twin(spark, d).collect()
+    }
+    assert got == {1: (3, 1, "drop"), 2: (2, 0, "keep")}
+
+
+def test_nfc_audit_pins(spark):
+    """Known sequences: decomposed e+U+0301 composes (one char shorter,
+    changed, one combining mark); precomposed U+00E9 is non-ASCII but
+    NFC-stable; pure ASCII is untouched; NFC is idempotent (running the
+    audit on already-clean docs reports zero changes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtimedatawarehouse_self_spark.plans.python_path import (
+        unicode_normalization_audit,
+    )
+
+    d = tempfile.mkdtemp(prefix="nfcpin")
+    # doc_id residues select the suffix: 0 -> decomposed, 1 -> precomposed,
+    # 2 -> decomposed tilde, 3 -> none
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["base"] * 4),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array([4] * 4, pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars_raw"],
+            r["n_chars_nfc"],
+            r["nfc_changed"],
+            r["ascii_only"],
+            r["combining_marks"],
+        )
+        for r in unicode_normalization_audit(spark, d).collect()
+    }
+    base = len("base")
+    assert got == {
+        0: (base + 6, base + 5, 1, 0, 1),  # " cafe" + combining acute
+        1: (base + 5, base + 5, 0, 0, 0),  # " café" precomposed
+        2: (base + 6, base + 5, 1, 0, 1),  # " pin~a" decomposed tilde
+        3: (base, base, 0, 1, 0),          # untouched ASCII
+    }
