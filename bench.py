@@ -176,6 +176,11 @@ HEADLINE = [
     # data-sized work is sft_turn_structure_audit, already timed; the
     # twin re-proves state carry, not throughput)
     "unicode_normalization_audit",
+    "caption_image_alignment",
+    # preference_length_bias_probe is NOT benched (double-count rule):
+    # its data-sized stage is the same comparison scan + in-row pair
+    # explode bradley_terry_strength already times; the probe adds one
+    # BIGINT token leg per side and a tiny (type_a, type_b) combine.
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

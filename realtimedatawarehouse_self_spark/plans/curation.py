@@ -2363,7 +2363,297 @@ FROM x_stats x JOIN y_stats y USING (tgt_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Wave 49a (r10): caption-image alignment filter — the LAION-400M/5B
+# CLIP-score gate (Schuhmann et al. 2021: keep an image-text pair iff
+# cosine(text_emb, image_emb) >= 0.28). The registry's embeddings table
+# plays the image side (quantized to BIGINT micro exactly as
+# embedding_gram_matrix does); the caption side is a deterministic
+# hashing-trick bag-of-words projection of the document text into the
+# SAME 64-dim space (md5 bucket + md5 sign — the fasttext_hash_quality
+# derivation, vectorized), so both engines build bit-identical integer
+# vectors and the whole score is exact until ONE double division
+# (dot / sqrt(t2*q2)), floored to micro on both sides (the bitext
+# doctrine). A production deployment swaps the projection for a real
+# text-encoder embedding column; every downstream line is unchanged.
+# Scale: caption vector built in-row (O(64·T) codegen, no shuffle); the
+# pair join is 1:1 on the id — SHUFFLE_HASH-pinned here; bucketed
+# co-located storage removes even that exchange at 100 TB.
+# ---------------------------------------------------------------------------
+CLIP_DIM = 64
+CLIP_TAU_MICRO = 280_000  # LAION keep threshold 0.28, in micro units
+
+
+def caption_image_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text")).filter(
+        F.size("tok_arr") > 0
+    )
+    # in-row hashed projection: t[d] = sum of +-1 over tokens hashing to d
+    bucket = (
+        f"CAST(conv(substring(md5(x), 1, 2), 16, 10) AS INT) % {CLIP_DIM}"
+    )
+    sign = "IF(substring(md5(x), 3, 1) < '8', 1L, -1L)"
+    tvec = (
+        f"aggregate(tok_arr, "
+        f"array_repeat(0L, {CLIP_DIM}), "
+        f"(acc, x) -> transform(acc, (v, i) -> "
+        f"v + IF(({bucket}) = i, {sign}, 0L)))"
+    )
+    cap = docs.select(
+        "doc_id",
+        F.expr(tvec).alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(
+            "aggregate(t, 0L, (acc, v) -> acc + v * v)"
+        ).alias("t2"),
+    )
+    img = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        F.col("vec_id"),
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT))"
+        ).alias("q"),
+    ).select(
+        "vec_id",
+        "q",
+        F.expr("aggregate(q, 0L, (acc, v) -> acc + v * v)").alias("q2"),
+    )
+    paired = cap.join(
+        img.hint("shuffle_hash"), cap.doc_id == img.vec_id, "inner"
+    ).select(
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(t, q, (a, b) -> a * b), 0L,"
+            " (acc, v) -> acc + v)"
+        ).alias("dot"),
+        "t2",
+        "q2",
+    )
+    scored = paired.withColumn(
+        "cos_micro",
+        F.expr(
+            "CASE WHEN t2 = 0 OR q2 = 0 THEN 0 ELSE "
+            "CAST(floor(CAST(dot AS DOUBLE)"
+            " / sqrt(CAST(t2 * q2 AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " END"
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "dot",
+        "t2",
+        "q2",
+        "cos_micro",
+        F.when(F.col("cos_micro") >= CLIP_TAU_MICRO, "keep")
+        .otherwise("drop")
+        .alias("decision"),
+    )
+
+
+_CAPTION_ALIGN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+tb AS (
+  SELECT doc_id,
+         CAST(TRY_CAST('0x' || substr(md5(w), 1, 2) AS INTEGER)
+              % {CLIP_DIM} AS INTEGER) AS b,
+         CASE WHEN substr(md5(w), 3, 1) < '8' THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+tvec AS (
+  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS t FROM tb GROUP BY 1, 2
+),
+tn AS (
+  SELECT doc_id, CAST(sum(t * t) AS BIGINT) AS t2 FROM tvec GROUP BY 1
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+             AS q
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id,
+         CAST(list_aggregate(list_transform(q, x -> x * x), 'sum')
+              AS BIGINT) AS q2
+  FROM q
+),
+dots AS (
+  SELECT v.doc_id, CAST(sum(v.t * q.q[v.b + 1]) AS BIGINT) AS dot
+  FROM tvec v JOIN q ON v.doc_id = q.vec_id GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.dot, tn.t2, qn.q2,
+         CASE WHEN tn.t2 = 0 OR qn.q2 = 0 THEN 0 ELSE
+           CAST(floor(CAST(d.dot AS DOUBLE)
+                / sqrt(CAST(tn.t2 * qn.q2 AS DOUBLE)) * 1000000.0)
+                AS BIGINT) END AS cos_micro
+  FROM dots d
+  JOIN tn ON d.doc_id = tn.doc_id
+  JOIN qn ON d.doc_id = qn.vec_id
+)
+SELECT doc_id, dot, t2, q2, cos_micro,
+       CASE WHEN cos_micro >= {CLIP_TAU_MICRO} THEN 'keep'
+            ELSE 'drop' END AS decision
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 49b (r10): preference length-bias probe — the standard reward-data
+# audit for verbosity bias (Singhal et al. 2023 "A Long Way to Go";
+# RLHF reward models notoriously prefer longer responses). Over the SAME
+# (user, day) comparison frame the Bradley-Terry family uses, each
+# type's "response length" is its token volume (the wave-47 turn-token
+# derivation); for every strictly-decided comparison the probe asks
+# whether the longer side won, and reports the per-(type_a, type_b)
+# longer-win rate plus chosen/rejected token sums — the table a reward-
+# data prep inspects before training.
+# Scale: one (user, day, type) combine -> per-(user, day) in-row pair
+# explode (|types|^2-bounded) -> one tiny (type_a, type_b) combine; the
+# pairwise_preference_matrix plan shape with one extra BIGINT per leg.
+# ---------------------------------------------------------------------------
+
+
+def preference_length_bias_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    counts = ev.groupBy(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+        F.sum(
+            F.lit(2)
+            + F.coalesce(
+                F.get_json_object("props", "$.k").cast("bigint"),
+                F.lit(0),
+            )
+            % 5
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    arr = counts.groupBy("user_id", "day").agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "ct", "tok"))
+        ).alias("tc")
+    )
+    pairs = arr.select(
+        F.explode(ordered_pair_structs("tc", "pa", "pb")).alias("p")
+    ).select(
+        F.col("p.pa.event_type").alias("type_a"),
+        F.col("p.pb.event_type").alias("type_b"),
+        F.col("p.pa.ct").alias("ca"),
+        F.col("p.pb.ct").alias("cb"),
+        F.col("p.pa.tok").alias("ta"),
+        F.col("p.pb.tok").alias("tb"),
+    )
+    dec = pairs.withColumn(
+        "chosen_tok",
+        F.when(F.col("ca") > F.col("cb"), F.col("ta")).when(
+            F.col("cb") > F.col("ca"), F.col("tb")
+        ),
+    ).withColumn(
+        "rejected_tok",
+        F.when(F.col("ca") > F.col("cb"), F.col("tb")).when(
+            F.col("cb") > F.col("ca"), F.col("ta")
+        ),
+    )
+    out = dec.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comparisons"),
+        F.count("chosen_tok").cast("bigint").alias("n_decided"),
+        F.sum(
+            F.when(F.col("chosen_tok") > F.col("rejected_tok"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("longer_wins"),
+        F.sum(
+            F.when(F.col("chosen_tok") < F.col("rejected_tok"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("shorter_wins"),
+        F.coalesce(F.sum("chosen_tok"), F.lit(0))
+        .cast("bigint")
+        .alias("chosen_tok_sum"),
+        F.coalesce(F.sum("rejected_tok"), F.lit(0))
+        .cast("bigint")
+        .alias("rejected_tok_sum"),
+    )
+    return out.withColumn(
+        "longer_win_micro",
+        F.expr(
+            "CASE WHEN n_decided = 0 THEN 0"
+            " ELSE longer_wins * 1000000 div n_decided END"
+        ),
+    )
+
+
+_LENGTH_BIAS_SQL = """
+WITH counts AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS ct,
+           CAST(sum(2 + coalesce(TRY_CAST(json_extract_string(
+                    CASE WHEN json_valid(props) THEN props END, '$.k')
+                    AS BIGINT), 0) % 5) AS BIGINT) AS tok
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      AND ts IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+pp AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.ct AS ca, b.ct AS cb, a.tok AS ta, b.tok AS tb
+    FROM counts a JOIN counts b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+),
+dec AS (
+    SELECT type_a, type_b,
+           CASE WHEN ca > cb THEN ta WHEN cb > ca THEN tb END AS chosen_tok,
+           CASE WHEN ca > cb THEN tb WHEN cb > ca THEN ta END AS rejected_tok
+    FROM pp
+),
+agg AS (
+    SELECT type_a, type_b,
+           CAST(count(*) AS BIGINT) AS n_comparisons,
+           CAST(count(chosen_tok) AS BIGINT) AS n_decided,
+           CAST(sum(CASE WHEN chosen_tok > rejected_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS longer_wins,
+           CAST(sum(CASE WHEN chosen_tok < rejected_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS shorter_wins,
+           CAST(coalesce(sum(chosen_tok), 0) AS BIGINT) AS chosen_tok_sum,
+           CAST(coalesce(sum(rejected_tok), 0) AS BIGINT)
+               AS rejected_tok_sum
+    FROM dec GROUP BY 1, 2
+)
+SELECT *,
+       CAST(CASE WHEN n_decided = 0 THEN 0
+                 ELSE longer_wins * 1000000 // n_decided END AS BIGINT)
+           AS longer_win_micro
+FROM agg
+"""
+
+
 QUERIES = {
+    "caption_image_alignment": caption_image_alignment,
+    "preference_length_bias_probe": preference_length_bias_probe,
     "semdedup_eps_sweep": semdedup_eps_sweep,
     "perplexity_bucket_assign": perplexity_bucket_assign,
     "fasttext_hash_quality": fasttext_hash_quality,
@@ -2386,6 +2676,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "caption_image_alignment": _CAPTION_ALIGN_SQL,
+    "preference_length_bias_probe": _LENGTH_BIAS_SQL,
     "semdedup_eps_sweep": _semdedup_sql(),
     "perplexity_bucket_assign": _perplexity_bucket_sql(),
     "fasttext_hash_quality": _FASTTEXT_SQL,

@@ -993,3 +993,27 @@ def test_unicode_audit_is_shuffle_free_arrow_path(spark, sf):
     assert "MapInPandas" in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_caption_alignment_join_is_shuffle_hash_pinned(spark, sf):
+    """r10 wave 49 scale lock: the 1:1 pair join must be a hash join on
+    the id (SHUFFLE_HASH-pinned — a sort-merge would sort two corpus-
+    sized frames for a key-unique join; bucketed co-located storage
+    removes the exchange entirely at scale), and the caption vector is
+    built in-row (no extra shuffle before the join)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["caption_image_alignment"](spark, sf))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_length_bias_probe_has_no_join(spark, sf):
+    """r10 wave 49 scale lock: comparisons come from the in-row pair
+    explode over each (user, day)'s type array (|types|^2-bounded), not
+    a self-join of two corpus-sized frames."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["preference_length_bias_probe"](spark, sf))
+    assert "Join" not in plan, plan

@@ -420,6 +420,14 @@ def null_duck(null_sf_dir):
         # and whitespace-only docs (pure-ASCII, unchanged) identically
         "streaming_sft_gate_twin",
         "unicode_normalization_audit",
+        # r10 wave 49: NULL user_id/ts/event_type rows drop from the
+        # comparison frame identically (the counts combine vs the SQL
+        # self-join NULL-key hazard); NULL props coalesces to the
+        # 0-token payload on both engines
+        # (caption_image_alignment needs the embeddings table, absent
+        # from this fixture — covered by empty-input + hypothesis
+        # suites, like the rest of the embedding family)
+        "preference_length_bias_probe",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -382,6 +382,12 @@ QUERIES = [
     # round-10 wave 48
     "unicode_normalization_audit",   # per-row Arrow transform is pure —
     #                                  must be partition- and batch-blind
+    # round-10 wave 49
+    "caption_image_alignment",       # in-row hashed projection + single
+    #                                  double division floored to micro
+    #                                  must be partition-blind
+    "preference_length_bias_probe",  # in-row pair explode + BIGINT sums
+    #                                  under combine reordering
 ]
 
 PERTURBED = {
