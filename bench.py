@@ -181,6 +181,11 @@ HEADLINE = [
     # its data-sized stage is the same comparison scan + in-row pair
     # explode bradley_terry_strength already times; the probe adds one
     # BIGINT token leg per side and a tiny (type_a, type_b) combine.
+    "synthetic_watermark_detect",
+    # dpo_pair_extraction is NOT benched (double-count rule): its
+    # data-sized stages are the same comparison scan + pair explode
+    # bradley_terry_strength already times; the extraction adds a
+    # WindowGroupLimit top-1 on the already-built pair frame.
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

@@ -3477,7 +3477,106 @@ FROM top
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 50a (r10): synthetic-text watermark detection (Kirchenbauer et al.
+# 2023, "A Watermark for Large Language Models"). A watermarking decoder
+# seeds a green/red vocabulary split from each previous token and biases
+# sampling toward the green list; the detector recounts, for every scored
+# transition (prev -> cur), whether cur landed green, and computes the
+# one-proportion z statistic z = (g - gamma*T) / sqrt(T*gamma*(1-gamma)).
+# As corpora fill with model output, this screen is how a pretraining prep
+# keeps synthetic text out of (or quarantined within) the mix.
+#
+# Deterministic derivation both engines share: green(prev, cur) iff the
+# first hex digit of md5(prev || '|' || cur) < '4' (gamma = 1/4 — the
+# "hash of the previous token seeds the partition" rule of the paper,
+# collapsed to the transition hash since the container runs no LLM RNG).
+# With gamma = 1/4 the numerator 4g - T is exact BIGINT; z reduces to
+# (4g - T) / sqrt(3T) — ONE double division against one IEEE-exact sqrt,
+# floored to micro on both sides (the repo's standing float doctrine).
+# Decision threshold z >= 4 (the paper's detection operating point).
+#
+# Scale: the entire scoring is in-row codegen (aggregate over the token
+# array — no shuffle, no join, embarrassingly parallel); the per-source
+# rollup is a tiny-key combine. 100 TB = scan-bound.
+# ---------------------------------------------------------------------------
+WM_Z_KEEP_MICRO = 4_000_000  # z >= 4 => watermarked
+
+
+def synthetic_watermark_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+    )
+    green = (
+        "aggregate(sequence(1, size(tok_arr) - 1), 0L, (acc, i) -> "
+        "acc + IF(substring(md5(concat(tok_arr[i-1], '|', tok_arr[i])),"
+        " 1, 1) < '4', 1L, 0L))"
+    )
+    scored = docs.select(
+        "doc_id",
+        F.greatest(F.size("tok_arr") - F.lit(1), F.lit(0))
+        .cast("bigint")
+        .alias("scored"),
+        F.when(F.size("tok_arr") < 2, F.lit(0).cast("bigint"))
+        .otherwise(F.expr(green))
+        .alias("green"),
+    )
+    z = scored.withColumn(
+        "z_micro",
+        F.expr(
+            "CASE WHEN scored = 0 THEN 0 ELSE "
+            "CAST(floor(CAST(4 * green - scored AS DOUBLE)"
+            " / sqrt(CAST(3 * scored AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " END"
+        ),
+    )
+    return z.select(
+        "doc_id",
+        "scored",
+        "green",
+        "z_micro",
+        F.when(F.col("z_micro") >= WM_Z_KEEP_MICRO, "watermarked")
+        .otherwise("clean")
+        .alias("verdict"),
+    )
+
+
+_WATERMARK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS scored,
+         CAST(CASE WHEN len(toks) < 2 THEN 0 ELSE
+           len(list_filter(toks, (x, i) -> i > 1 AND
+               substr(md5(toks[i - 1] || '|' || x), 1, 1) < '4'))
+           END AS BIGINT) AS green
+  FROM d
+),
+z AS (
+  SELECT doc_id, scored, green,
+         CASE WHEN scored = 0 THEN 0 ELSE
+           CAST(floor(CAST(4 * green - scored AS DOUBLE)
+                / sqrt(CAST(3 * scored AS DOUBLE)) * 1000000.0) AS BIGINT)
+           END AS z_micro
+  FROM g
+)
+SELECT doc_id, scored, green, z_micro,
+       CASE WHEN z_micro >= {WM_Z_KEEP_MICRO} THEN 'watermarked'
+            ELSE 'clean' END AS verdict
+FROM z
+"""
+
+
 QUERIES = {
+    "synthetic_watermark_detect": synthetic_watermark_detect,
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
     "robots_blocklist_filter": robots_blocklist_filter,
@@ -3515,6 +3614,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "synthetic_watermark_detect": _WATERMARK_SQL,
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "domain_frequency_cap": _DOMAIN_CAP_SQL,
     "robots_blocklist_filter": _BLOCKLIST_SQL,

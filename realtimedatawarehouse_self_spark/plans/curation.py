@@ -2651,8 +2651,155 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 50b (r10): DPO training-pair extraction (Rafailov et al. 2023,
+# "Direct Preference Optimization"). A DPO prep turns raw preference
+# signal into ONE (prompt, chosen, rejected) triple per prompt: the
+# highest-margin decided comparison wins, weak-margin prompts are dropped
+# (margin < MARGIN_MIN carries more label noise than signal — the
+# standard filter), and each side carries its token volume so the trainer
+# can length-balance. Runs over the SAME (user, day) comparison frame the
+# Bradley-Terry / length-bias family uses: prompt = (user, day), response
+# types ranked by engagement count, token volume = the wave-47 derivation.
+#
+# Scale: one (user, day, type) combine -> one (user, day) combine -> the
+# in-row |types|^2-bounded pair explode -> row_number over the SAME
+# (user, day) key (no third exchange; Spark plans a WindowGroupLimit so
+# only the top row per prompt survives the sort). No joins anywhere.
+# ---------------------------------------------------------------------------
+DPO_MARGIN_MIN = 2
+
+
+def dpo_pair_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    counts = ev.groupBy(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+        F.sum(
+            F.lit(2)
+            + F.coalesce(
+                F.get_json_object("props", "$.k").cast("bigint"),
+                F.lit(0),
+            )
+            % 5
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    arr = counts.groupBy("user_id", "day").agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "ct", "tok"))
+        ).alias("tc")
+    )
+    pairs = arr.select(
+        "user_id",
+        "day",
+        F.explode(ordered_pair_structs("tc", "pa", "pb")).alias("p"),
+    ).select(
+        "user_id",
+        "day",
+        F.col("p.pa.event_type").alias("type_a"),
+        F.col("p.pb.event_type").alias("type_b"),
+        F.col("p.pa.ct").alias("ca"),
+        F.col("p.pb.ct").alias("cb"),
+        F.col("p.pa.tok").alias("ta"),
+        F.col("p.pb.tok").alias("tb"),
+    )
+    decided = pairs.filter(F.col("ca") != F.col("cb")).select(
+        "user_id",
+        "day",
+        F.when(F.col("ca") > F.col("cb"), F.col("type_a"))
+        .otherwise(F.col("type_b"))
+        .alias("chosen_type"),
+        F.when(F.col("ca") > F.col("cb"), F.col("type_b"))
+        .otherwise(F.col("type_a"))
+        .alias("rejected_type"),
+        F.greatest(
+            F.col("ca") - F.col("cb"), F.col("cb") - F.col("ca")
+        ).alias("margin"),
+        F.when(F.col("ca") > F.col("cb"), F.col("ta"))
+        .otherwise(F.col("tb"))
+        .alias("chosen_tok"),
+        F.when(F.col("ca") > F.col("cb"), F.col("tb"))
+        .otherwise(F.col("ta"))
+        .alias("rejected_tok"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("margin"), F.asc("chosen_type"), F.asc("rejected_type")
+    )
+    best = (
+        decided.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1) & (F.col("margin") >= DPO_MARGIN_MIN)
+        )
+        .drop("rn")
+    )
+    return best.select(
+        F.md5(
+            F.concat_ws("|", F.col("user_id").cast("string"), F.col("day"))
+        ).alias("prompt_id"),
+        "day",
+        "chosen_type",
+        "rejected_type",
+        "margin",
+        "chosen_tok",
+        "rejected_tok",
+    )
+
+
+_DPO_PAIR_SQL = f"""
+WITH counts AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS ct,
+           CAST(sum(2 + coalesce(TRY_CAST(json_extract_string(
+                    CASE WHEN json_valid(props) THEN props END, '$.k')
+                    AS BIGINT), 0) % 5) AS BIGINT) AS tok
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      AND ts IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+pp AS (
+    SELECT a.user_id, a.day,
+           a.event_type AS type_a, b.event_type AS type_b,
+           a.ct AS ca, b.ct AS cb, a.tok AS ta, b.tok AS tb
+    FROM counts a JOIN counts b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+),
+decided AS (
+    SELECT user_id, day,
+           CASE WHEN ca > cb THEN type_a ELSE type_b END AS chosen_type,
+           CASE WHEN ca > cb THEN type_b ELSE type_a END AS rejected_type,
+           greatest(ca - cb, cb - ca) AS margin,
+           CASE WHEN ca > cb THEN ta ELSE tb END AS chosen_tok,
+           CASE WHEN ca > cb THEN tb ELSE ta END AS rejected_tok
+    FROM pp WHERE ca <> cb
+),
+best AS (
+    SELECT * FROM decided
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, day
+        ORDER BY margin DESC, chosen_type, rejected_type) = 1
+)
+SELECT md5(CAST(user_id AS VARCHAR) || '|' || day) AS prompt_id,
+       day, chosen_type, rejected_type,
+       CAST(margin AS BIGINT) AS margin, chosen_tok, rejected_tok
+FROM best
+WHERE margin >= {DPO_MARGIN_MIN}
+"""
+
+
 QUERIES = {
     "caption_image_alignment": caption_image_alignment,
+    "dpo_pair_extraction": dpo_pair_extraction,
     "preference_length_bias_probe": preference_length_bias_probe,
     "semdedup_eps_sweep": semdedup_eps_sweep,
     "perplexity_bucket_assign": perplexity_bucket_assign,
@@ -2677,6 +2824,7 @@ QUERIES = {
 
 ORACLE = {
     "caption_image_alignment": _CAPTION_ALIGN_SQL,
+    "dpo_pair_extraction": _DPO_PAIR_SQL,
     "preference_length_bias_probe": _LENGTH_BIAS_SQL,
     "semdedup_eps_sweep": _semdedup_sql(),
     "perplexity_bucket_assign": _perplexity_bucket_sql(),

@@ -1017,3 +1017,29 @@ def test_length_bias_probe_has_no_join(spark, sf):
 
     plan = _plan(e.queries()["preference_length_bias_probe"](spark, sf))
     assert "Join" not in plan, plan
+
+
+def test_watermark_detect_is_shuffle_free_scan_bound(spark, sf):
+    """r10 wave 50 scale lock: the greenlist recount is per-row codegen —
+    no hash shuffle, no join, no window. At 100 TB the screen must be
+    scan-bound (the only Exchange is the local fan-out round-robin)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["synthetic_watermark_detect"](spark, sf))
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dpo_pair_extraction_two_combines_no_join(spark, sf):
+    """r10 wave 50 scale lock: the prompt-level top-1 must come from the
+    in-row pair explode + a window on the SAME (user, day) key as the
+    second combine — exactly two hash exchanges, a WindowGroupLimit so
+    only the best pair survives the sort, and no self-join of the
+    comparison frame."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["dpo_pair_extraction"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("hashpartitioning") <= 4, plan  # 2 nodes x tree+detail

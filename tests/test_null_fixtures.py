@@ -428,6 +428,12 @@ def null_duck(null_sf_dir):
         # from this fixture — covered by empty-input + hypothesis
         # suites, like the rest of the embedding family)
         "preference_length_bias_probe",
+        # r10 wave 50: NULL-text docs drop identically; whitespace-only
+        # and single-token docs hit the scored=0 guard on both engines;
+        # NULL user_id/ts/event_type rows leave the DPO comparison frame
+        # identically, NULL props -> the 0-token payload
+        "synthetic_watermark_detect",
+        "dpo_pair_extraction",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -388,6 +388,11 @@ QUERIES = [
     #                                  must be partition-blind
     "preference_length_bias_probe",  # in-row pair explode + BIGINT sums
     #                                  under combine reordering
+    # round-10 wave 50
+    "synthetic_watermark_detect",    # per-row greenlist recount + one
+    #                                  double division — partition-blind
+    "dpo_pair_extraction",           # window top-1 per prompt must pick
+    #                                  the same pair under perturbed plans
 ]
 
 PERTURBED = {
