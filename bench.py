@@ -182,6 +182,8 @@ HEADLINE = [
     # explode bradley_terry_strength already times; the probe adds one
     # BIGINT token leg per side and a tiny (type_a, type_b) combine.
     "synthetic_watermark_detect",
+    "retrieval_ndcg_eval",
+    "fim_transform_plan",
     # dpo_pair_extraction is NOT benched (double-count rule): its
     # data-sized stages are the same comparison scan + pair explode
     # bradley_terry_strength already times; the extraction adds a

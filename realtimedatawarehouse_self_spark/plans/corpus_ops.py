@@ -3575,8 +3575,171 @@ FROM z
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 51b (r10): fill-in-the-middle transform accounting (Bavarian et
+# al. 2022, "Efficient Training of Language Models to Fill in the
+# Middle"). A FIM prep rewrites a fraction psi of documents from
+# (prefix, middle, suffix) into [PRE]prefix[SUF]suffix[MID]middle (PSM)
+# or the SPM variant, adding 3 sentinel tokens per transformed doc; the
+# paper's headline knobs are psi (0.5), the PSM/SPM mix, and the span
+# length distribution. This operator emits the per-(lang, mode) planning
+# table a FIM prep checks before committing the rewrite: doc counts,
+# sentinel-token overhead, and the prefix/middle/suffix token masses.
+#
+# Deterministic derivation both engines share: selection iff first hex
+# of md5('fim|' || doc_id) < '8' (psi = 1/2); two cut points from the
+# next two hex pairs, c = least/greatest of two values in [1, n-1] (an
+# empty middle when they collide is legal — the paper permits empty
+# spans); PSM vs SPM from hex digit 7. Docs with < 4 tokens are never
+# transformed (mode 'skip'). All-integer arithmetic end to end.
+#
+# Scale: per-row codegen (hashes + arithmetic on the token count — the
+# token array itself is never exploded), then ONE tiny (lang, mode)
+# combine. Scan-bound at 100 TB.
+# ---------------------------------------------------------------------------
+FIM_MIN_TOKENS = 4
+
+
+def fim_transform_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        )
+    )
+    h = docs.withColumn("h", F.md5(F.concat(F.lit("fim|"), F.col("doc_id"))))
+    staged = h.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr(
+            f"substring(h, 1, 1) < '8' AND n_tok >= {FIM_MIN_TOKENS}"
+        ).alias("fim"),
+        F.expr(
+            "CAST(conv(substring(h, 2, 2), 16, 10) AS BIGINT)"
+        ).alias("r1"),
+        F.expr(
+            "CAST(conv(substring(h, 4, 2), 16, 10) AS BIGINT)"
+        ).alias("r2"),
+        F.expr("substring(h, 7, 1) < '8'").alias("psm"),
+    )
+    cuts = staged.select(
+        "lang",
+        "n_tok",
+        F.when(
+            F.col("fim"),
+            F.when(F.col("psm"), F.lit("psm")).otherwise(F.lit("spm")),
+        )
+        .otherwise(F.lit("skip"))
+        .alias("mode"),
+        F.when(
+            F.col("fim"), F.expr("least(r1 % (n_tok - 1), r2 % (n_tok - 1)) + 1")
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.when(
+            F.col("fim"),
+            F.expr("greatest(r1 % (n_tok - 1), r2 % (n_tok - 1)) + 1"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    return (
+        cuts.groupBy("lang", "mode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").alias("tok_in"),
+            F.sum(
+                F.when(F.col("mode") != "skip", 3).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sentinel_tok"),
+            F.sum(F.when(F.col("mode") != "skip", F.col("c1")).otherwise(0))
+            .cast("bigint")
+            .alias("prefix_tok"),
+            F.sum(
+                F.when(
+                    F.col("mode") != "skip", F.col("c2") - F.col("c1")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("middle_tok"),
+            F.sum(
+                F.when(
+                    F.col("mode") != "skip", F.col("n_tok") - F.col("c2")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("suffix_tok"),
+        )
+        .withColumn(
+            "middle_share_micro",
+            F.expr(
+                "CASE WHEN tok_in = 0 THEN 0"
+                " ELSE middle_tok * 1000000 div tok_in END"
+            ),
+        )
+    )
+
+
+_FIM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok,
+         md5('fim|' || doc_id) AS h
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+staged AS (
+  SELECT doc_id, lang, n_tok,
+         substr(h, 1, 1) < '8' AND n_tok >= {FIM_MIN_TOKENS} AS fim,
+         CAST(TRY_CAST('0x' || substr(h, 2, 2) AS INTEGER) AS BIGINT) AS r1,
+         CAST(TRY_CAST('0x' || substr(h, 4, 2) AS INTEGER) AS BIGINT) AS r2,
+         substr(h, 7, 1) < '8' AS psm
+  FROM d
+),
+cuts AS (
+  SELECT lang, n_tok,
+         CASE WHEN fim THEN (CASE WHEN psm THEN 'psm' ELSE 'spm' END)
+              ELSE 'skip' END AS mode,
+         CAST(CASE WHEN fim
+              THEN least(r1 % (n_tok - 1), r2 % (n_tok - 1)) + 1
+              ELSE 0 END AS BIGINT) AS c1,
+         CAST(CASE WHEN fim
+              THEN greatest(r1 % (n_tok - 1), r2 % (n_tok - 1)) + 1
+              ELSE 0 END AS BIGINT) AS c2
+  FROM staged
+),
+agg AS (
+  SELECT lang, mode,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tok_in,
+         CAST(sum(CASE WHEN mode <> 'skip' THEN 3 ELSE 0 END) AS BIGINT)
+             AS sentinel_tok,
+         CAST(sum(CASE WHEN mode <> 'skip' THEN c1 ELSE 0 END) AS BIGINT)
+             AS prefix_tok,
+         CAST(sum(CASE WHEN mode <> 'skip' THEN c2 - c1 ELSE 0 END)
+              AS BIGINT) AS middle_tok,
+         CAST(sum(CASE WHEN mode <> 'skip' THEN n_tok - c2 ELSE 0 END)
+              AS BIGINT) AS suffix_tok
+  FROM cuts GROUP BY 1, 2
+)
+SELECT *,
+       CAST(CASE WHEN tok_in = 0 THEN 0
+            ELSE middle_tok * 1000000 // tok_in END AS BIGINT)
+           AS middle_share_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "synthetic_watermark_detect": synthetic_watermark_detect,
+    "fim_transform_plan": fim_transform_plan,
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
     "robots_blocklist_filter": robots_blocklist_filter,
@@ -3615,6 +3778,7 @@ QUERIES = {
 
 ORACLE = {
     "synthetic_watermark_detect": _WATERMARK_SQL,
+    "fim_transform_plan": _FIM_SQL,
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "domain_frequency_cap": _DOMAIN_CAP_SQL,
     "robots_blocklist_filter": _BLOCKLIST_SQL,

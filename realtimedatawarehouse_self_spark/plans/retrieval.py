@@ -1918,7 +1918,199 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 51a (r10): graded retrieval-ranking eval — NDCG@K / MRR
+# (Jarvelin & Kekalainen 2002; the metric every retrieval / RAG eval
+# harness reports). A system "run" (ranked candidate list per query) is
+# scored against graded relevance judgments: DCG@K = sum over ranks of
+# gain(rel) * 1/log2(rank+1), normalized by the ideal ordering's IDCG@K;
+# MRR = 1/first-relevant-rank.
+#
+# The irrational log2 discounts are the cross-engine hazard, so they are
+# precomputed ONCE in Python at import (floor(1e6 / log2(r+1))) and
+# embedded as the SAME integer literals in both renderings — every
+# engine-side number is BIGINT arithmetic (gains 2^rel - 1 in {0,1,3,7},
+# integer div for the final ratios). Run and qrels are deterministic
+# md5 derivations per (query, doc) — the registry's standing stand-in
+# pattern (a real deployment swaps in its run table + qrels table; every
+# downstream line is unchanged).
+#
+# Scale: corpus scanned once, exploded x |queries| (a literal array);
+# both per-query top-K orderings go through row_number windows whose
+# rank<=K filter Spark plans as WindowGroupLimit (partial, map-side
+# limit before the exchange), so shuffle volume is Q*K per map task,
+# never the corpus. Final metrics: one |queries|-row combine.
+# ---------------------------------------------------------------------------
+NDCG_QUERIES = 5
+NDCG_K = 10
+# floor(1e6 / log2(rank+1)) for rank 1..K — shared integer constants.
+import math as _math
+
+NDCG_DISC_MICRO = tuple(
+    int(1_000_000 // _math.log2(r + 1)) for r in range(1, NDCG_K + 1)
+)
+
+
+def _ndcg_case(rank_col: str) -> str:
+    arms = " ".join(
+        f"WHEN {rank_col} = {r + 1} THEN {d}L"
+        for r, d in enumerate(NDCG_DISC_MICRO)
+    )
+    return f"CASE {arms} ELSE 0L END"
+
+
+def _ndcg_case_duck(rank_col: str) -> str:
+    arms = " ".join(
+        f"WHEN {rank_col} = {r + 1} THEN {d}"
+        for r, d in enumerate(NDCG_DISC_MICRO)
+    )
+    return f"CAST(CASE {arms} ELSE 0 END AS BIGINT)"
+
+
+# rel grade from one hex digit: 8/16 -> 0, 4/16 -> 1, 2/16 -> 2, 2/16 -> 3
+_REL_CASE = (
+    "CASE WHEN {d} < '8' THEN 0L WHEN {d} < 'c' THEN 1L "
+    "WHEN {d} < 'e' THEN 2L ELSE 3L END"
+)
+# gain(rel) = 2^rel - 1, spelled as a CASE so pow() never appears
+# (repo-wide doctrine: no transcendental/pow calls in parity arithmetic)
+_GAIN = (
+    "(CASE WHEN rel = 0 THEN 0L WHEN rel = 1 THEN 1L "
+    "WHEN rel = 2 THEN 3L ELSE 7L END)"
+)
+_GAIN_DUCK = (
+    "(CASE WHEN rel = 0 THEN 0 WHEN rel = 1 THEN 1 "
+    "WHEN rel = 2 THEN 3 ELSE 7 END)"
+)
+
+
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    judged = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(q) for q in range(NDCG_QUERIES)])
+        ).alias("query_id"),
+    ).withColumn(
+        "h", F.md5(F.concat_ws(":", "query_id", "doc_id"))
+    )
+    scored = judged.select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"
+        ).alias("score"),
+        F.expr(
+            _REL_CASE.format(d="substring(h, 9, 1)")
+        ).alias("rel"),
+    )
+    run_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    run = (
+        scored.withColumn("rank", F.row_number().over(run_w))
+        .filter(F.col("rank") <= NDCG_K)
+        .withColumn(
+            "dg",
+            F.expr(f"{_GAIN} * ({_ndcg_case('rank')})"),
+        )
+    )
+    ideal_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    ideal = (
+        scored.withColumn("irank", F.row_number().over(ideal_w))
+        .filter(F.col("irank") <= NDCG_K)
+        .withColumn(
+            "ig",
+            F.expr(f"{_GAIN} * ({_ndcg_case('irank')})"),
+        )
+    )
+    run_agg = run.groupBy("query_id").agg(
+        F.sum("dg").alias("dcg_micro"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_at_k"),
+        F.min(F.when(F.col("rel") >= 2, F.col("rank"))).alias(
+            "first_good_rank"
+        ),
+    )
+    ideal_agg = ideal.groupBy("query_id").agg(
+        F.sum("ig").alias("idcg_micro")
+    )
+    out = run_agg.join(F.broadcast(ideal_agg), "query_id")
+    return out.select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(
+            "CASE WHEN idcg_micro = 0 THEN 0 "
+            "ELSE dcg_micro * 1000000 div idcg_micro END"
+        ).alias("ndcg_micro"),
+        "n_rel_at_k",
+        F.coalesce(
+            F.expr("1000000 div first_good_rank"), F.lit(0).cast("bigint")
+        ).alias("rr_micro"),
+    ).orderBy("query_id")
+
+
+def _ndcg_sql() -> str:
+    rel = _REL_CASE.format(d="substr(h, 9, 1)").replace("0L", "0").replace(
+        "1L", "1"
+    ).replace("2L", "2").replace("3L", "3")
+    return f"""
+WITH judged AS (
+  SELECT d.doc_id, q.query_id,
+         md5(q.query_id || ':' || d.doc_id) AS h
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({NDCG_QUERIES})) AS query_id) q
+  WHERE d.text IS NOT NULL
+),
+scored AS (
+  SELECT query_id, doc_id,
+         TRY_CAST('0x' || substr(h, 1, 8) AS BIGINT) AS score,
+         CAST({rel} AS BIGINT) AS rel
+  FROM judged
+),
+run AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= {NDCG_K}
+),
+ideal AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank
+  FROM scored QUALIFY irank <= {NDCG_K}
+),
+run_agg AS (
+  SELECT query_id,
+         CAST(sum({_GAIN_DUCK}
+              * ({_ndcg_case_duck('rank')})) AS BIGINT) AS dcg_micro,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rel_at_k,
+         min(CASE WHEN rel >= 2 THEN rank END) AS first_good_rank
+  FROM run GROUP BY 1
+),
+ideal_agg AS (
+  SELECT query_id,
+         CAST(sum({_GAIN_DUCK}
+              * ({_ndcg_case_duck('irank')})) AS BIGINT) AS idcg_micro
+  FROM ideal GROUP BY 1
+)
+SELECT r.query_id, r.dcg_micro, i.idcg_micro,
+       CAST(CASE WHEN i.idcg_micro = 0 THEN 0
+            ELSE r.dcg_micro * 1000000 // i.idcg_micro END AS BIGINT)
+           AS ndcg_micro,
+       r.n_rel_at_k,
+       CAST(coalesce(1000000 // r.first_good_rank, 0) AS BIGINT)
+           AS rr_micro
+FROM run_agg r JOIN ideal_agg i USING (query_id)
+ORDER BY query_id
+"""
+
+
 QUERIES = {
+    "retrieval_ndcg_eval": retrieval_ndcg_eval,
     "cooccurrence_window_pmi": cooccurrence_window_pmi,
     "bm25_doc_search": bm25_doc_search,
     "source_span_overlap": source_span_overlap,
@@ -1936,6 +2128,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "retrieval_ndcg_eval": _ndcg_sql(),
     "bm25_doc_search": _bm25_sql(),
     "cooccurrence_window_pmi": _COOC_SQL,
     "source_span_overlap": _SOURCE_OVERLAP_SQL,

@@ -1043,3 +1043,31 @@ def test_dpo_pair_extraction_two_combines_no_join(spark, sf):
     assert "Join" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("hashpartitioning") <= 4, plan  # 2 nodes x tree+detail
+
+
+def test_ndcg_eval_partial_topk_before_exchange(spark, sf):
+    """r10 wave 51 scale lock: both per-query top-K orderings must carry
+    a PARTIAL WindowGroupLimit below their Exchange (map-side limit, so
+    shuffle volume is Q*K per task — never the corpus), the ideal branch
+    joins broadcast, and nothing sort-merges."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["retrieval_ndcg_eval"](spark, sf))
+    # 2 branches x (partial + final) x (tree + detail) = 8 mentions
+    assert plan.count("WindowGroupLimit") >= 8, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_fim_plan_is_single_combine_scan_bound(spark, sf):
+    """r10 wave 51 scale lock: the FIM staging is per-row codegen on the
+    token COUNT (the token array is never exploded), followed by one
+    tiny (lang, mode) combine — no join, no window, exactly one hash
+    exchange."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["fim_transform_plan"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert plan.count("hashpartitioning") <= 2, plan  # 1 node x tree+detail

@@ -434,6 +434,11 @@ def null_duck(null_sf_dir):
         # identically, NULL props -> the 0-token payload
         "synthetic_watermark_detect",
         "dpo_pair_extraction",
+        # r10 wave 51: NULL text drops identically from the judged pool
+        # (NDCG) and the FIM staging; NULL lang additionally leaves the
+        # FIM plan's combine; sub-4-token and empty docs land in 'skip'
+        "retrieval_ndcg_eval",
+        "fim_transform_plan",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

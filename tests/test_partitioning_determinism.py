@@ -393,6 +393,10 @@ QUERIES = [
     #                                  double division — partition-blind
     "dpo_pair_extraction",           # window top-1 per prompt must pick
     #                                  the same pair under perturbed plans
+    # round-10 wave 51
+    "retrieval_ndcg_eval",           # partial top-K + broadcast ideal
+    #                                  join under perturbed plans
+    "fim_transform_plan",            # per-row hash cuts + tiny combine
 ]
 
 PERTURBED = {
