@@ -188,6 +188,10 @@ HEADLINE = [
     # data-sized stages are the same comparison scan + pair explode
     # bradley_terry_strength already times; the extraction adds a
     # WindowGroupLimit top-1 on the already-built pair frame.
+    # streaming_watermark_twin is NOT benched (streaming-twin rule: the
+    # data-sized work is synthetic_watermark_detect's per-doc counters,
+    # already timed; the twin re-proves keyed-state carry, not
+    # throughput).
     "collocation_pmi",
     "heavy_hitter_users",
     "audience_overlap_jaccard",

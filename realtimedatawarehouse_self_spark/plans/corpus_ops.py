@@ -3502,6 +3502,34 @@ FROM top
 # ---------------------------------------------------------------------------
 WM_Z_KEEP_MICRO = 4_000_000  # z >= 4 => watermarked
 
+# Shared Spark-side pieces — the streaming twin reuses these verbatim so
+# the per-doc greenlist arithmetic cannot drift between the two.
+WM_GREEN_EXPR = (
+    "aggregate(sequence(1, size(tok_arr) - 1), 0L, (acc, i) -> "
+    "acc + IF(substring(md5(concat(tok_arr[i-1], '|', tok_arr[i])),"
+    " 1, 1) < '4', 1L, 0L))"
+)
+WM_Z_EXPR = (
+    "CASE WHEN scored = 0 THEN 0 ELSE "
+    "CAST(floor(CAST(4 * green - scored AS DOUBLE)"
+    " / sqrt(CAST(3 * scored AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    " END"
+)
+
+
+def _wm_doc_stats(docs: DataFrame, *keep: str) -> DataFrame:
+    """Per-doc (scored, green) greenlist counters over a frame that
+    already has tok_arr; extra columns in ``keep`` pass through."""
+    return docs.select(
+        *keep,
+        F.greatest(F.size("tok_arr") - F.lit(1), F.lit(0))
+        .cast("bigint")
+        .alias("scored"),
+        F.when(F.size("tok_arr") < 2, F.lit(0).cast("bigint"))
+        .otherwise(F.expr(WM_GREEN_EXPR))
+        .alias("green"),
+    )
+
 
 def synthetic_watermark_detect(
     spark: SparkSession, sf_dir: str
@@ -3511,28 +3539,8 @@ def synthetic_watermark_detect(
         .filter(F.col("text").isNotNull())
         .withColumn("tok_arr", tokens("text"))
     )
-    green = (
-        "aggregate(sequence(1, size(tok_arr) - 1), 0L, (acc, i) -> "
-        "acc + IF(substring(md5(concat(tok_arr[i-1], '|', tok_arr[i])),"
-        " 1, 1) < '4', 1L, 0L))"
-    )
-    scored = docs.select(
-        "doc_id",
-        F.greatest(F.size("tok_arr") - F.lit(1), F.lit(0))
-        .cast("bigint")
-        .alias("scored"),
-        F.when(F.size("tok_arr") < 2, F.lit(0).cast("bigint"))
-        .otherwise(F.expr(green))
-        .alias("green"),
-    )
-    z = scored.withColumn(
-        "z_micro",
-        F.expr(
-            "CASE WHEN scored = 0 THEN 0 ELSE "
-            "CAST(floor(CAST(4 * green - scored AS DOUBLE)"
-            " / sqrt(CAST(3 * scored AS DOUBLE)) * 1000000.0) AS BIGINT)"
-            " END"
-        ),
+    z = _wm_doc_stats(docs, "doc_id").withColumn(
+        "z_micro", F.expr(WM_Z_EXPR)
     )
     return z.select(
         "doc_id",
@@ -3545,27 +3553,32 @@ def synthetic_watermark_detect(
     )
 
 
-_WATERMARK_SQL = f"""
-WITH d AS (
-  SELECT doc_id,
+# Shared DuckDB CTEs (per-doc greenlist counters, with source carried
+# through for the streaming twin's pooled rollup).
+_WM_DOC_CTES = """d AS (
+  SELECT doc_id, source,
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 g AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS scored,
          CAST(CASE WHEN len(toks) < 2 THEN 0 ELSE
            len(list_filter(toks, (x, i) -> i > 1 AND
                substr(md5(toks[i - 1] || '|' || x), 1, 1) < '4'))
            END AS BIGINT) AS green
   FROM d
-),
-z AS (
-  SELECT doc_id, scored, green,
-         CASE WHEN scored = 0 THEN 0 ELSE
+)"""
+
+_WM_Z_SQL = """CASE WHEN scored = 0 THEN 0 ELSE
            CAST(floor(CAST(4 * green - scored AS DOUBLE)
                 / sqrt(CAST(3 * scored AS DOUBLE)) * 1000000.0) AS BIGINT)
-           END AS z_micro
+           END"""
+
+_WATERMARK_SQL = f"""
+WITH {_WM_DOC_CTES},
+z AS (
+  SELECT doc_id, scored, green, {_WM_Z_SQL} AS z_micro
   FROM g
 )
 SELECT doc_id, scored, green, z_micro,

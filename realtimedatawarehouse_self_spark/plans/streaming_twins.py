@@ -2957,7 +2957,136 @@ def _sft_gate_stream_sql() -> str:
     return _TURN_STRUCTURE_SQL
 
 
+# ---------------------------------------------------------------------------
+# Streaming watermark-detection twin — the 28th twin (r10, wave 52): the
+# per-source POOLED Kirchenbauer greenlist statistic as a real keyed-
+# custom-state job. Documents arrive in ascending doc_id-band
+# micro-batches; each source's state carries THREE longs (docs, scored
+# transitions, green transitions), every batch emits the cumulative row,
+# and the final emission's z = (4g - T)/sqrt(3T) must equal the one-shot
+# batch GROUP BY bit-for-bit — the detection statistic is mergeable, so
+# a stream of arriving model output can be screened incrementally. The
+# per-doc counters are the SHARED WM_GREEN_EXPR / _wm_doc_stats pieces
+# of `corpus_ops.synthetic_watermark_detect` (harness staging computes
+# them batch-side; the streamed half is exactly the part that needs
+# cross-batch memory — the pooled counters). NULL-source docs are out of
+# scope on both engines (a keyed counter needs a key).
+# ---------------------------------------------------------------------------
+WM_TWIN_BATCHES = 4
+
+
+def streaming_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtimedatawarehouse_self_spark.functions.exprs import tokens
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        WM_Z_EXPR,
+        WM_Z_KEEP_MICRO,
+        _wm_doc_stats,
+    )
+    from realtimedatawarehouse_self_spark.streaming.stateful import (
+        watermark_pooled_counters,
+    )
+
+    stats = None
+    with _twin_confs(spark):
+        try:
+            docs = (
+                load_table(spark, sf_dir, "documents")
+                .filter(
+                    F.col("text").isNotNull()
+                    & F.col("source").isNotNull()
+                    & F.col("doc_id").isNotNull()
+                )
+                .withColumn("tok_arr", tokens("text"))
+            )
+            stats = _wm_doc_stats(docs, "source", "doc_id").persist()
+            lo_hi = stats.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).collect()[0]
+            if lo_hi["lo"] is None:
+                return spark.createDataFrame(
+                    [],
+                    "source string, n_docs bigint, scored bigint, "
+                    "green bigint, z_micro bigint, verdict string",
+                )
+            lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+            stage = _MicroBatchStage("rtdw-wmtwin-")
+            banded = stats.withColumn(
+                "band",
+                F.expr(
+                    f"CAST((doc_id - {lo}) * {WM_TWIN_BATCHES}"
+                    f" div ({hi} - {lo} + 1) AS INT)"
+                ),
+            )
+            for b in range(WM_TWIN_BATCHES):
+                stage.stage_slice(
+                    banded.filter(F.col("band") == b).select(
+                        "source", "scored", "green"
+                    )
+                )
+            sunk = stage.run_to_parquet(
+                spark,
+                watermark_pooled_counters(
+                    stage.read_stream(
+                        spark,
+                        "source string, scored bigint, green bigint",
+                    )
+                ),
+            )
+            fin = (
+                sunk.groupBy("source")
+                .agg(
+                    F.max_by(
+                        F.struct("n_docs", "scored", "green"), "n_docs"
+                    ).alias("fin")
+                )
+                .select(
+                    "source",
+                    F.col("fin.n_docs").alias("n_docs"),
+                    F.col("fin.scored").alias("scored"),
+                    F.col("fin.green").alias("green"),
+                )
+            )
+            return fin.withColumn(
+                "z_micro", F.expr(WM_Z_EXPR)
+            ).withColumn(
+                "verdict",
+                F.when(
+                    F.col("z_micro") >= WM_Z_KEEP_MICRO, "watermarked"
+                ).otherwise("clean"),
+            )
+        finally:
+            if stats is not None:
+                stats.unpersist()
+
+
+def _watermark_twin_sql() -> str:
+    from realtimedatawarehouse_self_spark.plans.corpus_ops import (
+        WM_Z_KEEP_MICRO,
+        _WM_DOC_CTES,
+        _WM_Z_SQL,
+    )
+
+    return f"""
+WITH {_WM_DOC_CTES},
+p AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(scored) AS BIGINT) AS scored,
+         CAST(sum(green) AS BIGINT) AS green
+  FROM g WHERE source IS NOT NULL GROUP BY 1
+),
+z AS (
+  SELECT source, n_docs, scored, green, {_WM_Z_SQL} AS z_micro FROM p
+)
+SELECT source, n_docs, scored, green, z_micro,
+       CASE WHEN z_micro >= {WM_Z_KEEP_MICRO} THEN 'watermarked'
+            ELSE 'clean' END AS verdict
+FROM z
+"""
+
+
 QUERIES = {
+    "streaming_watermark_twin": streaming_watermark_twin,
     "streaming_sft_gate_twin": streaming_sft_gate_twin,
     "streaming_episode_return_twin": streaming_episode_return_twin,
     "streaming_chunk_owner_twin": streaming_chunk_owner_twin,
@@ -2988,6 +3117,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_watermark_twin": _watermark_twin_sql(),
     "streaming_sft_gate_twin": _sft_gate_stream_sql(),
     "streaming_episode_return_twin": _episode_stream_sql(),
     "streaming_chunk_owner_twin": _chunk_owner_stream_sql(),

@@ -964,3 +964,56 @@ def sft_gate_fold(turns: DataFrame) -> DataFrame:
     return turns.groupBy("user_id", "day").applyInPandasWithState(
         fn, schema, state_schema, "append", "NoTimeout"
     )
+
+
+def watermark_pooled_counters(docs: DataFrame) -> DataFrame:
+    """Per-source pooled greenlist counters — the keyed-state streaming
+    twin of ``plans/corpus_ops.synthetic_watermark_detect``'s rollup: as
+    each source's documents stream in, the state carries THREE longs
+    (docs, scored transitions, green transitions — O(1) per source at
+    any corpus size) and every batch emits the source's cumulative row.
+    The final emission must equal the one-shot batch GROUP BY exactly —
+    the mergeability of the pooled z statistic is the point (Kirchenbauer
+    detection over a stream of arriving model output).
+
+    Input rows: (source string, scored long, green long) — one per doc.
+    """
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("n_docs", LongType()),
+            StructField("scored", LongType()),
+            StructField("green", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_docs", LongType()),
+            StructField("scored", LongType()),
+            StructField("green", LongType()),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        n_docs, scored, green = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            scored += int(pdf["scored"].sum())
+            green += int(pdf["green"].sum())
+        state.update((n_docs, scored, green))
+        yield pd.DataFrame(
+            {
+                "source": [key_tuple[0]],
+                "n_docs": [n_docs],
+                "scored": [scored],
+                "green": [green],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        fn, schema, state_schema, "append", "NoTimeout"
+    )

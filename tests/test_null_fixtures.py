@@ -439,6 +439,11 @@ def null_duck(null_sf_dir):
         # FIM plan's combine; sub-4-token and empty docs land in 'skip'
         "retrieval_ndcg_eval",
         "fim_transform_plan",
+        # r10 wave 52: NULL-source docs are out of scope on both engines
+        # (a keyed counter needs a key); NULL text drops identically;
+        # whitespace-only / single-token docs contribute scored=0 rows
+        # to their source's pooled counters
+        "streaming_watermark_twin",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):
