@@ -184,6 +184,11 @@ HEADLINE = [
     "synthetic_watermark_detect",
     "retrieval_ndcg_eval",
     "fim_transform_plan",
+    "tokenizer_parity_audit",
+    # memorization_risk_audit is NOT benched (double-count rule): its
+    # data-sized stages are the _verified_spans chain (already timed via
+    # dedup_duplicated_spans / duplicated_span_removal) plus one md5
+    # combine; benching it would count the span machinery a third time.
     # dpo_pair_extraction is NOT benched (double-count rule): its
     # data-sized stages are the same comparison scan + pair explode
     # bradley_terry_strength already times; the extraction adds a

@@ -3750,9 +3750,104 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 53b (r10): cross-lingual tokenizer-parity audit (Petrov et al.
+# 2023, "Language Model Tokenizers Introduce Unfairness Between
+# Languages"): the same content costs different token counts per
+# language ("byte premium"), which skews context budgets, API pricing,
+# and mixture token targets. The audit table: per language, character
+# and token masses, chars-per-token, and the premium relative to the
+# corpus's PIVOT language (the best-resourced one — the language with
+# the largest token mass, deterministic tie-break by lang asc).
+#
+# premium is computed as TWO chained integer micro-divisions
+# (chars_per_tok_micro = chars*1e6 div toks, then pivot-relative
+# premium_micro = cpt_pivot * 1e6 div cpt_lang — note the direction: a
+# language CHEAPER per char than the pivot scores < 1e6), keeping every
+# intermediate within checked-BIGINT range at any corpus size (chars *
+# 1e6 crosses INT64 around 9.2e12 chars per language — ~9 TB of text in
+# ONE language; the plan note documents the DECIMAL(38) escape hatch).
+#
+# Scale: one tiny per-lang combine with map-side partials; the pivot row
+# is a broadcast crossJoin. Scan-bound.
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_lang = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_total"),
+            F.sum(F.size(tokens("text")))
+            .cast("bigint")
+            .alias("tokens_total"),
+        )
+        .filter(F.col("tokens_total") > 0)
+        .withColumn(
+            "chars_per_tok_micro",
+            F.expr("chars_total * 1000000 div tokens_total"),
+        )
+    )
+    pivot = per_lang.agg(
+        F.expr(
+            "min_by(struct(lang, chars_per_tok_micro),"
+            " struct(-tokens_total, lang))"
+        ).alias("p")
+    ).select(
+        F.col("p.lang").alias("pivot_lang"),
+        F.col("p.chars_per_tok_micro").alias("pivot_cpt_micro"),
+    )
+    return per_lang.crossJoin(F.broadcast(pivot)).select(
+        "lang",
+        "n_docs",
+        "chars_total",
+        "tokens_total",
+        "chars_per_tok_micro",
+        "pivot_lang",
+        F.expr(
+            "pivot_cpt_micro * 1000000 div chars_per_tok_micro"
+        ).alias("premium_micro"),
+    )
+
+
+_TOK_PARITY_SQL = """
+WITH per_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS chars_total,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  x -> x <> ''))) AS BIGINT)
+             AS tokens_total
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+cpt AS (
+  SELECT *, chars_total * 1000000 // tokens_total
+             AS chars_per_tok_micro
+  FROM per_lang WHERE tokens_total > 0
+),
+pv AS (
+  SELECT lang AS pivot_lang,
+         chars_per_tok_micro AS pivot_cpt_micro
+  FROM cpt ORDER BY tokens_total DESC, lang LIMIT 1
+)
+SELECT c.lang, c.n_docs, c.chars_total, c.tokens_total,
+       CAST(c.chars_per_tok_micro AS BIGINT) AS chars_per_tok_micro,
+       p.pivot_lang,
+       CAST(p.pivot_cpt_micro * 1000000 // c.chars_per_tok_micro
+            AS BIGINT) AS premium_micro
+FROM cpt c CROSS JOIN pv p
+"""
+
+
 QUERIES = {
     "synthetic_watermark_detect": synthetic_watermark_detect,
     "fim_transform_plan": fim_transform_plan,
+    "tokenizer_parity_audit": tokenizer_parity_audit,
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
     "robots_blocklist_filter": robots_blocklist_filter,
@@ -3792,6 +3887,7 @@ QUERIES = {
 ORACLE = {
     "synthetic_watermark_detect": _WATERMARK_SQL,
     "fim_transform_plan": _FIM_SQL,
+    "tokenizer_parity_audit": _TOK_PARITY_SQL,
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "domain_frequency_cap": _DOMAIN_CAP_SQL,
     "robots_blocklist_filter": _BLOCKLIST_SQL,

@@ -2109,8 +2109,215 @@ ORDER BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 53a (r10): memorization-risk audit (Carlini et al. 2022,
+# "Quantifying Memorization Across Neural Language Models": extraction
+# risk grows with how often a sequence is duplicated in the training
+# corpus). The audit every privacy-conscious corpus prep runs before
+# training: per document, (a) how many OTHER documents are byte-exact
+# copies, and (b) how many of its tokens sit inside verified duplicated
+# spans (BOTH legs of the span pair — a doc is risky whether it is the
+# kept or the removed side), folded into an integer risk score and a
+# release bucket. Composes the wave-37/40 span machinery (_verified_
+# spans — anchor-shingle + extension + exact verify) with the exact-dup
+# hash family; sharing the primitives means this audit cannot drift
+# from the dedup ops that act on the same evidence.
+#
+# Scoring (integer, both engines): 4 points per exact duplicate (capped
+# at 4 dups), span points by duplicated-mass share (>=50% -> 8,
+# >=20% -> 4, >=5% -> 2, >0 -> 1). Buckets: >=12 critical, >=6 high,
+# >=2 medium, >=1 low, 0 minimal.
+#
+# Scale: the span side is the df-capped anchor machinery (bounded pair
+# fan-out, exact verify on candidates only — the wave-37 plan audit);
+# the exact side is one md5 combine; the assembly joins are keyed
+# shuffle joins pinned SHUFFLE_HASH (dup evidence is data-sized at a
+# constant dup rate — the duplicated_span_removal doctrine).
+# ---------------------------------------------------------------------------
+
+
+def memorization_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok, ver = _verified_spans(spark, sf_dir)
+    iv = (
+        ver.select(
+            F.col("da").cast("bigint").alias("doc_id"),
+            F.col("start_a").cast("bigint").alias("s"),
+            (F.col("start_a") + F.col("span_len") - 1)
+            .cast("bigint")
+            .alias("e"),
+        )
+        .unionByName(
+            ver.select(
+                F.col("db").cast("bigint").alias("doc_id"),
+                F.col("start_b").cast("bigint").alias("s"),
+                (F.col("start_b") + F.col("span_len") - 1)
+                .cast("bigint")
+                .alias("e"),
+            )
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    iv2 = iv.withColumn(
+        "prev_max",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "new_isl",
+        (
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max"))
+        ).cast("int"),
+    )
+    isl = iv2.withColumn(
+        "isl",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    mass = (
+        isl.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("me") - F.col("ms") + 1)
+            .cast("bigint")
+            .alias("dup_tokens")
+        )
+    )
+    # the exact-dup leg needs the raw text for the hash, so it re-scans
+    # the 2-column projection (the span side's persisted tok frame has
+    # already dropped text); NULL-text docs are out of scope both sides
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+            F.md5("text").alias("th"),
+        )
+    )
+    groups = docs.groupBy("th").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies")
+    )
+    base = (
+        docs.hint("shuffle_hash")
+        .join(groups, "th")
+        .withColumn("exact_dups", F.col("copies") - F.lit(1))
+        .drop("th", "copies")
+    )
+    joined = base.hint("shuffle_hash").join(
+        mass, "doc_id", "left"
+    ).withColumn(
+        "dup_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint"),
+    )
+    scored = joined.withColumn(
+        "span_dup_micro",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE dup_tokens * 1000000 div n_tokens END"
+        ),
+    ).withColumn(
+        "risk_points",
+        F.expr(
+            "least(exact_dups, 4) * 4 + CASE"
+            " WHEN span_dup_micro >= 500000 THEN 8"
+            " WHEN span_dup_micro >= 200000 THEN 4"
+            " WHEN span_dup_micro >= 50000 THEN 2"
+            " WHEN span_dup_micro > 0 THEN 1 ELSE 0 END"
+        ).cast("bigint"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "exact_dups",
+        "dup_tokens",
+        "span_dup_micro",
+        "risk_points",
+        F.expr(
+            "CASE WHEN risk_points >= 12 THEN 'critical'"
+            " WHEN risk_points >= 6 THEN 'high'"
+            " WHEN risk_points >= 2 THEN 'medium'"
+            " WHEN risk_points >= 1 THEN 'low'"
+            " ELSE 'minimal' END"
+        ).alias("risk_bucket"),
+    )
+
+
+_MEM_RISK_SQL = f"""
+WITH {_DUP_SPAN_CTES},
+iv AS (
+    SELECT doc_a AS doc_id, start_a AS s,
+           start_a + span_len - 1 AS e
+    FROM vspans
+    UNION ALL
+    SELECT doc_b AS doc_id, start_b AS s,
+           start_b + span_len - 1 AS e
+    FROM vspans
+),
+iv2 AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM iv
+),
+isl AS (
+    SELECT doc_id, s, e,
+           sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS isl
+    FROM iv2
+),
+merged AS (
+    SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+    FROM isl GROUP BY 1, 2
+),
+mass AS (
+    SELECT doc_id, CAST(sum(me - ms + 1) AS BIGINT) AS dup_tokens
+    FROM merged GROUP BY 1
+),
+docs AS (
+    SELECT doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           md5(text) AS th
+    FROM tok t JOIN documents USING (doc_id)
+    WHERE t.t IS NOT NULL
+),
+grp AS (
+    SELECT th, CAST(count(*) AS BIGINT) AS copies FROM docs GROUP BY 1
+),
+scored AS (
+    SELECT d.doc_id, d.n_tokens,
+           g.copies - 1 AS exact_dups,
+           CAST(coalesce(m.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(CASE WHEN d.n_tokens = 0 THEN 0
+                ELSE coalesce(m.dup_tokens, 0) * 1000000 // d.n_tokens
+                END AS BIGINT) AS span_dup_micro
+    FROM docs d
+    JOIN grp g USING (th)
+    LEFT JOIN mass m ON d.doc_id = m.doc_id
+),
+pts AS (
+    SELECT *,
+           CAST(least(exact_dups, 4) * 4 + CASE
+                WHEN span_dup_micro >= 500000 THEN 8
+                WHEN span_dup_micro >= 200000 THEN 4
+                WHEN span_dup_micro >= 50000 THEN 2
+                WHEN span_dup_micro > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS risk_points
+    FROM scored
+)
+SELECT doc_id, n_tokens, exact_dups, dup_tokens, span_dup_micro,
+       risk_points,
+       CASE WHEN risk_points >= 12 THEN 'critical'
+            WHEN risk_points >= 6 THEN 'high'
+            WHEN risk_points >= 2 THEN 'medium'
+            WHEN risk_points >= 1 THEN 'low'
+            ELSE 'minimal' END AS risk_bucket
+FROM pts
+"""
+
+
 QUERIES = {
     "retrieval_ndcg_eval": retrieval_ndcg_eval,
+    "memorization_risk_audit": memorization_risk_audit,
     "cooccurrence_window_pmi": cooccurrence_window_pmi,
     "bm25_doc_search": bm25_doc_search,
     "source_span_overlap": source_span_overlap,
@@ -2129,6 +2336,7 @@ QUERIES = {
 
 ORACLE = {
     "retrieval_ndcg_eval": _ndcg_sql(),
+    "memorization_risk_audit": _MEM_RISK_SQL,
     "bm25_doc_search": _bm25_sql(),
     "cooccurrence_window_pmi": _COOC_SQL,
     "source_span_overlap": _SOURCE_OVERLAP_SQL,

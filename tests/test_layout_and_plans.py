@@ -1071,3 +1071,31 @@ def test_fim_plan_is_single_combine_scan_bound(spark, sf):
     assert "Window" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
     assert plan.count("hashpartitioning") <= 2, plan  # 1 node x tree+detail
+
+
+def test_memorization_risk_joins_all_shuffle_hash(spark, sf):
+    """r10 wave 53 scale lock: every join in the risk assembly (the
+    _verified_spans verify joins, the exact-dup group join, the span-mass
+    join) must be a shuffle-hash join — dup evidence is data-sized at a
+    constant dup rate, so the planner must never broadcast a corpus-sized
+    frame (the wave-37 driver-OOM lesson), and nothing sort-merges."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["memorization_risk_audit"](spark, sf))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_tokenizer_parity_pivot_is_broadcast(spark, sf):
+    """r10 wave 53 scale lock: one tiny per-lang combine; the pivot row
+    joins back via the broadcast-tiny-agg crossJoin pattern (never a
+    shuffle), and the corpus is scanned once."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tokenizer_parity_audit"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # two scan NODES (x tree+detail): the per-lang combine feeds the
+    # output rows and the 1-row pivot agg; both are 3-column projections
+    assert plan.count("Scan parquet") <= 4, plan

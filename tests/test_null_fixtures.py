@@ -444,6 +444,11 @@ def null_duck(null_sf_dir):
         # whitespace-only / single-token docs contribute scored=0 rows
         # to their source's pooled counters
         "streaming_watermark_twin",
+        # r10 wave 53: NULL-text docs leave both the span evidence and
+        # the exact-dup hash groups identically; NULL lang leaves the
+        # parity combine; zero-token docs guard the micro divisions
+        "memorization_risk_audit",
+        "tokenizer_parity_audit",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -397,6 +397,11 @@ QUERIES = [
     "retrieval_ndcg_eval",           # partial top-K + broadcast ideal
     #                                  join under perturbed plans
     "fim_transform_plan",            # per-row hash cuts + tiny combine
+    # round-10 wave 53
+    "memorization_risk_audit",       # span sweep + exact-dup combine
+    #                                  must score identically under
+    #                                  perturbed physical plans
+    "tokenizer_parity_audit",        # pivot pick + integer ratios
 ]
 
 PERTURBED = {
