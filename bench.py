@@ -185,6 +185,8 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "fim_transform_plan",
     "tokenizer_parity_audit",
+    "inbatch_negative_collision_audit",
+    "filter_cascade_order_plan",
     # memorization_risk_audit is NOT benched (double-count rule): its
     # data-sized stages are the _verified_spans chain (already timed via
     # dedup_duplicated_spans / duplicated_span_removal) plus one md5

@@ -3844,10 +3844,291 @@ FROM cpt c CROSS JOIN pv p
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 54a (r10): in-batch negative collision audit. Contrastive training
+# (CLIP / InfoNCE / DPR) treats every other item in the batch as a
+# negative; two same-source items in one batch are likely FALSE negatives
+# (near-duplicate or topically identical), which measurably degrades the
+# embedding (the "false negative" problem — Huynh et al. 2022 and the
+# DPR/CLIP data-prep folklore). Before training, the prep audits its
+# batch sharding: per batch, how many of the C(n,2) negative pairs
+# collide on source. Batch assignment is the registry's standing md5
+# shard rule (what epoch_shard_plan ships), so this audits the ACTUAL
+# batches that sharding would produce.
+#
+# Scale: one (batch, source) combine -> per-batch combine; collisions =
+# sum C(n_s, 2) computed from group sizes — never a pair join. Exact
+# integers end to end; collision_micro = collisions*1e6 div pairs.
+# ---------------------------------------------------------------------------
+NEG_AUDIT_BATCHES = 64
+
+
+def inbatch_negative_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    assigned = docs.select(
+        "source",
+        F.expr(
+            f"CAST(conv(substring(md5(concat('batch|', doc_id)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {NEG_AUDIT_BATCHES}"
+        ).alias("batch_id"),
+    )
+    per_src = assigned.groupBy("batch_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    per_batch = per_src.groupBy("batch_id").agg(
+        F.sum("n_s").cast("bigint").alias("n_items"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum(F.expr("n_s * (n_s - 1) div 2"))
+        .cast("bigint")
+        .alias("collisions"),
+        F.max("n_s").cast("bigint").alias("max_source_run"),
+    )
+    return per_batch.select(
+        "batch_id",
+        "n_items",
+        "n_sources",
+        "collisions",
+        "max_source_run",
+        F.expr(
+            "CASE WHEN n_items < 2 THEN 0 ELSE collisions * 1000000"
+            " div (n_items * (n_items - 1) div 2) END"
+        ).alias("collision_micro"),
+    )
+
+
+_NEG_AUDIT_SQL = f"""
+WITH assigned AS (
+  SELECT source,
+         TRY_CAST('0x' || substr(md5('batch|' || doc_id), 1, 8)
+                  AS BIGINT) % {NEG_AUDIT_BATCHES} AS batch_id
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+per_src AS (
+  SELECT batch_id, source, CAST(count(*) AS BIGINT) AS n_s
+  FROM assigned GROUP BY 1, 2
+),
+per_batch AS (
+  SELECT batch_id,
+         CAST(sum(n_s) AS BIGINT) AS n_items,
+         CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(n_s * (n_s - 1) // 2) AS BIGINT) AS collisions,
+         CAST(max(n_s) AS BIGINT) AS max_source_run
+  FROM per_src GROUP BY 1
+)
+SELECT batch_id, n_items, n_sources, collisions, max_source_run,
+       CAST(CASE WHEN n_items < 2 THEN 0 ELSE collisions * 1000000
+            // (n_items * (n_items - 1) // 2) END AS BIGINT)
+           AS collision_micro
+FROM per_batch
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 54b (r10): filter-cascade order planner. A curation pipeline runs
+# its gates in sequence and each gate only sees the previous gates'
+# survivors, so at 100 TB the ORDER of filters is a first-order cost
+# knob (run cheap high-rejection gates first — the classifier-cascade
+# rule, Viola-Jones 2001, applied to data curation). This operator
+# measures the EXACT JOINT pass-pattern distribution of four gates over
+# the corpus (one combine to <= 16 pattern rows — no independence
+# approximation), then scores all 24 orderings: expected per-doc cost =
+# sum over patterns of ct * (c_o1 + [pass o1]*c_o2 + [pass o1^o2]*c_o3
+# + [pass o1^o2^o3]*c_o4) / n. Gate set (stand-ins with the repo's
+# standing derivations; production swaps its own predicates — the
+# planner math is the artifact): LEN (token count in [5,60], cost 1),
+# CPT (chars-per-token micro in [5.3e6, 5.7e6], cost 2), STOP (stopword
+# share <= 10%, cost 3), DUP (no byte-exact duplicate — needs a corpus
+# shuffle, cost 10).
+#
+# Scale: one scan computes all four flags per doc (the DUP flag joins
+# the md5 group counts — SHUFFLE_HASH-pinned); the joint is <= 16 rows;
+# the 24 x 16 scoring frame is driver-tiny at any corpus size.
+# ---------------------------------------------------------------------------
+CASCADE_COSTS = {1: 1, 2: 2, 3: 3, 4: 10}  # filter id -> unit cost
+CASCADE_NAMES = {1: "len", 2: "cpt", 3: "stop", 4: "dup"}
+_CASCADE_ORDERINGS = [
+    (a, b, c, d)
+    for a in (1, 2, 3, 4)
+    for b in (1, 2, 3, 4)
+    for c in (1, 2, 3, 4)
+    for d in (1, 2, 3, 4)
+    if len({a, b, c, d}) == 4
+]
+
+
+def _cascade_pass_sql(engine_pick: str) -> str:
+    """pass-bit lookup by filter id: engine_pick is 'f1'/'f2'/'f3'/'f4'
+    column name holding the filter id at that cascade position."""
+    return (
+        f"CASE {engine_pick} WHEN 1 THEN p1 WHEN 2 THEN p2 "
+        f"WHEN 3 THEN p3 ELSE p4 END"
+    )
+
+
+def _cascade_cost_sql(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {fid} THEN {c}" for fid, c in CASCADE_COSTS.items()
+    )
+    return f"CASE {col} {arms} END"
+
+
+def filter_cascade_order_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    flags = docs.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(
+            F.filter(
+                tokens("text"),
+                lambda x: (x == F.lit("a")) | (x == F.lit("the")),
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    groups = flags.groupBy("th").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies")
+    )
+    j = flags.hint("shuffle_hash").join(groups, "th")
+    pat = j.select(
+        F.expr("CAST(n_tok BETWEEN 5 AND 60 AS INT)").alias("p1"),
+        # nullif: ANSI codegen evaluates both conjuncts, so a plain
+        # n_tok > 0 guard does NOT protect the division on zero-token
+        # docs (caught by the NULL fixture's whitespace-only row)
+        F.expr(
+            "CAST(coalesce(n_chars * 1000000 div nullif(n_tok, 0)"
+            " BETWEEN 5300000 AND 5700000, false) AS INT)"
+        ).alias("p2"),
+        F.expr(
+            "CAST(coalesce(n_stop * 1000000 div nullif(n_tok, 0)"
+            " <= 100000, false) AS INT)"
+        ).alias("p3"),
+        F.expr("CAST(copies = 1 AS INT)").alias("p4"),
+    )
+    joint = pat.groupBy("p1", "p2", "p3", "p4").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    orderings = spark.createDataFrame(
+        [
+            (
+                ">".join(CASCADE_NAMES[f] for f in o),
+                o[0],
+                o[1],
+                o[2],
+                o[3],
+            )
+            for o in _CASCADE_ORDERINGS
+        ],
+        "ordering string, f1 int, f2 int, f3 int, f4 int",
+    )
+    scored = joint.crossJoin(F.broadcast(orderings)).select(
+        "ordering",
+        "ct",
+        F.expr(
+            f"ct * ({_cascade_cost_sql('f1')}"
+            f" + ({_cascade_pass_sql('f1')})"
+            f"   * ({_cascade_cost_sql('f2')}"
+            f"      + ({_cascade_pass_sql('f2')})"
+            f"        * ({_cascade_cost_sql('f3')}"
+            f"           + ({_cascade_pass_sql('f3')})"
+            f"             * ({_cascade_cost_sql('f4')}))))"
+        )
+        .cast("bigint")
+        .alias("cost_units"),
+    )
+    agg = scored.groupBy("ordering").agg(
+        F.sum("ct").cast("bigint").alias("n_docs"),
+        F.sum("cost_units").cast("bigint").alias("cost_units"),
+    )
+    w = Window.orderBy(F.asc("cost_units"), F.asc("ordering"))
+    return agg.select(
+        "ordering",
+        "n_docs",
+        "cost_units",
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN 0"
+            " ELSE cost_units * 1000000 div n_docs END"
+        ).alias("cost_per_doc_micro"),
+    ).withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def _cascade_sql() -> str:
+    vals = ", ".join(
+        "('{}', {}, {}, {}, {})".format(
+            ">".join(CASCADE_NAMES[f] for f in o), *o
+        )
+        for o in _CASCADE_ORDERINGS
+    )
+    return f"""
+WITH flags AS (
+  SELECT doc_id, md5(text) AS th,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('a', 'the'))) AS BIGINT)
+             AS n_stop
+  FROM documents WHERE text IS NOT NULL
+),
+grp AS (
+  SELECT th, CAST(count(*) AS BIGINT) AS copies FROM flags GROUP BY 1
+),
+pat AS (
+  SELECT CAST(f.n_tok BETWEEN 5 AND 60 AS INT) AS p1,
+         CAST(coalesce(f.n_chars * 1000000 // nullif(f.n_tok, 0)
+              BETWEEN 5300000 AND 5700000, false) AS INT) AS p2,
+         CAST(coalesce(f.n_stop * 1000000 // nullif(f.n_tok, 0)
+              <= 100000, false) AS INT) AS p3,
+         CAST(g.copies = 1 AS INT) AS p4
+  FROM flags f JOIN grp g USING (th)
+),
+joint AS (
+  SELECT p1, p2, p3, p4, CAST(count(*) AS BIGINT) AS ct
+  FROM pat GROUP BY 1, 2, 3, 4
+),
+ords(ordering, f1, f2, f3, f4) AS (VALUES {vals}),
+scored AS (
+  SELECT o.ordering, j.ct,
+         CAST(j.ct * ({_cascade_cost_sql('o.f1')}
+              + ({_cascade_pass_sql('o.f1')})
+                * ({_cascade_cost_sql('o.f2')}
+                   + ({_cascade_pass_sql('o.f2')})
+                     * ({_cascade_cost_sql('o.f3')}
+                        + ({_cascade_pass_sql('o.f3')})
+                          * ({_cascade_cost_sql('o.f4')}))))
+              AS BIGINT) AS cost_units
+  FROM joint j CROSS JOIN ords o
+),
+agg AS (
+  SELECT ordering,
+         CAST(sum(ct) AS BIGINT) AS n_docs,
+         CAST(sum(cost_units) AS BIGINT) AS cost_units
+  FROM scored GROUP BY 1
+)
+SELECT ordering, n_docs, cost_units,
+       CAST(CASE WHEN n_docs = 0 THEN 0
+            ELSE cost_units * 1000000 // n_docs END AS BIGINT)
+           AS cost_per_doc_micro,
+       CAST(row_number() OVER (ORDER BY cost_units, ordering)
+            AS BIGINT) AS rank
+FROM agg
+"""
+
+
 QUERIES = {
     "synthetic_watermark_detect": synthetic_watermark_detect,
     "fim_transform_plan": fim_transform_plan,
     "tokenizer_parity_audit": tokenizer_parity_audit,
+    "inbatch_negative_collision_audit": inbatch_negative_collision_audit,
+    "filter_cascade_order_plan": filter_cascade_order_plan,
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
     "robots_blocklist_filter": robots_blocklist_filter,
@@ -3888,6 +4169,8 @@ ORACLE = {
     "synthetic_watermark_detect": _WATERMARK_SQL,
     "fim_transform_plan": _FIM_SQL,
     "tokenizer_parity_audit": _TOK_PARITY_SQL,
+    "inbatch_negative_collision_audit": _NEG_AUDIT_SQL,
+    "filter_cascade_order_plan": _cascade_sql(),
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "domain_frequency_cap": _DOMAIN_CAP_SQL,
     "robots_blocklist_filter": _BLOCKLIST_SQL,

@@ -1099,3 +1099,29 @@ def test_tokenizer_parity_pivot_is_broadcast(spark, sf):
     # two scan NODES (x tree+detail): the per-lang combine feeds the
     # output rows and the 1-row pivot agg; both are 3-column projections
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_collision_audit_no_pair_join(spark, sf):
+    """r10 wave 54 scale lock: collisions come from C(n_s, 2) over group
+    sizes — two chained combines, never a pair join or explode."""
+    import __spark_entry__ as e
+
+    plan = _plan(
+        e.queries()["inbatch_negative_collision_audit"](spark, sf)
+    )
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_cascade_planner_joint_then_tiny_scoring(spark, sf):
+    """r10 wave 54 scale lock: the corpus side collapses to the <=16-row
+    joint pattern frame before any ordering math (the 24x16 scoring
+    crossJoin is broadcast — driver-tiny at any corpus size); the dup
+    flag's group join is SHUFFLE_HASH-pinned; nothing sort-merges."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["filter_cascade_order_plan"](spark, sf))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

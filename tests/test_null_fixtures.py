@@ -449,6 +449,11 @@ def null_duck(null_sf_dir):
         # parity combine; zero-token docs guard the micro divisions
         "memorization_risk_audit",
         "tokenizer_parity_audit",
+        # r10 wave 54: NULL text/source leave the batch assignment and
+        # the gate flags identically; zero-token docs fail the n_tok>0
+        # conjuncts (not divide) on both engines
+        "inbatch_negative_collision_audit",
+        "filter_cascade_order_plan",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -402,6 +402,11 @@ QUERIES = [
     #                                  must score identically under
     #                                  perturbed physical plans
     "tokenizer_parity_audit",        # pivot pick + integer ratios
+    # round-10 wave 54
+    "inbatch_negative_collision_audit",  # C(n_s,2) sums from group
+    #                                      sizes under combine reorder
+    "filter_cascade_order_plan",     # joint pattern counts + 24-way
+    #                                  scoring must rank identically
 ]
 
 PERTURBED = {
