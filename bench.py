@@ -187,6 +187,8 @@ HEADLINE = [
     "tokenizer_parity_audit",
     "inbatch_negative_collision_audit",
     "filter_cascade_order_plan",
+    "repeated_epoch_value_plan",
+    "sft_complexity_score",
     # memorization_risk_audit is NOT benched (double-count rule): its
     # data-sized stages are the _verified_spans chain (already timed via
     # dedup_duplicated_spans / duplicated_span_removal) plus one md5

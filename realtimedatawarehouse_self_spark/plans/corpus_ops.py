@@ -4123,12 +4123,126 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 55b (r10): repeated-epoch value plan (Muennighoff et al. 2023,
+# "Scaling Data-Constrained Language Models": repeating data is worth
+# less each epoch — their fit has repeated tokens decaying in value,
+# with ~4 epochs nearly free and value gone by ~R*≈15 repeats). The
+# planning table a data-constrained run consults: per language, the
+# deduplicated (unique) token supply, and for k = 1..8 epochs the
+# marginal value of epoch k and the cumulative EFFECTIVE token count
+# U · Σ_{{i<=k}} δ^{{i-1}}.
+#
+# The decay powers are data-independent, so (the NDCG-discount doctrine)
+# they are precomputed ONCE in Python as a floored micro chain
+# (v_1 = 1e6; v_{{k+1}} = v_k·δ_micro div 1e6, δ_micro = 750000 — a
+# documented stand-in for the paper's fitted decay) and embedded as the
+# SAME integer literals in both renderings. Engine-side arithmetic is
+# U·cum_k div 1e6 — exact BIGINT.
+#
+# Scale: unique-token supply = one md5-group combine (keep the
+# group-min doc as the survivor, the dedup_exact rule) + one per-lang
+# combine; the k-expansion is an 8-element literal explode. Scan-bound.
+# ---------------------------------------------------------------------------
+EPOCH_DECAY_MICRO = 750_000
+EPOCH_MAX_K = 8
+
+
+def _epoch_values() -> list[tuple[int, int, int]]:
+    vals, v, cum = [], 1_000_000, 0
+    for k in range(1, EPOCH_MAX_K + 1):
+        cum += v
+        vals.append((k, v, cum))
+        v = v * EPOCH_DECAY_MICRO // 1_000_000
+    return vals
+
+
+EPOCH_VALUE_TABLE = _epoch_values()
+
+
+def repeated_epoch_value_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("th"),
+            F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        )
+    )
+    surv = (
+        docs.groupBy("lang", "th")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("copies"),
+            # identical text => identical n_tok; min is the
+            # deterministic spelling of "the group's value"
+            F.min("n_tok").cast("bigint").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr("copies * n_tok"))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.sum("n_tok").cast("bigint").alias("unique_tokens"),
+        )
+    )
+    ktab = spark.createDataFrame(
+        EPOCH_VALUE_TABLE,
+        "k int, marginal_value_micro bigint, cum_value_micro bigint",
+    )
+    return surv.crossJoin(F.broadcast(ktab)).select(
+        "lang",
+        "total_tokens",
+        "unique_tokens",
+        "k",
+        "marginal_value_micro",
+        F.expr(
+            "unique_tokens * cum_value_micro div 1000000"
+        ).alias("effective_tokens"),
+    )
+
+
+def _epoch_value_sql() -> str:
+    vals = ", ".join(f"({k}, {v}, {c})" for k, v, c in EPOCH_VALUE_TABLE)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, md5(text) AS th,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+grp AS (
+  SELECT lang, th,
+         CAST(count(*) AS BIGINT) AS copies,
+         CAST(min(n_tok) AS BIGINT) AS n_tok
+  FROM docs GROUP BY 1, 2
+),
+surv AS (
+  SELECT lang,
+         CAST(sum(copies * n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(n_tok) AS BIGINT) AS unique_tokens
+  FROM grp GROUP BY 1
+),
+ktab(k, marginal_value_micro, cum_value_micro) AS (VALUES {vals})
+SELECT s.lang, s.total_tokens, s.unique_tokens,
+       CAST(k.k AS INT) AS k,
+       CAST(k.marginal_value_micro AS BIGINT) AS marginal_value_micro,
+       CAST(s.unique_tokens * k.cum_value_micro // 1000000 AS BIGINT)
+           AS effective_tokens
+FROM surv s CROSS JOIN ktab k
+"""
+
+
 QUERIES = {
     "synthetic_watermark_detect": synthetic_watermark_detect,
     "fim_transform_plan": fim_transform_plan,
     "tokenizer_parity_audit": tokenizer_parity_audit,
     "inbatch_negative_collision_audit": inbatch_negative_collision_audit,
     "filter_cascade_order_plan": filter_cascade_order_plan,
+    "repeated_epoch_value_plan": repeated_epoch_value_plan,
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
     "robots_blocklist_filter": robots_blocklist_filter,
@@ -4171,6 +4285,7 @@ ORACLE = {
     "tokenizer_parity_audit": _TOK_PARITY_SQL,
     "inbatch_negative_collision_audit": _NEG_AUDIT_SQL,
     "filter_cascade_order_plan": _cascade_sql(),
+    "repeated_epoch_value_plan": _epoch_value_sql(),
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "domain_frequency_cap": _DOMAIN_CAP_SQL,
     "robots_blocklist_filter": _BLOCKLIST_SQL,

@@ -373,14 +373,94 @@ FROM t GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 55a (r10): per-sample instruction-complexity score — the
+# difficulty table SFT selection and curriculum strategies rank by
+# (Evol-Instruct/WizardLM's "depth" axis, Zhao et al. 2024 tree-depth
+# complexity, the #InsTag intention-count proxy). Three integer proxies
+# over the SAME conversation frame the structure gate audits: depth
+# (turn count), intent diversity (distinct event types), and content
+# volume (characters). Points: depth >=8 -> 3, >=4 -> 2, >=2 -> 1;
+# diversity >=4 -> 2, >=3 -> 1; volume >=120 -> 2, >=60 -> 1. Buckets:
+# >=6 hard, >=4 medium, >=2 easy, else trivial.
+# Scale: ONE (user_id, day) combine (count + count-distinct + sum; no
+# window, no join) — map-side partials, conversation-bounded keys.
+# ---------------------------------------------------------------------------
+
+
+def sft_complexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _turns(spark, sf_dir).groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.countDistinct("content").cast("bigint").alias("n_intents"),
+        F.sum(F.length("content")).cast("bigint").alias("content_chars"),
+    )
+    scored = conv.withColumn(
+        "complexity_points",
+        F.expr(
+            "CASE WHEN n_turns >= 8 THEN 3 WHEN n_turns >= 4 THEN 2"
+            " WHEN n_turns >= 2 THEN 1 ELSE 0 END"
+            " + CASE WHEN n_intents >= 4 THEN 2"
+            " WHEN n_intents >= 3 THEN 1 ELSE 0 END"
+            " + CASE WHEN content_chars >= 120 THEN 2"
+            " WHEN content_chars >= 60 THEN 1 ELSE 0 END"
+        ).cast("bigint"),
+    )
+    return scored.select(
+        "user_id",
+        "day",
+        "n_turns",
+        "n_intents",
+        "content_chars",
+        "complexity_points",
+        F.expr(
+            "CASE WHEN complexity_points >= 6 THEN 'hard'"
+            " WHEN complexity_points >= 4 THEN 'medium'"
+            " WHEN complexity_points >= 2 THEN 'easy'"
+            " ELSE 'trivial' END"
+        ).alias("complexity_bucket"),
+    )
+
+
+_COMPLEXITY_SQL = f"""
+WITH {_TURNS_SQL},
+conv AS (
+  SELECT user_id, day,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT content) AS BIGINT) AS n_intents,
+         CAST(sum(length(content)) AS BIGINT) AS content_chars
+  FROM t GROUP BY 1, 2
+),
+scored AS (
+  SELECT *,
+         CAST(CASE WHEN n_turns >= 8 THEN 3 WHEN n_turns >= 4 THEN 2
+              WHEN n_turns >= 2 THEN 1 ELSE 0 END
+              + CASE WHEN n_intents >= 4 THEN 2
+                WHEN n_intents >= 3 THEN 1 ELSE 0 END
+              + CASE WHEN content_chars >= 120 THEN 2
+                WHEN content_chars >= 60 THEN 1 ELSE 0 END
+              AS BIGINT) AS complexity_points
+  FROM conv
+)
+SELECT user_id, day, n_turns, n_intents, content_chars,
+       complexity_points,
+       CASE WHEN complexity_points >= 6 THEN 'hard'
+            WHEN complexity_points >= 4 THEN 'medium'
+            WHEN complexity_points >= 2 THEN 'easy'
+            ELSE 'trivial' END AS complexity_bucket
+FROM scored
+"""
+
+
 QUERIES = {
     "sft_turn_structure_audit": sft_turn_structure_audit,
     "sft_template_render_overhead": sft_template_render_overhead,
     "sft_loss_masking_plan": sft_loss_masking_plan,
+    "sft_complexity_score": sft_complexity_score,
 }
 
 ORACLE = {
     "sft_turn_structure_audit": _TURN_STRUCTURE_SQL,
     "sft_template_render_overhead": _TEMPLATE_OVERHEAD_SQL,
     "sft_loss_masking_plan": _LOSS_MASKING_SQL,
+    "sft_complexity_score": _COMPLEXITY_SQL,
 }

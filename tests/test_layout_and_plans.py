@@ -1125,3 +1125,26 @@ def test_cascade_planner_joint_then_tiny_scoring(spark, sf):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_epoch_value_plan_two_combines_broadcast_ktab(spark, sf):
+    """r10 wave 55 scale lock: unique-token supply = md5-group combine
+    -> per-lang combine; the 8-row decay table joins via the broadcast
+    crossJoin pattern; no window, no sort-merge."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["repeated_epoch_value_plan"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_sft_complexity_single_combine(spark, sf):
+    """r10 wave 55 scale lock: ONE conversation-keyed combine (the
+    count-distinct expands to a two-phase aggregate on the same key) —
+    no window, no join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["sft_complexity_score"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan

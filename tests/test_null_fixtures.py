@@ -454,6 +454,11 @@ def null_duck(null_sf_dir):
         # conjuncts (not divide) on both engines
         "inbatch_negative_collision_audit",
         "filter_cascade_order_plan",
+        # r10 wave 55: NULL text/lang leave the token-supply combine;
+        # NULL user_id/ts/event_type rows are not conversation turns;
+        # NULL props coalesces to the '_' content payload identically
+        "repeated_epoch_value_plan",
+        "sft_complexity_score",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -407,6 +407,11 @@ QUERIES = [
     #                                      sizes under combine reorder
     "filter_cascade_order_plan",     # joint pattern counts + 24-way
     #                                  scoring must rank identically
+    # round-10 wave 55
+    "repeated_epoch_value_plan",     # md5-group supply + literal decay
+    #                                  chain under combine reordering
+    "sft_complexity_score",          # one conversation combine;
+    #                                  count-distinct must be stable
 ]
 
 PERTURBED = {
