@@ -189,6 +189,8 @@ HEADLINE = [
     "filter_cascade_order_plan",
     "repeated_epoch_value_plan",
     "sft_complexity_score",
+    "quantization_outlier_audit",
+    "prompt_prefix_cache_plan",
     # memorization_risk_audit is NOT benched (double-count rule): its
     # data-sized stages are the _verified_spans chain (already timed via
     # dedup_duplicated_spans / duplicated_span_removal) plus one md5

@@ -4236,6 +4236,103 @@ FROM surv s CROSS JOIN ktab k
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 56b (r10): prompt-prefix cache plan. Inference-side prompt/prefix
+# caching (vLLM automatic prefix caching, the RadixAttention trie of
+# SGLang, Zheng et al. 2023) reuses the KV cache of any request sharing
+# a token prefix with a previous one; the serving-side planning question
+# is "at which prefix length does my traffic actually share?". This
+# operator computes the sharing curve: for each candidate prefix length
+# K, how many K-token prefix groups exist, how many requests land in a
+# shared group, and how many prefix tokens a perfect prefix cache would
+# serve from cache (Σ (n_g - 1)·K over groups).
+#
+# Scale: one scan builds all |KS| prefixes per doc in-row (slices of the
+# token array — no explode of tokens, only the 4-element K explode);
+# one (K, prefix) combine -> one per-K combine. Map-side partials; the
+# prefix cardinality is bounded by corpus size, never token count.
+# ---------------------------------------------------------------------------
+PREFIX_CACHE_KS = (1, 2, 4, 8)
+
+
+def prompt_prefix_cache_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("tok_arr", tokens("text"))
+    )
+    ks = ", ".join(str(k) for k in PREFIX_CACHE_KS)
+    pref = docs.select(
+        F.explode(
+            F.expr(
+                f"filter(transform(array({ks}), k -> CASE WHEN"
+                f" size(tok_arr) >= k THEN struct(k AS k,"
+                f" array_join(slice(tok_arr, 1, k), ' ') AS prefix)"
+                f" END), p -> p IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select(F.col("p.k").alias("k"), F.col("p.prefix").alias("prefix"))
+    groups = pref.groupBy("k", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    return (
+        groups.groupBy("k")
+        .agg(
+            F.sum("n_g").cast("bigint").alias("n_requests"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_g") >= 2, F.col("n_g")).otherwise(0))
+            .cast("bigint")
+            .alias("shared_requests"),
+            F.sum(F.expr("(n_g - 1) * k"))
+            .cast("bigint")
+            .alias("cacheable_tokens"),
+        )
+        .withColumn(
+            "hit_rate_micro",
+            F.expr(
+                "CASE WHEN n_requests = 0 THEN 0 ELSE"
+                " (n_requests - n_groups) * 1000000 div n_requests END"
+            ),
+        )
+    )
+
+
+def _prefix_cache_sql() -> str:
+    ks = ", ".join(str(k) for k in PREFIX_CACHE_KS)
+    return f"""
+WITH docs AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+pref AS (
+  SELECT u.k AS k, array_to_string(d.t[1:u.k], ' ') AS prefix
+  FROM docs d, (SELECT unnest([{ks}]) AS k) u
+  WHERE len(d.t) >= u.k
+),
+groups AS (
+  SELECT k, prefix, CAST(count(*) AS BIGINT) AS n_g
+  FROM pref GROUP BY 1, 2
+),
+agg AS (
+  SELECT k,
+         CAST(sum(n_g) AS BIGINT) AS n_requests,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN n_g >= 2 THEN n_g ELSE 0 END) AS BIGINT)
+             AS shared_requests,
+         CAST(sum((n_g - 1) * k) AS BIGINT) AS cacheable_tokens
+  FROM groups GROUP BY 1
+)
+SELECT CAST(k AS INT) AS k, n_requests, n_groups, shared_requests,
+       cacheable_tokens,
+       CAST(CASE WHEN n_requests = 0 THEN 0 ELSE
+            (n_requests - n_groups) * 1000000 // n_requests END
+            AS BIGINT) AS hit_rate_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "synthetic_watermark_detect": synthetic_watermark_detect,
     "fim_transform_plan": fim_transform_plan,
@@ -4243,6 +4340,7 @@ QUERIES = {
     "inbatch_negative_collision_audit": inbatch_negative_collision_audit,
     "filter_cascade_order_plan": filter_cascade_order_plan,
     "repeated_epoch_value_plan": repeated_epoch_value_plan,
+    "prompt_prefix_cache_plan": prompt_prefix_cache_plan,
     "sequence_length_bucketing": sequence_length_bucketing,
     "domain_frequency_cap": domain_frequency_cap,
     "robots_blocklist_filter": robots_blocklist_filter,
@@ -4286,6 +4384,7 @@ ORACLE = {
     "inbatch_negative_collision_audit": _NEG_AUDIT_SQL,
     "filter_cascade_order_plan": _cascade_sql(),
     "repeated_epoch_value_plan": _epoch_value_sql(),
+    "prompt_prefix_cache_plan": _prefix_cache_sql(),
     "sequence_length_bucketing": _SEQ_BUCKET_SQL,
     "domain_frequency_cap": _DOMAIN_CAP_SQL,
     "robots_blocklist_filter": _BLOCKLIST_SQL,

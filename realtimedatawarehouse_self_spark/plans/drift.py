@@ -519,7 +519,107 @@ FROM dev v JOIN mad a ON v.event_type = a.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 56a (r10): per-dimension quantization outlier audit (Dettmers et
+# al. 2022, "LLM.int8()": a few emergent feature dimensions carry
+# systematically outsized magnitudes, and naive per-tensor int8
+# quantization destroys them — the audit that decides which channels
+# need mixed-precision treatment). Per embedding dimension: value count,
+# mean |x| and max |x| in micro units (the embedding family's
+# floor(x*1e6) quantization, identical in both engines), the
+# max-to-mean magnitude ratio, and the outlier verdict at the paper's
+# 6x-magnitude operating point (ratio >= 6e6 AND max_abs >= 1e5 — the
+# absolute floor keeps all-tiny dimensions from flagging on noise).
+#
+# Arithmetic is BIGINT-safe at any corpus size: max_abs <= ~2e6 for
+# unit-scale embeddings, so max_abs*1e6 and sum_abs stay far inside
+# int64 (sum_abs ~ 1e6 * n needs n < 9e12 per dimension — ~9e12 vectors,
+# beyond any real corpus; past that the chi2 DECIMAL(38) escape applies).
+#
+# Scale: posexplode -> ONE (dim) combine with map-side partials (the
+# embedding_centroid_drift shape) -> EMB_DIM rows. Linear scan.
+# ---------------------------------------------------------------------------
+OUTLIER_RATIO_MICRO = 6_000_000
+OUTLIER_ABS_FLOOR = 100_000  # 0.1 in micro units
+
+
+def quantization_outlier_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    vals = emb.select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> abs(CAST(floor(CAST(x AS"
+                f" DOUBLE) * {Q_SCALE}.0) AS BIGINT)))"
+            )
+        ).alias("dim", "q")
+    )
+    per_dim = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+        F.sum("q").cast("bigint").alias("sum_abs"),
+        F.max("q").cast("bigint").alias("max_abs_micro"),
+    )
+    scored = per_dim.withColumn(
+        "mean_abs_micro", F.expr("sum_abs div n_vals")
+    ).withColumn(
+        "ratio_micro",
+        F.expr(
+            "CASE WHEN mean_abs_micro = 0 THEN 0"
+            " ELSE max_abs_micro * 1000000 div mean_abs_micro END"
+        ),
+    )
+    return scored.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_vals",
+        "mean_abs_micro",
+        "max_abs_micro",
+        "ratio_micro",
+        F.expr(
+            f"CASE WHEN ratio_micro >= {OUTLIER_RATIO_MICRO}"
+            f" AND max_abs_micro >= {OUTLIER_ABS_FLOOR}"
+            f" THEN 'outlier' ELSE 'normal' END"
+        ).alias("verdict"),
+    )
+
+
+_QUANT_OUTLIER_SQL = f"""
+WITH vals AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         abs(CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+             * {Q_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+per_dim AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n_vals,
+         CAST(sum(q) AS BIGINT) AS sum_abs,
+         CAST(max(q) AS BIGINT) AS max_abs_micro
+  FROM vals GROUP BY 1
+),
+scored AS (
+  SELECT dim, n_vals, sum_abs // n_vals AS mean_abs_micro,
+         max_abs_micro
+  FROM per_dim
+)
+SELECT CAST(dim AS INT) AS dim, n_vals,
+       CAST(mean_abs_micro AS BIGINT) AS mean_abs_micro,
+       max_abs_micro,
+       CAST(CASE WHEN mean_abs_micro = 0 THEN 0
+            ELSE max_abs_micro * 1000000 // mean_abs_micro END
+            AS BIGINT) AS ratio_micro,
+       CASE WHEN (CASE WHEN mean_abs_micro = 0 THEN 0
+                  ELSE max_abs_micro * 1000000 // mean_abs_micro END)
+                 >= {OUTLIER_RATIO_MICRO}
+                 AND max_abs_micro >= {OUTLIER_ABS_FLOOR}
+            THEN 'outlier' ELSE 'normal' END AS verdict
+FROM scored
+"""
+
+
 QUERIES = {
+    "quantization_outlier_audit": quantization_outlier_audit,
     "embedding_centroid_drift": embedding_centroid_drift,
     "embedding_norm_profile": embedding_norm_profile,
     "distribution_shift_chi2": distribution_shift_chi2,
@@ -528,6 +628,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "quantization_outlier_audit": _QUANT_OUTLIER_SQL,
     "embedding_centroid_drift": _CENTROID_SQL,
     "embedding_norm_profile": _NORM_PROFILE_SQL,
     "distribution_shift_chi2": _CHI2_SQL,

@@ -1148,3 +1148,25 @@ def test_sft_complexity_single_combine(spark, sf):
     plan = _plan(e.queries()["sft_complexity_score"](spark, sf))
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_quant_outlier_single_combine_no_join(spark, sf):
+    """r10 wave 56 scale lock: posexplode -> ONE per-dim combine with
+    map-side partials (the centroid-drift shape) — no join, no window."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["quantization_outlier_audit"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_prefix_cache_plan_two_combines_no_join(spark, sf):
+    """r10 wave 56 scale lock: in-row K-sweep prefix build (only the
+    4-element K explode generates), then (K, prefix) -> K combines —
+    no join, no window, no token-level explode."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["prompt_prefix_cache_plan"](spark, sf))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan

@@ -459,6 +459,12 @@ def null_duck(null_sf_dir):
         # NULL props coalesces to the '_' content payload identically
         "repeated_epoch_value_plan",
         "sft_complexity_score",
+        # r10 wave 56: NULL-text docs leave the prefix sweep identically;
+        # short docs drop out of longer-K rows on both engines
+        # (quantization_outlier_audit is embeddings-only — absent from
+        # this fixture, covered by empty-input + hypothesis like the
+        # rest of the embedding family)
+        "prompt_prefix_cache_plan",
     ],
 )
 def test_null_fixture_oracle_parity(spark, null_duck, null_sf_dir, name):

@@ -412,6 +412,11 @@ QUERIES = [
     #                                  chain under combine reordering
     "sft_complexity_score",          # one conversation combine;
     #                                  count-distinct must be stable
+    # round-10 wave 56
+    "quantization_outlier_audit",    # per-dim magnitude combine under
+    #                                  partition reordering
+    "prompt_prefix_cache_plan",      # (K, prefix) group sizes under
+    #                                  combine reordering
 ]
 
 PERTURBED = {
