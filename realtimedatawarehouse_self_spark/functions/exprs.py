@@ -148,6 +148,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 
+def occurrence_tagged(sorted_col: str) -> str:
+    """SQL expression: SORTED array<string> multiset -> occurrence-tagged
+    string SET (each element suffixed with ' <k>', k = 0-based index of
+    the occurrence within its equal-run).
+
+    Turns multiset intersection into plain set intersection:
+    |A ∩multiset B| = |tag(A) ∩set tag(B)| because min(cA(g), cB(g)) =
+    |{(g,k) : k < cA(g) and k < cB(g)}|. The tag is unambiguous whenever
+    both arrays hold grams of one fixed n (fixed token count or fixed
+    char length): equal tagged strings then decompose into equal
+    (gram, k). Runs inside the JVM (higher-order functions, no Python);
+    per-row cost is O(G) on an already-sorted array. `sorted_col` MUST be
+    array_sort()-ed — the run detection compares adjacent elements.
+    """
+    s = sorted_col
+    starts = (
+        f"filter(sequence(0, size({s}) - 1),"
+        f" i_ -> i_ = 0 OR {s}[i_] != {s}[i_ - 1])"
+    )
+    ends = f"concat(slice({starts}, 2, size({s})), array(size({s})))"
+    # lambda vars carry a trailing underscore so a caller's column name
+    # can never be shadowed by them
+    return (
+        f"CASE WHEN size({s}) = 0 THEN array() ELSE "
+        f"flatten(zip_with({starts}, {ends},"
+        f" (rs_, re_) -> transform(sequence(rs_, re_ - 1),"
+        f" p_ -> concat({s}[rs_], ' ', CAST(p_ - rs_ AS STRING))))) END"
+    )
+
+
 def ordered_pair_structs(arr_col: str, a_alias: str, b_alias: str) -> Column:
     """Array column -> array of structs over all ordered index pairs i<j
     (upper triangle). THE pair-explode primitive for set-overlap /

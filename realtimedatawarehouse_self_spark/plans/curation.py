@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from realtimedatawarehouse_self_spark.functions.exprs import (
     cosine,
+    occurrence_tagged,
     ordered_pair_structs,
     tokens,
 )
@@ -949,78 +950,79 @@ GROUP BY 1, 2
 # reference count) per bigram) exactly as ROUGE defines them; P/R/F1 in
 # integer micro-units (f1 = 2pr // (p+r), p,r <= 1e6 so 2pr <= 2e12 —
 # int64-safe).
-# Scale: reference bigram tables are one row per (group, bigram) for ONE
-# doc per group — tiny, broadcast; candidates join on (source, lang,
-# bigram), so the corpus-side work is one explode + one combine, never a
-# doc-by-doc pairing.
+# Scale / plan shape (r10 optimization rewrite, guide §2.3-2.4): the
+# reference side is ONE doc per (source, lang) — broadcast at every
+# scale. Clipped overlap is computed IN-ROW via occurrence-tagged bigram
+# sets (functions/exprs.occurrence_tagged): overlap_ct =
+# size(array_intersect(tagged_cand, tagged_ref)). No bigram row crosses
+# an exchange — the old explode -> (doc, bigram) combine -> overlap join
+# (three data-sized shuffles of bigram strings) collapses to one tiny
+# (source, lang) aggregate plus a broadcast join; bigram totals are
+# n_tokens - 1 arithmetically (every position yields a bigram).
 # ---------------------------------------------------------------------------
 def rouge_bigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    bi = docs.filter(F.size("tok_arr") >= 2).select(
-        "doc_id",
-        "source",
-        "lang",
-        F.explode(
+    eligible = docs.filter(F.size("tok_arr") >= 2)
+
+    def tagged(src: DataFrame) -> DataFrame:
+        srt = src.select(
+            "doc_id",
+            "source",
+            "lang",
+            (F.size("tok_arr").cast("bigint") - 1).alias("n_bigrams"),
             F.expr(
-                "transform(sequence(0, size(tok_arr) - 2),"
-                " i -> concat(tok_arr[i], ' ', tok_arr[i+1]))"
-            )
-        ).alias("bg"),
-    )
-    counts = bi.groupBy("doc_id", "source", "lang", "bg").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ct")
-    )
-    counts = counts.persist()
-    ref_ids = counts.groupBy("source", "lang").agg(
+                "array_sort(transform(sequence(0, size(tok_arr) - 2),"
+                " i -> concat(tok_arr[i], ' ', tok_arr[i+1])))"
+            ).alias("sbg"),
+        )
+        return srt.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_bigrams",
+            F.expr(occurrence_tagged("sbg")).alias("tbg"),
+        )
+
+    base = tagged(eligible)
+    ref_ids = eligible.groupBy("source", "lang").agg(
         F.min("doc_id").alias("ref_doc_id")
     )
-    ref = (
-        counts.select(
-            F.col("doc_id").alias("ref_doc_id"),
-            F.col("source").alias("rsource"),
-            F.col("lang").alias("rlang"),
-            F.col("bg").alias("rbg"),
-            F.col("ct").alias("rct"),
-        )
-        .join(
-            F.broadcast(
-                ref_ids.select(
-                    "ref_doc_id",
-                    F.col("source").alias("rsource"),
-                    F.col("lang").alias("rlang"),
-                )
-            ),
-            ["ref_doc_id", "rsource", "rlang"],
-        )
+    rid = ref_ids.select(
+        "ref_doc_id",
+        F.col("source").alias("rsource0"),
+        F.col("lang").alias("rlang0"),
     )
-    ref_tot = ref.groupBy("rsource", "rlang", "ref_doc_id").agg(
-        F.sum("rct").cast("bigint").alias("n_ref_bigrams")
-    )
-    cand_tot = counts.groupBy("doc_id", "source", "lang").agg(
-        F.sum("ct").cast("bigint").alias("n_cand_bigrams")
-    )
-    ov = (
-        counts.join(
-            F.broadcast(ref),
-            (counts.source == ref.rsource)
-            & (counts.lang == ref.rlang)
-            & (counts.bg == ref.rbg)
-            & (counts.doc_id != ref.ref_doc_id),
-        )
-        .groupBy("doc_id", "source", "lang")
-        .agg(
-            F.sum(F.least("ct", "rct")).cast("bigint").alias("overlap_ct")
-        )
+    ref = tagged(
+        eligible.join(
+            F.broadcast(rid),
+            (eligible.doc_id == rid.ref_doc_id)
+            & (eligible.source == rid.rsource0)
+            & (eligible.lang == rid.rlang0),
+        ).select("doc_id", "source", "lang", "tok_arr")
+    ).select(
+        F.col("doc_id").alias("ref_doc_id"),
+        F.col("source").alias("rsource"),
+        F.col("lang").alias("rlang"),
+        F.col("n_bigrams").alias("n_ref_bigrams"),
+        F.col("tbg").alias("rbg"),
     )
     out = (
-        cand_tot.join(
-            F.broadcast(ref_tot),
-            (cand_tot.source == ref_tot.rsource)
-            & (cand_tot.lang == ref_tot.rlang),
+        base.join(
+            F.broadcast(ref),
+            (base.source == ref.rsource) & (base.lang == ref.rlang),
         )
         .filter(F.col("doc_id") != F.col("ref_doc_id"))
-        .join(ov, ["doc_id", "source", "lang"], "left")
-        .withColumn("ovc", F.coalesce("overlap_ct", F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "ref_doc_id",
+            F.col("n_bigrams").alias("n_cand_bigrams"),
+            "n_ref_bigrams",
+            F.expr("CAST(size(array_intersect(tbg, rbg)) AS BIGINT)").alias(
+                "ovc"
+            ),
+        )
     )
     return out.select(
         "doc_id",
@@ -1132,10 +1134,18 @@ FROM out
 # short, ROUGE scores against it while BLEU elects the next eligible doc
 # (the precision/recall pairing holds exactly when the shared reference
 # has >= 4 tokens). Identical on both engines by construction.
-# Scale: the reference side is ONE doc per (source, lang) — broadcast at
-# every scale; the corpus side is one explode (4 n-gram streams tagged by
-# n in a single Generate) + one (doc, n, gram) combine; the clipped
-# overlap joins candidate grams against the broadcast reference table.
+# Scale / plan shape (r10 optimization rewrite, guide §2.3-2.4): the
+# reference side is ONE doc per (source, lang) — broadcast at every
+# scale. The clip counts are computed IN-ROW: each doc's per-n gram
+# multiset is occurrence-tagged (functions/exprs.occurrence_tagged) so
+# the clipped multiset intersection against the broadcast reference is
+# size(array_intersect(tagged_cand, tagged_ref)) — pure codegen/HOF JVM
+# work. No gram row ever crosses an exchange: the old explode ->
+# (doc, n, gram) combine -> clip join chain (three data-sized shuffles
+# of gram STRINGS) collapses to one tiny (source, lang) aggregate for
+# reference election plus a broadcast join. tot_n needs no counting at
+# all: every position yields a gram, so tot_n = n_tokens - n + 1
+# arithmetically (the oracle's sum-of-counts equals it by construction).
 # ---------------------------------------------------------------------------
 _BLEU_GM_SQL = (
     "sqrt(sqrt(((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))"
@@ -1145,90 +1155,93 @@ _BLEU_GM_SQL = (
 )
 
 
+def _word_gram_sorted_sql(n: int) -> str:
+    """Sorted n-gram multiset of tok_arr, identical gram text to the
+    oracle's array_to_string(t[i:i+n-1], ' ')."""
+    return (
+        f"array_sort(transform(sequence(0, size(tok_arr) - {n}),"
+        f" i -> array_join(slice(tok_arr, i + 1, {n}), ' ')))"
+    )
+
+
 def bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    grams = docs.filter(F.size("tok_arr") >= 4).select(
-        "doc_id",
-        "source",
-        "lang",
-        F.size("tok_arr").cast("bigint").alias("n_tokens"),
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, 4), n ->"
-                " transform(sequence(0, size(tok_arr) - n),"
-                " i -> struct(n AS n, array_join(slice(tok_arr, i + 1, n),"
-                " ' ') AS gram))))"
-            )
-        ).alias("g"),
-    )
-    counts = grams.groupBy(
-        "doc_id", "source", "lang", "n_tokens", F.col("g.n").alias("n"),
-        F.col("g.gram").alias("gram")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    counts = counts.persist()
-    ref_ids = counts.groupBy("source", "lang").agg(
+    eligible = docs.filter(F.size("tok_arr") >= 4)
+    # Two-step projection: sorted gram arrays land in named columns FIRST
+    # so the occurrence-tagging expression (which references its input
+    # several times) never duplicates the sort (CollapseProject keeps
+    # multi-referenced non-cheap aliases as a separate project).
+    def tagged(src: DataFrame) -> DataFrame:
+        srt = src.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size("tok_arr").cast("bigint").alias("n_tokens"),
+            *[
+                F.expr(_word_gram_sorted_sql(n)).alias(f"s{n}")
+                for n in range(1, 5)
+            ],
+        )
+        return srt.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            *[
+                F.expr(occurrence_tagged(f"s{n}")).alias(f"t{n}")
+                for n in range(1, 5)
+            ],
+        )
+
+    base = tagged(eligible)
+    ref_ids = eligible.groupBy("source", "lang").agg(
         F.min("doc_id").alias("ref_doc_id")
     )
-    ref = counts.select(
+    # Reference branch: the broadcast ref_ids filter runs BEFORE the gram
+    # projection, so only the |source x lang| elected docs ever build
+    # their tagged arrays on this side.
+    rid = ref_ids.select(
+        "ref_doc_id",
+        F.col("source").alias("rsource0"),
+        F.col("lang").alias("rlang0"),
+    )
+    ref = tagged(
+        eligible.join(
+            F.broadcast(rid),
+            (eligible.doc_id == rid.ref_doc_id)
+            & (eligible.source == rid.rsource0)
+            & (eligible.lang == rid.rlang0),
+        ).select("doc_id", "source", "lang", "tok_arr")
+    ).select(
         F.col("doc_id").alias("ref_doc_id"),
         F.col("source").alias("rsource"),
         F.col("lang").alias("rlang"),
         F.col("n_tokens").alias("ref_len"),
-        F.col("n").alias("rn"),
-        F.col("gram").alias("rgram"),
-        F.col("ct").alias("rct"),
-    ).join(
-        F.broadcast(
-            ref_ids.select(
-                "ref_doc_id",
-                F.col("source").alias("rsource"),
-                F.col("lang").alias("rlang"),
-            )
-        ),
-        ["ref_doc_id", "rsource", "rlang"],
+        *[F.col(f"t{n}").alias(f"r{n}") for n in range(1, 5)],
     )
-    ov = (
-        counts.join(
-            F.broadcast(ref),
-            (counts.source == ref.rsource)
-            & (counts.lang == ref.rlang)
-            & (counts.n == ref.rn)
-            & (counts.gram == ref.rgram)
-            & (counts.doc_id != ref.ref_doc_id),
-        )
-        .groupBy("doc_id", "n")
-        .agg(F.sum(F.least("ct", "rct")).cast("bigint").alias("clip_ct"))
-    )
-    tots = counts.groupBy("doc_id", "source", "lang", "n_tokens", "n").agg(
-        F.sum("ct").cast("bigint").alias("tot_ct")
-    )
-    per_n = tots.join(ov, ["doc_id", "n"], "left").withColumn(
-        "clip", F.coalesce("clip_ct", F.lit(0))
-    )
-    per_doc = per_n.groupBy("doc_id", "source", "lang", "n_tokens").agg(
+    out = base.join(
+        F.broadcast(ref),
+        (base.source == ref.rsource) & (base.lang == ref.rlang),
+    ).filter(F.col("doc_id") != F.col("ref_doc_id"))
+    clipped = out.select(
+        "doc_id",
+        "source",
+        "lang",
+        "ref_doc_id",
+        "n_tokens",
+        "ref_len",
         *[
-            F.sum(F.when(F.col("n") == i, F.col("clip")))
-            .cast("bigint")
+            F.expr(f"CAST(size(array_intersect(t{i}, r{i})) AS BIGINT)")
             .alias(f"clip{i}")
             for i in range(1, 5)
         ],
         *[
-            F.sum(F.when(F.col("n") == i, F.col("tot_ct")))
-            .cast("bigint")
-            .alias(f"tot{i}")
+            F.expr(f"n_tokens - {i - 1}").alias(f"tot{i}")
             for i in range(1, 5)
         ],
     )
-    ref_meta = ref.groupBy("rsource", "rlang", "ref_doc_id").agg(
-        F.first("ref_len").alias("ref_len")
-    )
-    out = per_doc.join(
-        F.broadcast(ref_meta),
-        (per_doc.source == ref_meta.rsource)
-        & (per_doc.lang == ref_meta.rlang),
-    ).filter(F.col("doc_id") != F.col("ref_doc_id"))
     gm = _BLEU_GM_SQL  # ONE definition of the fixed multiply order
-    return out.select(
+    return clipped.select(
         "doc_id",
         "source",
         "lang",
@@ -1732,102 +1745,96 @@ _CHRF_MEAN_SQL = (
 )
 
 
+# r10 optimization rewrite (guide §2.3-2.4): same in-row occurrence-
+# tagged multiset-intersection shape as bleu_ngram_eval — the reference
+# is ONE doc per (source, lang) (broadcast at every scale), clip_n =
+# size(array_intersect(tagged_cand_n, tagged_ref_n)) computed per row,
+# and tot_n / rtot_n are n_chars - n + 1 arithmetically. The old explode
+# of every 1..4-char gram into (doc, n, gram) rows put ~4x the corpus
+# CHARACTER volume through two exchanges; now no gram crosses any
+# exchange and the only shuffle is the |source x lang|-row reference
+# election.
 def chrf_char_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _docs(spark, sf_dir)
         .withColumn("s", F.array_join(tokens("text"), ""))
         .filter(F.length("s") >= CHRF_MAX_N)
     )
-    grams = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.length("s").cast("bigint").alias("n_chars_stream"),
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, {CHRF_MAX_N}), n ->"
-                " transform(sequence(0, length(s) - n),"
-                " i -> struct(n AS n, substring(s, i + 1, n) AS gram))))"
-            )
-        ).alias("g"),
-    )
-    counts = grams.groupBy(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars_stream",
-        F.col("g.n").alias("n"),
-        F.col("g.gram").alias("gram"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    counts = counts.persist()
-    ref_ids = counts.groupBy("source", "lang").agg(
+
+    def tagged(src: DataFrame) -> DataFrame:
+        srt = src.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.length("s").cast("bigint").alias("n_chars_stream"),
+            *[
+                F.expr(
+                    f"array_sort(transform(sequence(0, length(s) - {n}),"
+                    f" i -> substring(s, i + 1, {n})))"
+                ).alias(f"s{n}")
+                for n in range(1, CHRF_MAX_N + 1)
+            ],
+        )
+        return srt.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars_stream",
+            *[
+                F.expr(occurrence_tagged(f"s{n}")).alias(f"t{n}")
+                for n in range(1, CHRF_MAX_N + 1)
+            ],
+        )
+
+    base = tagged(docs)
+    ref_ids = docs.groupBy("source", "lang").agg(
         F.min("doc_id").alias("ref_doc_id")
     )
-    ref = counts.select(
+    rid = ref_ids.select(
+        "ref_doc_id",
+        F.col("source").alias("rsource0"),
+        F.col("lang").alias("rlang0"),
+    )
+    ref = tagged(
+        docs.join(
+            F.broadcast(rid),
+            (docs.doc_id == rid.ref_doc_id)
+            & (docs.source == rid.rsource0)
+            & (docs.lang == rid.rlang0),
+        ).select("doc_id", "source", "lang", "s")
+    ).select(
         F.col("doc_id").alias("ref_doc_id"),
         F.col("source").alias("rsource"),
         F.col("lang").alias("rlang"),
         F.col("n_chars_stream").alias("ref_chars"),
-        F.col("n").alias("rn"),
-        F.col("gram").alias("rgram"),
-        F.col("ct").alias("rct"),
-    ).join(
-        F.broadcast(
-            ref_ids.select(
-                "ref_doc_id",
-                F.col("source").alias("rsource"),
-                F.col("lang").alias("rlang"),
-            )
-        ),
-        ["ref_doc_id", "rsource", "rlang"],
+        *[F.col(f"t{n}").alias(f"r{n}") for n in range(1, CHRF_MAX_N + 1)],
     )
-    ov = (
-        counts.join(
-            F.broadcast(ref),
-            (counts.source == ref.rsource)
-            & (counts.lang == ref.rlang)
-            & (counts.n == ref.rn)
-            & (counts.gram == ref.rgram)
-            & (counts.doc_id != ref.ref_doc_id),
-        )
-        .groupBy("doc_id", "n")
-        .agg(F.sum(F.least("ct", "rct")).cast("bigint").alias("clip_ct"))
-    )
-    tots = counts.groupBy(
-        "doc_id", "source", "lang", "n_chars_stream", "n"
-    ).agg(F.sum("ct").cast("bigint").alias("tot_ct"))
-    per_n = tots.join(ov, ["doc_id", "n"], "left").withColumn(
-        "clip", F.coalesce("clip_ct", F.lit(0))
-    )
-    per_doc = per_n.groupBy("doc_id", "source", "lang", "n_chars_stream").agg(
+    out = base.join(
+        F.broadcast(ref),
+        (base.source == ref.rsource) & (base.lang == ref.rlang),
+    ).filter(F.col("doc_id") != F.col("ref_doc_id"))
+    clipped = out.select(
+        "doc_id",
+        "source",
+        "lang",
+        "ref_doc_id",
+        "n_chars_stream",
+        "ref_chars",
         *[
-            F.sum(F.when(F.col("n") == i, F.col("clip")))
-            .cast("bigint")
+            F.expr(f"CAST(size(array_intersect(t{i}, r{i})) AS BIGINT)")
             .alias(f"clip{i}")
             for i in range(1, CHRF_MAX_N + 1)
         ],
         *[
-            F.sum(F.when(F.col("n") == i, F.col("tot_ct")))
-            .cast("bigint")
-            .alias(f"tot{i}")
+            F.expr(f"n_chars_stream - {i - 1}").alias(f"tot{i}")
             for i in range(1, CHRF_MAX_N + 1)
         ],
-    )
-    ref_meta = ref.groupBy("rsource", "rlang", "ref_doc_id").agg(
-        F.first("ref_chars").alias("ref_chars"),
         *[
-            F.sum(F.when(F.col("rn") == i, F.col("rct")))
-            .cast("bigint")
-            .alias(f"rtot{i}")
+            F.expr(f"ref_chars - {i - 1}").alias(f"rtot{i}")
             for i in range(1, CHRF_MAX_N + 1)
         ],
     )
-    out = per_doc.join(
-        F.broadcast(ref_meta),
-        (per_doc.source == ref_meta.rsource)
-        & (per_doc.lang == ref_meta.rlang),
-    ).filter(F.col("doc_id") != F.col("ref_doc_id"))
-    return out.select(
+    return clipped.select(
         "doc_id",
         "source",
         "lang",

@@ -234,6 +234,23 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (0,0) — so the embeddings table is scanned ONCE and the groupBy's
     # map-side combine collapses each partition to d(d+1)/2 + d + 1 rows
     # before the single tiny shuffle.
+    #
+    # r10 optimization (guide §1.2 "per-task work"): the per-cell value is
+    # a BIGINT product, not DECIMAL(38,0) — q[i]*q[j] is at most ~1e12 in
+    # micro^2 units for unit-scale embeddings (|x| <= ~3e3 keeps it inside
+    # int64), so the 2,145-cells-per-row Generate and the hash aggregate
+    # run as codegen long arithmetic instead of interpreted BigDecimal.
+    # Exactness across rows is preserved by a two-level SPLIT SUM: each
+    # cell is summed as (v div 2^20, v mod 2^20) — both identities hold
+    # exactly for negatives under Spark's truncating div/% — and the two
+    # BIGINT partials recombine into DECIMAL(38,0) only at the 2,145-row
+    # moments level. Overflow bound: |v| <= 1.1e12 gives |hi| <= 1.05e6,
+    # |lo| < 2^20, so both partial sums stay in int64 up to ~8.8e12 rows
+    # (~2.2 PB of raw float32 at d=64) — above the 100 TB target; the
+    # DECIMAL recombination itself is unbounded. Same math, same output
+    # strings; only the per-cell representation changed (12.2 s -> see
+    # OPTIMIZATION_r10.md).
+    _SPLIT = 1 << 20
     cells = q.select(
         F.explode(
             F.expr(
@@ -241,12 +258,11 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"flatten(transform(sequence(1, {EMB_DIM}), "
                 f"i -> transform(sequence(i, {EMB_DIM}), "
                 f"j -> struct(i AS i, j AS j, "
-                f"CAST(q[i-1] AS DECIMAL(38,0)) * q[j-1] AS prod)))), "
+                f"q[i-1] * q[j-1] AS prod)))), "
                 f"transform(sequence(1, {EMB_DIM}), "
-                f"i -> struct(i AS i, 0 AS j, "
-                f"CAST(q[i-1] AS DECIMAL(38,0)) AS prod)), "
+                f"i -> struct(i AS i, 0 AS j, q[i-1] AS prod)), "
                 f"array(struct(0 AS i, 0 AS j, "
-                f"CAST(1 AS DECIMAL(38,0)) AS prod)))"
+                f"CAST(1 AS BIGINT) AS prod)))"
             )
         ).alias("c")
     ).select("c.i", "c.j", "c.prod")
@@ -254,7 +270,20 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below reuse it instead of re-running the scan + explode.
     moments = (
         cells.groupBy("i", "j")
-        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).cast("decimal(38,0)").alias("m"))
+        .agg(
+            F.sum(F.expr(f"prod div {_SPLIT}")).alias("hi"),
+            F.sum(F.expr(f"prod % {_SPLIT}")).alias("lo"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("hi").cast("decimal(38,0)") * F.lit(_SPLIT)
+                + F.col("lo")
+            )
+            .cast("decimal(38,0)")
+            .alias("m"),
+        )
         .persist()
     )
     dots = moments.filter((F.col("i") > 0) & (F.col("j") > 0)).select(

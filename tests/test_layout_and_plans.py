@@ -730,17 +730,19 @@ def test_crawl_funnel_no_cartesian_and_stage_reuse(spark, sf):
 
 
 def test_bleu_reference_side_broadcasts(spark, sf):
-    """r10 scale lock: BLEU's reference table is ONE doc per (source,
-    lang) — the clipped-overlap and ref-meta joins must broadcast it, and
-    the 4 n-gram streams ride ONE Generate pipeline (tagged structs), not
-    four per-n corpus rescans."""
+    """r10 optimization-round scale lock: BLEU's reference table is ONE
+    doc per (source, lang) — every join against it must broadcast, and
+    the clipped overlaps are computed IN-ROW via occurrence-tagged gram
+    arrays: no gram is ever exploded into rows (no Generate), so no gram
+    string can cross an exchange and no persisted gram frame exists."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["bleu_ngram_eval"](spark, sf))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-    assert "InMemoryTableScan" in plan, plan  # persisted gram counts
+    assert "Generate" not in plan, plan  # grams never become rows
+    assert "array_intersect" in plan, plan  # in-row clipped overlap
 
 
 def test_cdc_chunking_is_codegen_single_pass(spark, sf):
@@ -831,17 +833,19 @@ def test_host_quality_is_single_scan_no_join(spark, sf):
 
 
 def test_chrf_reference_side_broadcasts(spark, sf):
-    """r10 wave 42 scale lock: chrF is the BLEU shape at character level —
-    the reference (ONE doc per (source, lang)) must broadcast into the
-    clipped-overlap and ref-meta joins, and the 4 char-gram streams ride
-    ONE Generate (tagged structs), never four per-n corpus rescans."""
+    """r10 optimization-round scale lock: chrF is the BLEU shape at
+    character level — the reference (ONE doc per (source, lang)) must
+    broadcast, and clip counts are computed IN-ROW via occurrence-tagged
+    char-gram arrays: no gram row, no Generate, no persisted gram frame,
+    no gram ever crossing an exchange."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["chrf_char_eval"](spark, sf))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-    assert "InMemoryTableScan" in plan, plan  # persisted gram counts
+    assert "Generate" not in plan, plan  # grams never become rows
+    assert "array_intersect" in plan, plan  # in-row clipped overlap
 
 
 def test_threshold_sweep_is_one_combine_no_join(spark, sf):
