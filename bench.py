@@ -6,9 +6,24 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query executes to a noop sink (full plan execution, no driver-side
 collect overhead). Timing is steady-state: each query runs once untimed
-(codegen compilation, parquet footer/OS page cache) and the second
-execution is timed — measuring the engine's plan, not JIT warmup. The
+(codegen compilation, parquet footer/OS page cache) and subsequent
+executions are timed — measuring the engine's plan, not JIT warmup. The
 JVM gets one trivial warmup job up front.
+
+PROTOCOL CHANGE (r10, a measurement-bug fix — see OPTIMIZATION_r10.md
+"Protocol fix"): each timed run rebuilds the query after clearing the
+SQL cache, then times the action only. The pre-r10 loop cleared the
+cache but re-ran the same built frame, which permanently voided every
+interior persist() (the clear deregisters the plan; nothing
+re-registered it), so timed runs executed with all intra-query sharing
+stripped — shared subtrees re-evaluated once per consumer. Timed runs
+still compute everything from the parquet inputs (cache is empty when
+the rebuilt frame's action starts, persists fill inside the timed
+window, and the cache is cleared between runs so run 2 reuses nothing
+from run 1); query construction stays outside the stopwatch as in all
+prior rounds but is genuinely re-executed per run. Pre-fix numbers are
+preserved in BENCH_BASELINE_r10.json and all BENCH_r{1..9} files;
+cross-protocol rows are not comparable for persist-heavy queries.
 
 CANONICAL COMPARISON PROTOCOL (VERDICT r9 #3). Two timing protocols
 exist and differ 1.5-6x on identical code (BENCH_VARIANCE
@@ -515,17 +530,39 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()  # warmup: codegen
         # min of two timed runs: this machine shows large scheduler jitter
         # (same plan 0.3s vs 4s across runs); the min is the plan's cost.
-        # clearCache before every timed run: several queries persist an
-        # interior aggregate, and without the clear the warm pass would
-        # leave it cached — the timed run would then skip the scan stage
-        # and report only the post-persist assembly (caught in the r4
-        # stress audit; the JVM/codegen warmup above is unaffected).
+        #
+        # MEASUREMENT-BUG FIX (r10, documented in OPTIMIZATION_r10.md):
+        # each timed run now starts from clearCache AND a fresh build of
+        # the query. The old loop cleared the cache but reused the
+        # already-built frame, which PERMANENTLY voided every interior
+        # persist() — clearCache deregisters the plan from the
+        # CacheManager and nothing re-registers it — so the timed runs
+        # executed a plan the engine never wrote: shared subtrees
+        # (persisted shingle/edge/pair frames) re-evaluated once per
+        # consumer (kcore: ~19x its edge build; the 10-stage funnel:
+        # ~10x its WARC+HTML front end). The fix keeps the honest part
+        # of the r4 rule — the timed action computes everything from
+        # parquet: the cache is empty when the rebuilt frame's action
+        # starts (the rebuild happens AFTER the clear, so its persists
+        # are registered but unfilled), interior persists materialize
+        # (and are paid for) INSIDE the timed window, and run 2 cannot
+        # reuse run 1's data because the cache is cleared again.
+        # Query CONSTRUCTION stays outside the stopwatch, exactly as in
+        # every prior round (driver-side plan build; kmeans training via
+        # eager localCheckpoint; the ≤15-row percentile boundary fetch) —
+        # but it is genuinely re-executed for every timed run, so no
+        # result survives from one invocation to the next. Queries must
+        # not materialize their own persisted frames at build time (the
+        # one offender, kcore's edge count(), now reads file metadata
+        # instead).
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
+            run_df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            run_df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

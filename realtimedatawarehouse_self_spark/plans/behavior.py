@@ -949,6 +949,7 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.ia", "p.ib")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
         .filter(F.col("cooc") >= CF_MIN_COOC)
+        .persist()  # sym reads pairs twice (both union legs)
     )
     sym = pairs.select(
         F.col("ia").alias("item"), F.col("ib").alias("nb"), "cooc"

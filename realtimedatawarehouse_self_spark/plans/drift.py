@@ -238,35 +238,27 @@ def subsample_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money_cents("value")).alias("s_all"),
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
     )
+    # r10 optimization (guide §1.2 per-task work): the hash gate runs
+    # INSIDE an array filter over sequence(0, B-1), so the Generate only
+    # emits the ~B/2 SURVIVING replicas of each event's (event_type,
+    # value) instead of materializing all B wide rows and filtering
+    # afterwards. Identical md5/conv expression per (b, event_id) — the
+    # surviving (row, b) set is bit-identical to the explode-then-filter
+    # original; NULL event_id makes the lambda NULL, which filter()
+    # drops, exactly as the row filter did.
+    surviving_bs = F.expr(
+        f"filter(sequence(0, {SUBSAMPLE_B - 1}), b ->"
+        " (CAST(conv(substring(md5(concat(CAST(b AS STRING), ':',"
+        " CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        f" % 10000) < {SUBSAMPLE_HALF_BP})"
+    )
     reps = ev.select(
         "event_type",
-        "event_id",
         "value",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(SUBSAMPLE_B - 1))
-        ).alias("b"),
-    )
-    gate = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("event_id").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % F.lit(10000)
+        F.explode(surviving_bs).alias("b"),
     )
     sub = (
-        reps.filter(gate < SUBSAMPLE_HALF_BP)
-        .groupBy("event_type", "b")
+        reps.groupBy("event_type", "b")
         .agg(
             F.sum(money_cents("value")).alias("s"),
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -490,10 +490,15 @@ def plan_range_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     keys = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("key_ct")
-    ).persist()
-    # One combine-backed count over the (already needed, persisted) key
-    # frame decides the strategy; the exact path's window reuses the cache.
+    )
+    # One combine-backed count decides the strategy. The count runs on
+    # the UNPERSISTED frame and the persist is registered only afterwards
+    # (r10): persisting first would fill the cache during query BUILD,
+    # letting the timed execution skip the key aggregation entirely — the
+    # untimed-work leak the r10 bench-protocol fix closes. The chosen
+    # path's consumers share the one cached evaluation as before.
     n_keys = keys.count()
+    keys = keys.persist()
     if n_keys <= RANGE_EXACT_MAX_KEYS:
         w = Window.orderBy("user_id").rowsBetween(
             Window.unboundedPreceding, Window.currentRow

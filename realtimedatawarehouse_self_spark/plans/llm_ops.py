@@ -533,7 +533,14 @@ def _minhash_aggs() -> list[Column]:
 
 
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
-    """(doc_id, sh) shingles -> distinct LSH candidate pairs (doc_a < doc_b)."""
+    """(doc_id, sh) shingles -> distinct LSH candidate pairs (doc_a < doc_b).
+
+    No persist on the signature frame: `_band_pairs` self-joins the band
+    encoding, but the aggregate sits behind an exchange, so Spark's
+    exchange reuse (ReusedExchange) already computes it once and feeds
+    both join sides — a persist here only adds cache materialization cost
+    (measured: dedup_minhash_lsh 0.69 s without vs 0.97 s with, r10
+    persist A/B)."""
     minh = (
         sh.select("doc_id", _shingle_hash())
         .groupBy("doc_id")
@@ -2307,7 +2314,13 @@ FROM sizes s JOIN edge_stats e ON s.cluster_id = e.cluster_id
 # exact verify pruned to candidates.
 # ---------------------------------------------------------------------------
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).persist()
+    # r10 persist A/B (8 variants, 2 interleaved cycles): keeping ONLY
+    # `_exact_pair_verify`'s internal cand persist is fastest (2.32 s)
+    # vs persisting sh+minh+cand too (2.85 s) or nothing (3.08 s) —
+    # minh/cand sit behind exchanges, so ReusedExchange already shares
+    # them across the self-join/est/verify consumers; extra persists
+    # only pay materialization.
+    sh = _doc_shingles(spark, sf_dir)
     minh = (
         sh.select("doc_id", _shingle_hash())
         .groupBy("doc_id")

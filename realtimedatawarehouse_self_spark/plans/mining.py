@@ -685,11 +685,11 @@ def pagerank_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p.ua", "p.ub")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        # Persist at the PAIR level — the smallest frame everything
-        # downstream (symmetrize, degree, every iteration's join, the
-        # rank init) derives from, so the scan + bucket self-join run
-        # exactly once however many iterations unroll.
-        .persist()
+        # No persist (r10 A/B: 6.75 s without vs 6.98 s with): the pair
+        # aggregate is an exchange boundary, so every downstream consumer
+        # (symmetrize, degree, each unrolled iteration's join, rank init)
+        # hits the same ReusedExchange — the scan + bucket self-join
+        # already run exactly once without cache materialization cost.
     )
     edges = pairs.select(
         F.explode(
@@ -831,9 +831,12 @@ def _minute_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangle_count_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The edge list feeds degree, orientation, wedge join, AND the
-    # closing-edge probe — persist so the scan + pair explode run once.
-    und = _minute_edges(spark, sf_dir).persist()
+    # r10 persist A/B (5 variants × 2 interleaved cycles): NO persists is
+    # fastest (1.52 s vs 2.46 s all / 5.00 s edge-list-only). The edge
+    # list, degree frame, and oriented frame all sit behind exchanges, so
+    # ReusedExchange shares each across its consumers within the one
+    # plan; caching them only adds materialization cost.
+    und = _minute_edges(spark, sf_dir)
     deg = (
         und.select(F.col("ua").alias("id"))
         .unionAll(und.select(F.col("ub").alias("id")))
@@ -1173,25 +1176,47 @@ FROM walk GROUP BY 1
 # ---------------------------------------------------------------------------
 KCORE_K = 3
 KCORE_ROUNDS = 3
-# Edge-count threshold for collapsing the persisted edge list into few
+# Input-size threshold for collapsing the persisted edge list into few
 # partitions before the round chain. Below it, the frame fits a handful of
 # tasks and per-round scheduling overhead dominates (the local[32] case);
 # above it (cluster scale), keep the shuffle layout and let AQE size the
 # partitions — a billion-edge list must never be forced through 8 tasks.
-KCORE_SMALL_EDGELIST = 1_000_000
+# r10: the switch reads the events table's FILE SIZE (driver-side
+# metadata, no Spark job) instead of count()-ing the edge frame — the
+# count was a build-time action that materialized the persisted edge
+# list before the query's timed execution ever started (an untimed-work
+# leak the r10 bench-protocol fix closes); a metadata probe keeps the
+# decision but leaves all computation inside the query's own execution.
+# Unreadable/remote paths conservatively report "big" -> no coalesce.
+KCORE_SMALL_INPUT_BYTES = 64 * 1024 * 1024
+
+
+def _local_input_bytes(sf_dir: str, name: str) -> int:
+    import os
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(p)
+                for f in files
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 60
 
 
 def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _minute_edges(spark, sf_dir).persist()
+    und = _minute_edges(spark, sf_dir)
     # The edge list is orders of magnitude smaller than the fact scan
-    # (bounded by bucket count x CAP^2/2). The count() materializes the
-    # persist the first round would have paid anyway; when the MEASURED
-    # count is small, collapsing partitions before the
-    # 3x(2 semi-joins + combine) round chain removes ~6 rounds of
-    # per-task scheduling overhead on a frame that fits in one task.
-    # At cluster scale the branch simply doesn't fire.
-    if und.count() <= KCORE_SMALL_EDGELIST:
+    # (bounded by bucket count x CAP^2/2). When the INPUT is small,
+    # collapsing partitions before the 3x(2 semi-joins + combine) round
+    # chain removes ~6 rounds of per-task scheduling overhead on a frame
+    # that fits in one task. At cluster scale the branch doesn't fire.
+    if _local_input_bytes(sf_dir, "events") <= KCORE_SMALL_INPUT_BYTES:
         und = und.coalesce(8)
+    und = und.persist()
     edges = und.select(
         F.col("ua").alias("src"), F.col("ub").alias("dst")
     ).unionAll(und.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))

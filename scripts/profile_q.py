@@ -56,16 +56,20 @@ def main() -> None:
                     df._jdf.queryExecution(), "formatted"))
         spark.sparkContext.setJobDescription(f"profile:{name}:warmup")
         df.write.mode("overwrite").format("noop").save()
+        # r10 protocol (mirrors bench.py): fresh build per timed run so
+        # interior persists stay registered; cache empty at t0.
         best = float("inf")
         times = []
         for i in range(args.runs):
             spark.catalog.clearCache()
+            run_df = qs[name](spark, SF_DIR)
             spark.sparkContext.setJobDescription(f"profile:{name}:timed{i}")
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            run_df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             times.append(round(dt, 3))
             best = min(best, dt)
+        spark.catalog.clearCache()
         print(f"{name}: best={best:.3f} runs={times}", flush=True)
     spark.stop()
 

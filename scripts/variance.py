@@ -51,12 +51,16 @@ def one_pass(names: list[str]) -> None:
     for name in names:
         df = qs[name](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
+        # r10 protocol (mirrors bench.py): fresh build per timed run so
+        # interior persists stay registered; cache empty at t0.
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
+            run_df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            run_df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
     print(json.dumps(timings), flush=True)
     spark.stop()
