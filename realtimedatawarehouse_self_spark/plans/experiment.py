@@ -706,7 +706,7 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cls = ev.groupBy("d", "vb", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("ct_c")
-    ).persist()
+    )  # no persist (r10 A/B: 0.52 s without vs 0.80 s with)
     classes = cls.groupBy("d", "vb").agg(
         F.sum("ct_c").cast("bigint").alias("n_c")
     )

@@ -225,7 +225,7 @@ def autocorrelation_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()
+        # no persist (r10 A/B: 0.31 s without vs 0.55 s with)
     )
     a = daily.select(
         "event_type",

@@ -973,8 +973,9 @@ def link_prediction_common_neighbors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     # Edge list feeds degree, both wedge sides, AND the adjacency
-    # anti-join — persist so the scan + pair explode run once.
-    und = _minute_edges(spark, sf_dir).persist()
+    # anti-join — all behind exchanges, so ReusedExchange runs the scan +
+    # pair explode once without a persist (r10 A/B: 1.83 s vs 2.75 s).
+    und = _minute_edges(spark, sf_dir)
     deg = (
         und.select(F.col("ua").alias("id"))
         .unionAll(und.select(F.col("ub").alias("id")))
@@ -1509,7 +1510,9 @@ def community_label_propagation(
         .unionAll(
             und.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
         )
-        .persist()
+        # no persist (r10 A/B: none 2.20 s vs all-sites 3.06 s) — the
+        # symmetrized edge list and each round's label frame ride
+        # ReusedExchange across the unrolled rounds
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
@@ -1528,7 +1531,6 @@ def community_label_propagation(
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("id", "lbl")
-            .persist()
         )
     size = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
@@ -1606,7 +1608,8 @@ FROM l{LPA_ROUNDS} l JOIN size_ s ON l.lbl = s.lbl
 # (S_sq is O(M * deg^2)); division truncates toward zero identically.
 # ---------------------------------------------------------------------------
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _minute_edges(spark, sf_dir).persist()
+    # no persist (r10 A/B: 0.87 s without vs 1.64 s with — ReusedExchange)
+    und = _minute_edges(spark, sf_dir)
     deg = (
         und.select(F.col("ua").alias("id"))
         .unionAll(und.select(F.col("ub").alias("id")))

@@ -102,14 +102,11 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.first("dl").alias("dl"),
     )
-    # tf feeds BOTH the scoring join and the df derivation below; persist
-    # it so the corpus scan + explode + combine materializes once (without
-    # this, each consumer re-runs the postings subtree — at 100 TB that is
-    # a second full-corpus pass). Not unpersisted: the query-builder
-    # contract returns an unexecuted frame, so eager cleanup would evict
-    # the cache before the caller runs it; the default MEMORY_AND_DISK
-    # level is LRU-evictable, bounding the residency cost.
-    tf = tf.persist()
+    # tf feeds BOTH the scoring join and the df derivation below, but it
+    # ends in an aggregate (exchange boundary), so ReusedExchange already
+    # materializes the corpus scan + explode + combine once for both
+    # consumers — at any scale the postings subtree runs a single time.
+    # A persist here is pure added cost (r10 A/B: 2.15 s vs 2.87 s).
     # df falls out of tf for free: one row per (doc, term) means counting
     # rows per term IS the document frequency. Deriving it from the tiny tf
     # aggregate (≤ |query terms| rows per doc) instead of a second
@@ -351,7 +348,7 @@ def _bpe_vocab(docs: DataFrame) -> DataFrame:
 
 def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    wf = _bpe_vocab(docs).persist()
+    wf = _bpe_vocab(docs)  # no persist (r10 A/B: 2.43 s vs 2.92 s)
 
     rows = []
     cur = wf
@@ -1455,7 +1452,7 @@ SPAN_MIN_LEN = 16   # emit maximal spans of at least this many tokens
 SPAN_DF_CAP = 64    # drop anchor hashes occurring more often than this
 
 
-def _verified_spans(spark: SparkSession, sf_dir: str):
+def _verified_spans(spark: SparkSession, sf_dir: str, persist_tok: bool = True):
     """Shared core of the Lee-2022 span family: returns (tok, ver) where
     tok is the persisted tokenized scan and ver the exact-verified maximal
     duplicated spans (da, db, start_a, start_b, span_len, span_a). Both
@@ -1465,10 +1462,14 @@ def _verified_spans(spark: SparkSession, sf_dir: str):
     K, L, CAP = SPAN_ANCHOR_K, SPAN_MIN_LEN, SPAN_DF_CAP
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
     # The tokenized scan feeds BOTH the anchor build and the final verify
-    # joins; persist so the corpus scan + split runs once (bm25 pattern —
-    # not unpersisted: builders return unexecuted frames, and the default
-    # MEMORY_AND_DISK level is LRU-evictable).
-    tok = docs.select("doc_id", "tok_arr").persist()
+    # joins; by default persist so the corpus scan + split runs once (not
+    # unpersisted: builders return unexecuted frames, and the default
+    # MEMORY_AND_DISK level is LRU-evictable). The removal op opts OUT
+    # (r10 per-site A/B: 1.76 s vs 2.34 s there, while the report query
+    # measures faster keeping it: 1.50 s vs 1.62 s).
+    tok = docs.select("doc_id", "tok_arr")
+    if persist_tok:
+        tok = tok.persist()
     anchors = (
         tok.filter(F.size("tok_arr") >= K)
         .select(
@@ -1573,7 +1574,7 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back to per-doc token counts keys on doc_id.
 # ---------------------------------------------------------------------------
 def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok, ver = _verified_spans(spark, sf_dir)
+    tok, ver = _verified_spans(spark, sf_dir, persist_tok=False)
     iv = ver.select(
         F.col("db").cast("bigint").alias("doc_id"),
         F.col("start_b").cast("bigint").alias("s"),
@@ -1831,7 +1832,7 @@ def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = _cdc_chunk_frame(spark, sf_dir).persist()
+    chunks = _cdc_chunk_frame(spark, sf_dir)  # no persist (r10 A/B: 0.86 s vs 1.07 s)
     stats = chunks.groupBy("chunk_md5").agg(
         F.countDistinct("doc_id").cast("bigint").alias("chunk_docs")
     )

@@ -209,7 +209,7 @@ ROLL_DAYS = 7
 
 
 def kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dh = _daily_hashes(spark, sf_dir).persist()
+    dh = _daily_hashes(spark, sf_dir)  # no persist (r10 A/B: ReusedExchange)
     wd = Window.partitionBy("d").orderBy("h")
     daily_sketch = (
         dh.withColumn("rn", F.row_number().over(wd))
@@ -346,7 +346,7 @@ HLL_ALPHA_MICRO = 709_341
 
 
 def hll_union_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dh = _daily_hashes(spark, sf_dir).persist()
+    dh = _daily_hashes(spark, sf_dir)  # no persist (r10 A/B: ReusedExchange)
     # daily register maxima: (d, reg) -> max rank
     daily_reg = (
         dh.select(
@@ -494,7 +494,7 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         sh.filter(F.col("doc_id") % EVAL_MOD != 0).select("sh").distinct()
-    ).persist()
+    )  # no persist (r10 A/B: 1.75 s without vs 2.58 s with — ReusedExchange)
     ks = F.explode(F.sequence(F.lit(1), F.lit(K_HASH))).alias("i")
     pos_expr = F.expr(
         "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', sh)), 1, 15),"
@@ -838,15 +838,15 @@ CARD_HH = 8
 
 
 def _key_counts(spark, sf_dir, table: str, key: str) -> DataFrame:
-    # persisted: each count frame feeds THREE consumers (side stats, the
-    # exact count-product join, and the top-H heavy hitters) — without
-    # the persist every consumer re-runs the table scan + combine
+    # No persist (r10 A/B: 1.54 s without vs 2.88 s with, all seven call
+    # sites): the count frame is an aggregate — an exchange boundary — so
+    # its three consumers (side stats, exact count-product join, top-H
+    # heavy hitters) share one ReusedExchange evaluation already.
     return (
         _t(spark, sf_dir, table)
         .filter(F.col(key).isNotNull())
         .groupBy(F.col(key).cast("bigint").alias("k"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .persist()
     )
 
 
@@ -1388,7 +1388,7 @@ def encoding_choice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ENC_COLUMNS
         ],
         *[F.col(c) for c in ENC_COLUMNS],
-    ).persist()
+    )  # no persist (r10 A/B: 1.33 s vs 2.93 s)
     parts = []
     for c in ENC_COLUMNS:
         # int64-backed columns store 8 bytes/value PLAIN; strings store
@@ -1539,9 +1539,10 @@ SKIP_PREDS = (  # (pred_id, lo, hi) on user_id
 
 def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    # persisted: BOTH layouts' file stats derive from this cell frame —
-    # without the persist each branch re-runs the fact scan and the
-    # "fact table never read twice" property would be a lie
+    # Both layouts' file stats derive from this cell frame; it is an
+    # aggregate (exchange boundary), so ReusedExchange evaluates the fact
+    # scan + combine once for both branches — the fact table is still
+    # never read twice (r10 A/B: 0.84 s without persist vs 1.35 s with).
     cells = ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd-HH").alias("hour_key"),
         F.expr(f"user_id div {SKIP_UBUCKET}").alias("bucket_key"),
@@ -1549,7 +1550,7 @@ def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("u_min"),
         F.max("user_id").alias("u_max"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    ).persist()
+    )
     nat = cells.groupBy(F.col("hour_key").alias("file_key")).agg(
         F.min("u_min").alias("u_min"),
         F.max("u_max").alias("u_max"),

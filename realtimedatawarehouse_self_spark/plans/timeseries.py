@@ -1363,7 +1363,8 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     cells = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct")).persist()
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    # no persist (r10 A/B: 0.54 s without vs 0.94 s with — ReusedExchange)
     norms = cells.groupBy("user_id").agg(
         F.sum(F.expr("ct * ct")).cast("bigint").alias("norm2")
     )
