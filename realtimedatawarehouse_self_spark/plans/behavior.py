@@ -914,7 +914,16 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    ui = (
+    # r10 optimization (guide §2.4 "remove shuffles outright"): the matrix
+    # build used to be distinct (one (user,item)-keyed exchange) -> window
+    # count over user_id (a second, user-keyed exchange) -> a THIRD
+    # user-keyed exchange for the collect_set basket aggregate. One
+    # user-keyed collect_set (which dedups, so no separate distinct) now
+    # produces the baskets directly; size(items) IS the distinct-item
+    # count, so the hub cap is unchanged, and the flat (user, item) view
+    # is an in-row explode of the persisted baskets — 3 corpus-sized
+    # exchanges -> 1. Values everywhere downstream are identical.
+    baskets = (
         orders.join(
             lineitem,
             orders["o_orderkey"] == lineitem["l_orderkey"],
@@ -926,24 +935,17 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("user_id"),
             F.col("l_partkey").alias("item"),
         )
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .filter(F.size("items") <= CF_ITEM_CAP)
+        .persist()  # consumed 4x: degrees, pair explode, serve probe, anti
     )
-    uc = (
-        ui.withColumn(
-            "n_items",
-            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
-        )
-        .filter(F.col("n_items") <= CF_ITEM_CAP)
-        .select("user_id", "item")
-        .persist()  # consumed 3x: degrees, baskets, serve probe
-    )
+    uc = baskets.select("user_id", F.explode("items").alias("item"))
     deg = uc.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
     pairs = (
-        uc.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
-        .select(
+        baskets.select(
             F.explode(ordered_pair_structs("items", "ia", "ib")).alias("p")
         )
         .groupBy("p.ia", "p.ib")

@@ -2397,16 +2397,24 @@ def caption_image_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text")).filter(
         F.size("tok_arr") > 0
     )
-    # in-row hashed projection: t[d] = sum of +-1 over tokens hashing to d
-    bucket = (
-        f"CAST(conv(substring(md5(x), 1, 2), 16, 10) AS INT) % {CLIP_DIM}"
+    # in-row hashed projection: t[d] = sum of +-1 over tokens hashing to d.
+    # r10 optimization (guide §1.2 per-task work): the md5 is computed ONCE
+    # per token in a pre-pass transform — the original folded the bucket and
+    # sign expressions directly into the per-dimension lambda, and
+    # higher-order-function lambdas are interpreted with no common-
+    # subexpression elimination, so each token paid 2 md5 calls PER
+    # DIMENSION (128 md5/token at d=64). Same bucket/sign per token, so the
+    # vector (and every output value) is bit-identical.
+    ps = (
+        "transform(transform(tok_arr, x -> md5(x)), h -> struct("
+        f"CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % {CLIP_DIM} AS b, "
+        "IF(substring(h, 3, 1) < '8', 1L, -1L) AS s))"
     )
-    sign = "IF(substring(md5(x), 3, 1) < '8', 1L, -1L)"
     tvec = (
-        f"aggregate(tok_arr, "
+        f"aggregate({ps}, "
         f"array_repeat(0L, {CLIP_DIM}), "
-        f"(acc, x) -> transform(acc, (v, i) -> "
-        f"v + IF(({bucket}) = i, {sign}, 0L)))"
+        f"(acc, p) -> transform(acc, (v, i) -> "
+        f"v + IF(p.b = i, p.s, 0L)))"
     )
     cap = docs.select(
         "doc_id",

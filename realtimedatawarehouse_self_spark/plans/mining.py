@@ -410,18 +410,41 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {Q_SCALE}.0) AS BIGINT))"
         ).alias("q")
     )
+    # r10 optimization (guide §1.2 "per-task work", same change as
+    # embedding_gram_matrix): per-cell products are BIGINT (|q[i]*q[j]| <=
+    # ~1.1e12 in micro^2 units), summed exactly via the two-level split sum
+    # (hi = prod div 2^20, lo = prod % 2^20 — both identities exact for
+    # negatives under truncating div/%) and recombined into DECIMAL(38,0)
+    # only at the d(d+1)/2-row Gram level. The Generate + partial aggregate
+    # run as codegen long arithmetic instead of interpreted BigDecimal;
+    # g's value (and everything downstream) is bit-identical.
+    _SPLIT = 1 << 20
     cells = q.select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(1, {EMB_DIM}), "
                 f"i -> transform(sequence(i, {EMB_DIM}), "
                 f"j -> struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
-                f"CAST(q[i-1] AS DECIMAL(38,0)) * q[j-1] AS prod))))"
+                f"q[i-1] * q[j-1] AS prod))))"
             )
         ).alias("c")
     ).select("c.i", "c.j", "c.prod")
-    tri = cells.groupBy("i", "j").agg(
-        F.sum(F.col("prod").cast("decimal(38,0)")).cast("decimal(38,0)").alias("g")
+    tri = (
+        cells.groupBy("i", "j")
+        .agg(
+            F.sum(F.expr(f"prod div {_SPLIT}")).alias("hi"),
+            F.sum(F.expr(f"prod % {_SPLIT}")).alias("lo"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("hi").cast("decimal(38,0)") * F.lit(_SPLIT)
+                + F.col("lo")
+            )
+            .cast("decimal(38,0)")
+            .alias("g"),
+        )
     )
     full = tri.unionAll(
         tri.filter(F.col("i") < F.col("j")).select(

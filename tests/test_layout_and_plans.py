@@ -753,9 +753,16 @@ def test_cdc_chunking_is_codegen_single_pass(spark, sf):
     codegen (cuts array + chunk structs in one Generate pipeline — no
     Python stage, no window, no self-join); the chunk frame's two
     consumers (stats + flag join) share one evaluation via ReusedExchange
-    — no cache layer (persist dropped in the r10 A/B: 0.86 s vs 1.07 s)."""
+    — no cache layer (persist dropped in the r10 A/B: 0.86 s vs 1.07 s).
+
+    clearCache first: the suite shares one session and building OTHER
+    queries registers their persist() plans in the CacheManager, which
+    then substitutes InMemoryTableScan into any later plan sharing a
+    fragment — a suite-order artifact, not this query's plan (the lock
+    passes standalone; the bench clears the cache before every run)."""
     import __spark_entry__ as e
 
+    spark.catalog.clearCache()
     plan = _plan(e.queries()["cdc_chunk_dedup"](spark, sf))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
