@@ -2316,9 +2316,15 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("hr")
     )
     kept = exact_dedup_first(capped)
+    # in-row distinct (array_distinct) — doc_id is unique in `kept`, so
+    # per-doc array dedup replaces the corpus-shingle-volume `.distinct()`
+    # exchange (r10, guide §2.4; same change as llm_ops._doc_shingles)
     sh = kept.select(
-        "doc_id", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("tok_arr")))).alias(
+            "sh"
+        ),
+    )
     dropped = (
         _minhash_pairs(sh).select(F.col("doc_b").alias("doc_id")).distinct()
     )

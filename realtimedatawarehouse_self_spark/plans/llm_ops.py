@@ -64,13 +64,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, lang, shingle) — the shared dedup primitive."""
+    """Distinct (doc_id, lang, shingle) — the shared dedup primitive.
+
+    r10 optimization (guide §2.4 "remove shuffles outright"): the distinct
+    runs IN-ROW via array_distinct before the explode. doc_id is the
+    document's identity (unique per row — the schema contract every dedup
+    operator's keep_doc_id/join semantics already rely on), so duplicate
+    (doc_id, lang, sh) tuples can only arise WITHIN one document's shingle
+    array; deduping the array replaces a corpus-shingle-volume
+    `.distinct()` exchange — the single largest data-sized shuffle of the
+    whole dedup family, shared by containment / prefix-filter / Jaccard /
+    minhash / clean-pipeline consumers — with zero shuffle. The oracle's
+    SELECT DISTINCT is unchanged and gates the equivalence per SF."""
     docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    return (
-        docs.select(
-            "doc_id", "lang", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
-        )
-        .distinct()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles(F.col("tok_arr")))).alias(
+            "sh"
+        ),
     )
 
 
@@ -3139,9 +3151,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan is the expensive half; use DISK_ONLY there (the quality-gated,
     # deduped survivor set is a fraction of the corpus).
     kept = kept.persist()
+    # in-row distinct (array_distinct) — doc_id is unique in `kept`, so
+    # per-doc array dedup replaces the corpus-shingle-volume `.distinct()`
+    # exchange (r10, guide §2.4; same change as `_doc_shingles`)
     sh = kept.select(
-        "doc_id", F.explode(word_shingles(F.col("tok_arr"))).alias("sh")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("tok_arr")))).alias(
+            "sh"
+        ),
+    )
     dropped = (
         _minhash_pairs(sh).select(F.col("doc_b").alias("doc_id")).distinct()
     )
@@ -3397,17 +3415,24 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("vec_id", "e.m", "e.sv")
+    # r10 optimization (guide §1.2 per-task work): ss(cent) depends only on
+    # the centroid, so it is precomputed ONCE per codebook row (PQ_K x M
+    # rows) instead of inside the per-(subvector x centroid) metric — the
+    # HOF square-sum used to re-run for every candidate pair in both assign
+    # passes and the LUT. Same integers, same argmins, same output.
+    _ss = "aggregate(transform(cent, x -> x * x), 0L, (acc, x) -> acc + x)"
     c0 = sub.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cent")
-    )
+    ).withColumn("ss", F.expr(_ss))
 
     def _metric(vec_col: str) -> str:
         """Exact integer ADC metric ss(cent) - 2·dot(vec, cent), as a
         function of the probing vector's column name (no string surgery
         on a shared expression — a stray substring match would silently
-        score with the wrong column)."""
+        score with the wrong column). ss is the codebook's precomputed
+        square-sum column."""
         return (
-            "aggregate(transform(cent, x -> x * x), 0L, (acc, x) -> acc + x)"
+            "ss"
             f" - 2 * aggregate(zip_with({vec_col}, cent, (a, b) -> a * b),"
             " 0L, (acc, x) -> acc + x)"
         )
@@ -3440,7 +3465,7 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = a0.groupBy("m", "cid").agg(F.count(F.lit(1)).alias("n"))
     c1 = sums.join(counts, ["m", "cid"]).select(
         "m", "cid", F.expr("transform(s_arr, s -> s div n)").alias("cent")
-    )
+    ).withColumn("ss", F.expr(_ss))
     codes = _assign(c1).select("vec_id", "m", F.col("cid").alias("code"))
 
     qsub = sub.filter(F.col("vec_id") < NUM_QUERY_VECS).select(
