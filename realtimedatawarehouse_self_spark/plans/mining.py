@@ -1257,18 +1257,18 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # co-engaged users) is magnitudes below the edge list, so each
         # round is one map-side filter pass + combine instead of two
         # shuffle joins — at a scale where users outgrow broadcast,
-        # drop the hint and AQE falls back to shuffled semi-joins
+        # drop the hint and AQE falls back to shuffled semi-joins.
+        # r10: both probes keep the survivor column named `id` (explicit
+        # join conditions instead of per-side renames) so the two
+        # BroadcastExchanges canonicalize identically and the second is a
+        # ReusedExchange — ONE driver-side broadcast build per round
+        # instead of two (guide §2.4: share exchanges keyed the same way).
+        sa, sb = survivors.alias("kc_sa"), survivors.alias("kc_sb")
         deg = (
             edges.join(
-                F.broadcast(survivors.select(F.col("id").alias("src"))),
-                "src",
-                "left_semi",
+                F.broadcast(sa), edges["src"] == sa["id"], "left_semi"
             )
-            .join(
-                F.broadcast(survivors.select(F.col("id").alias("dst"))),
-                "dst",
-                "left_semi",
-            )
+            .join(F.broadcast(sb), edges["dst"] == sb["id"], "left_semi")
             .groupBy("src")
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         )
