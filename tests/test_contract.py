@@ -219,3 +219,33 @@ def test_no_duplicate_query_names_across_modules():
             names.update(getattr(mod, attr, {}).keys())
         dups = sorted(n for n, c in names.items() if c > 1)
         assert dups == [], f"{attr} names registered by >1 module: {dups}"
+
+
+def test_doc_id_unique_contract_for_in_row_dedup(duck):
+    """The r10 dedup-family optimization replaced the corpus-wide
+    `.distinct()` on (doc_id, lang, sh) with an IN-ROW
+    `explode(array_distinct(...))` (llm_ops._doc_shingles + the two
+    inline copies in corpus_clean_pipeline / crawl_to_train_funnel).
+    That rewrite is equivalent iff doc_id is the row identity of the
+    documents table: duplicates of (doc_id, lang, sh) can then only
+    arise WITHIN one row's shingle array. ADVICE r10 #3 asked for the
+    contract to be asserted, not just claimed in comments: duplicate or
+    repeated-NULL doc_id input is OUT OF CONTRACT for the dedup family
+    (such data would silently diverge from the oracle's cross-row
+    SELECT DISTINCT). Checked at both parity SFs."""
+    import os
+
+    from tests.conftest import TESTDATA
+
+    for sf in ["sf0.001", "sf0.01"]:
+        path = os.path.join(TESTDATA, sf, "documents.parquet")
+        dup_or_null = duck.execute(
+            f"SELECT (SELECT count(*) FROM '{path}' WHERE doc_id IS NULL),"
+            f" (SELECT count(*) - count(DISTINCT doc_id) FROM '{path}')"
+        ).fetchone()
+        assert dup_or_null == (0, 0), (
+            f"{sf}: doc_id nulls/dups {dup_or_null} — the dedup family's "
+            "in-row array_distinct no longer matches the oracle's "
+            "SELECT DISTINCT; restore the cross-row distinct for this "
+            "corpus or re-key it"
+        )
