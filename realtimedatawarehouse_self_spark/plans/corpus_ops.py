@@ -2255,7 +2255,6 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from realtimedatawarehouse_self_spark.plans.llm_ops import (
         _minhash_pairs,
-        exact_dedup_first,
         quality_gate,
     )
     from realtimedatawarehouse_self_spark.session import apply_runtime_confs
@@ -2280,42 +2279,77 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .substr(F.locate(crlf + crlf, F.col("record")) + 4, F.length("record"))
         .alias("body"),
     )
-    # r10 persist A/B (12 variants × 2 interleaved cycles): keeping ONLY
-    # the post-mixture `sampled` persist is fastest (6.9 s) vs all ten
-    # stage persists (19.9 s) or none (9.0 s). The stage frames below are
-    # chained narrow ops over shared exchanges — ReusedExchange already
-    # computes each stage once for the funnel's 10 union legs; caching
-    # every stage only pays materialization on data-sized text columns.
     valid = parsed.filter(
         F.length("body") == F.col("content_length")
     ).select("doc_id", "source", "lang", F.col("body").alias("text"))
+    # r11 one-pass restructure (guide §8 "decide with small rows" / §2.4):
+    # before, every stage leg from 01 on re-ran the narrow front end above
+    # its last shared exchange — the Arrow HTML extraction + tokenizer
+    # executed once per leg (~5 evaluations for ONE benched row, the
+    # round-10 "Not yet optimized" #1). Now ONE slim per-doc frame carries
+    # every decision column the ten legs and the near-dup branch need
+    # (token/block counts, content hash, text length, host) and is
+    # persisted, so the extraction runs exactly once; page bodies are
+    # dropped at the projection — the cache holds per-doc scalars plus
+    # tok_arr (kept for the shingle branch), never raw HTML/text. At
+    # cluster scale the persist is MEMORY_AND_DISK like every interior
+    # persist here, and it replaces ~5 re-runs of the Python extraction
+    # over the full corpus — strictly fewer bytes than the text frames
+    # the r10 persist A/B rejected (those cached body+text per stage).
     extracted = extract_main_text(attach_html(valid)).select(
         "doc_id",
         "kept_blocks",
         F.col("extracted_text").alias("text"),
     )
-    ex = (
+    slim = (
         valid.drop("text")
         .join(extracted, "doc_id")
         .withColumn("tok_arr", tokens("text"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "kept_blocks",
+            "tok_arr",
+            F.size("tok_arr").cast("bigint").alias("tok_ct"),
+            F.length("text").alias("text_len"),
+            F.md5("text").alias("text_md5"),
+            F.expr(_HOST_EXPR).alias("host"),
+        )
+        .persist()
     )
-    q = quality_gate(ex)
-    hosts = q.withColumn("host", F.expr(_HOST_EXPR))
-    blocklist = (
-        hosts.select("host")
-        .distinct()
-        .where(F.substring(F.md5("host"), 1, 1).isin(*BLOCKLIST_HEX))
+    q = quality_gate(slim)
+    # in-row blocklist membership: the blocklist is DISTINCT q-hosts whose
+    # md5 first nibble is blocked, and the anti-join drops exactly the
+    # rows whose OWN host satisfies that predicate — membership is a pure
+    # function of the row's host, so the distinct aggregate + broadcast
+    # anti-join collapse to one filter (guide §2.4; the standalone
+    # robots_blocklist_filter keeps the join form its oracle pins).
+    unblocked = q.filter(
+        ~F.substring(F.md5("host"), 1, 1).isin(*BLOCKLIST_HEX)
     )
-    unblocked = hosts.join(F.broadcast(blocklist), "host", "left_anti")
     w = Window.partitionBy("host").orderBy(
-        F.length("text").desc(), "doc_id"
+        F.col("text_len").desc(), "doc_id"
     )
     capped = (
         unblocked.withColumn("hr", F.row_number().over(w))
         .where(F.col("hr") <= DOMAIN_CAP)
         .drop("hr")
     )
-    kept = exact_dedup_first(capped)
+    # exact_dedup_first inlined on the precomputed content hash (same
+    # window, identical keep-lowest-doc_id semantics — text_md5 IS
+    # md5(text), hashed once at the slim projection)
+    wd = Window.partitionBy("text_md5").orderBy("doc_id")
+    # NOT persisted (r11 persist A/B, 3 cycles of {all, none, slim-only,
+    # kept-only}; cycle-mins 4.96/5.09/4.93/5.88): the two window
+    # EXCHANGES below ride ReusedExchange across the 6 post-dedup legs,
+    # and caching the array-carrying kept frame on top of slim pays
+    # materialization without beating slim-only.
+    kept = (
+        capped.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
     # in-row distinct (array_distinct) — doc_id is unique in `kept`, so
     # per-doc array dedup replaces the corpus-shingle-volume `.distinct()`
     # exchange (r10, guide §2.4; same change as llm_ops._doc_shingles)
@@ -2333,10 +2367,8 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("total_ct")
     )
     targets = _sqrt_targets(counts, MIX_SAMPLE_TOTAL)
-    sampled = (
-        neardup.join(F.broadcast(targets), "source")
-        .filter(_mixture_keep_pred())
-        .persist()
+    sampled = neardup.join(F.broadcast(targets), "source").filter(
+        _mixture_keep_pred()
     )
     sharded = sampled.withColumn(
         "shard_id",
@@ -2344,8 +2376,6 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = Window.partitionBy("shard_id").orderBy("doc_id")
     packed = sharded.withColumn(
-        "tok_ct", F.size("tok_arr").cast("bigint")
-    ).withColumn(
         "pack_id",
         F.floor(
             (F.sum("tok_ct").over(wp) - F.col("tok_ct")) / F.lit(PACK_BUDGET)
@@ -2353,14 +2383,13 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stage(name: str, df: DataFrame, units) -> DataFrame:
-        # frames from 01 on carry the materialized tok_arr — re-running
-        # tokens("text") there would re-split data-sized text ten times
-        # for one benched row (r10 code-review finding); only the WARC
-        # stage tokenizes, because it precedes the tok_arr column
+        # frames from 01 on carry the slim frame's materialized tok_ct —
+        # only the WARC stage tokenizes (its token total is defined on the
+        # RAW body text, before extraction)
         tok_sz = (
             F.size(tokens("text"))
-            if "tok_arr" not in df.columns
-            else F.size("tok_arr")
+            if "tok_ct" not in df.columns
+            else F.col("tok_ct")
         )
         return df.agg(
             F.lit(name).alias("stage"),
@@ -2374,7 +2403,7 @@ def crawl_to_train_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = F.count(F.lit(1))
     out = stage("00_warc_valid", valid, n_rows)
     for name, df, units in (
-        ("01_html_extract", ex, F.coalesce(F.sum("kept_blocks"), F.lit(0))),
+        ("01_html_extract", slim, F.coalesce(F.sum("kept_blocks"), F.lit(0))),
         ("02_quality", q, n_rows),
         ("03_blocklist", unblocked, F.countDistinct("host")),
         ("04_domain_cap", capped, F.countDistinct("host")),
@@ -4000,10 +4029,16 @@ def filter_cascade_order_plan(
         .cast("bigint")
         .alias("n_stop"),
     )
-    groups = flags.groupBy("th").agg(
-        F.count(F.lit(1)).cast("bigint").alias("copies")
+    # r11 (guide §2.4 "a window keyed like the aggregation needs no second
+    # shuffle"): `copies` used to be a groupBy(th) aggregate shuffle-hash-
+    # joined back onto flags — TWO th-keyed exchanges of the per-doc frame
+    # and a duplicate evaluation of the md5+tokenize projection (one per
+    # join side). A count window over th is the same value with ONE
+    # exchange and one flags evaluation.
+    j = flags.withColumn(
+        "copies",
+        F.count(F.lit(1)).over(Window.partitionBy("th")).cast("bigint"),
     )
-    j = flags.hint("shuffle_hash").join(groups, "th")
     pat = j.select(
         F.expr("CAST(n_tok BETWEEN 5 AND 60 AS INT)").alias("p1"),
         # nullif: ANSI codegen evaluates both conjuncts, so a plain

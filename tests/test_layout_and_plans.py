@@ -715,11 +715,12 @@ def test_duplicated_spans_anchor_join_shape(spark, sf):
 def test_crawl_funnel_no_cartesian_and_stage_reuse(spark, sf):
     """r10 scale lock: the composed crawl->train funnel must never plan a
     cartesian product across its ten stage seams; the only nested-loop
-    joins are the two crossJoin(broadcast(1-row-agg)) totals inside the
-    mixture primitive; the post-mixture `sampled` frame is persisted
-    (InMemoryTableScan present) — the r10 persist A/B showed keeping ONLY
-    that site is fastest (6.9 s vs 19.9 s all-stages / 9.0 s none);
-    earlier stages ride ReusedExchange. Raw marker counts are display-
+    joins are the crossJoin(broadcast(1-row-agg)) totals inside the
+    mixture primitive (re-printed per mixture-consuming leg since the r11
+    one-pass restructure dropped the `sampled` persist); the slim per-doc
+    decision frame is persisted (InMemoryTableScan present) so the Arrow
+    HTML extraction runs ONCE for all ten legs (r11, guide §8 — before,
+    each leg from 01 on re-ran it). Raw marker counts are display-
     inflated here (each persist layer re-prints its ancestors), so the
     lock pins invariants, not counts — each stage's own physical shape is
     pinned by its standalone query's lock."""
@@ -727,7 +728,7 @@ def test_crawl_funnel_no_cartesian_and_stage_reuse(spark, sf):
 
     plan = _plan(e.queries()["crawl_to_train_funnel"](spark, sf))
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 8, plan
     assert "InMemoryTableScan" in plan, plan
     assert "MapInPandas" in plan, plan  # the Arrow extraction stage
 
@@ -1130,15 +1131,19 @@ def test_collision_audit_no_pair_join(spark, sf):
 
 
 def test_cascade_planner_joint_then_tiny_scoring(spark, sf):
-    """r10 wave 54 scale lock: the corpus side collapses to the <=16-row
-    joint pattern frame before any ordering math (the 24x16 scoring
-    crossJoin is broadcast — driver-tiny at any corpus size); the dup
-    flag's group join is SHUFFLE_HASH-pinned; nothing sort-merges."""
+    """r10 wave 54 scale lock, tightened in r11: the corpus side collapses
+    to the <=16-row joint pattern frame before any ordering math (the
+    24x16 scoring crossJoin is broadcast — driver-tiny at any corpus
+    size); the dup flag rides a th-keyed count WINDOW (r11, guide §2.4 —
+    the former groupBy(th) + shuffle-hash join back re-shuffled the
+    per-doc frame twice and evaluated the md5+tokenize projection once
+    per join side); nothing sort-merges and no doc-frame join remains."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["filter_cascade_order_plan"](spark, sf))
     assert "SortMergeJoin" not in plan, plan
-    assert "ShuffledHashJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "Window" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
