@@ -73,18 +73,27 @@ def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # MULTI-PASS blocking at the REP level: the cross-rep rule is
     # (adj = adj2 OR brand = brand2), so passes on (noun, bucket, adj)
-    # and (noun, bucket, brand) are jointly lossless; a rep pair matched
-    # by both equalities appears in both passes and is deduped. The
-    # deterministic rep total order (adj, brand, size) counts each
-    # unordered pair once.
-    def _pass(key: str) -> DataFrame:
+    # and (noun, bucket, brand) are jointly lossless. r11
+    # (guide §2.4 "remove shuffles outright"): the two passes' union used
+    # to be deduped with a PAIR-VOLUME `.distinct()` exchange before
+    # counting; inclusion–exclusion replaces it with a third pass keyed on
+    # BOTH equalities and pure count arithmetic, |A ∪ B| = |A| + |B| −
+    # |A ∩ B|. Within one pass each unordered rep pair appears at most
+    # once (the strict struct total order picks one orientation, and the
+    # probe's 3-bucket explode meets the build bucket at exactly one b),
+    # so per-noun: pairs-matched-by-adj + pairs-matched-by-brand − pairs-
+    # matched-by-both counts every (adj = OR brand =) pair exactly once —
+    # the former distinct's semantics as a sum. Each pass now flows into a
+    # signed per-noun partial aggregate (map-side combine), so no
+    # pair-volume row set ever crosses an exchange.
+    def _pass_counts(keys: list[str], sign: int) -> DataFrame:
         probe = reps.select(
             "adj",
             "noun",
             "brand",
             "size",
             "m",
-            F.col(key).alias("bk"),
+            *[F.col(k).alias(f"bk{i}") for i, k in enumerate(keys)],
             F.explode(
                 F.expr(
                     f"sequence(size div {ENT_SIZE_BUCKET} - 1,"
@@ -98,19 +107,31 @@ def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("brand").alias("brand2"),
             F.col("size").alias("size2"),
             F.col("m").alias("m2"),
-            F.col(key).alias("bk"),
+            *[F.col(k).alias(f"bk{i}") for i, k in enumerate(keys)],
             F.expr(f"size div {ENT_SIZE_BUCKET}").alias("b"),
         )
         return (
-            probe.join(build, ["noun", "bk", "b"])
+            probe.join(
+                build, ["noun", *[f"bk{i}" for i in range(len(keys))], "b"]
+            )
             .filter(
                 F.expr(
                     "struct(adj, brand, size) < struct(adj2, brand2, size2)"
                 )
             )
-            .select(
-                "noun", "adj", "brand", "size", "m",
-                "adj2", "brand2", "size2", "m2",
+            .groupBy("noun")
+            .agg(
+                F.sum(F.expr(f"{sign} * m * m2"))
+                .cast("bigint")
+                .alias("cand_cross"),
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN abs(size - size2) <= {ENT_SIZE_DIFF}"
+                        f" THEN {sign} * m * m2 ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("matched_cross"),
             )
         )
 
@@ -119,17 +140,15 @@ def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to ~4.3e9 records of a single attribute tuple, far beyond any real
     # catalog; DuckDB errors on overflow natively, so a breach cannot
     # pass the gate silently.
-    cross = _pass("adj").unionByName(_pass("brand")).distinct()
-    cross_counts = cross.groupBy("noun").agg(
-        F.sum(F.expr("m * m2")).cast("bigint").alias("cand_cross"),
-        F.sum(
-            F.expr(
-                f"CASE WHEN abs(size - size2) <= {ENT_SIZE_DIFF}"
-                " THEN m * m2 ELSE 0 END"
-            )
+    cross_counts = (
+        _pass_counts(["adj"], 1)
+        .unionByName(_pass_counts(["brand"], 1))
+        .unionByName(_pass_counts(["adj", "brand"], -1))
+        .groupBy("noun")
+        .agg(
+            F.sum("cand_cross").cast("bigint").alias("cand_cross"),
+            F.sum("matched_cross").cast("bigint").alias("matched_cross"),
         )
-        .cast("bigint")
-        .alias("matched_cross"),
     )
     within = reps.groupBy("noun").agg(
         F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("within_pairs")
