@@ -380,10 +380,15 @@ CROSS JOIN n
 # broadcast, constant cost, INDEPENDENT of corpus size. At 100 TB the
 # iterations are free; the scan dominates, exactly once.
 #
-# Integer headroom: |G| <= n·(1e6·|x|max)² ≈ n·1e11 (|x| < 0.5); u accum
-# in DECIMAL(38,0): d·|G|·1e6 <= 64·1e11·n·1e6 ≈ n·6.4e18 — inside 38
-# digits for any n < 1e19. `div` truncates toward zero identically in
-# both engines (timeseries.py:320), so negative components round the same.
+# Integer headroom: |G| <= n·(1e6·|x|max)² ≈ n·1e11 (|x| < 0.5). Since
+# the r10 BIGINT split-sum Gram build, the BINDING bound is the BIGINT
+# lo-partial sum of the per-row products: n·2^20 < 2^63, i.e.
+# n ≲ 8.8e12 rows (~2.2 PB of raw float32 at d=64 — comfortably past the
+# 100 TB target; the old DECIMAL(38,0) n < 1e19 bound now applies only to
+# the d²-row recombination and the u accumulator: d·|G|·1e6 ≈ n·6.4e18,
+# inside 38 digits for the same n range). `div` truncates toward zero
+# identically in both engines (timeseries.py:320), so negative components
+# round the same.
 # ---------------------------------------------------------------------------
 POWER_ROUNDS = 3
 W_SCALE = 1_000_000
@@ -1126,8 +1131,16 @@ def reachable_users_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
     )
     visited = seed.withColumn("dist", F.lit(0).cast("bigint")).persist()
-    frontier = seed
     for hop in range(1, BFS_HOPS + 1):
+        # r11 (guide §2.4, the kcore-class fix): the frontier is READ BACK
+        # out of the persisted `visited` (dist = hop-1) instead of
+        # re-deriving it from the previous round's unpersisted `nxt` plan —
+        # the broadcast build used to re-run the whole propagation join +
+        # distinct + anti-join once per hop on top of paying for it inside
+        # the union, doubling every round's corpus-side work.
+        frontier = visited.filter(
+            F.col("dist") == hop - 1
+        ).select("user_id")
         nxt = (
             adj.join(
                 F.broadcast(frontier.select(F.col("user_id").alias("u"))),
@@ -1138,11 +1151,11 @@ def reachable_users_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("user_id"), "user_id", "left_anti")
             .withColumn("dist", F.lit(hop).cast("bigint"))
         )
-        # each round reads `visited` twice (anti-join + union) and the
-        # next round reads it again — persist keeps the DAG linear in
-        # hops, the BFS analogue of kcore persisting per-round survivors
+        # each round reads `visited` three times (frontier + anti-join +
+        # union) and the next round reads it again — persist keeps the
+        # DAG linear in hops, the BFS analogue of kcore persisting
+        # per-round survivors
         visited = visited.unionAll(nxt).persist()
-        frontier = nxt
     return visited
 
 
@@ -1260,9 +1273,13 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drop the hint and AQE falls back to shuffled semi-joins.
         # r10: both probes keep the survivor column named `id` (explicit
         # join conditions instead of per-side renames) so the two
-        # BroadcastExchanges canonicalize identically and the second is a
-        # ReusedExchange — ONE driver-side broadcast build per round
-        # instead of two (guide §2.4: share exchanges keyed the same way).
+        # BroadcastExchanges canonicalize identically and the runtime can
+        # build ONE broadcast per round instead of two (guide §2.4: share
+        # exchanges keyed the same way). The static explain still prints
+        # both BroadcastExchange nodes — exchange reuse is applied at AQE
+        # execution time; plans/r11/kcore_aqe_final.txt captures the
+        # post-execution final plan showing the ReusedExchange (ADVICE
+        # r10 #1 asked for exactly this runtime evidence).
         sa, sb = survivors.alias("kc_sa"), survivors.alias("kc_sb")
         deg = (
             edges.join(
@@ -1555,17 +1572,19 @@ def community_label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", "lbl")
         )
-    size = labels.groupBy("lbl").agg(
-        F.count(F.lit(1)).cast("bigint").alias("community_size")
-    )
-    # No broadcast hint (ADVICE/VERDICT r7): `size` is one row per distinct
-    # label, which is node-sized worst-case pre-convergence — a forced
-    # broadcast would be an unguarded local[32] pin. AQE demotes this join
-    # to broadcast at small SFs on its own when the measured size allows.
-    return labels.join(size, "lbl").select(
+    # r11 (guide §2.4 "window keyed like the aggregation needs no second
+    # shuffle"): community_size used to be a groupBy(lbl) aggregate joined
+    # back onto labels — TWO traversals of the final round's window output
+    # (its row_number sort re-ran per consumer above the shared votes
+    # exchange) plus a join exchange pair. A count window over lbl is the
+    # same value with ONE exchange and one pass; no broadcast-vs-shuffle
+    # join decision remains to tune (the r7 ADVICE note about not
+    # force-broadcasting `size` is moot — the join is gone).
+    wsz = Window.partitionBy("lbl")
+    return labels.select(
         F.col("id").alias("user_id"),
         F.col("lbl").alias("community_label"),
-        "community_size",
+        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
     )
 
 
