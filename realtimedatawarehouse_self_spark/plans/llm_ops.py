@@ -1981,10 +1981,14 @@ FROM documents
 # Deterministic throughout: init = the K lowest vec_ids, argmin tie-breaks
 # on centroid id, fixed KM_ITERS rounds (unrolled as CTEs in the oracle).
 # Scale: each round = one broadcast of K centroid rows against the point
-# set (no point shuffle) + one shuffle on (cid, pos) for the re-sum;
-# `localCheckpoint` per round cuts lineage. Int64 headroom: |v|<=~6e3,
-# so sums overflow only past ~1e10 points/cluster — at that scale drop
-# KM_SCALE or switch the sums to decimal(38,0).
+# set (no point shuffle) + one shuffle on (cid, pos) for the re-sum; the
+# per-round centroid frame is persisted (LAZY — r11: the former eager
+# `localCheckpoint` ran the whole training during query CONSTRUCTION,
+# i.e. outside the bench's timed window, the r10-flagged untimed-work
+# hole; a lazy persist keeps the DAG linear per round while every
+# training job now runs inside the timed action). Int64 headroom:
+# |v|<=~6e3, so sums overflow only past ~1e10 points/cluster — at that
+# scale drop KM_SCALE or switch the sums to decimal(38,0).
 # ---------------------------------------------------------------------------
 K_CLUSTERS = 8
 KM_ITERS = 3
@@ -2036,8 +2040,11 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-        cents = sums.join(counts, "cid").localCheckpoint()
-    pts.unpersist()
+        # lazy persist: sums and counts both read `assign` (shared via its
+        # aggregate exchange), and the next round's broadcast reads cents
+        # once — persisting keeps the unrolled plan linear in rounds
+        # without running any job at build time
+        cents = sums.join(counts, "cid").persist()
     return cents.select(
         F.col("cid").alias("cluster_id"),
         F.col("n").alias("n_points"),
