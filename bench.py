@@ -574,10 +574,17 @@ def main() -> None:
     # BENCH_FULL.json is the COMMITTED sf0.1 record — a dev/verify run at
     # another scale factor must not clobber it (it did once, r9: three
     # wave commits swept an sf0.001 verify artifact into history), so
-    # non-default scales write to BENCH_FULL_dev.json instead.
-    full_name = (
-        "BENCH_FULL.json" if sf_val == 0.1 else "BENCH_FULL_dev.json"
-    )
+    # non-default scales write to BENCH_FULL_dev.json instead. The record
+    # is ALSO keyed on the core count (r10: the driver's 8-core run
+    # overwrote the canonical 32-core map in the working tree — VERDICT
+    # r10 "What's wrong" #5): only sf0.1 at 32 cores writes the canonical
+    # file; any other core count gets its own BENCH_FULL_c{N}.json.
+    if sf_val != 0.1:
+        full_name = "BENCH_FULL_dev.json"
+    elif CPUS != "32":
+        full_name = f"BENCH_FULL_c{CPUS}.json"
+    else:
+        full_name = "BENCH_FULL.json"
     with open(os.path.join(REPO_ROOT, full_name), "w") as f:
         json.dump(
             {
