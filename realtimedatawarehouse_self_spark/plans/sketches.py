@@ -838,8 +838,10 @@ CARD_HH = 8
 
 
 def _key_counts(spark, sf_dir, table: str, key: str) -> DataFrame:
-    # No persist (r10 A/B: 1.54 s without vs 2.88 s with, all seven call
-    # sites): the count frame is an aggregate — an exchange boundary — so
+    # No persist (r10 A/B: 1.54 s without vs 2.88 s with; re-adjudicated
+    # r11 per VERDICT #8 after the driver showed a 0.88x wobble: 1.16 s
+    # without vs 2.34 s with, all seven call sites — the prune stands):
+    # the count frame is an aggregate — an exchange boundary — so
     # its three consumers (side stats, exact count-product join, top-H
     # heavy hitters) share one ReusedExchange evaluation already.
     return (
