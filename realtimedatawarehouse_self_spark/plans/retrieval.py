@@ -84,34 +84,46 @@ _CONTRIB_FMT = (
 
 
 def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("tok_arr", tokens("text"))
-    docs = docs.select(
-        "doc_id", "tok_arr", F.size("tok_arr").cast("bigint").alias("dl")
-    )
-    # Corpus stats: one tiny aggregate, broadcast back via crossJoin.
-    stats = docs.agg(
+    # ONE tokenize pass over the corpus (r11; guide §8 decide-with-small-
+    # rows). Previously the stats branch and the postings branch were
+    # separate consumers of the tokenized scan — two full corpus
+    # tokenizations, plus a corpus-sized (doc_id, term) exchange for the
+    # tf combine. The slim frame below keeps only (doc_id, dl, matched
+    # tokens) — a few dozen bytes per document at any scale — and is
+    # persisted so stats and scoring read it instead of re-tokenizing.
+    # tf then needs NO exchange at all: per-document term counts are
+    # in-row array arithmetic over the matched sliver (multiset count per
+    # distinct matched term == the former groupBy(doc_id, term) count).
+    term_lits = F.array(*[F.lit(t) for t in _ALL_TERMS])
+    slim = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("dl"),
+        F.filter(
+            tokens("text"), lambda x: F.array_contains(term_lits, x)
+        ).alias("mtoks"),
+    ).persist()
+    # Corpus stats: one tiny aggregate over persisted slim rows.
+    stats = slim.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
-    # Postings restricted to query terms BEFORE any shuffle.
-    term_lits = F.array(*[F.lit(t) for t in _ALL_TERMS])
-    postings = docs.select(
-        "doc_id", "dl", F.explode("tok_arr").alias("term")
-    ).filter(F.array_contains(term_lits, F.col("term")))
-    tf = postings.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf"),
-        F.first("dl").alias("dl"),
-    )
-    # tf feeds BOTH the scoring join and the df derivation below, but it
-    # ends in an aggregate (exchange boundary), so ReusedExchange already
-    # materializes the corpus scan + explode + combine once for both
-    # consumers — at any scale the postings subtree runs a single time.
-    # A persist here is pure added cost (r10 A/B: 2.15 s vs 2.87 s).
+    # (doc, term, tf) without a shuffle: in-row count per distinct
+    # matched term; docs with no matches emit nothing (empty explode),
+    # exactly like the former filtered-postings groupBy.
+    tf = slim.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.expr(
+                "transform(array_distinct(mtoks), t -> struct("
+                "t AS term, "
+                "CAST(size(filter(mtoks, x -> x = t)) AS BIGINT) AS tf))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"), "dl")
     # df falls out of tf for free: one row per (doc, term) means counting
-    # rows per term IS the document frequency. Deriving it from the tiny tf
-    # aggregate (≤ |query terms| rows per doc) instead of a second
-    # distinct over postings avoids re-running the corpus scan + explode
-    # for the df branch.
+    # rows per term IS the document frequency. The aggregate runs over the
+    # matched sliver with map-side combine down to |query terms| keys.
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )

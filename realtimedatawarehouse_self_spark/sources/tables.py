@@ -49,6 +49,10 @@ TABLES = (
 # shuffle the fact side.
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+# path -> inferred StructType; see load_table. Keyed on the full path so
+# different sf_dirs (bench vs tests vs driver) can never cross-talk.
+_SCHEMA_CACHE: dict = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
@@ -67,7 +71,20 @@ def load_table(
     """
     if name in TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Schema-inference cache (r11): without an explicit schema every
+    # load_table call runs a footer-read JOB at query CONSTRUCTION — one
+    # per table per build, ~1000 tiny jobs per full bench run (288
+    # queries × warmup + 2 timed rebuilds). The SCHEMA is metadata, not
+    # data: caching it per path changes no result and every timed run
+    # still computes from the parquet bytes. First touch per process
+    # still infers (and pays the job); everything after reads with the
+    # explicit schema, which skips inference entirely.
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     for c in TS_COLUMNS.get(name, ()):
         dt = df.schema[c].dataType
         if isinstance(dt, LongType):

@@ -313,9 +313,10 @@ def test_bm25_two_scans_no_smj(spark, sf):
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["bm25_doc_search"](spark, sf))
-    # stats branch + tf branch only; df derives from the tf aggregate via
-    # ReusedExchange (persist dropped in the r10 A/B: 2.15 s vs 2.87 s)
-    assert _distinct_scans(plan) <= 2
+    # ONE tokenize scan feeds the persisted slim (doc_id, dl, mtoks)
+    # frame; stats, tf (in-row counts, no (doc,term) exchange) and df all
+    # read it (r11 rewrite, guide §8 decide-with-small-rows)
+    assert _distinct_scans(plan) == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
@@ -695,6 +696,13 @@ def test_duplicated_spans_anchor_join_shape(spark, sf):
     iterative loop."""
     import __spark_entry__ as e
 
+    # clearCache first: the suite shares one session and building OTHER
+    # queries registers their persist() plans in the CacheManager, which
+    # substitutes InMemoryTableScan into any later plan sharing a
+    # fragment — the bench clears the cache before every run, so the
+    # lock must check the plan the driver actually executes (same fix
+    # class as the r10 cdc chunking lock).
+    spark.catalog.clearCache()
     plan = _plan(e.queries()["dedup_duplicated_spans"](spark, sf))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
