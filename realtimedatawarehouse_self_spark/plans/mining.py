@@ -1272,14 +1272,19 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle joins — at a scale where users outgrow broadcast,
         # drop the hint and AQE falls back to shuffled semi-joins.
         # r10: both probes keep the survivor column named `id` (explicit
-        # join conditions instead of per-side renames) so the two
-        # BroadcastExchanges canonicalize identically and the runtime can
-        # build ONE broadcast per round instead of two (guide §2.4: share
-        # exchanges keyed the same way). The static explain still prints
-        # both BroadcastExchange nodes — exchange reuse is applied at AQE
-        # execution time; plans/r11/kcore_aqe_final.txt captures the
-        # post-execution final plan showing the ReusedExchange (ADVICE
-        # r10 #1 asked for exactly this runtime evidence).
+        # join conditions instead of per-side renames) so both probes'
+        # survivor subtrees canonicalize identically and the CacheManager
+        # substitutes the SAME persisted survivor entry into each — the
+        # measured r10 win (3.63→3.04 s A/B) is both probes READING the
+        # cached frame instead of the dst side re-deriving it. r11
+        # captured the post-execution AQE final plan (ADVICE r10 #1,
+        # plans/r11/kcore_peeling_rounds_aqe_final.txt): it shows TWO
+        # BroadcastQueryStages per round over the same
+        # InMemoryTableScan and NO ReusedExchange — AQE does not dedup
+        # the broadcast BUILD across the two probes. What remains
+        # duplicated is therefore one hash-relation build over the
+        # (tiny, persisted) survivor rows per probe, bounded by the
+        # survivor-set size — not the survivor derivation.
         sa, sb = survivors.alias("kc_sa"), survivors.alias("kc_sb")
         deg = (
             edges.join(
